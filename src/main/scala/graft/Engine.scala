@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory tuned for the graft engine.
+  *
+  * Scale notes (100 TB / 1000-executor design, tested on local[32]):
+  *   - AQE on: runtime coalescing + skew-join splitting.
+  *   - shuffle.partitions sized to cores locally; on a real cluster this
+  *     is 2-3x total executor cores (AQE coalesces down).
+  *   - ANSI off: permissive casts (malformed -> null) match ETL
+  *     drop-and-count semantics (reference: libs/validation/dto.ts drops
+  *     invalid rows instead of failing the batch).
+  *   - Session TZ UTC so timestamp semantics match the oracle.
+  */
+object Engine {
+  def session(appName: String = "graft", cores: String = "*"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    configure(spark)
+    spark
+  }
+
+  /** Runtime confs safe to (re)apply on an externally created session. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // dims (region/nation/customer/supplier/part at dim scale) broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational analytics over the TPC-H-ish tables (SURVEY.md section 2.K).
+  *
+  * These exercise the engine's scale paths: partial (map-side)
+  * aggregation with codegen (K1, K4), broadcast-dim join chains
+  * (K2, K3, K6), grouping sets (K5), and window top-k (K6).
+  *
+  * Oracle-parity note: cross-engine float summation is not
+  * deterministic (different partial-agg orders), so every SUM over a
+  * double goes through an exact decimal: the per-row value is cast to
+  * decimal(18,6) (identical round-half-up in Spark and DuckDB, and
+  * ties cannot occur for binary doubles), summed exactly, and the
+  * exact decimal sum is cast back to double. AVG = exact sum / count.
+  */
+object Analytics {
+
+  /** Exact cross-engine sum of a double expression, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Exact cross-engine avg: exact decimal sum divided by count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** K1 `q1_pricing_summary` — TPC-H Q1-style pricing summary.
+    * Scale: single shuffle on the two low-cardinality group keys;
+    * partial aggregation makes the shuffle tiny regardless of input
+    * size; whole-stage codegen end to end.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** K2 `q3_shipping_priority` — TPC-H Q3-style 3-way join + top-k.
+    * Scale: customer is a dim -> broadcast; orders join lineitem
+    * shuffles once on orderkey; top-k via ordered LIMIT (Spark
+    * TakeOrderedAndProject — no global sort materialization).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** K3 `q5_join_chain` — TPC-H Q5-style multi-way join: revenue per
+    * nation where customer and supplier share the nation, region
+    * filtered. Scale: region/nation/supplier/customer all broadcast;
+    * the only shuffle is lineitem-orders on orderkey + final agg.
+    */
+  def q5JoinChain(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cus = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li  = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+                            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** K4 `q6_forecast_revenue` — TPC-H Q6-style filtered aggregate.
+    * Scale: the whole query is scan+filter+partial-agg; all three
+    * predicates and the 2-column projection push into the parquet
+    * reader (PushedFilters / ReadSchema), so IO scales with the
+    * selected fraction, not table size.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+              col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.04 AND 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  /** K5 `k5_segment_rollup` — grouping-sets rollup of order value by
+    * (market segment, nation). Scale: one shuffle; rollup expansion
+    * happens inside the aggregate (Spark Expand) not as extra scans.
+    */
+  def k5SegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    ord.join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("total_value"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  val k5Sql: String =
+    """SELECT c_mktsegment, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (c_mktsegment, n_name)""".stripMargin
+
+  /** K6 `k6_top_customer_per_nation` — top spender per nation via
+    * window rank. Scale: aggregate shuffles on custkey (pre-reduced by
+    * partial agg), nation broadcast, window partitions by nationkey.
+    */
+  def k6TopCustomerPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val spend = ord.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+    spend.join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("total_spend"), col("n_orders"))
+  }
+
+  val k6Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |), ranked AS (
+      |  SELECT c_nationkey, c_name, total_spend, n_orders,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY total_spend DESC, o_custkey) AS rn
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |)
+      |SELECT n_name, c_name, total_spend, n_orders
+      |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rn = 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_join_chain" -> (q5JoinChain _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "k5_segment_rollup" -> (k5SegmentRollup _),
+    "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_join_chain" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "k5_segment_rollup" -> k5Sql,
+    "k6_top_customer_per_nation" -> k6Sql)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("q1 pricing summary: 6 flag/status groups, counts add up") {
+    val rows = run("q1_pricing_summary").collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q1 plan: whole-stage codegen + partial aggregation") {
+    val df = run("q1_pricing_summary")
+    assert(hasWholeStageCodegen(df))
+    assert(executedPlan(df).toString.contains("HashAggregate"))
+  }
+
+  test("q3 top-k: descending revenue, broadcast dim join") {
+    val df = run("q3_shipping_priority")
+    val revs = df.collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length <= 10)
+    assert(revs.sameElements(revs.sortBy(-_)))
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("q6 plan: filters + projection pushed to parquet scan") {
+    val p = plan(run("q6_forecast_revenue"))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    // projection pruning: scan must not read l_orderkey
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"))
+  }
+
+  test("k5 rollup: grand total row present and equals orders count") {
+    val rows = run("k5_segment_rollup").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+  }
+
+  test("k6: exactly one top customer per nation present in orders") {
+    val df = run("k6_top_customer_per_nation")
+    val n = df.select("n_name").distinct().count()
+    assert(df.count() == n)
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+}
