@@ -18,10 +18,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Analytics.queries
+    operators.Analytics.queries ++
+      operators.QueryApi.queries ++
+      operators.Persist.queries ++
+      operators.Ingest.queries ++
+      operators.Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
   def oracleSql: Map[String, String] =
-    operators.Analytics.oracles
+    operators.Analytics.oracles ++
+      operators.QueryApi.oracles ++
+      operators.Persist.oracles ++
+      operators.Ingest.oracles ++
+      operators.Audit.oracles
 }

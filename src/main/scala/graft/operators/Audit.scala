@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Audit-log / metrics / DLQ set-algebra (reference: services/audit,
+  * services/audit-list-api, libs/obs/metrics.ts, services/dlq-retry-api,
+  * services/reprocess-prep).
+  *
+  * The reference writes JSONL audit events partitioned
+  * tenantId=<t>/date=<d>/hour=<h>/ and lists by tenant+date prefix;
+  * metrics are per-service counters; DLQ redrive moves failed messages
+  * back to the main queue; reprocess replays raw objects with
+  * contentType derived from the file extension.
+  */
+object Audit {
+
+  /** F1 `audit_partition_counts` — audit volume per physical
+    * partition (tenant/date/hour). These three columns are the
+    * partitionBy layout of the audit sink (see AuditSpec for the
+    * partitioned parquet write); pruning on them is what makes
+    * tenant+date list calls cheap at 100 TB. */
+  def partitionCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"),
+        hour(col("ts")).as("audit_hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val partitionCountsSql: String =
+    """SELECT 't' || (user_id % 4) AS tenant_id,
+      |  strftime(ts, '%Y-%m-%d') AS audit_date,
+      |  CAST(hour(ts) AS INT) AS audit_hour,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Service routing of the reference pipeline: signup/click/view hit
+    * ingest, purchases persist, errors land in the DLQ. */
+  private val serviceCol =
+    when(col("event_type").isin("signup", "click", "view"), "ingest")
+      .when(col("event_type") === "purchase", "persist")
+      .otherwise("dlq")
+
+  /** F2 `audit_metric_counts` — metric counters per service
+    * (reference: libs/obs/metrics.ts increments). One tiny shuffle on
+    * the service key after map-side partial aggregation. */
+  def metricCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"), col("event_type").as("metric"))
+      .agg(count(lit(1)).as("n"),
+        Analytics.dsum(col("value")).as("value_sum"))
+
+  val metricCountsSql: String =
+    """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+      |            WHEN event_type = 'purchase' THEN 'persist'
+      |            ELSE 'dlq' END AS service,
+      |  event_type AS metric,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** F3 `dlq_redrive_pending` — failures still stuck in the DLQ:
+    * error events with no later activity from the same user (the
+    * retry never happened). A left_anti self-join on the user key —
+    * the distributed form of the reference's redrive scan. Scale:
+    * anti-join shuffles both sides once on user_id; AQE turns the
+    * small failed side into a broadcast when possible. */
+  def dlqRedrivePending(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val later = ev.select(col("user_id").as("u2"), col("ts").as("ts2"),
+      col("event_id").as("id2"))
+    errors.join(later,
+        col("user_id") === col("u2") &&
+          (col("ts2") > col("ts") ||
+            (col("ts2") === col("ts") && col("id2") > col("event_id"))),
+        "left_anti")
+  }
+
+  val dlqRedrivePendingSql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM events e
+      |WHERE event_type = 'error'
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM events l
+      |    WHERE l.user_id = e.user_id
+      |      AND (l.ts > e.ts OR (l.ts = e.ts AND l.event_id > e.event_id))
+      |  )""".stripMargin
+
+  /** F4 `reprocess_content_type` — replay routing: extension derived
+    * from the source adapter, contentType from the extension, replay
+    * idempotency key `reproc:<key>` (reference: reprocess-prep
+    * handler). Pure projection. */
+  def reprocessContentType(spark: SparkSession, dir: String): DataFrame = {
+    val ext = when(col("event_type").isin("click", "purchase"), ".csv")
+      .when(col("event_type") === "error", ".hl7")
+      .otherwise(".json")
+    val key = concat(lit("raw/"), Obs.tenant, lit("/"), Obs.ingestDate,
+      lit("/"), col("event_id"), ext)
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      key.as("raw_key"),
+      when(ext === ".csv", "text/csv")
+        .when(ext === ".hl7", "application/hl7-v2")
+        .otherwise("application/json").as("content_type"),
+      concat(lit("reproc:"), key).as("idempotency_key"))
+  }
+
+  val reprocessContentTypeSql: String =
+    """WITH keyed AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type IN ('click','purchase') THEN '.csv'
+      |         WHEN event_type = 'error' THEN '.hl7'
+      |         ELSE '.json' END AS ext,
+      |    'raw/t' || (user_id % 4) || '/' || strftime(ts, '%Y-%m-%d') || '/'
+      |      || event_id AS stem
+      |  FROM events
+      |)
+      |SELECT event_id,
+      |  stem || ext AS raw_key,
+      |  CASE ext WHEN '.csv' THEN 'text/csv'
+      |           WHEN '.hl7' THEN 'application/hl7-v2'
+      |           ELSE 'application/json' END AS content_type,
+      |  'reproc:' || stem || ext AS idempotency_key
+      |FROM keyed""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_partition_counts" -> (partitionCounts _),
+    "audit_metric_counts" -> (metricCounts _),
+    "dlq_redrive_pending" -> (dlqRedrivePending _),
+    "reprocess_content_type" -> (reprocessContentType _))
+
+  val oracles: Map[String, String] = Map(
+    "audit_partition_counts" -> partitionCountsSql,
+    "audit_metric_counts" -> metricCountsSql,
+    "dlq_redrive_pending" -> dlqRedrivePendingSql,
+    "reprocess_content_type" -> reprocessContentTypeSql)
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Persist semantics (reference: services/persist/handler.ts +
+  * src/stacks/data-stack.ts single-table design).
+  *
+  * The reference does a row-at-a-time conditional DynamoDB update:
+  * `version = if_not_exists(version,0)+1` guarded by
+  * `idempotencyKey <> :idk`, so re-applying the same idempotency key
+  * is a no-op and version counts the distinct applied keys.
+  * Set-oriented, a whole batch of upserts reduces to: keep the first
+  * event per (entity, idempotency_key) — those are the "applied"
+  * writes — then per entity version = applied count and attributes =
+  * the latest applied write.
+  *
+  * Scale: one shuffle on the entity key; both windows share the same
+  * partitioning so Catalyst plans a single Exchange. No driver-side
+  * loops — this is the 1000-executor replacement for the Lambda.
+  */
+object Persist {
+
+  /** Entity here = (patient, code) "latest observation" document; the
+    * synthetic idempotency key (event_id mod 5 within the entity)
+    * collides on purpose so replays exist. */
+  private def applied(spark: SparkSession, dir: String): DataFrame = {
+    val wApply = Window
+      .partitionBy(col("user_id"), col("event_type"), col("ik"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
+      .withColumn("apply_rn", row_number().over(wApply))
+      .filter(col("apply_rn") === 1) // replayed idempotency keys are no-ops
+      .drop("apply_rn")
+  }
+
+  /** D1 `persist_key_design` — single-table key projection: PK/SK,
+    * GSI1 (inverted), GSI2 (patient timeline). Pure codegen'd
+    * projection, no shuffle. entity_id matches the reference:
+    * <patientId>:<code>:<effectiveDateTime>. */
+  def keyDesign(spark: SparkSession, dir: String): DataFrame = {
+    val entityId = concat(col("user_id"), lit(":"), col("event_type"), lit(":"), Obs.tsCanon)
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      concat(lit("TENANT#"), Obs.tenant).as("pk"),
+      concat(lit("ENTITY#observation#"), entityId).as("sk"),
+      concat(lit("ENTITY#observation#"), entityId).as("gsi1_pk"),
+      concat(lit("TENANT#"), Obs.tenant).as("gsi1_sk"),
+      concat(lit("TENANT#"), Obs.tenant, lit("#PATIENT#"), col("user_id")).as("gsi2_pk"),
+      concat(Obs.tsCanon, lit("#OBS#"), col("event_type"), lit("#"), col("event_id")).as("gsi2_sk"))
+  }
+
+  val keyDesignSql: String =
+    """SELECT event_id,
+      |  'TENANT#t' || (user_id % 4) AS pk,
+      |  'ENTITY#observation#' || user_id || ':' || event_type || ':'
+      |    || strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS sk,
+      |  'ENTITY#observation#' || user_id || ':' || event_type || ':'
+      |    || strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS gsi1_pk,
+      |  'TENANT#t' || (user_id % 4) AS gsi1_sk,
+      |  'TENANT#t' || (user_id % 4) || '#PATIENT#' || user_id AS gsi2_pk,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#OBS#' || event_type || '#'
+      |    || event_id AS gsi2_sk
+      |FROM events""".stripMargin
+
+  /** D2 `persist_upsert_version` — idempotent versioned upsert, whole
+    * batch at once: version = count of applied (distinct) idempotency
+    * keys, attributes = latest applied write wins. */
+  def upsertVersion(spark: SparkSession, dir: String): DataFrame = {
+    val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    applied(spark, dir)
+      .withColumn("latest_rn", row_number().over(wLatest))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("version"),
+        max(when(col("latest_rn") === 1, col("value"))).as("last_value"),
+        max(when(col("latest_rn") === 1, col("ts"))).as("last_ts"),
+        max(when(col("latest_rn") === 1, col("ik"))).as("last_ik"))
+  }
+
+  val upsertVersionSql: String =
+    """WITH applied AS (
+      |  SELECT * FROM (
+      |    SELECT *, 'ik' || (event_id % 5) AS ik,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type, 'ik' || (event_id % 5)
+      |                         ORDER BY ts, event_id) AS apply_rn
+      |    FROM events
+      |  ) WHERE apply_rn = 1
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts DESC, event_id DESC) AS latest_rn
+      |  FROM applied
+      |)
+      |SELECT user_id, event_type,
+      |  COUNT(*) AS version,
+      |  MAX(CASE WHEN latest_rn = 1 THEN value END) AS last_value,
+      |  CAST(MAX(CASE WHEN latest_rn = 1 THEN ts END) AS TIMESTAMP) AS last_ts,
+      |  MAX(CASE WHEN latest_rn = 1 THEN ik END) AS last_ik
+      |FROM ranked
+      |GROUP BY user_id, event_type""".stripMargin
+
+  /** D3 `persist_commit_log` — the etl.persisted.v1 commit-log
+    * projection: one event per applied write with the version it
+    * produced (rank of the write within its entity). */
+  def commitLog(spark: SparkSession, dir: String): DataFrame = {
+    val wVersion = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    applied(spark, dir)
+      .withColumn("version", row_number().over(wVersion))
+      .select(
+        lit("etl.persisted.v1").as("event_name"),
+        lit("observation").as("entity_type"),
+        concat(col("user_id"), lit(":"), col("event_type")).as("entity_id"),
+        col("version"), col("ik").as("idempotency_key"),
+        col("ts").as("applied_at"), col("event_id"))
+  }
+
+  val commitLogSql: String =
+    """WITH applied AS (
+      |  SELECT * FROM (
+      |    SELECT *, 'ik' || (event_id % 5) AS ik,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type, 'ik' || (event_id % 5)
+      |                         ORDER BY ts, event_id) AS apply_rn
+      |    FROM events
+      |  ) WHERE apply_rn = 1
+      |)
+      |SELECT 'etl.persisted.v1' AS event_name,
+      |  'observation' AS entity_type,
+      |  user_id || ':' || event_type AS entity_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                     ORDER BY ts, event_id) AS version,
+      |  ik AS idempotency_key,
+      |  CAST(ts AS TIMESTAMP) AS applied_at,
+      |  event_id
+      |FROM applied""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "persist_key_design" -> (keyDesign _),
+    "persist_upsert_version" -> (upsertVersion _),
+    "persist_commit_log" -> (commitLog _))
+
+  val oracles: Map[String, String] = Map(
+    "persist_key_design" -> keyDesignSql,
+    "persist_upsert_version" -> upsertVersionSql,
+    "persist_commit_log" -> commitLogSql)
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Query-API semantics of the reference re-expressed set-oriented
+  * (reference: services/api-query/src/handler.ts + schema.graphql).
+  *
+  * `events` plays the observation stream: user_id ~ patientId,
+  * event_type ~ code, ts ~ effectiveDateTime; `customer` plays the
+  * patient registry.
+  *
+  * Scale notes: every per-patient query is a partition-pruned range
+  * scan in spirit — the predicates (user, code, time range) push into
+  * the parquet scan so a 100 TB store reads only matching row groups;
+  * at cluster scale the store would be partitioned/bucketed by
+  * (tenant, patient) making these true point scans. The latest-per-key
+  * query shuffles once on the grouping key.
+  */
+object QueryApi {
+
+  /** E1 `api_get_patient` — getPatient(id): point lookup in the
+    * registry (reference handler does a DynamoDB GetItem on
+    * PK=TENANT#t, SK=ENTITY#patient#id). */
+  def getPatient(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") === 42)
+      .select(col("c_custkey").as("patient_id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation_id"), col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"))
+
+  val getPatientSql: String =
+    """SELECT c_custkey AS patient_id, c_name AS name,
+      |  c_nationkey AS nation_id, c_acctbal AS balance,
+      |  c_mktsegment AS segment
+      |FROM customer WHERE c_custkey = 42""".stripMargin
+
+  /** E2 `api_obs_by_patient` — observationsByPatient(patientId, code,
+    * from, to, limit): ascending time-range scan with code filter.
+    * LIMIT is ordered by the unique (ts, event_id) chain so the page
+    * is deterministic (reference pages on the GSI2 sort key). */
+  def obsByPatient(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") === 13 && col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(50)
+
+  val obsByPatientSql: String =
+    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM events
+      |WHERE user_id = 13 AND event_type = 'purchase'
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+      |ORDER BY ts, event_id
+      |LIMIT 50""".stripMargin
+
+  /** E3 `api_latest_observation` — latestObservation(patient, code)
+    * for every (patient, code) at once: the reference scans the GSI
+    * descending and takes the first row; set-oriented that is a
+    * row_number window over (ts, event_id) descending. One shuffle on
+    * the entity key. */
+  def latestObservation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  val latestObservationSql: String =
+    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM (
+      |  SELECT event_id, user_id, event_type, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1""".stripMargin
+
+  /** E4 `api_obs_page_after` — keyset pagination: the page after
+    * cursor (ts0, id0) for one patient, strictly ordered by the
+    * unique (ts, event_id) chain. Equivalent of the reference's
+    * nextToken continuation. */
+  def obsPageAfter(spark: SparkSession, dir: String): DataFrame = {
+    val ts0 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val id0 = lit(0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") === 13 &&
+        (col("ts") > ts0 || (col("ts") === ts0 && col("event_id") > id0)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(20)
+  }
+
+  val obsPageAfterSql: String =
+    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM events
+      |WHERE user_id = 13
+      |  AND (ts > TIMESTAMP '2024-01-10 00:00:00'
+      |       OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND event_id > 0))
+      |ORDER BY ts, event_id
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "api_get_patient" -> (getPatient _),
+    "api_obs_by_patient" -> (obsByPatient _),
+    "api_latest_observation" -> (latestObservation _),
+    "api_obs_page_after" -> (obsPageAfter _))
+
+  val oracles: Map[String, String] = Map(
+    "api_get_patient" -> getPatientSql,
+    "api_obs_by_patient" -> obsByPatientSql,
+    "api_latest_observation" -> latestObservationSql,
+    "api_obs_page_after" -> obsPageAfterSql)
+}

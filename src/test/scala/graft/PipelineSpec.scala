@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the ingest/persist/query-api/audit slices (SURVEY §2 A/D/E/F). */
+class PipelineSpec extends SparkSpecBase {
+
+  test("A1 envelope: content_hash is sha256 hex and unique per event") {
+    val df = run("ingest_envelope")
+    val n = df.count()
+    assert(df.filter(length(col("content_hash")) === 64).count() == n)
+    assert(df.select("content_hash").distinct().count() == n)
+  }
+
+  test("A1 envelope plan: pure projection, no shuffle") {
+    val df = run("ingest_envelope")
+    assert(!flattenPlan(executedPlan(df)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]))
+  }
+
+  test("A2 idempotency dedup: winners are the earliest per key") {
+    val df = run("ingest_dedup_idempotency").cache()
+    assert(df.count() == df.select("idempotency_key").distinct().count())
+    df.unpersist()
+  }
+
+  test("D2 upsert version: version bounded by distinct ik count (5)") {
+    val df = run("persist_upsert_version")
+    assert(df.filter(col("version") > 5 || col("version") < 1).count() == 0)
+    assert(df.filter(col("last_value").isNull).count() == 0)
+  }
+
+  test("D3 commit log: versions are dense 1..n per entity") {
+    val df = run("persist_commit_log")
+    val perEntity = df.groupBy("entity_id")
+      .agg(count(lit(1)).as("n"), max("version").as("maxv"), min("version").as("minv"))
+    assert(perEntity.filter(col("n") =!= col("maxv") || col("minv") =!= 1).count() == 0)
+  }
+
+  test("E2/E4 range scans: predicates push into the parquet scan") {
+    val p = plan(run("api_obs_by_patient"))
+    assert(p.contains("PushedFilters") && p.contains("user_id"))
+  }
+
+  test("E3 latest observation: single shuffle on the entity key") {
+    val df = run("api_latest_observation")
+    val shuffles = flattenPlan(executedPlan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles == 1)
+  }
+
+  test("F1 audit partitioning: partitioned parquet write + pruned read") {
+    val out = java.nio.file.Files.createTempDirectory("audit").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("tenant_id", operators.Obs.tenant)
+      .withColumn("audit_date", operators.Obs.ingestDate)
+      .withColumn("audit_hour", hour(col("ts")))
+    ev.write.mode("overwrite")
+      .partitionBy("tenant_id", "audit_date", "audit_hour").parquet(out)
+    val back = spark.read.parquet(out)
+      .filter(col("tenant_id") === "t1" && col("audit_date") === "2024-01-03")
+    val expected = ev.filter(col("tenant_id") === "t1" && col("audit_date") === "2024-01-03").count()
+    assert(back.count() == expected && expected > 0)
+    // partition pruning visible in the scan
+    assert(plan(back).contains("PartitionFilters"))
+  }
+
+  test("F3 dlq redrive: pending errors have no later event for the user") {
+    val pending = run("dlq_redrive_pending")
+    val ev = Tables.events(spark, sf).select(col("user_id").as("u"), col("ts").as("t2"))
+    val joined = pending.join(ev, col("user_id") === col("u") && col("t2") > col("ts"), "inner")
+    assert(joined.count() == 0)
+  }
+}
