@@ -22,7 +22,9 @@ object SparkEntry {
       operators.QueryApi.queries ++
       operators.Persist.queries ++
       operators.Ingest.queries ++
-      operators.Audit.queries
+      operators.Audit.queries ++
+      operators.Dedup.queries ++
+      operators.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
       operators.QueryApi.oracles ++
       operators.Persist.oracles ++
       operators.Ingest.oracles ++
-      operators.Audit.oracles
+      operators.Audit.oracles ++
+      operators.Dedup.oracles ++
+      operators.TextAnalysis.oracles
 }

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document deduplication for LLM-scale corpora (SURVEY §2.G).
+  *
+  * Exact and fingerprint dedup are hash-groupBys (one shuffle, partial
+  * agg). Near-dup goes through shingles: the shingle explosion is
+  * bounded (first 60 tokens per doc — documented cap, the standard
+  * trick to keep shingle volume linear in corpus size), pairs are
+  * pruned `id1 < id2`, and the scale path is MinHash/LSH (G4): the
+  * band-bucket join is O(n·bands) instead of the O(n²) all-pairs
+  * join. Hashes are md5 hex strings so Spark and DuckDB agree
+  * bit-for-bit (engine-portable minima; no platform-specific hash).
+  */
+object Dedup {
+
+  /** Whitespace tokens, first 60 (cap documented above). */
+  private def toks: Column =
+    slice(filter(split(col("text"), " "), c => c =!= ""), 1, 60)
+
+  /** Distinct word n-gram shingles per doc. Mirrors the oracle's
+    * range(1, len-n+2) + element_at construction index-for-index so
+    * both engines shingle identically. Guarded for short docs
+    * (Spark's sequence() counts DOWN when start > stop). */
+  private def shingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val w = col("w")
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  /** SQL fragment producing the identical shingle set in DuckDB. */
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(w) - ${n - 2}), i -> $parts)) AS shingle
+       |  FROM toks WHERE len(w) >= $n
+       |)""".stripMargin
+  }
+
+  /** G1 `dedup_exact` — exact dedup via content hash groupBy: keeper =
+    * min doc_id per hash. Single shuffle on the hash. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** G2 `dedup_fingerprint` — dedup on a normalized fingerprint
+    * (lowercase, punctuation stripped, whitespace collapsed) so
+    * formatting-only variants collapse. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir)
+      .groupBy(md5(norm.cast("binary")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** G3 `dedup_ngram_jaccard` — near-dup pairs by word-trigram Jaccard
+    * >= 0.05. All-pairs via shingle join (pruned id1<id2) — this is
+    * the CORRECTNESS baseline; the scale path for 100 TB is G4's LSH
+    * candidates (O(n·bands)), with this Jaccard as the re-rank. The
+    * ratio divides exact ints so both engines produce identical
+    * doubles. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir, 3).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
+        col("size_b"), col("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shinglesSql(3)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b,
+       |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05""".stripMargin
+
+  /** G4 `dedup_minhash_lsh` — MinHash signatures (8 hash functions as
+    * md5-string minima — portable across engines) banded 8x1; LSH
+    * candidates = doc pairs sharing any band bucket. This is the
+    * 100 TB near-dup path: shuffle keyed by (band, bucket), never
+    * all-pairs. Band id is part of the join key so bucket joins
+    * distribute across the cluster. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir, 3)
+    val sigCols = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 8).map(i => struct(lit(i).as("band"), col(s"h$i").as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+  }
+
+  val minhashLshSql: String = {
+    val mins = (0 until 8).map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 8).map(i => s"SELECT doc_id, $i AS band, h$i AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${shinglesSql(3)},
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY 1
+       |), bands AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin
+  }
+
+  /** G5 `dedup_simhash` (rows-only) — 60-bit SimHash: per-token md5
+    * (top 15 hex chars = 60 bits), bitwise sign aggregation weighted
+    * by token occurrences. Near-dup docs differ in few bits (checked
+    * in spec via hamming distance). Single shuffle on doc_id. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokenHash = conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val bitSums = (0 until 60).map(j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val agg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .withColumn("th", tokenHash)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    }
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_fingerprint" -> (fingerprint _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  /** dedup_simhash is rows-only: 60-bit bitwise sign aggregation has
+    * no tractable DuckDB-SQL equivalent; covered by DedupSpec. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_fingerprint" -> fingerprintSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql)
+}

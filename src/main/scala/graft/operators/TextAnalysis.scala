@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.I):
+  * language ID, quality scoring, token counting, rolling-hash
+  * fingerprinting. All pure Column pipelines (codegen'd higher-order
+  * functions — no UDFs), so they scale as narrow scan-project stages.
+  *
+  * Cross-engine determinism: ratios divide exact integers (IEEE
+  * doubles are then bit-identical in Spark and DuckDB), and hashes are
+  * md5/polynomial-mod arithmetic, not engine-native hash functions.
+  */
+object TextAnalysis {
+
+  private def nonEmptyToks: Column = filter(split(col("text"), " "), c => c =!= "")
+
+  /** Marker stopword sets per language (tiny n-gram heuristic in the
+    * spirit of a language-ID pass; the synthetic corpus is English-ish
+    * so 'en' dominates — the mechanism is what matters). Fixed
+    * priority order for deterministic argmax ties. */
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "los", "las", "que", "por"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** I1 `text_lang_id` — language ID: count marker-token hits per
+    * language, argmax with deterministic lang-order tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langs.map { case (l, ws) =>
+      size(filter(nonEmptyToks, t => t.isin(ws.map(lit): _*).cast("boolean")))
+        .as(s"score_$l")
+    }
+    val scored = Tables.documents(spark, dir)
+      .select((col("doc_id") +: scoreCols): _*)
+    // argmax in fixed order: first language whose score >= all others
+    val predicted = langs.map(_._1).foldRight(lit("und")) { case (l, els) =>
+      val ge = langs.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(ge && col(s"score_$l") > 0, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  val langIdSql: String = {
+    val scores = langs.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(list_filter(str_split(text, ' '), x -> x <> ''), t -> t IN ($list))) AS score_$l"
+    }.mkString(",\n  ")
+    val pred = langs.map { case (l, _) =>
+      val ge = langs.map(_._1).filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $ge AND score_$l > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, ${langs.map(l => s"score_${l._1}").mkString(", ")},
+       |  CASE $pred ELSE 'und' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id,
+       |  $scores
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "is", "to", "in", "for")
+
+  /** I2 `text_quality_score` — composite quality signal from length,
+    * stopword density, punctuation and word-shape ratios (the classic
+    * pre-training quality filters). All components are exact-int
+    * ratios -> identical doubles in both engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(nonEmptyToks).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val stopToks = size(filter(nonEmptyToks,
+      t => t.isin(stopwords.map(lit): _*).cast("boolean"))).cast("double")
+    val punctChars = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val wordChars = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val lenScore = least(lit(1.0), nToks / 100.0)
+    val stopRatio = stopToks / nToks
+    val punctRatio = punctChars / nChars
+    val avgWordLen = wordChars / nToks
+    val wordLenScore = when(avgWordLen >= 3.0 && avgWordLen <= 8.0, 1.0).otherwise(0.5)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      punctRatio.as("punct_ratio"),
+      avgWordLen.as("avg_word_len"),
+      (lenScore * 0.3 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+        + wordLenScore * 0.2).as("quality"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_word_len,
+      |  least(1.0::DOUBLE, n_tokens / 100.0::DOUBLE) * 0.3::DOUBLE
+      |    + stopword_ratio * 0.3::DOUBLE
+      |    + (1.0::DOUBLE - punct_ratio) * 0.2::DOUBLE
+      |    + (CASE WHEN avg_word_len >= 3.0::DOUBLE AND avg_word_len <= 8.0::DOUBLE
+      |            THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.2::DOUBLE AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE AS n_tokens,
+      |    len(list_filter(str_split(text, ' '),
+      |      x -> x IN ('the','a','and','of','is','to','in','for')))::DOUBLE
+      |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
+      |      AS stopword_ratio,
+      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+      |      / length(text)::DOUBLE AS punct_ratio,
+      |    length(replace(text, ' ', ''))::DOUBLE
+      |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
+      |      AS avg_word_len
+      |  FROM documents
+      |)""".stripMargin
+
+  /** I3 `text_token_count` — whitespace tokens plus a BPE-ish regex
+    * tokenization (letter runs | digit runs | single symbols), the
+    * standard cheap token estimator. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(nonEmptyToks).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+      length(col("text")).as("n_chars"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(str_split(text, ' '), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+      |    AS bpe_ish_tokens,
+      |  length(text) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** I4 `text_rolling_fingerprint` — polynomial rolling hash over the
+    * character stream (base 31 mod 1e9+7 — modulus small enough that
+    * acc*31+c never overflows a long, so no engine-specific overflow
+    * semantics). Uses aggregate(): codegen'd fold, no UDF. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    val fp = aggregate(chars, lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+    Tables.documents(spark, dir).select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  val rollingFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> (langId _),
+    "text_quality_score" -> (qualityScore _),
+    "text_token_count" -> (tokenCount _),
+    "text_rolling_fingerprint" -> (rollingFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_lang_id" -> langIdSql,
+    "text_quality_score" -> qualityScoreSql,
+    "text_token_count" -> tokenCountSql,
+    "text_rolling_fingerprint" -> rollingFingerprintSql)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM-pipeline slices G (dedup) and I (text analysis). */
+class DedupTextSpec extends SparkSpecBase {
+
+  test("G1/G2: every doc accounted for, keeper is min doc_id") {
+    val docs = Tables.documents(spark, sf).count()
+    assert(run("dedup_exact").agg(sum("n_copies")).head.getLong(0) == docs)
+    assert(run("dedup_fingerprint").agg(sum("n_copies")).head.getLong(0) == docs)
+  }
+
+  test("G3 jaccard pairs: bounded in (0,1], ordered doc_a < doc_b") {
+    val df = run("dedup_ngram_jaccard").cache()
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    df.unpersist()
+  }
+
+  test("G4 LSH candidates are a superset of high-jaccard pairs") {
+    // any pair with jaccard >= 0.5 shares a minhash minimum w.h.p.; at
+    // b=8,r=1 the candidate set must contain all near-identical pairs
+    val near = run("dedup_ngram_jaccard").filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val cand = run("dedup_minhash_lsh")
+    val missed = near.join(cand, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missed == 0)
+  }
+
+  test("G5 simhash: LSH-candidate pairs are closer in hamming than random pairs") {
+    val sh = run("dedup_simhash").cache()
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val cand = run("dedup_minhash_lsh")
+      .join(a, "doc_a").join(b, "doc_b")
+      .agg(avg(bit_count(col("ha").bitwiseXOR(col("hb"))))).head.getDouble(0)
+    val rand = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .agg(avg(bit_count(col("ha").bitwiseXOR(col("hb"))))).head.getDouble(0)
+    assert(cand < rand, s"candidate-pair hamming $cand should beat random $rand")
+    sh.unpersist()
+  }
+
+  test("I1 lang id: predictions valid, corpus is English-ish") {
+    val df = run("text_lang_id").cache()
+    assert(df.filter(!col("predicted_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == 0)
+    assert(df.filter(col("predicted_lang") === "en").count() >
+      df.count() / 2, "synthetic corpus should mostly classify as en")
+    df.unpersist()
+  }
+
+  test("I2 quality: score within [0,1], components finite") {
+    val df = run("text_quality_score")
+    assert(df.filter(col("quality") < 0 || col("quality") > 1.0000001).count() == 0)
+    assert(df.filter(col("avg_word_len") <= 0 || col("stopword_ratio") < 0).count() == 0)
+  }
+
+  test("I3 token counts: bpe-ish >= whitespace tokens on word corpus") {
+    val df = run("text_token_count")
+    assert(df.filter(col("bpe_ish_tokens") < col("ws_tokens")).count() == 0)
+    assert(df.filter(col("ws_tokens") <= 0).count() == 0)
+  }
+
+  test("I4 rolling fingerprint: in field range and deterministic") {
+    val r1 = run("text_rolling_fingerprint").orderBy("doc_id").collect()
+    val r2 = run("text_rolling_fingerprint").orderBy("doc_id").collect()
+    assert(r1.sameElements(r2))
+    assert(r1.forall { r => val f = r.getLong(1); f >= 0 && f < 1000000007L })
+  }
+
+  test("dedup plans: exact dedup is one shuffle; no cartesian in LSH") {
+    val exact = run("dedup_exact")
+    assert(flattenPlan(executedPlan(exact)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 1)
+    val lsh = run("dedup_minhash_lsh")
+    assert(!flattenPlan(executedPlan(lsh)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+}
