@@ -14,14 +14,27 @@ import org.apache.spark.sql.SparkSession
   *   - Session TZ UTC so timestamp semantics match the oracle.
   */
 object Engine {
-  def session(appName: String = "graft", cores: String = "*"): SparkSession = {
-    val spark = SparkSession
-      .builder()
-      .master(s"local[$cores]")
-      .appName(appName)
-      .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors().toString)
+  /** Builder with every conf baked in at construction time. Setting
+    * them only post-hoc via spark.conf.set is NOT enough: parallel
+    * planning/schema-inference threads read a thread-local SQLConf
+    * that may miss late runtime sets (seen as nondeterministic
+    * PARQUET_TYPE_ILLEGAL on the nanos-timestamped events table). */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  def session(appName: String = "graft", cores: String = "*"): SparkSession = {
+    val spark = builder(s"local[$cores]",
+      Runtime.getRuntime.availableProcessors()).appName(appName).getOrCreate()
     configure(spark)
     spark
   }

@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Ingest.queries ++
       operators.Audit.queries ++
       operators.Dedup.queries ++
-      operators.TextAnalysis.queries
+      operators.TextAnalysis.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Ingest.oracles ++
       operators.Audit.oracles ++
       operators.Dedup.oracles ++
-      operators.TextAnalysis.oracles
+      operators.TextAnalysis.oracles ++
+      operators.Similarity.oracles
 }

