@@ -25,7 +25,11 @@ object SparkEntry {
       operators.Audit.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      sources.Adapters.queries ++
+      operators.Normalize.queries ++
+      operators.EventStream.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -37,5 +41,9 @@ object SparkEntry {
       operators.Audit.oracles ++
       operators.Dedup.oracles ++
       operators.TextAnalysis.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      sources.Adapters.oracles ++
+      operators.Normalize.oracles ++
+      operators.EventStream.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream operators, batch form (SURVEY §2.L). Each has a
+  * Structured Streaming twin in graft.streaming.StreamOps verified
+  * against these batch results in StreamingSpec — the batch query IS
+  * the oracle for the stream.
+  *
+  * Scale: everything here shuffles exactly once on the entity key
+  * (user) or the window key; sessionization is the classic
+  * lag+cumsum-over-window pattern (single sort within partitions, no
+  * driver state).
+  */
+object EventStream {
+
+  /** L1 `stream_tumbling_agg` — 1-hour tumbling windows per event
+    * type. */
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Analytics.dsum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  val tumblingAggSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** L2 `stream_sessionize` — 30-minute-gap sessionization: a new
+    * session starts when the gap from the previous event of the same
+    * user exceeds 30 minutes. lag -> boundary flag -> running count =
+    * session number; then per-session rollup. Both windows and the
+    * final agg share the user_id partitioning: one shuffle total. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs).cast("int"))
+      .withColumn("session_num", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), Analytics.dsum(col("value")).as("total_value"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS session_num
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_num,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM numbered GROUP BY 1, 2""".stripMargin
+
+  /** L3 `stream_event_dedup` — duplicate suppression on
+    * (user, type, minute-bucket): keep the earliest event per key
+    * (the batch twin of streaming dropDuplicatesWithinWatermark; the
+    * minute bucket gives the synthetic stream real duplicates to
+    * suppress). */
+  def eventDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("ts_bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ts_bucket", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+  }
+
+  val eventDedupSql: String =
+    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM (
+      |  SELECT event_id, user_id, event_type, ts, value,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, event_type, date_trunc('minute', ts)
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |) WHERE rn = 1""".stripMargin
+
+  /** L4 `stream_user_latest_state` — per-user rollup state: latest
+    * event attributes + lifetime counters (the batch twin of
+    * mapGroupsWithState). */
+  def userLatestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("last_event_type"),
+        max(when(col("rn") === 1, col("ts"))).as("last_ts"),
+        max(when(col("rn") === 1, col("value"))).as("last_value"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        Analytics.dsum(col("value")).as("total_value"))
+  }
+
+  val userLatestStateSql: String =
+    """WITH ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id,
+      |  MAX(CASE WHEN rn = 1 THEN event_type END) AS last_event_type,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN ts END) AS TIMESTAMP) AS last_ts,
+      |  MAX(CASE WHEN rn = 1 THEN value END) AS last_value,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_event_types,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM ranked GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> (tumblingAgg _),
+    "stream_sessionize" -> (sessionize _),
+    "stream_event_dedup" -> (eventDedup _),
+    "stream_user_latest_state" -> (userLatestState _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" -> tumblingAggSql,
+    "stream_sessionize" -> sessionizeSql,
+    "stream_event_dedup" -> eventDedupSql,
+    "stream_user_latest_state" -> userLatestStateSql)
+}

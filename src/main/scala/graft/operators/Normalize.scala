@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Adapters
+
+/** Normalize stage (reference: libs/validation/dto.ts Zod schema,
+  * libs/mappers/observation.ts FHIR mapping,
+  * services/normalize/handler.ts envelope).
+  *
+  * The reference validates each DTO (drop + count invalid), maps valid
+  * DTOs to minimal FHIR R4 Observations, and wraps them in an
+  * `etl.normalized.v1` envelope with entityId
+  * <patientId>:<code>:<effectiveDateTime>. Set-oriented: validation is
+  * a predicate column, rejects are a groupBy on the reason, mapping
+  * and envelope are pure projections — the whole stage is one
+  * codegen'd pass with a single tiny shuffle for the counts.
+  */
+object Normalize {
+
+  /** DTO stream with one extra injected defect class (empty code every
+    * 101st event) on top of the adapter's non-numeric values, so every
+    * validation rule fires. */
+  def dto(spark: SparkSession, dir: String): DataFrame =
+    Adapters.csvLabx(spark, dir)
+      .withColumn("code",
+        when(pmod(col("event_id"), lit(101)) === 0, lit(""))
+          .otherwise(col("code")))
+
+  private val dtoSqlCte: String =
+    """raw AS (
+      |  SELECT event_id,
+      |    concat_ws(',', user_id, event_type,
+      |      CASE WHEN event_id % 97 = 0 THEN 'N/A'
+      |           ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END,
+      |      'mg/dL', strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS line
+      |  FROM events
+      |), f AS (SELECT event_id, line, str_split(line, ',') AS p FROM raw),
+      |parsed AS (
+      |  SELECT event_id,
+      |    p[1] AS patient_id, p[2] AS code,
+      |    TRY_CAST(p[3] AS DOUBLE) AS value,
+      |    p[4] AS unit,
+      |    strptime(p[5], '%Y-%m-%d %H:%M:%S.%f') AS effective,
+      |    'labx-csv' AS source_system, sha256(line) AS ingest_hash
+      |  FROM f
+      |),
+      |dto AS (
+      |  SELECT event_id, patient_id,
+      |    CASE WHEN event_id % 101 = 0 THEN '' ELSE code END AS code,
+      |    value, unit, effective, source_system, ingest_hash
+      |  FROM parsed
+      |)""".stripMargin
+
+  /** Zod-equivalent validity predicate (reference: dto.ts — non-empty
+    * strings, numeric value, valid datetime, hash >= 10 chars). */
+  private def isValid: Column =
+    col("patient_id") =!= "" && col("code") =!= "" && col("unit") =!= "" &&
+      col("value").isNotNull && !isnan(col("value")) &&
+      col("effective").isNotNull && length(col("ingest_hash")) >= 10
+
+  private val isValidSql: String =
+    """patient_id <> '' AND code <> '' AND unit <> ''
+      |  AND value IS NOT NULL AND NOT isnan(value)
+      |  AND effective IS NOT NULL AND length(ingest_hash) >= 10""".stripMargin
+
+  /** C1 `normalize_validate_dto` — valid rows pass through. */
+  def validateDto(spark: SparkSession, dir: String): DataFrame =
+    dto(spark, dir).filter(isValid)
+
+  val validateDtoSql: String =
+    s"""WITH $dtoSqlCte
+       |SELECT * FROM dto
+       |WHERE $isValidSql""".stripMargin
+
+  /** C2 `normalize_reject_counts` — invalid-row routing with counted
+    * reasons (reference: dto_invalid_count metric). First matching
+    * reason wins, mirroring the reference's validation order. */
+  def rejectCounts(spark: SparkSession, dir: String): DataFrame = {
+    val reason = when(col("value").isNull || isnan(col("value")), "dto_value_invalid")
+      .when(col("code") === "", "dto_code_empty")
+      .when(col("patient_id") === "" || col("unit") === "" ||
+        col("effective").isNull || length(col("ingest_hash")) < 10, "dto_other_invalid")
+      .otherwise("valid")
+    dto(spark, dir)
+      .groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val rejectCountsSql: String =
+    s"""WITH $dtoSqlCte
+       |SELECT CASE
+       |    WHEN value IS NULL OR isnan(value) THEN 'dto_value_invalid'
+       |    WHEN code = '' THEN 'dto_code_empty'
+       |    WHEN patient_id = '' OR unit = '' OR effective IS NULL
+       |      OR length(ingest_hash) < 10 THEN 'dto_other_invalid'
+       |    ELSE 'valid' END AS reason,
+       |  COUNT(*) AS n
+       |FROM dto GROUP BY 1""".stripMargin
+
+  /** C3 `normalize_fhir_map` — minimal FHIR R4 Observation, flattened
+    * (reference: observation.ts — status final, LOINC coding,
+    * Patient/<id> subject, valueQuantity with UCUM unit). */
+  def fhirMap(spark: SparkSession, dir: String): DataFrame =
+    validateDto(spark, dir).select(
+      col("event_id"),
+      lit("Observation").as("resource_type"),
+      lit("final").as("status"),
+      lit("http://loinc.org").as("coding_system"),
+      col("code").as("coding_code"),
+      concat(lit("Patient/"), col("patient_id")).as("subject_ref"),
+      col("value").as("value_quantity"),
+      col("unit").as("value_unit"),
+      lit("http://unitsofmeasure.org").as("ucum_system"),
+      date_format(col("effective"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("effective_iso"))
+
+  val fhirMapSql: String =
+    s"""WITH $dtoSqlCte
+       |SELECT event_id,
+       |  'Observation' AS resource_type,
+       |  'final' AS status,
+       |  'http://loinc.org' AS coding_system,
+       |  code AS coding_code,
+       |  'Patient/' || patient_id AS subject_ref,
+       |  value AS value_quantity,
+       |  unit AS value_unit,
+       |  'http://unitsofmeasure.org' AS ucum_system,
+       |  strftime(effective, '%Y-%m-%d %H:%M:%S.%f') AS effective_iso
+       |FROM dto WHERE $isValidSql""".stripMargin
+
+  /** C4 `normalize_entity_id` — etl.normalized.v1 envelope fields with
+    * the reference's entityId derivation. */
+  def entityId(spark: SparkSession, dir: String): DataFrame =
+    validateDto(spark, dir).select(
+      col("event_id"),
+      lit("etl.normalized.v1").as("envelope"),
+      lit("observation").as("entity_type"),
+      concat(col("patient_id"), lit(":"), col("code"), lit(":"),
+        date_format(col("effective"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("entity_id"))
+
+  val entityIdSql: String =
+    s"""WITH $dtoSqlCte
+       |SELECT event_id,
+       |  'etl.normalized.v1' AS envelope,
+       |  'observation' AS entity_type,
+       |  patient_id || ':' || code || ':'
+       |    || strftime(effective, '%Y-%m-%d %H:%M:%S.%f') AS entity_id
+       |FROM dto WHERE $isValidSql""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "normalize_validate_dto" -> (validateDto _),
+    "normalize_reject_counts" -> (rejectCounts _),
+    "normalize_fhir_map" -> (fhirMap _),
+    "normalize_entity_id" -> (entityId _))
+
+  val oracles: Map[String, String] = Map(
+    "normalize_validate_dto" -> validateDtoSql,
+    "normalize_reject_counts" -> rejectCountsSql,
+    "normalize_fhir_map" -> fhirMapSql,
+    "normalize_entity_id" -> entityIdSql)
+}

@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Obs
+
+/** Source adapters (reference: libs/adapters/csv/labx.ts,
+  * libs/adapters/hl7/v2.ts, generic JSON ingest in
+  * services/normalize/handler.ts routing).
+  *
+  * The reference parses one payload per Lambda invocation; here each
+  * payload is a row and the parser is a pure Column pipeline
+  * (split/regexp/cast — all codegen'd, no UDFs), so parsing 100 TB of
+  * raw payloads is a narrow scan-project stage with no shuffle.
+  *
+  * Payloads are synthesized deterministically from `events` (the
+  * driver-provided raw stream), including deliberately malformed rows
+  * (non-numeric values every 97th event, absent unit components) so
+  * the adapter's drop/fallback semantics have work to do — then parsed
+  * back. The synth+parse round trip is the operator under test.
+  */
+object Adapters {
+
+  /** Raw CSV labx line: patientId,code,value,unit,effectiveDateTime
+    * (reference: libs/adapters/csv/labx.ts header contract). */
+  def csvLine: Column = concat_ws(",",
+    col("user_id"), col("event_type"),
+    when(pmod(col("event_id"), lit(97)) === 0, lit("N/A")).otherwise(Obs.valueCanon),
+    lit("mg/dL"), Obs.tsCanon)
+
+  /** B1 `adapter_csv_labx` — CSV line -> typed DTO columns. Value is
+    * cast permissively: non-numeric -> NULL (the reference's
+    * Number(...) -> NaN -> dropped later by validation). */
+  def csvLabx(spark: SparkSession, dir: String): DataFrame = {
+    val f = split(col("line"), ",")
+    Tables.events(spark, dir)
+      .select(col("event_id"), csvLine.as("line"))
+      .select(
+        col("event_id"),
+        element_at(f, 1).as("patient_id"),
+        element_at(f, 2).as("code"),
+        element_at(f, 3).cast("double").as("value"),
+        element_at(f, 4).as("unit"),
+        to_timestamp(element_at(f, 5), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("effective"),
+        lit("labx-csv").as("source_system"),
+        sha2(col("line"), 256).as("ingest_hash"))
+  }
+
+  val csvLabxSql: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    concat_ws(',', user_id, event_type,
+      |      CASE WHEN event_id % 97 = 0 THEN 'N/A'
+      |           ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END,
+      |      'mg/dL', strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS line
+      |  FROM events
+      |), f AS (SELECT event_id, line, str_split(line, ',') AS p FROM raw)
+      |SELECT event_id,
+      |  p[1] AS patient_id,
+      |  p[2] AS code,
+      |  TRY_CAST(p[3] AS DOUBLE) AS value,
+      |  p[4] AS unit,
+      |  strptime(p[5], '%Y-%m-%d %H:%M:%S.%f') AS effective,
+      |  'labx-csv' AS source_system,
+      |  sha256(line) AS ingest_hash
+      |FROM f""".stripMargin
+
+  /** Raw HL7 v2 message: PID + one OBX segment, CR-separated. Unit
+    * field exercises the reference's fallback chain: every 7th event
+    * has no unit (-> default "1"), every 3rd only OBX-6.1 (-> fallback
+    * to component 1), rest have OBX-6.2. */
+  def hl7Message: Column = {
+    val valueField = when(pmod(col("event_id"), lit(97)) === 0, lit("N/A"))
+      .otherwise(Obs.valueCanon)
+    val unitField = when(pmod(col("event_id"), lit(7)) === 0, lit(""))
+      .when(pmod(col("event_id"), lit(3)) === 0, lit("mg"))
+      .otherwise(lit("mg^mg/dL"))
+    concat(
+      lit("PID|1||"), col("user_id"), lit("^^^MRN||DOE^JOHN"), lit("\r"),
+      lit("OBX|1|NM|"), col("event_type"), lit("^"), upper(col("event_type")),
+      lit("||"), valueField, lit("|"), unitField, lit("|||||F|||"),
+      date_format(col("ts"), "yyyyMMddHHmmss"))
+  }
+
+  /** B2+B3 `adapter_hl7_obx` — HL7 v2 PID/OBX parser: segment split on
+    * CR, field split on '|', component split on '^'. patientId =
+    * PID-3.1; code = OBX-3.1 (fallback .2); value = OBX-5 numeric
+    * (non-numeric rows dropped — reference behavior); unit = OBX-6.2
+    * fallback .1 default "1"; effective = OBX-14 YYYYMMDDHHMMSS ->
+    * UTC timestamp. */
+  def hl7Obx(spark: SparkSession, dir: String): DataFrame = {
+    val segs = split(col("msg"), "\r")
+    val pidSeg = element_at(filter(segs, s => s.startsWith("PID|")), 1)
+    val df = Tables.events(spark, dir)
+      .select(col("event_id"), hl7Message.as("msg"))
+      .withColumn("pid_f", split(pidSeg, "\\|"))
+      .withColumn("obx", explode(filter(segs, s => s.startsWith("OBX|"))))
+      .withColumn("f", split(col("obx"), "\\|"))
+    val code3 = split(element_at(col("f"), 4), "\\^")
+    val unit6 = split(element_at(col("f"), 7), "\\^")
+    df.select(
+        col("event_id"),
+        element_at(split(element_at(col("pid_f"), 4), "\\^"), 1).as("patient_id"),
+        coalesce(nullif(element_at(code3, 1), lit("")),
+          element_at(code3, 2)).as("code"),
+        element_at(col("f"), 6).cast("double").as("value"),
+        coalesce(nullif(element_at(unit6, 2), lit("")),
+          nullif(element_at(unit6, 1), lit("")), lit("1")).as("unit"),
+        to_timestamp(element_at(col("f"), 15), "yyyyMMddHHmmss").as("effective"))
+      .filter(col("value").isNotNull) // non-numeric OBX-5 dropped
+  }
+
+  val hl7ObxSql: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    'PID|1||' || user_id || '^^^MRN||DOE^JOHN' || chr(13) ||
+      |    'OBX|1|NM|' || event_type || '^' || upper(event_type) || '||' ||
+      |    CASE WHEN event_id % 97 = 0 THEN 'N/A'
+      |         ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END || '|' ||
+      |    CASE WHEN event_id % 7 = 0 THEN ''
+      |         WHEN event_id % 3 = 0 THEN 'mg'
+      |         ELSE 'mg^mg/dL' END || '|||||F|||' ||
+      |    strftime(ts, '%Y%m%d%H%M%S') AS msg
+      |  FROM events
+      |), seg AS (
+      |  SELECT event_id,
+      |    list_filter(str_split(msg, chr(13)), s -> starts_with(s, 'PID|'))[1] AS pid,
+      |    unnest(list_filter(str_split(msg, chr(13)), s -> starts_with(s, 'OBX|'))) AS obx
+      |  FROM raw
+      |), parsed AS (
+      |  SELECT event_id,
+      |    str_split(str_split(pid, '|')[4], '^')[1] AS patient_id,
+      |    coalesce(nullif(str_split(str_split(obx, '|')[4], '^')[1], ''),
+      |             str_split(str_split(obx, '|')[4], '^')[2]) AS code,
+      |    TRY_CAST(str_split(obx, '|')[6] AS DOUBLE) AS value,
+      |    coalesce(nullif(str_split(str_split(obx, '|')[7], '^')[2], ''),
+      |             nullif(str_split(str_split(obx, '|')[7], '^')[1], ''),
+      |             '1') AS unit,
+      |    strptime(str_split(obx, '|')[15], '%Y%m%d%H%M%S') AS effective
+      |  FROM seg
+      |)
+      |SELECT * FROM parsed WHERE value IS NOT NULL""".stripMargin
+
+  /** B4 `adapter_json_generic` — generic JSON payload ingest:
+    * from_json with an explicit schema (reference: the normalize
+    * handler's fallback route for application/json payloads). */
+  def jsonGeneric(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("payload_k"),
+        lit("generic-json").as("source_system"))
+      .filter(col("payload_k").isNotNull)
+
+  val jsonGenericSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS payload_k,
+      |  'generic-json' AS source_system
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adapter_csv_labx" -> (csvLabx _),
+    "adapter_hl7_obx" -> (hl7Obx _),
+    "adapter_json_generic" -> (jsonGeneric _))
+
+  val oracles: Map[String, String] = Map(
+    "adapter_csv_labx" -> csvLabxSql,
+    "adapter_hl7_obx" -> hl7ObxSql,
+    "adapter_json_generic" -> jsonGenericSql)
+}

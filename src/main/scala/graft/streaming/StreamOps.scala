@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-stream operators
+  * (reference pipeline stages consume SQS/Kinesis-style streams; here
+  * the same declarative transforms run incrementally with watermarked
+  * state). StreamingSpec drives these through MemoryStream and checks
+  * them against the batch operators in graft.operators.EventStream —
+  * the batch query is the oracle for the stream.
+  *
+  * Scale: state is keyed by (window, type) or user — Spark partitions
+  * state stores by key across executors; watermarks bound state size.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  case class UserStateOut(user_id: Long, last_event_type: String,
+      last_ts: Timestamp, last_value: Double, n_events: Long, total_value: Double)
+
+  case class UserAgg(lastTs: Long, lastId: Long, lastType: String,
+      lastValue: Double, n: Long, sum: Double)
+
+  /** L1 streaming — tumbling 1h windows with a 10-minute watermark;
+    * append mode emits a window only once the watermark passes its
+    * end (exactly-once per window). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** L3 streaming — duplicate suppression keyed
+    * (user, type, minute-bucket); the watermark lets Spark expire
+    * per-key state instead of holding it forever. */
+  def eventDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_bucket", date_trunc("minute", col("ts")))
+      .withWatermark("ts_bucket", "10 minutes")
+      .dropDuplicates("user_id", "event_type", "ts_bucket")
+
+  private val GapUs = 1800L * 1000000L
+
+  /** L2 streaming — 30-minute-gap sessionization via
+    * flatMapGroupsWithState with event-time timeout: events fold into
+    * an open session per user; a gap closes and emits the session; the
+    * watermark passing (lastTs + gap) times out and flushes the open
+    * session. State per user is O(1). */
+  def sessionize(events: Dataset[Event], spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFn)
+  }
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Timestamp -> epoch micros. getTime carries millis (incl. the
+    * sub-second part also present in getNanos), so rebuild from whole
+    * seconds + nanos to avoid double-counting. */
+  private def us(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[streaming] def sessionFn(userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      // watermark passed lastTs + gap: flush the open session
+      val out = state.getOption.map(s =>
+        SessionOut(userId, toTs(s.start), toTs(s.end), s.n, s.sum)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(e => (us(e.ts), e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = us(e.ts)
+      open match {
+        case Some(s) if t - s.end <= GapUs =>
+          open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          closed += SessionOut(userId, toTs(s.start), toTs(s.end), s.n, s.sum)
+          open = Some(OpenSession(t, t, 1L, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // flush when the watermark passes the session-closing gap
+      state.setTimeoutTimestamp(s.end / 1000L + GapUs / 1000L)
+    }
+    closed.result().iterator
+  }
+
+  /** L4 streaming — per-user rolling state via mapGroupsWithState
+    * (update mode): latest event attributes + lifetime counters. */
+  def userLatestState(events: Dataset[Event], spark: SparkSession): Dataset[UserStateOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(userStateFn)
+  }
+
+  private[streaming] def userStateFn(userId: Long, events: Iterator[Event],
+      state: GroupState[UserAgg]): UserStateOut = {
+    var agg = state.getOption.getOrElse(UserAgg(Long.MinValue, Long.MinValue, "", 0.0, 0L, 0.0))
+    events.foreach { e =>
+      val t = us(e.ts)
+      val isLater = t > agg.lastTs || (t == agg.lastTs && e.event_id > agg.lastId)
+      agg = UserAgg(
+        if (isLater) t else agg.lastTs,
+        if (isLater) e.event_id else agg.lastId,
+        if (isLater) e.event_type else agg.lastType,
+        if (isLater) e.value else agg.lastValue,
+        agg.n + 1, agg.sum + e.value)
+    }
+    state.update(agg)
+    UserStateOut(userId, agg.lastType, toTs(agg.lastTs), agg.lastValue, agg.n, agg.sum)
+  }
+}

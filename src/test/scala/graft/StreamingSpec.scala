@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming twins vs their batch oracles (SURVEY §2.L).
+  * Events are fed through MemoryStream in ts order plus a far-future
+  * sentinel that advances the watermark so all windows/sessions
+  * flush; results must match the batch operators on the same data. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private lazy val batchEvents: Seq[Event] =
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+
+  /** One sentinel event far past everything, for a user id that does
+    * not occur in the data; advances the watermark to flush state. */
+  private def sentinel: Event =
+    Event(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0)
+
+  private def runStream[T](q: StreamingQuery, ms: MemoryStream[Event]): Unit = {
+    val (first, second) = batchEvents.splitAt(batchEvents.size / 2)
+    ms.addData(first); q.processAllAvailable()
+    ms.addData(second); q.processAllAvailable()
+    ms.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+  }
+
+  test("L1 streaming tumbling agg matches batch on flushed windows") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingAgg(ms.toDF)
+      .writeStream.format("memory").queryName("s_tumbling")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_tumbling")
+      .filter(col("event_type") =!= "sentinel")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    val want = run("stream_tumbling_agg")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("L2 streaming sessionization matches batch sessions exactly") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sessionize(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_sessions")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_sessions")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val want = run("stream_sessionize")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"streaming sessions ${got.size} vs batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("L3 streaming dedup keeps one event per (user, type, minute)") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.eventDedup(ms.toDF)
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_dedup")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("event_type"), col("ts_bucket"))
+      .collect().map(_.toSeq).toSet
+    val want = run("stream_event_dedup")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("ts_bucket"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("L4 streaming user state converges to the batch rollup") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.userLatestState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_state")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // update mode emits one row per key per trigger: take the last
+    val got = spark.table("s_state")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("last_ts"), col("last_event_type"),
+        col("last_value"))).as("s"))
+      .select(col("user_id"), col("s.last_event_type"), col("s.last_ts"),
+        col("s.last_value"), col("s.n_events"))
+      .collect().map(_.toSeq).toSet
+    val want = run("stream_user_latest_state")
+      .select(col("user_id"), col("last_event_type"), col("last_ts"),
+        col("last_value"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+}
