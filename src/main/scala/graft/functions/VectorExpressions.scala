@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native float-vector dot product as a Catalyst expression.
+  *
+  * Why not `aggregate(zip_with(...))`: Spark's higher-order functions
+  * interpret their lambda per element — for 64-dim embeddings that is
+  * ~192 boxed lambda invocations per row. Bench showed the all-pairs
+  * cosine spending 74 s of a 114 s total in exactly that path. This
+  * expression generates a tight primitive loop inside whole-stage
+  * codegen (and a matching tight loop for interpreted eval), turning
+  * the dot product into ~64 fused multiply-adds on unboxed floats.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float> (ExpectsInputTypes is private[sql];
+  // callers go through vdotNative which only receives embedding cols)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column wrapper for FloatVectorDot. */
+  def vdotNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      FloatVectorDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
