@@ -128,15 +128,44 @@ object Audit {
       |  'reproc:' || stem || ext AS idempotency_key
       |FROM keyed""".stripMargin
 
+  /** F5 `audit_value_quantiles` — exact discrete percentiles of the
+    * metric value per service (p50/p90/p99 latencies in the reference's
+    * metrics semantics). percentile_disc picks an actual data point
+    * (smallest value with cume_dist >= p) — exact and engine-portable,
+    * unlike interpolated or approximate quantiles. Scale note: exact
+    * percentiles need a per-group sort; for 100 TB dashboards swap in
+    * approx_percentile (t-digest) — kept exact here because the
+    * correctness gate hashes results. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+        count(lit(1)).as("n"))
+
+  val valueQuantilesSql: String =
+    """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+      |            WHEN event_type = 'purchase' THEN 'persist'
+      |            ELSE 'dlq' END AS service,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.9) AS p90,
+      |  quantile_disc(value, 0.99) AS p99,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_partition_counts" -> (partitionCounts _),
     "audit_metric_counts" -> (metricCounts _),
     "dlq_redrive_pending" -> (dlqRedrivePending _),
-    "reprocess_content_type" -> (reprocessContentType _))
+    "reprocess_content_type" -> (reprocessContentType _),
+    "audit_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "audit_partition_counts" -> partitionCountsSql,
     "audit_metric_counts" -> metricCountsSql,
     "dlq_redrive_pending" -> dlqRedrivePendingSql,
-    "reprocess_content_type" -> reprocessContentTypeSql)
+    "reprocess_content_type" -> reprocessContentTypeSql,
+    "audit_value_quantiles" -> valueQuantilesSql)
 }

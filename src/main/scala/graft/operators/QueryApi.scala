@@ -108,15 +108,72 @@ object QueryApi {
       |ORDER BY ts, event_id
       |LIMIT 20""".stripMargin
 
+  /** E5 `api_obs_asof_join` — as-of join: for every probe event (a
+    * purchase), the latest prior-or-equal observation (a click) of the
+    * same patient. Implemented with the union + last_value(ignore
+    * nulls) pattern: tag both streams, sort once within the user
+    * partition, carry the last observation forward. ONE shuffle on
+    * user_id, no range-join pair explosion — this is the 100 TB-safe
+    * as-of plan (a naive ts-range join is O(probes x obs) per user).
+    * Spark lacks a built-in as-of join; this composition expresses it
+    * with built-ins, so Catalyst still plans/codegens everything. */
+  def obsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val obs = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(0).as("is_probe"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("value"), lit(1).as("is_probe"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsStruct = when(col("is_probe") === 0,
+      struct(col("event_id").as("oid"), col("ts").as("ots"), col("value").as("oval")))
+    obs.unionAll(probes)
+      .withColumn("carried", last(obsStruct, ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts").as("probe_ts"),
+        col("carried.oid").as("obs_event_id"),
+        col("carried.ots").as("obs_ts"),
+        col("carried.oval").as("obs_value"))
+  }
+
+  val obsAsofJoinSql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, value, 0 AS is_probe
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, NULL AS value, 1 AS is_probe
+      |  FROM events WHERE event_type = 'purchase'
+      |), carried AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+      |      OVER w AS obs_event_id,
+      |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+      |      OVER w AS obs_ts,
+      |    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+      |      OVER w AS obs_value
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS probe_ts,
+      |  obs_event_id, CAST(obs_ts AS TIMESTAMP) AS obs_ts, obs_value
+      |FROM carried WHERE is_probe = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "api_get_patient" -> (getPatient _),
     "api_obs_by_patient" -> (obsByPatient _),
     "api_latest_observation" -> (latestObservation _),
-    "api_obs_page_after" -> (obsPageAfter _))
+    "api_obs_page_after" -> (obsPageAfter _),
+    "api_obs_asof_join" -> (obsAsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "api_get_patient" -> getPatientSql,
     "api_obs_by_patient" -> obsByPatientSql,
     "api_latest_observation" -> latestObservationSql,
-    "api_obs_page_after" -> obsPageAfterSql)
+    "api_obs_page_after" -> obsPageAfterSql,
+    "api_obs_asof_join" -> obsAsofJoinSql)
 }

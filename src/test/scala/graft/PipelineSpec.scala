@@ -65,6 +65,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(plan(back).contains("PartitionFilters"))
   }
 
+  test("E5 as-of join: joined obs is at or before probe time, single shuffle") {
+    val df = run("api_obs_asof_join")
+    // plan check first: cache() would hide the shuffle behind an
+    // InMemoryTableScan
+    val shuffles = flattenPlan(executedPlan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles == 1, s"as-of join should shuffle once, got $shuffles")
+    assert(df.filter(col("obs_ts") > col("probe_ts")).count() == 0)
+    // left as-of: probes with no prior click keep null obs
+    assert(df.count() == Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count())
+  }
+
+  test("F5 quantiles: monotone p50<=p90<=p99, values are real data points") {
+    val df = run("audit_value_quantiles").cache()
+    assert(df.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+    val vals = Tables.events(spark, sf).select("value").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(df.collect().forall(r => vals.contains(r.getAs[Double]("p50"))))
+    df.unpersist()
+  }
+
   test("F3 dlq redrive: pending errors have no later event for the user") {
     val pending = run("dlq_redrive_pending")
     val ev = Tables.events(spark, sf).select(col("user_id").as("u"), col("ts").as("t2"))
