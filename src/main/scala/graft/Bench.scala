@@ -6,6 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     Engine.configure(spark)
+    // warm the JVM/codegen paths so the first measured query doesn't
+    // absorb session startup (~3-4 s of JIT + codegen compile)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     // noop sink: materializes every row and column (count() would let
     // Catalyst prune computed columns away and under-measure).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -216,7 +216,97 @@ object Analytics {
       |FROM ranked JOIN nation ON c_nationkey = n_nationkey
       |WHERE rn = 1""".stripMargin
 
+  /** K7 `k7_priority_semi_join` — TPC-H Q4-style: orders in a date
+    * range having at least one late-shipped lineitem, counted per
+    * priority. Exercises the EXISTS/left-semi path: the semi join
+    * shuffles both sides once on orderkey and short-circuits per key
+    * (no row multiplication), then a tiny agg. */
+  def k7PrioritySemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val k7Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** K8 `k8_order_count_histogram` — TPC-H Q13-style customer
+    * distribution: LEFT OUTER join customers to their non-'P' orders,
+    * per-customer order count, then a histogram of counts (customers
+    * with zero orders included — the outer-join semantics under
+    * test). Two aggregations, both pre-reduced map-side. */
+  def k8OrderCountHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "P")
+    cus.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips NULLs
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val k8Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count""".stripMargin
+
+  /** K9 `k9_large_volume_orders` — TPC-H Q18-style: orders whose total
+    * lineitem quantity exceeds a threshold, with customer attribution.
+    * Exercises the aggregate-subquery-as-filter shape: the quantity
+    * rollup happens once (shuffle on orderkey), the qualifying key set
+    * semi-joins back, customer is a broadcast dim. */
+  def k9LargeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    val ord = Tables.orders(spark, dir)
+    val cus = Tables.customer(spark, dir)
+    ord.join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val k9Sql: String =
+    """WITH qty AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0
+      |)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice, total_qty
+      |FROM orders JOIN qty ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k7_priority_semi_join" -> (k7PrioritySemiJoin _),
+    "k8_order_count_histogram" -> (k8OrderCountHistogram _),
+    "k9_large_volume_orders" -> (k9LargeVolumeOrders _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_join_chain" -> (q5JoinChain _),
@@ -225,6 +315,9 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k7_priority_semi_join" -> k7Sql,
+    "k8_order_count_histogram" -> k8Sql,
+    "k9_large_volume_orders" -> k9Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_join_chain" -> q5Sql,
