@@ -30,8 +30,9 @@ object Obs {
 /** Ingest/envelope semantics (reference: services/ingest/handler.ts).
   *
   * The reference wraps each raw payload in an `ingest.raw.v1` envelope
-  * with tenantId, source, idempotencyKey and a sha256 contentHash of
-  * the canonically serialized payload, then persists the raw copy
+  * with tenantId, source, idempotencyKey (defaulting to the event id,
+  * services/ingest/handler.ts:43) and a sha256 contentHash of the
+  * serialized payload (handler.ts:25), then persists the raw copy
   * under raw/<tenant>/<date>/<id>.json for replay. Set-oriented, the
   * envelope is a pure projection (codegen'd, no shuffle); the
   * idempotency dedup is a first-writer-wins window on the key.

@@ -53,8 +53,9 @@ object Normalize {
       |  FROM parsed
       |)""".stripMargin
 
-  /** Zod-equivalent validity predicate (reference: dto.ts — non-empty
-    * strings, numeric value, valid datetime, hash >= 10 chars). */
+  /** Zod-equivalent validity predicate (reference: libs/validation/
+    * dto.ts:5-11 — non-empty patientId/code/unit/sourceSystem, numeric
+    * value, ISO datetime, ingestHash >= 10 chars). */
   private def isValid: Column =
     col("patient_id") =!= "" && col("code") =!= "" && col("unit") =!= "" &&
       col("value").isNotNull && !isnan(col("value")) &&

@@ -10,9 +10,10 @@ import graft.Tables
   * src/stacks/data-stack.ts single-table design).
   *
   * The reference does a row-at-a-time conditional DynamoDB update:
-  * `version = if_not_exists(version,0)+1` guarded by
-  * `idempotencyKey <> :idk`, so re-applying the same idempotency key
-  * is a no-op and version counts the distinct applied keys.
+  * `version = if_not_exists(version,0)+1` (services/persist/
+  * handler.ts:51) guarded on idempotencyKey (handler.ts:60,71), so
+  * re-applying the same idempotency key is a no-op and version counts
+  * the distinct applied keys.
   * Set-oriented, a whole batch of upserts reduces to: keep the first
   * event per (entity, idempotency_key) — those are the "applied"
   * writes — then per entity version = applied count and attributes =

@@ -39,9 +39,11 @@ object QueryApi {
       |FROM customer WHERE c_custkey = 42""".stripMargin
 
   /** E2 `api_obs_by_patient` — observationsByPatient(patientId, code,
-    * from, to, limit): ascending time-range scan with code filter.
-    * LIMIT is ordered by the unique (ts, event_id) chain so the page
-    * is deterministic (reference pages on the GSI2 sort key). */
+    * from, to, limit): ascending time-range scan with code filter
+    * (reference: services/api-query/src/handler.ts:64-86 —
+    * ScanIndexForward ascending, Limit clamped to 100). LIMIT is
+    * ordered by the unique (ts, event_id) chain so the page is
+    * deterministic (reference pages on the GSI2 sort key). */
   def obsByPatient(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("user_id") === 13 && col("event_type") === "purchase" &&

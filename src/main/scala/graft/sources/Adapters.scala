@@ -86,10 +86,11 @@ object Adapters {
 
   /** B2+B3 `adapter_hl7_obx` — HL7 v2 PID/OBX parser: segment split on
     * CR, field split on '|', component split on '^'. patientId =
-    * PID-3.1; code = OBX-3.1 (fallback .2); value = OBX-5 numeric
-    * (non-numeric rows dropped — reference behavior); unit = OBX-6.2
-    * fallback .1 default "1"; effective = OBX-14 YYYYMMDDHHMMSS ->
-    * UTC timestamp. */
+    * PID-3.1 (reference: libs/adapters/hl7/v2.ts:37-48); code =
+    * OBX-3.1 fallback .2 (v2.ts:53-58); value = OBX-5 numeric,
+    * non-numeric rows dropped (v2.ts:58-62); unit = OBX-6.2 fallback
+    * .1 default "1" (v2.ts:66 `c6[1] || c6[0] || "" -> "1"`);
+    * effective = OBX-14 YYYYMMDDHHMMSS -> UTC timestamp (v2.ts:68). */
   def hl7Obx(spark: SparkSession, dir: String): DataFrame = {
     val segs = split(col("msg"), "\r")
     val pidSeg = element_at(filter(segs, s => s.startsWith("PID|")), 1)
