@@ -31,8 +31,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // per-process dir: the in-memory catalog forgets tables between
+      // JVMs but their directories would survive, and saveAsTable
+      // refuses to reuse an existing location
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
 
   def session(appName: String = "graft", cores: String = "*"): SparkSession = {
     val spark = builder(s"local[$cores]",
