@@ -21,6 +21,7 @@ object Engine {
     * PARQUET_TYPE_ILLEGAL on the nanos-timestamped events table). */
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")

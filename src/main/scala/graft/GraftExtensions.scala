@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.FloatVectorDot
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * Catalyst expressions as SQL functions, so `spark.sql("...
+  * float_vector_dot(a, b) ...")` works the same as the Column API.
+  *
+  * Activate with either
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or the config
+  *   spark.sql.extensions=graft.GraftExtensions
+  * (the latter works in spark-submit / Thrift server deployments
+  * where the session builder is not under the library's control).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(
+        classOf[FloatVectorDot].getName,
+        null,
+        "float_vector_dot",
+        "float_vector_dot(a, b) - native dot product of two float arrays",
+        ""),
+      exprs => FloatVectorDot(exprs(0), exprs(1))))
+  }
+}

@@ -134,15 +134,52 @@ object EventStream {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** L5 `stream_interval_join` — interval (stream-stream) join: each
+    * purchase matched with the same user's clicks from the preceding
+    * 30 minutes. Batch form of the watermarked stream-stream join in
+    * StreamOps.intervalJoin. Scale: equi-join on user_id carries the
+    * time predicate as a join filter — one shuffle per side, matches
+    * bounded by the interval, state (in streaming) bounded by the
+    * watermark. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  p.value AS purchase_value,
+      |  c.event_id AS click_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> (tumblingAgg _),
     "stream_sessionize" -> (sessionize _),
     "stream_event_dedup" -> (eventDedup _),
-    "stream_user_latest_state" -> (userLatestState _))
+    "stream_user_latest_state" -> (userLatestState _),
+    "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> tumblingAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_event_dedup" -> eventDedupSql,
-    "stream_user_latest_state" -> userLatestStateSql)
+    "stream_user_latest_state" -> userLatestStateSql,
+    "stream_interval_join" -> intervalJoinSql)
 }

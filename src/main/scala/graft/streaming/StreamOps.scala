@@ -52,6 +52,28 @@ object StreamOps {
       .withWatermark("ts_bucket", "10 minutes")
       .dropDuplicates("user_id", "event_type", "ts_bucket")
 
+  /** L5 streaming — watermarked stream-stream interval join: each
+    * purchase joins the same user's clicks from the preceding 30
+    * minutes. Inner-join results emit as soon as both sides arrive;
+    * the watermarks bound how long click state is retained (clicks
+    * older than purchase-watermark minus the interval are dropped). */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
   private val GapUs = 1800L * 1000000L
 
   /** L2 streaming — 30-minute-gap sessionization via

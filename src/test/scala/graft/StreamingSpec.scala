@@ -86,6 +86,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L5 streaming interval join matches the batch interval join") {
+    val msP = MemoryStream[Event]
+    val msC = MemoryStream[Event]
+    val q = StreamOps.intervalJoin(msP.toDF, msC.toDF)
+      .writeStream.format("memory").queryName("s_interval")
+      .outputMode("append").start()
+    val (purchases, clicks) = (
+      batchEvents.filter(_.event_type == "purchase"),
+      batchEvents.filter(_.event_type == "click"))
+    msP.addData(purchases); msC.addData(clicks)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_interval")
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    val want = run("stream_interval_join")
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"stream ${got.size} vs batch ${want.size} joined pairs")
+  }
+
+  test("custom expression is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT float_vector_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                        array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d
+        |""".stripMargin).head.getDouble(0)
+    assert(math.abs(r - 5.5) < 1e-12)
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
