@@ -178,7 +178,70 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** G6 `dedup_clusters` — near-duplicate clustering: connected
+    * components over the Jaccard pair graph (edges = G3's pairs at
+    * >= 0.05), each doc labeled with the min doc_id of its component
+    * (the cluster representative a dedup pass would keep).
+    *
+    * Pregel-style min-label propagation: every iteration each node
+    * takes the min label among itself and its neighbors; converged
+    * when no label changes. Each iteration is one distributed
+    * join+agg keyed on the node id; the driver only orchestrates and
+    * checks the converged flag — at 1000 executors the per-iteration
+    * work is a shuffle of |edges| messages, and iteration count is
+    * the graph diameter (tiny for near-dup clusters). localCheckpoint
+    * truncates lineage so plans don't grow with iterations. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .localCheckpoint() // the shingle pipeline only runs once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val messages = edges
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionAll(messages)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE ${shinglesSql(3)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), edges0 AS (
+       |  SELECT doc_a, doc_b
+       |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM edges0
+       |  UNION SELECT doc_b, doc_a FROM edges0
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+       |)
+       |SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprint _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -188,6 +251,7 @@ object Dedup {
   /** dedup_simhash is rows-only: 60-bit bitwise sign aggregation has
     * no tractable DuckDB-SQL equivalent; covered by DedupSpec. */
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql,
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

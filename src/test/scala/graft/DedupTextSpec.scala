@@ -28,6 +28,24 @@ class DedupTextSpec extends SparkSpecBase {
     assert(missed == 0)
   }
 
+  test("G6 clusters: every near-dup edge joins one component, reps are minima") {
+    val labels = run("dedup_clusters").cache()
+    assert(labels.filter(col("cluster_rep") > col("doc_id")).count() == 0)
+    // both endpoints of every edge share a cluster
+    val edges = run("dedup_ngram_jaccard").select("doc_a", "doc_b")
+    val la = labels.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("cluster_rep", "rep_a")
+    val lb = labels.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("cluster_rep", "rep_b")
+    assert(edges.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("rep_a") =!= col("rep_b")).count() == 0)
+    // a representative is its own representative
+    val reps = labels.select(col("cluster_rep").as("doc_id")).distinct()
+    assert(reps.join(labels, "doc_id")
+      .filter(col("cluster_rep") =!= col("doc_id")).count() == 0)
+    labels.unpersist()
+  }
+
   test("G5 simhash: LSH-candidate pairs are closer in hamming than random pairs") {
     val sh = run("dedup_simhash").cache()
     val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
