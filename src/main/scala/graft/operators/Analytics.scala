@@ -303,7 +303,32 @@ object Analytics {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** K10 `k10_running_revenue` — cumulative revenue per customer over
+    * order time. The running sum goes through decimal inside the
+    * window: cumulative double sums are NOT engine-portable (window
+    * implementations accumulate in different orders/structures). */
+  def k10RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("running_revenue"))
+  }
+
+  val k10Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |  o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_revenue
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k10_running_revenue" -> (k10RunningRevenue _),
     "k7_priority_semi_join" -> (k7PrioritySemiJoin _),
     "k8_order_count_histogram" -> (k8OrderCountHistogram _),
     "k9_large_volume_orders" -> (k9LargeVolumeOrders _),
@@ -315,6 +340,7 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k10_running_revenue" -> k10Sql,
     "k7_priority_semi_join" -> k7Sql,
     "k8_order_count_histogram" -> k8Sql,
     "k9_large_volume_orders" -> k9Sql,

@@ -240,8 +240,50 @@ object Dedup {
        |)
        |SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a""".stripMargin
 
+  /** G7 `dedup_keep_corpus` — the survivor corpus a dedup pass emits:
+    * cluster representatives plus every unclustered doc. left_anti
+    * against the non-representative set; at scale this is the one
+    * pass that rewrites the corpus, everything before it only built
+    * the (tiny) drop list. */
+  def keepCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val drop = clusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_hash"))
+  }
+
+  val keepCorpusSql: String =
+    s"""WITH RECURSIVE ${shinglesSql(3)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), edges0 AS (
+       |  SELECT doc_a, doc_b
+       |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM edges0
+       |  UNION SELECT doc_b, doc_a FROM edges0
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+       |), comp AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_hash
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM comp
+       |                  WHERE comp.doc_id = d.doc_id
+       |                    AND comp.cluster_rep <> d.doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
+    "dedup_keep_corpus" -> (keepCorpus _),
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprint _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -252,6 +294,7 @@ object Dedup {
     * no tractable DuckDB-SQL equivalent; covered by DedupSpec. */
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
+    "dedup_keep_corpus" -> keepCorpusSql,
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -153,13 +153,66 @@ object TextAnalysis {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** I5 `text_tfidf_top_terms` — top-3 terms per document by TF-IDF.
+    * tf/df are exact ints; idf = ln(N/df) and the product are IEEE
+    * doubles identical in both engines; ties broken by term. Scale:
+    * one explode+groupBy for tf, a broadcast-sized df table (vocab),
+    * a broadcast join back, and a per-doc window — the classic
+    * document-term pipeline with no O(n^2) step. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(nonEmptyToks).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      // report tfidf rounded: ln() is not correctly rounded and Java
+      // vs libm differ in the last ULP (ranking is unaffected — equal
+      // (tf, df) give bit-equal tfidf within each engine)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df.df::DOUBLE)
+      |      AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term
+      |)
+      |SELECT doc_id, rank, term, tf, df, ROUND(tfidf, 6) AS tfidf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_lang_id" -> (langId _),
     "text_quality_score" -> (qualityScore _),
     "text_token_count" -> (tokenCount _),
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,
     "text_token_count" -> tokenCountSql,
