@@ -191,32 +191,39 @@ object Dedup {
     * work is a shuffle of |edges| messages, and iteration count is
     * the graph diameter (tiny for near-dup clusters). localCheckpoint
     * truncates lineage so plans don't grow with iterations. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .localCheckpoint() // the shingle pipeline only runs once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 30) {
-      val messages = edges
-        .join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.unionAll(messages)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+      val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+        .localCheckpoint() // the shingle pipeline only runs once
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-  }
+      // labels only ever decrease, so the label sum is a cheap
+      // monotone convergence witness (no join needed per iteration)
+      var prevSum = Long.MaxValue
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 30) {
+        val messages = edges
+          .join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.unionAll(messages)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val s = next.agg(sum(col("label"))).head.getLong(0)
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+    })
 
   val clustersSql: String =
     s"""WITH RECURSIVE ${shinglesSql(3)},
