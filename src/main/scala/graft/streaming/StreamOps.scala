@@ -32,6 +32,20 @@ object StreamOps {
   case class UserAgg(lastTs: Long, lastId: Long, lastType: String,
       lastValue: Double, n: Long, sum: Double)
 
+  /** Exactly-once parquet sink: the checkpoint tracks source offsets
+    * and committed files, so a stopped query resumed with the same
+    * checkpoint+path neither loses nor duplicates rows (spec drives a
+    * stop/restart across new source files). partitionBy mirrors the
+    * audit store layout (tenant/date/hour) at scale. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+
   /** L1 streaming — tumbling 1h windows with a 10-minute watermark;
     * append mode emits a window only once the watermark passes its
     * end (exactly-once per window). */

@@ -47,6 +47,10 @@ class PipelineSpec extends SparkSpecBase {
     val shuffles = flattenPlan(executedPlan(df)).count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
     assert(shuffles == 1)
+    // rank-limit pushdown: Spark prunes each partition to the top row
+    // per key BEFORE the shuffle (WindowGroupLimit) — the reason a
+    // custom top-k operator is unnecessary here
+    assert(executedPlan(df).toString.contains("WindowGroupLimit"))
   }
 
   test("F1 audit partitioning: partitioned parquet write + pruned read") {

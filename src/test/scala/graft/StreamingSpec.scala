@@ -114,6 +114,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(r - 5.5) < 1e-12)
   }
 
+  test("file-source to parquet-sink: stop/restart on a checkpoint is exactly-once") {
+    val base = java.nio.file.Files.createTempDirectory("stream_eo").toString
+    val (inDir, outDir, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    new java.io.File(inDir).mkdirs()
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = ev.schema
+    def addFiles(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$inDir/${tag}_$i.parquet"))
+        }
+    }
+    def startQuery() = StreamOps.parquetSink(
+      spark.readStream.schema(schema).parquet(inDir), outDir, cp).start()
+
+    addFiles(ev.filter(col("event_id") % 2 === 0), "even")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    addFiles(ev.filter(col("event_id") % 2 =!= 0), "odd")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == ev.count(), "no lost rows across restart")
+    assert(out.select("event_id").distinct().count() == ev.count(),
+      "no duplicated rows across restart")
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
