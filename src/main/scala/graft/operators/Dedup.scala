@@ -288,9 +288,35 @@ object Dedup {
        |                  WHERE comp.doc_id = d.doc_id
        |                    AND comp.cluster_rep <> d.doc_id)""".stripMargin
 
+  /** G8 `dedup_decontaminate` — train/benchmark decontamination: flag
+    * training docs sharing word n-grams with a held-out benchmark set
+    * (docs with doc_id % 10 == 0 stand in for the benchmark). The
+    * standard pre-training hygiene pass: exact n-gram collision, not
+    * similarity — one shared shingle is enough to flag. Scale: the
+    * benchmark shingle set is small -> broadcast semi-join against the
+    * corpus shingles; no pair explosion. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir, 3)
+    val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("bench_doc_id"), col("shingle"))
+    val train = sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    train.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_doc_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ${shinglesSql(3)}
+       |SELECT t.doc_id, b.doc_id AS bench_doc_id, COUNT(*) AS shared_ngrams
+       |FROM sh t JOIN sh b
+       |  ON t.shingle = b.shingle
+       | AND b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
     "dedup_keep_corpus" -> (keepCorpus _),
+    "dedup_decontaminate" -> (decontaminate _),
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprint _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -302,6 +328,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
     "dedup_keep_corpus" -> keepCorpusSql,
+    "dedup_decontaminate" -> decontaminateSql,
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
