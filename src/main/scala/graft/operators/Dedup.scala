@@ -194,36 +194,78 @@ object Dedup {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def clusters(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val strategyKey = spark.conf
+      .getOption("graft.dedup.clusters.driverMaxEdges").getOrElse("default")
+    clusterCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$strategyKey", _ => {
       val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
         .localCheckpoint() // the shingle pipeline only runs once
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
-      // labels only ever decrease, so the label sum is a cheap
-      // monotone convergence witness (no join needed per iteration)
-      var prevSum = Long.MaxValue
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 30) {
-        val messages = edges
-          .join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.unionAll(messages)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // Size-adaptive strategy, like AQE picks joins by runtime stats:
+      // the candidate graph after Jaccard/LSH pruning is orders of
+      // magnitude smaller than the corpus, so when it fits the driver
+      // comfortably, union-find beats paying per-iteration job
+      // overhead. The distributed label propagation remains the path
+      // for adversarially large candidate graphs.
+      val nEdges = edges.count()
+      val driverMax = spark.conf
+        .getOption("graft.dedup.clusters.driverMaxEdges")
+        .map(_.toLong).getOrElse(1000000L)
+      if (nEdges <= driverMax) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.select(col("src"), col("dst")).collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // edges are symmetric, so distinct src covers every node.
+        // explicit schema (not toDF): reflection-derived encoders
+        // break under embedded/REPL classloaders
+        val nodes = edges.select(col("src")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_rep",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val rows = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
+      } else {
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
           .localCheckpoint()
-        val s = next.agg(sum(col("label"))).head.getLong(0)
-        labels = next
-        converged = s == prevSum
-        prevSum = s
-        iter += 1
+        // labels only ever decrease, so the label sum is a cheap
+        // monotone convergence witness (no join needed per iteration)
+        var prevSum = Long.MaxValue
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 30) {
+          val messages = edges
+            .join(labels, col("src") === col("node"))
+            .select(col("dst").as("node"), col("label"))
+          val next = labels.unionAll(messages)
+            .groupBy(col("node")).agg(min(col("label")).as("label"))
+            .localCheckpoint()
+          val s = next.agg(sum(col("label"))).head.getLong(0)
+          labels = next
+          converged = s == prevSum
+          prevSum = s
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
     })
+  }
 
   val clustersSql: String =
     s"""WITH RECURSIVE ${shinglesSql(3)},
