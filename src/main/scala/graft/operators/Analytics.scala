@@ -327,7 +327,38 @@ object Analytics {
       |    AS running_revenue
       |FROM orders""".stripMargin
 
+  /** K11 `k11_small_qty_revenue` — TPC-H Q17-style correlated
+    * aggregate comparison: revenue from lineitems whose quantity is
+    * below 20% of their part's average. The per-part average is a
+    * rolled-up side computed once (shuffle on partkey) and joined
+    * back — the set-oriented form of a correlated scalar subquery.
+    * The average goes through the exact-decimal sum so the 0.2*avg
+    * comparison is bit-identical in both engines. */
+  def k11SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val k11Sql: String =
+    """WITH avg_qty AS (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem JOIN avg_qty ON l_partkey = p_key
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k11_small_qty_revenue" -> (k11SmallQtyRevenue _),
     "k10_running_revenue" -> (k10RunningRevenue _),
     "k7_priority_semi_join" -> (k7PrioritySemiJoin _),
     "k8_order_count_histogram" -> (k8OrderCountHistogram _),
@@ -340,6 +371,7 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k11_small_qty_revenue" -> k11Sql,
     "k10_running_revenue" -> k10Sql,
     "k7_priority_semi_join" -> k7Sql,
     "k8_order_count_histogram" -> k8Sql,

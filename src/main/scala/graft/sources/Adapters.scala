@@ -163,12 +163,51 @@ object Adapters {
       |FROM events
       |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
 
+  /** B5 `adapter_fixedwidth` — fixed-width record parser (the other
+    * classic healthcare interface format besides delimited and HL7):
+    * positional substring extraction + trim + cast. Synth layout:
+    * cols 1-6 patient id (zero-padded), 7-16 code (space-padded),
+    * 17-28 value (zero-padded decimal), 29-42 yyyyMMddHHmmss. */
+  def fixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      lpad(col("user_id").cast("string"), 6, "0"),
+      rpad(col("event_type"), 10, " "),
+      lpad(Obs.valueCanon, 12, "0"),
+      date_format(col("ts"), "yyyyMMddHHmmss"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), line.as("line"))
+      .select(
+        col("event_id"),
+        substring(col("line"), 1, 6).cast("long").as("patient_id"),
+        trim(substring(col("line"), 7, 10)).as("code"),
+        substring(col("line"), 17, 12).cast("double").as("value"),
+        to_timestamp(substring(col("line"), 29, 14), "yyyyMMddHHmmss").as("effective"))
+  }
+
+  val fixedWidthSql: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    lpad(CAST(user_id AS VARCHAR), 6, '0')
+      |    || rpad(event_type, 10, ' ')
+      |    || lpad(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 12, '0')
+      |    || strftime(ts, '%Y%m%d%H%M%S') AS line
+      |  FROM events
+      |)
+      |SELECT event_id,
+      |  CAST(substring(line, 1, 6) AS BIGINT) AS patient_id,
+      |  trim(substring(line, 7, 10)) AS code,
+      |  CAST(substring(line, 17, 12) AS DOUBLE) AS value,
+      |  strptime(substring(line, 29, 14), '%Y%m%d%H%M%S') AS effective
+      |FROM raw""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adapter_fixedwidth" -> (fixedWidth _),
     "adapter_csv_labx" -> (csvLabx _),
     "adapter_hl7_obx" -> (hl7Obx _),
     "adapter_json_generic" -> (jsonGeneric _))
 
   val oracles: Map[String, String] = Map(
+    "adapter_fixedwidth" -> fixedWidthSql,
     "adapter_csv_labx" -> csvLabxSql,
     "adapter_hl7_obx" -> hl7ObxSql,
     "adapter_json_generic" -> jsonGenericSql)
