@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(r - 5.5) < 1e-12)
   }
 
+  test("L2 sessionization on the RocksDB state store matches batch") {
+    // the production state backend for state larger than executor heap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.sessionize(ms.toDS(), spark)
+        .writeStream.format("memory").queryName("s_sessions_rocks")
+        .outputMode("append").start()
+      runStream(q, ms)
+      val got = spark.table("s_sessions_rocks")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      val want = run("stream_sessionize")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-source to parquet-sink: stop/restart on a checkpoint is exactly-once") {
     val base = java.nio.file.Files.createTempDirectory("stream_eo").toString
     val (inDir, outDir, cp) = (s"$base/in", s"$base/out", s"$base/cp")
