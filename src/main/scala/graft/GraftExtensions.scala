@@ -22,11 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("float_vector_dot"),
       new ExpressionInfo(
-        classOf[FloatVectorDot].getName,
-        null,
-        "float_vector_dot",
-        "float_vector_dot(a, b) - native dot product of two float arrays",
-        ""),
+        classOf[FloatVectorDot].getName, null, "float_vector_dot"),
       exprs => FloatVectorDot(exprs(0), exprs(1))))
   }
 }

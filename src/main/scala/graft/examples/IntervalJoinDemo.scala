@@ -19,7 +19,7 @@ object IntervalJoinDemo {
 
     val msP = MemoryStream[Event]
     val msC = MemoryStream[Event]
-    val q = StreamOps.intervalJoin(msP.toDF, msC.toDF)
+    val q = StreamOps.intervalJoin(msP.toDF(), msC.toDF())
       .writeStream.format("memory").queryName("demo_l5")
       .outputMode("append").start()
 

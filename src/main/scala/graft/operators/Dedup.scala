@@ -256,7 +256,7 @@ object Dedup {
           val next = labels.unionAll(messages)
             .groupBy(col("node")).agg(min(col("label")).as("label"))
             .localCheckpoint()
-          val s = next.agg(sum(col("label"))).head.getLong(0)
+          val s = next.agg(sum(col("label"))).head().getLong(0)
           labels = next
           converged = s == prevSum
           prevSum = s

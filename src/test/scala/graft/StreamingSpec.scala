@@ -37,7 +37,7 @@ class StreamingSpec extends SparkSpecBase {
 
   test("L1 streaming tumbling agg matches batch on flushed windows") {
     val ms = MemoryStream[Event]
-    val q = StreamOps.tumblingAgg(ms.toDF)
+    val q = StreamOps.tumblingAgg(ms.toDF())
       .writeStream.format("memory").queryName("s_tumbling")
       .outputMode("append").start()
     runStream(q, ms)
@@ -71,7 +71,7 @@ class StreamingSpec extends SparkSpecBase {
 
   test("L3 streaming dedup keeps one event per (user, type, minute)") {
     val ms = MemoryStream[Event]
-    val q = StreamOps.eventDedup(ms.toDF)
+    val q = StreamOps.eventDedup(ms.toDF())
       .writeStream.format("memory").queryName("s_dedup")
       .outputMode("append").start()
     runStream(q, ms)
@@ -89,7 +89,7 @@ class StreamingSpec extends SparkSpecBase {
   test("L5 streaming interval join matches the batch interval join") {
     val msP = MemoryStream[Event]
     val msC = MemoryStream[Event]
-    val q = StreamOps.intervalJoin(msP.toDF, msC.toDF)
+    val q = StreamOps.intervalJoin(msP.toDF(), msC.toDF())
       .writeStream.format("memory").queryName("s_interval")
       .outputMode("append").start()
     val (purchases, clicks) = (
