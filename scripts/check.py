@@ -25,18 +25,33 @@ def canon(rows, cols):
 
 
 def norm(v):
+    # Mirrors the driver, which canonicalizes through pandas: a DuckDB
+    # HUGEINT (e.g. bare SUM(int)) arrives as float64 there and hashes
+    # as "3.0" against Spark's int64 "3" — so we go through fetchdf()
+    # too (see fetch()) and norm only handles pandas-ish scalars.
     import datetime, decimal, math
-    if isinstance(v, float):
+    import numpy as np
+    if isinstance(v, (np.floating, float)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, np.integer):
+        return int(v)
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return tuple(norm(x) for x in v)
     return v
+
+
+def fetch(cursor):
+    df = cursor.fetchdf()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main(sf_dir, out_dir):
@@ -57,12 +72,8 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            want = con.execute(sql)
-            wcols = [d[0] for d in want.description]
-            wrows = want.fetchall()
+            gcols, grows = fetch(con.execute(f"SELECT * FROM read_parquet({files!r})"))
+            wcols, wrows = fetch(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1

@@ -12,16 +12,23 @@ object Bench {
       .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     // noop sink: materializes every row and column (count() would let
     // Catalyst prune computed columns away and under-measure).
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e")
+        failed += name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // a crashing query usually "finishes" fast — marking it in the
+    // JSON keeps a failure from masquerading as a fast pass.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

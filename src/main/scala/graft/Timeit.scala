@@ -1,0 +1,30 @@
+package graft
+
+/** Dev tool: time (and optionally explain) individual queries from
+  * SparkEntry at a given SF dir — the per-query slice of Bench for
+  * plan iteration. Usage:
+  *   runMain graft.Timeit <sfDir> [-x] <queryName>...
+  * -x additionally prints the formatted executed plan.
+  */
+object Timeit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val explain = args.contains("-x")
+    val names = args.drop(1).filterNot(_ == "-x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    Engine.configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm the JVM/codegen paths (same as Bench)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"TIMEIT $n ${(System.nanoTime - t0) / 1e9}%.3f s")
+      if (explain) df.explain("formatted")
+    }
+    spark.stop()
+  }
+}

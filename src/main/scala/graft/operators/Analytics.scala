@@ -181,23 +181,28 @@ object Analytics {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY ROLLUP (c_mktsegment, n_name)""".stripMargin
 
-  /** K6 `k6_top_customer_per_nation` — top spender per nation via
-    * window rank. Scale: aggregate shuffles on custkey (pre-reduced by
-    * partial agg), nation broadcast, window partitions by nationkey.
-    */
+  /** K6 `k6_top_customer_per_nation` — top spender per nation. Scale:
+    * the per-customer aggregate shuffles on custkey (pre-reduced by
+    * partial agg), nation broadcast; the per-nation winner uses
+    * max(struct(...)) — an ordinary aggregate with map-side partial
+    * aggregation, NOT a window over the ≤25-value nationkey (a window
+    * funnels every customer row through ≤25 reducers; at 100× scale
+    * those are 25 hot partitions doing all the work). Ties break to
+    * the lowest custkey via the negated key in the ordering struct. */
   def k6TopCustomerPerNation(spark: SparkSession, dir: String): DataFrame = {
     val cus = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
     val ord = Tables.orders(spark, dir)
     val spend = ord.groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("total_spend").desc, col("o_custkey"))
-    spend.join(broadcast(cus), col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("c_name"), col("total_spend"), col("n_orders"))
+    val winner = spend.join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(max(struct(col("total_spend"), (-col("o_custkey")).as("neg_ck"),
+        col("c_name"), col("n_orders"))).as("top"))
+    winner.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("top.c_name").as("c_name"),
+        col("top.total_spend").as("total_spend"),
+        col("top.n_orders").as("n_orders"))
   }
 
   val k6Sql: String =

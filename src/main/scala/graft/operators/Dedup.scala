@@ -197,8 +197,11 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val strategyKey = spark.conf
       .getOption("graft.dedup.clusters.driverMaxEdges").getOrElse("default")
+    // cache key includes the source mtime so a rewrite of the data
+    // under `dir` within one session doesn't serve stale clusters
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
     clusterCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$strategyKey", _ => {
+      s"${System.identityHashCode(spark)}:$dir:$mtime:$strategyKey", _ => {
       val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -249,7 +252,13 @@ object Dedup {
         var prevSum = Long.MaxValue
         var converged = false
         var iter = 0
-        while (!converged && iter < 30) {
+        // iterate to convergence — the witness (label sum) is monotone
+        // decreasing, so convergence is guaranteed in <= diameter
+        // iterations; the cap is a safety net against a bug, and
+        // hitting it is an ERROR (truncating would silently split
+        // components with diameter > cap), never a silent return.
+        val maxIter = 1000
+        while (!converged && iter < maxIter) {
           val messages = edges
             .join(labels, col("src") === col("node"))
             .select(col("dst").as("node"), col("label"))
@@ -262,6 +271,9 @@ object Dedup {
           prevSum = s
           iter += 1
         }
+        if (!converged)
+          throw new IllegalStateException(
+            s"dedup_clusters label propagation did not converge in $maxIter iterations")
         labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       }
     })
@@ -334,15 +346,19 @@ object Dedup {
     * training docs sharing word n-grams with a held-out benchmark set
     * (docs with doc_id % 10 == 0 stand in for the benchmark). The
     * standard pre-training hygiene pass: exact n-gram collision, not
-    * similarity — one shared shingle is enough to flag. Scale: the
-    * benchmark shingle set is small -> broadcast semi-join against the
-    * corpus shingles; no pair explosion. */
+    * similarity — one shared shingle is enough to flag. Scale: a REAL
+    * benchmark set is small and would broadcast, but this synthetic
+    * stand-in is a corpus-derived 10% slice that grows with input, so
+    * no broadcast hint here — AQE broadcasts it when (and only when)
+    * runtime stats say it fits, and falls back to a shuffle join
+    * otherwise. Never hint a broadcast whose size scales with the
+    * corpus. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir, 3)
     val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("bench_doc_id"), col("shingle"))
     val train = sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    train.join(broadcast(bench), "shingle")
+    train.join(bench, "shingle")
       .groupBy(col("doc_id"), col("bench_doc_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
   }

@@ -63,8 +63,11 @@ object EventStream {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), numbered AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id) AS session_num
+      |  -- CAST: DuckDB SUM(int) yields HUGEINT, which the driver's
+      |  -- pandas canonicalization renders as float ("3.0") while the
+      |  -- Spark result is int64 ("3") — same values, different hash.
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS BIGINT) AS session_num
       |  FROM flagged
       |)
       |SELECT user_id, session_num,

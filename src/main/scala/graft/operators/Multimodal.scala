@@ -55,11 +55,13 @@ object Multimodal {
     MediaFeatures(docId, n, batchSize, feats)
   }
 
-  /** J2 `multimodal_feature_stub` (rows-only) — batched decode over
-    * the binary column: mapPartitions + grouped(BatchSize), so each
-    * "codec call" sees a bounded batch and partitions stream without
-    * materializing. */
-  def featureStub(spark: SparkSession, dir: String): DataFrame = {
+  /** Batched decode over the binary column: mapPartitions +
+    * grouped(BatchSize), so each "codec call" sees a bounded batch and
+    * partitions stream without materializing. Carries the raw
+    * features array + observed batch size for the spec's batching
+    * assertions; the driver-checked query is the flattened
+    * [[featureStub]]. */
+  def featureStubRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[(Long, Array[Byte])] = mediaTable(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
@@ -70,10 +72,42 @@ object Multimodal {
     }.toDF()
   }
 
+  /** J2 `multimodal_feature_stub` — the decode output with the 8
+    * chunk features as scalar columns f0..f7 (an Array column is not
+    * canonicalizable by the driver harness; same information, and the
+    * chunked byte means become DuckDB-expressible → full oracle). */
+  def featureStub(spark: SparkSession, dir: String): DataFrame = {
+    val feats = (0 until NChunks).map(i => col("features")(i).as(s"f$i"))
+    featureStubRaw(spark, dir)
+      .select((col("doc_id") +: col("n_bytes") +: feats): _*)
+  }
+
+  /** Chunk c covers byte indices [n*c/8, n*(c+1)/8) — 1-based slice
+    * [lo+1, hi] in DuckDB. The documents table is ASCII-only (checked
+    * at every SF), so ascii(char) == byte value; the mean is an exact
+    * integer sum divided as DOUBLE then cast FLOAT — bit-identical to
+    * the Scala `(s.toDouble / (hi - lo)).toFloat`. */
+  val featureStubSql: String = {
+    val chunks = (0 until NChunks).map { c =>
+      val lo = s"(n_bytes * $c) // $NChunks"
+      val hi = s"(n_bytes * ${c + 1}) // $NChunks"
+      s"""  CAST(CASE WHEN $hi <= $lo THEN 0.0
+         |    ELSE CAST(list_sum(bytes[$lo + 1 : $hi]) AS DOUBLE) / ($hi - $lo)
+         |    END AS FLOAT) AS f$c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT doc_id, length(text) AS n_bytes,
+       |    list_transform(str_split(text, ''), c -> ascii(c)) AS bytes
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_bytes,
+       |$chunks
+       |FROM b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_feature_stub" -> (featureStub _))
 
-  /** rows-only: binary feature extraction has no SQL oracle; covered
-    * by MultimodalSpec (schema, batch shape, determinism). */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "multimodal_feature_stub" -> featureStubSql)
 }

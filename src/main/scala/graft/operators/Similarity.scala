@@ -137,16 +137,27 @@ object Similarity {
   }
 
   private val NProbeCells = 2
+  private val MaxCentroids = 256
 
   /** H4 `sim_ivf_probe` (rows-only) — IVF-style partitioned search:
-    * deterministic coarse centroids (every 50th vector), every vector
-    * assigned to its nearest centroid (the inverted file), queries
-    * probe the NProbeCells nearest cells and re-rank by exact cosine.
-    * At scale the corpus is partitioned by cell id; a query touches
-    * only its probed partitions. */
+    * deterministic coarse centroids, every vector assigned to its
+    * nearest centroid (the inverted file), queries probe the
+    * NProbeCells nearest cells and re-rank by exact cosine. At scale
+    * the corpus is partitioned by cell id; a query touches only its
+    * probed partitions.
+    *
+    * Centroid count is ~sqrt(n) CAPPED at MaxCentroids and hash-picked
+    * (smallest md5(vec_id) — a deterministic sample, TakeOrdered not a
+    * sort). The cap bounds the broadcast (≤256 × 64 floats) and the
+    * assignment work (O(n·k)) no matter the corpus size — an
+    * every-Nth-vector scheme would grow both linearly with n. A real
+    * deployment would k-means a sample for better cell balance; the
+    * partitioning/probing mechanics are identical. */
   def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = normalized(spark, dir)
-    val cents = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val k = math.min(MaxCentroids,
+      math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
+    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
       .select(col("vec_id").as("cent_id"), col("nvec").as("ce"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))

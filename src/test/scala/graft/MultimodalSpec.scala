@@ -20,18 +20,24 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   test("J2 feature stub: batch shape bounded, features deterministic") {
+    val raw = operators.Multimodal.featureStubRaw(spark, sf).cache()
+    assert(raw.filter(col("batch_size") > 32 || col("batch_size") < 1).count() == 0)
+    assert(raw.filter(size(col("features")) =!= 8).count() == 0)
+    raw.unpersist()
+
     val df = run("multimodal_feature_stub").cache()
-    assert(df.filter(col("batch_size") > 32 || col("batch_size") < 1).count() == 0)
-    assert(df.filter(size(col("features")) =!= 8).count() == 0)
+    assert(df.columns.sameElements(
+      Array("doc_id", "n_bytes") ++ (0 until 8).map(i => s"f$i")))
     assert(df.count() == Tables.documents(spark, sf).count())
     // deterministic: same features across two runs
-    val a = df.select("doc_id", "features").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val b = run("multimodal_feature_stub").select("doc_id", "features").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val a = df.collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    val b = run("multimodal_feature_stub").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
     assert(a == b)
-    // byte means of ascii text land strictly inside (0, 256)
-    assert(df.filter(exists(col("features"), f => f < 0.0f || f > 255.0f)).count() == 0)
+    // byte means of ascii text land inside [0, 256)
+    val feats = (0 until 8).map(i => col(s"f$i"))
+    assert(df.filter(feats.map(f => f < 0.0f || f > 255.0f).reduce(_ || _))
+      .count() == 0)
     df.unpersist()
   }
 }
