@@ -10,10 +10,14 @@ object Timeit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val explain = args.contains("-x")
-    val names = args.drop(1).filterNot(_ == "-x")
+    val noCse = args.contains("-nocse")
+    val names = args.drop(1).filterNot(a => a == "-x" || a == "-nocse")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     Engine.configure(spark)
+    // -nocse simulates degraded codegen subexpression elimination — a
+    // plan is only scale-robust if it stays fast with CSE off
+    if (noCse) spark.conf.set("spark.sql.subexpressionElimination.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen paths (same as Bench)
     spark.read.parquet(s"$sfDir/lineitem.parquet")

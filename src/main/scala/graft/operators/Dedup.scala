@@ -158,24 +158,47 @@ object Dedup {
        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin
   }
 
-  /** G5 `dedup_simhash` (rows-only) — 60-bit SimHash: per-token md5
-    * (top 15 hex chars = 60 bits), bitwise sign aggregation weighted
-    * by token occurrences. Near-dup docs differ in few bits (checked
-    * in spec via hamming distance). Single shuffle on doc_id. */
+  /** G5 `dedup_simhash` — 60-bit SimHash: per-token md5 (top 15 hex
+    * chars = 60 bits), bit-vote aggregation over token occurrences.
+    * Near-dup docs differ in few bits (checked in spec via hamming
+    * distance). Single shuffle on doc_id; the vote is one native
+    * [[graft.functions.SimhashAgg]] (61-long buffer, map-side
+    * combinable) instead of 60 scalar sum() aggregates + an OR-fold
+    * projection. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val tokenHash = conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    val bitSums = (0 until 60).map(j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val agg = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("token"))
-      .withColumn("th", tokenHash)
+      .select(col("doc_id"), tokenHash.as("th"))
       .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-    }
-    agg.select(col("doc_id"), sim.as("simhash"))
+      .agg(graft.functions.SimhashAgg.simhashAgg(col("th")).as("simhash"))
+  }
+
+  /** Same votes in DuckDB: hex-parse the token hash, 60 ones-counts,
+    * bit j set iff 2*ones_j > n. */
+  val simhashSql: String = {
+    val ones = (0 until 60).map(j => s"SUM((th >> $j) & 1) AS o$j").mkString(",\n    ")
+    val bits = (0 until 60)
+      .map(j => s"(CASE WHEN 2*o$j > n THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" +\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(str_split(text, ' '), x -> x <> '')[:60]) AS token
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS th
+       |  FROM t
+       |), v AS (
+       |  SELECT doc_id, COUNT(*) AS n,
+       |    $ones
+       |  FROM h GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(
+       |  $bits
+       |AS BIGINT) AS simhash
+       |FROM v""".stripMargin
   }
 
   /** G6 `dedup_clusters` — near-duplicate clustering: connected
@@ -381,9 +404,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _))
 
-  /** dedup_simhash is rows-only: 60-bit bitwise sign aggregation has
-    * no tractable DuckDB-SQL equivalent; covered by DedupSpec. */
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,
     "dedup_keep_corpus" -> keepCorpusSql,
     "dedup_decontaminate" -> decontaminateSql,
