@@ -33,6 +33,7 @@ object Normalize {
       |  SELECT event_id,
       |    concat_ws(',', user_id, event_type,
       |      CASE WHEN event_id % 97 = 0 THEN 'N/A'
+      |           WHEN event_id % 103 = 0 THEN 'Infinity'
       |           ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END,
       |      'mg/dL', strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS line
       |  FROM events
@@ -66,6 +67,31 @@ object Normalize {
       |  AND value IS NOT NULL AND NOT isnan(value)
       |  AND effective IS NOT NULL AND length(ingest_hash) >= 10""".stripMargin
 
+  /** FHIR structural validity of the mapped Observation, implementing
+    * contracts/schemas/fhir/Observation.r4.min.json the way the
+    * reference AJV-validates after mapping (fhir-ajv.ts:1-14,
+    * normalize/handler.ts:108-111): required fields present, status in
+    * its enum, coding system+code present, valueQuantity.value a JSON
+    * number. resourceType/status/coding.system/ucum system are
+    * mapper-constants here (observation.ts:4-17), so those conjuncts
+    * constant-fold; the live checks are value finiteness (a JSON
+    * number cannot be Infinity — Zod's z.number() lets it through,
+    * the AJV-after-Zod pass is what catches it) and field presence. */
+  private def fhirValid: Column =
+    col("code").isNotNull && col("code") =!= "" &&
+      col("patient_id").isNotNull &&
+      col("effective").isNotNull &&
+      col("value").isNotNull && !isnan(col("value")) &&
+      col("value") =!= Double.PositiveInfinity &&
+      col("value") =!= Double.NegativeInfinity &&
+      col("unit").isNotNull
+
+  private val fhirValidSql: String =
+    """code IS NOT NULL AND code <> ''
+      |  AND patient_id IS NOT NULL AND effective IS NOT NULL
+      |  AND value IS NOT NULL AND isfinite(value)
+      |  AND unit IS NOT NULL""".stripMargin
+
   /** C1 `normalize_validate_dto` — valid rows pass through. */
   def validateDto(spark: SparkSession, dir: String): DataFrame =
     dto(spark, dir).filter(isValid)
@@ -76,13 +102,16 @@ object Normalize {
        |WHERE $isValidSql""".stripMargin
 
   /** C2 `normalize_reject_counts` — invalid-row routing with counted
-    * reasons (reference: dto_invalid_count metric). First matching
-    * reason wins, mirroring the reference's validation order. */
+    * reasons. First matching reason wins, mirroring the reference's
+    * validation order: Zod DTO checks first (dto_invalid_count), then
+    * FHIR structural validation of the mapped resource
+    * (fhir_invalid_count, normalize/handler.ts:104-111). */
   def rejectCounts(spark: SparkSession, dir: String): DataFrame = {
     val reason = when(col("value").isNull || isnan(col("value")), "dto_value_invalid")
       .when(col("code") === "", "dto_code_empty")
       .when(col("patient_id") === "" || col("unit") === "" ||
         col("effective").isNull || length(col("ingest_hash")) < 10, "dto_other_invalid")
+      .when(!fhirValid, "fhir_invalid")
       .otherwise("valid")
     dto(spark, dir)
       .groupBy(reason.as("reason"))
@@ -96,15 +125,18 @@ object Normalize {
        |    WHEN code = '' THEN 'dto_code_empty'
        |    WHEN patient_id = '' OR unit = '' OR effective IS NULL
        |      OR length(ingest_hash) < 10 THEN 'dto_other_invalid'
+       |    WHEN NOT ($fhirValidSql) THEN 'fhir_invalid'
        |    ELSE 'valid' END AS reason,
        |  COUNT(*) AS n
        |FROM dto GROUP BY 1""".stripMargin
 
   /** C3 `normalize_fhir_map` — minimal FHIR R4 Observation, flattened
     * (reference: observation.ts — status final, LOINC coding,
-    * Patient/<id> subject, valueQuantity with UCUM unit). */
+    * Patient/<id> subject, valueQuantity with UCUM unit). Rows failing
+    * the post-map FHIR structural validation are skipped, like the
+    * reference's `continue` (normalize/handler.ts:111). */
   def fhirMap(spark: SparkSession, dir: String): DataFrame =
-    validateDto(spark, dir).select(
+    validateDto(spark, dir).filter(fhirValid).select(
       col("event_id"),
       lit("Observation").as("resource_type"),
       lit("final").as("status"),
@@ -128,12 +160,15 @@ object Normalize {
        |  unit AS value_unit,
        |  'http://unitsofmeasure.org' AS ucum_system,
        |  strftime(effective, '%Y-%m-%d %H:%M:%S.%f') AS effective_iso
-       |FROM dto WHERE $isValidSql""".stripMargin
+       |FROM dto WHERE ($isValidSql)
+       |  AND ($fhirValidSql)""".stripMargin
 
   /** C4 `normalize_entity_id` — etl.normalized.v1 envelope fields with
-    * the reference's entityId derivation. */
+    * the reference's entityId derivation. Built only for rows that
+    * survived FHIR validation (buildNormalizedEventFromDto runs after
+    * the AJV check, normalize/handler.ts:113). */
   def entityId(spark: SparkSession, dir: String): DataFrame =
-    validateDto(spark, dir).select(
+    validateDto(spark, dir).filter(fhirValid).select(
       col("event_id"),
       lit("etl.normalized.v1").as("envelope"),
       lit("observation").as("entity_type"),
@@ -147,7 +182,8 @@ object Normalize {
        |  'observation' AS entity_type,
        |  patient_id || ':' || code || ':'
        |    || strftime(effective, '%Y-%m-%d %H:%M:%S.%f') AS entity_id
-       |FROM dto WHERE $isValidSql""".stripMargin
+       |FROM dto WHERE ($isValidSql)
+       |  AND ($fhirValidSql)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "normalize_validate_dto" -> (validateDto _),

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.Obs
@@ -24,10 +25,21 @@ import graft.operators.Obs
 object Adapters {
 
   /** Raw CSV labx line: patientId,code,value,unit,effectiveDateTime
-    * (reference: libs/adapters/csv/labx.ts header contract). */
+    * (reference: libs/adapters/csv/labx.ts header contract).
+    *
+    * Injected defect classes: every 97th value is non-numeric ("N/A"
+    * -> NULL -> DTO reject), every 103rd is "Infinity" — which PASSES
+    * DTO validation (Zod z.number() accepts Infinity, dto.ts:7) but
+    * is not representable as a JSON number, so the downstream FHIR
+    * structural validation rejects it (the exact defect class the
+    * reference's AJV-after-Zod check exists to catch,
+    * services/normalize/handler.ts:108-111). 97 wins on collisions
+    * (first when() branch). */
   def csvLine: Column = concat_ws(",",
     col("user_id"), col("event_type"),
-    when(pmod(col("event_id"), lit(97)) === 0, lit("N/A")).otherwise(Obs.valueCanon),
+    when(pmod(col("event_id"), lit(97)) === 0, lit("N/A"))
+      .when(pmod(col("event_id"), lit(103)) === 0, lit("Infinity"))
+      .otherwise(Obs.valueCanon),
     lit("mg/dL"), Obs.tsCanon)
 
   /** B1 `adapter_csv_labx` — CSV line -> typed DTO columns. Value is
@@ -64,6 +76,7 @@ object Adapters {
       |  SELECT event_id,
       |    concat_ws(',', user_id, event_type,
       |      CASE WHEN event_id % 97 = 0 THEN 'N/A'
+      |           WHEN event_id % 103 = 0 THEN 'Infinity'
       |           ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END,
       |      'mg/dL', strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS line
       |  FROM events
@@ -78,21 +91,31 @@ object Adapters {
       |  sha256(line) AS ingest_hash
       |FROM f""".stripMargin
 
-  /** Raw HL7 v2 message: PID + one OBX segment, CR-separated. Unit
-    * field exercises the reference's fallback chain: every 7th event
-    * has no unit (-> default "1"), every 3rd only OBX-6.1 (-> fallback
-    * to component 1), rest have OBX-6.2. */
+  /** Raw HL7 v2 message: PID + 1-3 OBX segments (`event_id % 3 + 1`),
+    * CR-separated — real lab messages batch several results per
+    * message and the reference loops over every OBX
+    * (libs/adapters/hl7/v2.ts:50-70), so the synth must exercise the
+    * one-to-many explode path. OBX k carries value+`k-1` so exploded
+    * rows are distinguishable. Unit field exercises the reference's
+    * fallback chain: every 7th event has no unit (-> default "1"),
+    * every 3rd only OBX-6.1 (-> fallback to component 1), rest have
+    * OBX-6.2. */
   def hl7Message: Column = {
-    val valueField = when(pmod(col("event_id"), lit(97)) === 0, lit("N/A"))
-      .otherwise(Obs.valueCanon)
     val unitField = when(pmod(col("event_id"), lit(7)) === 0, lit(""))
       .when(pmod(col("event_id"), lit(3)) === 0, lit("mg"))
       .otherwise(lit("mg^mg/dL"))
+    val nObx = (pmod(col("event_id"), lit(3)) + 1).cast("int")
+    val obxSegs = transform(sequence(lit(1), nObx), k => {
+      val valueField = when(pmod(col("event_id"), lit(97)) === 0, lit("N/A"))
+        .otherwise((col("value") + (k - 1)).cast(DecimalType(18, 2)).cast("string"))
+      concat(
+        lit("OBX|"), k.cast("string"), lit("|NM|"), col("event_type"), lit("^"),
+        upper(col("event_type")), lit("||"), valueField, lit("|"), unitField,
+        lit("|||||F|||"), date_format(col("ts"), "yyyyMMddHHmmss"))
+    })
     concat(
       lit("PID|1||"), col("user_id"), lit("^^^MRN||DOE^JOHN"), lit("\r"),
-      lit("OBX|1|NM|"), col("event_type"), lit("^"), upper(col("event_type")),
-      lit("||"), valueField, lit("|"), unitField, lit("|||||F|||"),
-      date_format(col("ts"), "yyyyMMddHHmmss"))
+      array_join(obxSegs, "\r"))
   }
 
   /** B2+B3 `adapter_hl7_obx` — HL7 v2 PID/OBX parser: segment split on
@@ -128,13 +151,14 @@ object Adapters {
     """WITH raw AS (
       |  SELECT event_id,
       |    'PID|1||' || user_id || '^^^MRN||DOE^JOHN' || chr(13) ||
-      |    'OBX|1|NM|' || event_type || '^' || upper(event_type) || '||' ||
-      |    CASE WHEN event_id % 97 = 0 THEN 'N/A'
-      |         ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END || '|' ||
-      |    CASE WHEN event_id % 7 = 0 THEN ''
-      |         WHEN event_id % 3 = 0 THEN 'mg'
-      |         ELSE 'mg^mg/dL' END || '|||||F|||' ||
-      |    strftime(ts, '%Y%m%d%H%M%S') AS msg
+      |    array_to_string(list_transform(range(1, event_id % 3 + 2), k ->
+      |      'OBX|' || k || '|NM|' || event_type || '^' || upper(event_type) || '||' ||
+      |      CASE WHEN event_id % 97 = 0 THEN 'N/A'
+      |           ELSE CAST(CAST(value + (k-1) AS DECIMAL(18,2)) AS VARCHAR) END || '|' ||
+      |      CASE WHEN event_id % 7 = 0 THEN ''
+      |           WHEN event_id % 3 = 0 THEN 'mg'
+      |           ELSE 'mg^mg/dL' END || '|||||F|||' ||
+      |      strftime(ts, '%Y%m%d%H%M%S')), chr(13)) AS msg
       |  FROM events
       |), seg AS (
       |  SELECT event_id,

@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 /** Specs for the ingest/persist/query-api/audit slices (SURVEY §2 A/D/E/F). */
 class PipelineSpec extends SparkSpecBase {
 
+  test("C2 FHIR validation: Infinity passes DTO (Zod) but rejects as fhir_invalid") {
+    val counts = run("normalize_reject_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("fhir_invalid", 0L) > 0, s"reject classes: $counts")
+    // fhir-invalid rows survive DTO validation (z.number() accepts Infinity)...
+    assert(run("normalize_validate_dto")
+      .filter(col("value") === Double.PositiveInfinity).count()
+      == counts("fhir_invalid"))
+    // ...but are skipped by the mapper output, like the reference's `continue`
+    assert(run("normalize_fhir_map")
+      .filter(col("value_quantity") === Double.PositiveInfinity).count() == 0)
+  }
+
   test("A1 envelope: content_hash is sha256 hex and unique per event") {
     val df = run("ingest_envelope")
     val n = df.count()
