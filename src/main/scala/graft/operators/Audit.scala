@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -91,6 +92,49 @@ object Audit {
       |      AND (l.ts > e.ts OR (l.ts = e.ts AND l.event_id > e.event_id))
       |  )""".stripMargin
 
+  /** F3b `dlq_redrive_batch` — the reference redrives AT MOST
+    * `max = Math.max(1, Math.min(Number(body.max ?? 10), 100))`
+    * messages, receiving them in batches of <= 10
+    * (services/dlq-retry-api/src/handler.ts:30,45-48). Note the
+    * asymmetry with the query API's limit: `?? 10` only defaults
+    * null/undefined, so max=0 clamps UP to 1 instead of falling back
+    * to the default. Modeled as the oldest-first bounded selection
+    * over F3's pending set, with the receive-loop batch number. The
+    * request side is bounded by contract; the pending scan + global
+    * oldest-first window is the same shape the reference's
+    * oldest-first SQS receive implies. */
+  def dlqRedriveBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reqs = Seq(
+      ("r_default", Option.empty[Int]), ("r_zero", Option(0)),
+      ("r_mid", Option(12)), ("r_cap", Option(250)))
+      .toDF("request_id", "req_max")
+    val eff = greatest(lit(1), least(coalesce(col("req_max"), lit(10)), lit(100)))
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val pending = dlqRedrivePending(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    reqs.withColumn("eff_max", eff)
+      .join(pending, col("rn") <= col("eff_max"))
+      .select(col("request_id"), col("eff_max"),
+        (floor((col("rn") - 1) / 10) + 1).as("batch"),
+        col("event_id"), col("user_id"), col("ts"), col("value"))
+  }
+
+  val dlqRedriveBatchSql: String =
+    s"""WITH reqs(request_id, req_max) AS (
+       |  VALUES ('r_default', CAST(NULL AS INTEGER)), ('r_zero', 0),
+       |         ('r_mid', 12), ('r_cap', 250)
+       |), pending AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS INTEGER) AS rn
+       |  FROM ($dlqRedrivePendingSql)
+       |)
+       |SELECT request_id,
+       |  GREATEST(1, LEAST(COALESCE(req_max, 10), 100)) AS eff_max,
+       |  CAST((rn - 1) // 10 + 1 AS BIGINT) AS batch,
+       |  event_id, user_id, ts, value
+       |FROM reqs JOIN pending
+       |  ON rn <= GREATEST(1, LEAST(COALESCE(req_max, 10), 100))""".stripMargin
+
   /** F4 `reprocess_content_type` — replay routing: extension derived
     * from the source adapter, contentType from the extension, replay
     * idempotency key `reproc:<key>` (reference: reprocess-prep
@@ -159,6 +203,7 @@ object Audit {
     "audit_partition_counts" -> (partitionCounts _),
     "audit_metric_counts" -> (metricCounts _),
     "dlq_redrive_pending" -> (dlqRedrivePending _),
+    "dlq_redrive_batch" -> (dlqRedriveBatch _),
     "reprocess_content_type" -> (reprocessContentType _),
     "audit_value_quantiles" -> (valueQuantiles _))
 
@@ -166,6 +211,7 @@ object Audit {
     "audit_partition_counts" -> partitionCountsSql,
     "audit_metric_counts" -> metricCountsSql,
     "dlq_redrive_pending" -> dlqRedrivePendingSql,
+    "dlq_redrive_batch" -> dlqRedriveBatchSql,
     "reprocess_content_type" -> reprocessContentTypeSql,
     "audit_value_quantiles" -> valueQuantilesSql)
 }

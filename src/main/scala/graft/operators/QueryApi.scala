@@ -165,7 +165,51 @@ object QueryApi {
       |  obs_event_id, CAST(obs_ts AS TIMESTAMP) AS obs_ts, obs_value
       |FROM carried WHERE is_probe = 1""".stripMargin
 
+  /** E6 `api_limit_clamp` — the reference's page-size contract
+    * (services/api-query/src/handler.ts:84): effective limit =
+    * `Math.min(100, Math.max(1, Number(limit || 25)))`, where `||`
+    * makes BOTH null and 0 fall back to the default 25 (JS falsy) and
+    * negatives clamp up to 1. Modeled set-oriented: a tiny inline
+    * request table (one row per limit edge case) non-equi-joined to
+    * the patient's ordered scan — each request returns exactly its
+    * clamped page. The request side is bounded by contract (a page of
+    * API calls), so the nested-loop broadcast join is scale-safe. */
+  def limitClamp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reqs = Seq(
+      ("r_null", Option.empty[Int]), ("r_zero", Option(0)),
+      ("r_neg", Option(-5)), ("r_mid", Option(17)), ("r_cap", Option(250)))
+      .toDF("request_id", "req_limit")
+    val eff = least(lit(100),
+      greatest(lit(1), coalesce(nullif(col("req_limit"), lit(0)), lit(25))))
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val page = Tables.events(spark, dir)
+      .filter(col("user_id") === 13)
+      .select(col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+    reqs.withColumn("eff_limit", eff)
+      .join(page, col("rn") <= col("eff_limit"))
+      .select(col("request_id"), col("eff_limit"), col("rn"),
+        col("event_id"), col("ts"), col("value"))
+  }
+
+  val limitClampSql: String =
+    """WITH reqs(request_id, req_limit) AS (
+      |  VALUES ('r_null', CAST(NULL AS INTEGER)), ('r_zero', 0),
+      |         ('r_neg', -5), ('r_mid', 17), ('r_cap', 250)
+      |), page AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS INTEGER) AS rn
+      |  FROM events WHERE user_id = 13
+      |)
+      |SELECT request_id,
+      |  LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25))) AS eff_limit,
+      |  rn, event_id, ts, value
+      |FROM reqs JOIN page
+      |  ON rn <= LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25)))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "api_limit_clamp" -> (limitClamp _),
     "api_get_patient" -> (getPatient _),
     "api_obs_by_patient" -> (obsByPatient _),
     "api_latest_observation" -> (latestObservation _),
@@ -173,6 +217,7 @@ object QueryApi {
     "api_obs_asof_join" -> (obsAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "api_limit_clamp" -> limitClampSql,
     "api_get_patient" -> getPatientSql,
     "api_obs_by_patient" -> obsByPatientSql,
     "api_latest_observation" -> latestObservationSql,
