@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native float-vector dot product as a Catalyst expression.
   *
@@ -57,9 +57,59 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two array<long> columns (quantized
+  * embeddings) — same rationale as [[FloatVectorDot]]: a tight
+  * primitive loop instead of ~192 boxed lambda calls per row via
+  * aggregate(zip_with(...)). Integer accumulation keeps results
+  * engine-portable (no float summation-order sensitivity), which is
+  * what lets the similarity queries hash-match a DuckDB oracle. */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for FloatVectorDot. */
   def vdotNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       FloatVectorDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper for LongVectorDot. */
+  def vdotQuantizedNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      LongVectorDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -6,38 +6,57 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorOps._
-import graft.functions.VectorExpressions.vdotNative
+import graft.functions.VectorExpressions.vdotQuantizedNative
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (SURVEY §2.H). Brute force (H1) is the correctness baseline —
-  * integer-exact quantized dot products so ranks are deterministic
-  * across engines. The scale paths are LSH (H3) and IVF (H4): at
-  * 100 TB the candidate set per query is O(bucket) not O(n); both are
-  * equi-joins on bucket/cell keys so they shuffle-partition cleanly
-  * across a cluster. The synthetic embeddings are near-random
-  * (max pairwise cosine ~0.5), so recall bounds in specs are modest —
-  * the mechanisms (bucketing, multiprobe, re-rank) are what's tested.
+  * (SURVEY §2.H). ALL four queries run on the integer-quantized
+  * representation (round(x*1e4) as long): integer dot products are
+  * exact, and cosine derived as `dot / (sqrt(nsq_a) * sqrt(nsq_b))`
+  * is a fixed sequence of IEEE-exact double ops on integer inputs —
+  * bit-identical in Spark and DuckDB, which is what lets H2-H4
+  * hash-match a SQL oracle instead of being rows-only (float-sum
+  * cosines differ across engines by summation order). The scale
+  * paths are LSH (H3) and IVF (H4): at 100 TB the candidate set per
+  * query is O(bucket) not O(n); both are equi-joins on bucket/cell
+  * keys so they shuffle-partition cleanly across a cluster. The
+  * synthetic embeddings are near-random (max pairwise cosine ~0.5),
+  * so recall bounds in specs are modest — the mechanisms (bucketing,
+  * multiprobe, re-rank) are what's tested.
   */
 object Similarity {
 
   private val K = 10
   private val NQueries = 8
 
+  /** Quantized vectors + integer squared norm (one native self-dot). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        vquantize(col("embedding"), 10000.0).as("qvec"))
+      .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
+      .select(col("vec_id"), col("qvec"),
+        vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
 
-  /** Embeddings pre-normalized to unit length — one pass per vector,
-    * so every pairwise cosine downstream is a single native dot
-    * product (FloatVectorDot) instead of dot + two norms. This cut
-    * the all-pairs query from 74 s to single digits at sf0.1. */
-  private def normalized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => (x.cast("double") / sqrt(vdot(col("embedding"), col("embedding"))))
-            .cast("float")).as("nvec"))
+  /** Deterministic cosine from integer parts — see object doc. */
+  private def cosineQ(dot: Column, nsqA: Column, nsqB: Column): Column =
+    dot.cast("double") / (sqrt(nsqA) * sqrt(nsqB))
+
+  /** Shared oracle CTE: quantized vectors + integer squared norms. */
+  private val qnSqlCte: String =
+    """qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+      |  FROM embeddings
+      |), qnn AS (
+      |  SELECT vec_id, qvec,
+      |    CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM qv
+      |)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
+
+  private def cosSql(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
   /** H1 `sim_topk_bruteforce` — top-k by quantized dot product for the
     * first NQueries vectors. Queries are broadcast (tiny side), the
@@ -49,7 +68,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("qvec").as("qq"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
     emb.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("dot", vdotQuantized(col("qq"), col("qvec")))
+      .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
@@ -78,111 +97,190 @@ object Similarity {
        |  FROM d
        |) WHERE rank <= $K""".stripMargin
 
-  /** H2 `sim_cosine_pairs` (rows-only) — all pairs above a cosine
-    * threshold. The O(n^2) float version: correctness baseline for the
-    * spec's recall checks; production path at scale is H3/H4. */
+  /** H2 `sim_cosine_pairs` — all pairs above a cosine threshold. The
+    * O(n^2) version: correctness baseline for the spec's recall
+    * checks; production path at scale is H3/H4. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val emb = normalized(spark, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("nvec").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("nvec").as("eb"))
+    val emb = quantized(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("qvec").as("qa"), col("nsq").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("qvec").as("qb"), col("nsq").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", vdotNative(col("ea"), col("eb")))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cosine") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  val cosinePairsSql: String =
+    s"""WITH $qnSqlCte
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql(dotSql("a.qvec", "b.qvec"), "a.nsq", "b.nsq")} AS cosine
+       |  FROM qnn a JOIN qnn b ON a.vec_id < b.vec_id
+       |) WHERE cosine >= 0.35""".stripMargin
+
   /** Deterministic pseudo-random hyperplanes derived from md5 — no
     * RNG, reproducible across runs/engines (cited pattern: seeded
-    * random-hyperplane LSH, Charikar'02 SimHash for cosine). */
-  private[operators] def planes(nPlanes: Int, dim: Int = 64): Seq[Seq[Double]] = {
+    * random-hyperplane LSH, Charikar'02 SimHash for cosine). Integer
+    * components in [-1000, 1000]: the sign of an integer plane dot an
+    * integer qvec is exact, so bucket bits can never flip between
+    * engines (a float dot near zero could). */
+  private[operators] def planes(nPlanes: Int, dim: Int = 64): Seq[Seq[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until nPlanes).map { p =>
       (0 until dim).map { j =>
         val h = md.digest(s"$p:$j".getBytes("UTF-8"))
           .take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) & Long.MaxValue
-        ((h % 2001L) - 1000L).toDouble / 1000.0
+        (h % 2001L) - 1000L
       }
     }
   }
 
   private val NPlanes = 4
 
-  /** Sign-bit bucket of a vector against the hyperplanes. */
-  private def bucketCol(e: Column): Column =
+  /** Sign-bit bucket of a quantized vector against the hyperplanes. */
+  private def bucketCol(q: Column): Column =
     planes(NPlanes).zipWithIndex.map { case (pl, i) =>
       val planeArr = array(pl.map(lit): _*)
-      when(vdot(e, planeArr) > 0.0, lit(1 << i)).otherwise(lit(0))
+      when(vdotQuantizedNative(q, planeArr) > 0L, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** H3 `sim_lsh_ann` (rows-only) — random-hyperplane LSH ANN with
-    * hamming<=1 multiprobe: each query expands to NPlanes+1 probe
-    * buckets (equi-join keys — this is what distributes at scale: the
-    * corpus is hash-partitioned by bucket, each probe hits one
-    * partition), candidates re-ranked by exact cosine. */
+  /** Same bucket bits in SQL, planes embedded as literal lists. */
+  private def bucketSql(q: String): String =
+    planes(NPlanes).zipWithIndex.map { case (pl, i) =>
+      val planeList = pl.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(q, planeList)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** H3 `sim_lsh_ann` — random-hyperplane LSH ANN with hamming<=1
+    * multiprobe: each query expands to NPlanes+1 probe buckets
+    * (equi-join keys — this is what distributes at scale: the corpus
+    * is hash-partitioned by bucket, each probe hits one partition),
+    * candidates re-ranked by exact cosine. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = normalized(spark, dir)
-      .withColumn("bucket", bucketCol(col("nvec")))
+    val emb = quantized(spark, dir)
+      .withColumn("bucket", bucketCol(col("qvec")))
     val probes = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("nvec").as("qe"), col("bucket").as("qb"),
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"),
+        col("bucket").as("qb"),
         explode(array((lit(0) +: (0 until NPlanes).map(i => lit(1 << i))): _*))
           .as("flip"))
-      .select(col("qid"), col("qe"), col("qb").bitwiseXOR(col("flip")).as("bucket"))
+      .select(col("qid"), col("qq"), col("qn"),
+        col("qb").bitwiseXOR(col("flip")).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     emb.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", vdotNative(col("qe"), col("nvec")))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("vec_id"), col("cosine"), col("bucket"))
   }
 
+  val lshAnnSql: String =
+    s"""WITH $qnSqlCte, b AS (
+       |  SELECT vec_id, qvec, nsq, ${bucketSql("qvec")} AS bucket FROM qnn
+       |), probes AS (
+       |  SELECT q.vec_id AS qid, q.qvec AS qq, q.nsq AS qn,
+       |    xor(q.bucket, f.flip) AS bucket
+       |  FROM b q, (VALUES ${(0L +: (0 until NPlanes).map(i => (1L << i).toLong))
+      .map(f => s"($f)").mkString(", ")}) f(flip)
+       |  WHERE q.vec_id < $NQueries
+       |), cand AS (
+       |  SELECT p.qid, c.vec_id,
+       |    ${cosSql(dotSql("p.qq", "c.qvec"), "p.qn", "c.nsq")} AS cosine,
+       |    p.bucket
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.qid
+       |)
+       |SELECT qid, rank, vec_id, cosine, bucket FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand
+       |) WHERE rank <= $K""".stripMargin
+
   private val NProbeCells = 2
   private val MaxCentroids = 256
 
-  /** H4 `sim_ivf_probe` (rows-only) — IVF-style partitioned search:
-    * deterministic coarse centroids, every vector assigned to its
-    * nearest centroid (the inverted file), queries probe the
-    * NProbeCells nearest cells and re-rank by exact cosine. At scale
-    * the corpus is partitioned by cell id; a query touches only its
-    * probed partitions.
+  /** H4 `sim_ivf_probe` — IVF-style partitioned search: deterministic
+    * coarse centroids, every vector assigned to its nearest centroid
+    * (the inverted file), queries probe the NProbeCells nearest cells
+    * and re-rank by exact cosine. At scale the corpus is partitioned
+    * by cell id; a query touches only its probed partitions.
     *
     * Centroid count is ~sqrt(n) CAPPED at MaxCentroids and hash-picked
     * (smallest md5(vec_id) — a deterministic sample, TakeOrdered not a
-    * sort). The cap bounds the broadcast (≤256 × 64 floats) and the
+    * sort). The cap bounds the broadcast (≤256 × 64 longs) and the
     * assignment work (O(n·k)) no matter the corpus size — an
     * every-Nth-vector scheme would grow both linearly with n. A real
     * deployment would k-means a sample for better cell balance; the
     * partitioning/probing mechanics are identical. */
   def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
-    val emb = normalized(spark, dir)
+    val emb = quantized(spark, dir)
     val k = math.min(MaxCentroids,
       math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
     val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
-      .select(col("vec_id").as("cent_id"), col("nvec").as("ce"))
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("cent_cos", vdotNative(col("nvec"), col("ce")))
+      .withColumn("cent_cos",
+        cosineQ(vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("nvec"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qcent_cos").desc, col("cent_id"))
     val probes = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("nvec").as("qe"))
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("qcent_cos", vdotNative(col("qe"), col("ce")))
+      .withColumn("qcent_cos",
+        cosineQ(vdotQuantizedNative(col("qq"), col("cq")), col("qn"), col("cn")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= NProbeCells)
-      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+      .select(col("qid"), col("qq"), col("qn"), col("cent_id").as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", vdotNative(col("qe"), col("nvec")))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("vec_id"), col("cosine"), col("cell"))
   }
+
+  val ivfProbeSql: String =
+    s"""WITH $qnSqlCte, cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
+       |), assigned AS (
+       |  SELECT vec_id, qvec, nsq, cell FROM (
+       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |  ) WHERE arn = 1
+       |), probes AS (
+       |  SELECT qid, qq, qn, cell FROM (
+       |    SELECT e.vec_id AS qid, e.qvec AS qq, e.nsq AS qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS prn
+       |    FROM qnn e CROSS JOIN cents c WHERE e.vec_id < $NQueries
+       |  ) WHERE prn <= $NProbeCells
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} AS cosine,
+       |    p.cell
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |)
+       |SELECT qid, rank, vec_id, cosine, cell FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand
+       |) WHERE rank <= $K""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteforce _),
@@ -190,9 +288,9 @@ object Similarity {
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_probe" -> (ivfProbe _))
 
-  /** H2-H4 are rows-only: float cosine ranking is not hash-stable
-    * across engines (summation order); covered by SimilaritySpec
-    * recall/containment checks against the H1 baseline. */
   val oracles: Map[String, String] = Map(
-    "sim_topk_bruteforce" -> topkBruteforceSql)
+    "sim_topk_bruteforce" -> topkBruteforceSql,
+    "sim_cosine_pairs" -> cosinePairsSql,
+    "sim_lsh_ann" -> lshAnnSql,
+    "sim_ivf_probe" -> ivfProbeSql)
 }
