@@ -394,7 +394,54 @@ object Dedup {
        | AND b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
        |GROUP BY 1, 2""".stripMargin
 
+  /** G9 `dedup_embedding_neardup` — embedding-cosine near-dup dedup:
+    * survivors of the embeddings corpus after dropping every vector
+    * that has a smaller-id near-duplicate (quantized cosine >= Tau)
+    * in its LSH bucket. The blocking key is the [[Similarity]]
+    * hyperplane bucket, so candidate pairs are one equi-join keyed on
+    * (bucket) — O(bucket size), never all-pairs — and the dominated
+    * set is removed with a broadcast-able anti-join. "Any smaller
+    * near-dup neighbor disqualifies" is deliberately set-oriented
+    * (one pass, no sequential greedy state); it can drop a chain
+    * member whose own dominator was also dropped, the standard
+    * trade-off of blocking dedup at scale. Cosine is the same
+    * engine-exact integer-quantized form as H2-H4. The synthetic
+    * embeddings are near-random, so Tau sits at the observed pair
+    * ceiling (~0.5) rather than a production-style 0.9. */
+  private val Tau = 0.35
+
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.quantized(spark, dir)
+      .withColumn("bucket", Similarity.bucketCol(col("qvec")))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("qvec").as("qa"), col("nsq").as("na"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("qvec").as("qb"), col("nsq").as("nb"))
+    val dominated = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosineQ(
+        graft.functions.VectorExpressions.vdotQuantizedNative(col("qa"), col("qb")),
+        col("na"), col("nb")) >= Tau)
+      .select(col("id_b")).distinct()
+    emb.join(dominated, emb("vec_id") === dominated("id_b"), "left_anti")
+      .select(col("vec_id").as("doc_id"), col("bucket"))
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH ${Similarity.qnSqlCte}, b AS (
+       |  SELECT vec_id, qvec, nsq, ${Similarity.bucketSql("qvec")} AS bucket
+       |  FROM qnn
+       |), dominated AS (
+       |  SELECT DISTINCT y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE ${Similarity.cosSql(
+                  Similarity.dotSql("x.qvec", "y.qvec"), "x.nsq", "y.nsq")} >= $Tau
+       |)
+       |SELECT vec_id AS doc_id, bucket FROM b
+       |WHERE vec_id NOT IN (SELECT id_b FROM dominated)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_neardup" -> (embeddingNearDup _),
     "dedup_clusters" -> (clusters _),
     "dedup_keep_corpus" -> (keepCorpus _),
     "dedup_decontaminate" -> (decontaminate _),
@@ -405,6 +452,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_neardup" -> embeddingNearDupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,
     "dedup_keep_corpus" -> keepCorpusSql,

@@ -105,9 +105,67 @@ object Multimodal {
        |FROM b""".stripMargin
   }
 
+  case class FrameFeature(doc_id: Long, frame_idx: Int, n_frame_bytes: Int,
+      frame_mean: Float)
+
+  private val FrameBytes = 16
+  private val FrameStride = 4
+
+  /** The stubbed frame sampler: fixed-size frames (a video/audio
+    * stand-in), every FrameStride-th full frame kept, per-frame byte
+    * mean as the "feature". A real deployment swaps the body for a
+    * codec's keyframe extraction; the one-to-many batched contract is
+    * the production shape. */
+  private def sampleFrames(docId: Long, media: Array[Byte]): Seq[FrameFeature] = {
+    val nFrames = media.length / FrameBytes // full frames only
+    (0 until nFrames by FrameStride).map { f =>
+      val lo = f * FrameBytes
+      var s = 0L
+      var i = lo
+      while (i < lo + FrameBytes) { s += media(i) & 0xff; i += 1 }
+      FrameFeature(docId, f, FrameBytes, (s.toDouble / FrameBytes).toFloat)
+    }
+  }
+
+  /** J3 `multimodal_frame_sample` — deterministic frame sampling over
+    * the binary column: same mapPartitions + grouped(BatchSize)
+    * batching as J2, but one-to-many (each media blob yields a row
+    * per sampled frame). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) => sampleFrames(id, bytes) }
+      }
+    }.toDF()
+  }
+
+  /** Frame f covers bytes [f*16, f*16+16); docs shorter than one
+    * frame produce no rows in either engine. */
+  val frameSampleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(str_split(text, ''), c -> ascii(c)) AS bytes
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, bytes,
+       |    unnest(range(0, n // $FrameBytes)) AS frame_idx
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  $FrameBytes AS n_frame_bytes,
+       |  CAST(CAST(list_sum(
+       |      bytes[frame_idx * $FrameBytes + 1 : frame_idx * $FrameBytes + $FrameBytes])
+       |    AS DOUBLE) / $FrameBytes AS FLOAT) AS frame_mean
+       |FROM f WHERE frame_idx % $FrameStride = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_feature_stub" -> (featureStub _))
+    "multimodal_feature_stub" -> (featureStub _),
+    "multimodal_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_feature_stub" -> featureStubSql)
+    "multimodal_feature_stub" -> featureStubSql,
+    "multimodal_frame_sample" -> frameSampleSql)
 }

@@ -29,18 +29,18 @@ object Similarity {
   private val NQueries = 8
 
   /** Quantized vectors + integer squared norm (one native self-dot). */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
       .select(col("vec_id"), col("qvec"),
         vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
 
   /** Deterministic cosine from integer parts — see object doc. */
-  private def cosineQ(dot: Column, nsqA: Column, nsqB: Column): Column =
+  private[operators] def cosineQ(dot: Column, nsqA: Column, nsqB: Column): Column =
     dot.cast("double") / (sqrt(nsqA) * sqrt(nsqB))
 
   /** Shared oracle CTE: quantized vectors + integer squared norms. */
-  private val qnSqlCte: String =
+  private[operators] val qnSqlCte: String =
     """qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
@@ -52,10 +52,10 @@ object Similarity {
       |  FROM qv
       |)""".stripMargin
 
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
 
-  private def cosSql(dot: String, na: String, nb: String): String =
+  private[operators] def cosSql(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
   /** H1 `sim_topk_bruteforce` — top-k by quantized dot product for the
@@ -139,14 +139,14 @@ object Similarity {
   private val NPlanes = 4
 
   /** Sign-bit bucket of a quantized vector against the hyperplanes. */
-  private def bucketCol(q: Column): Column =
+  private[operators] def bucketCol(q: Column): Column =
     planes(NPlanes).zipWithIndex.map { case (pl, i) =>
       val planeArr = array(pl.map(lit): _*)
       when(vdotQuantizedNative(q, planeArr) > 0L, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Same bucket bits in SQL, planes embedded as literal lists. */
-  private def bucketSql(q: String): String =
+  private[operators] def bucketSql(q: String): String =
     planes(NPlanes).zipWithIndex.map { case (pl, i) =>
       val planeList = pl.mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(q, planeList)} > 0 THEN ${1 << i} ELSE 0 END)"

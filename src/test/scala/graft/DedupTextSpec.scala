@@ -59,6 +59,22 @@ class DedupTextSpec extends SparkSpecBase {
     sh.unpersist()
   }
 
+  test("G9 embedding near-dup: survivors have no same-bucket near-dup pair") {
+    val surv = run("dedup_embedding_neardup").cache()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(surv.count() > 0 && surv.count() <= total)
+    // no two survivors in one bucket with cosine >= threshold: if such
+    // a pair existed, its larger id would have been dominated
+    val pairs = run("sim_cosine_pairs")
+      .select(col("vec_a"), col("vec_b"))
+    val a = surv.select(col("doc_id").as("vec_a"), col("bucket").as("ba"))
+    val b = surv.select(col("doc_id").as("vec_b"), col("bucket").as("bb"))
+    val sameBucketNearDup = pairs.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .filter(col("ba") === col("bb"))
+    assert(sameBucketNearDup.count() == 0)
+    surv.unpersist()
+  }
+
   test("I1 lang id: predictions valid, corpus is English-ish") {
     val df = run("text_lang_id").cache()
     assert(df.filter(!col("predicted_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == 0)

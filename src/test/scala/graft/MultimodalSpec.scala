@@ -19,6 +19,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pruned.count() == df.filter(col("meta.origin") === "src0").count())
   }
 
+  test("J3 frame sample: stride-4 full frames only, means in byte range") {
+    val df = run("multimodal_frame_sample").cache()
+    assert(df.filter(pmod(col("frame_idx"), lit(4)) =!= 0).count() == 0)
+    assert(df.filter(col("n_frame_bytes") =!= 16).count() == 0)
+    assert(df.filter(col("frame_mean") < 0.0f || col("frame_mean") >= 256.0f)
+      .count() == 0)
+    // frame count per doc = ceil((len/16) / 4) for docs with >= 1 frame
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), floor(col("n_chars") / 16).as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), ceil(col("nf") / lit(4.0)).as("expect_n"))
+    val got = df.groupBy("doc_id").count()
+    assert(got.join(expected, Seq("doc_id"), "full")
+      .filter(col("count").isNull || col("expect_n").isNull ||
+        col("count") =!= col("expect_n")).count() == 0)
+    df.unpersist()
+  }
+
   test("J2 feature stub: batch shape bounded, features deterministic") {
     val raw = operators.Multimodal.featureStubRaw(spark, sf).cache()
     assert(raw.filter(col("batch_size") > 32 || col("batch_size") < 1).count() == 0)
