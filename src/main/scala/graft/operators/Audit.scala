@@ -110,8 +110,12 @@ object Audit {
       ("r_mid", Option(12)), ("r_cap", Option(250)))
       .toDF("request_id", "req_max")
     val eff = greatest(lit(1), least(coalesce(col("req_max"), lit(10)), lit(100)))
+    // the clamp cap (100) bounds the redrive, so take the oldest 100
+    // with a distributed TakeOrdered FIRST; the partition-less
+    // row_number window then sees <= 100 rows, not the full pending set
     val w = Window.orderBy(col("ts"), col("event_id"))
     val pending = dlqRedrivePending(spark, dir)
+      .orderBy(col("ts"), col("event_id")).limit(100)
       .withColumn("rn", row_number().over(w))
     reqs.withColumn("eff_max", eff)
       .join(pending, col("rn") <= col("eff_max"))

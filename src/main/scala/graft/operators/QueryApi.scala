@@ -182,10 +182,14 @@ object QueryApi {
       .toDF("request_id", "req_limit")
     val eff = least(lit(100),
       greatest(lit(1), coalesce(nullif(col("req_limit"), lit(0)), lit(25))))
+    // the clamp cap (100) bounds every page, so take the top-100 with
+    // a distributed TakeOrdered FIRST; the partition-less row_number
+    // window then only ever sees <= 100 rows, never the full scan
     val w = Window.orderBy(col("ts"), col("event_id"))
     val page = Tables.events(spark, dir)
       .filter(col("user_id") === 13)
       .select(col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id")).limit(100)
       .withColumn("rn", row_number().over(w))
     reqs.withColumn("eff_limit", eff)
       .join(page, col("rn") <= col("eff_limit"))
@@ -208,7 +212,75 @@ object QueryApi {
       |FROM reqs JOIN page
       |  ON rn <= LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25)))""".stripMargin
 
+  /** E7 `api_next_token` — the reference's pagination token contract
+    * (services/api-query/src/handler.ts:85,106): the page's last
+    * evaluated key is serialized to JSON, base64-encoded into
+    * `nextToken`, and a follow-up request decodes it back into the
+    * exclusive-start cursor. Modeled end-to-end: page 1 (limit 20) →
+    * token = base64({"ts":...,"id":...}) of its last row → decode +
+    * JSON-parse the token → keyset-continue into the first 5 rows of
+    * page 2, each carrying the token that produced them. The cursor
+    * is a 1-row broadcast against the patient scan. */
+  def nextToken(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val page1Last = Tables.events(spark, dir)
+      .filter(col("user_id") === 13)
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(20)
+      .agg(max(struct(col("ts"), col("event_id"))).as("c"))
+    val token = page1Last.select(
+      base64(concat(
+        lit("{\"ts\":\""), date_format(col("c.ts"), tsFmt),
+        lit("\",\"id\":"), col("c.event_id"), lit("}")).cast("binary"))
+        .as("next_token"))
+    val cursor = token.select(
+      col("next_token"),
+      to_timestamp(get_json_object(unbase64(col("next_token")).cast("string"), "$.ts"),
+        tsFmt).as("cts"),
+      get_json_object(unbase64(col("next_token")).cast("string"), "$.id")
+        .cast("long").as("cid"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") === 13)
+      .select(col("event_id"), col("ts"), col("value"))
+      .crossJoin(broadcast(cursor))
+      .filter(col("ts") > col("cts") ||
+        (col("ts") === col("cts") && col("event_id") > col("cid")))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(5)
+      .select(col("next_token"), col("event_id"), col("ts"), col("value"))
+  }
+
+  val nextTokenSql: String =
+    """WITH page1 AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE user_id = 13
+      |  ORDER BY ts, event_id LIMIT 20
+      |), last AS (
+      |  SELECT ts, event_id FROM page1
+      |  ORDER BY ts DESC, event_id DESC LIMIT 1
+      |), tok AS (
+      |  SELECT base64(encode(
+      |    '{"ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+      |      || '","id":' || event_id || '}')) AS next_token
+      |  FROM last
+      |), cur AS (
+      |  SELECT next_token,
+      |    strptime(json_extract_string(decode(from_base64(next_token)), '$.ts'),
+      |      '%Y-%m-%d %H:%M:%S.%f') AS cts,
+      |    CAST(json_extract_string(decode(from_base64(next_token)), '$.id')
+      |      AS BIGINT) AS cid
+      |  FROM tok
+      |)
+      |SELECT next_token, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM events, cur
+      |WHERE user_id = 13
+      |  AND (ts > cts OR (ts = cts AND event_id > cid))
+      |ORDER BY ts, event_id
+      |LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "api_next_token" -> (nextToken _),
     "api_limit_clamp" -> (limitClamp _),
     "api_get_patient" -> (getPatient _),
     "api_obs_by_patient" -> (obsByPatient _),
@@ -217,6 +289,7 @@ object QueryApi {
     "api_obs_asof_join" -> (obsAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "api_next_token" -> nextTokenSql,
     "api_limit_clamp" -> limitClampSql,
     "api_get_patient" -> getPatientSql,
     "api_obs_by_patient" -> obsByPatientSql,
