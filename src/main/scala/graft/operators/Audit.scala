@@ -139,6 +139,62 @@ object Audit {
        |FROM reqs JOIN pending
        |  ON rn <= GREATEST(1, LEAST(COALESCE(req_max, 10), 100))""".stripMargin
 
+  /** F7 `audit_list_page` — the audit-list API's semantics
+    * (services/audit-list-api/src/handler.ts:29,51-66): list audit
+    * objects under the `tenantId=<t>/date=<d>/` prefix, at most
+    * `min(limit ?? 100, 500)` of them, in key order. Unlike the query
+    * API's limit there is NO lower clamp — limit 0 or negative simply
+    * returns an empty listing (the `items.length < limit` loop guard).
+    * Each event models one audit object: key =
+    * tenant/date/hour/<id>.jsonl (the reference's S3 layout), size =
+    * payload length, lastModified = event time. The prefix filter is
+    * partition pruning at scale; the 500-cap TakeOrdered bounds the
+    * partition-less numbering window. */
+  def auditListPage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reqs = Seq(
+      ("r_default", Option.empty[Int]), ("r_cap", Option(600)),
+      ("r_small", Option(7)), ("r_zero", Option(0)))
+      .toDF("request_id", "req_limit")
+    val eff = least(coalesce(col("req_limit"), lit(100)), lit(500))
+    val w = Window.orderBy(col("key"))
+    val objs = Tables.events(spark, dir)
+      .filter(Obs.tenant === "t1" && Obs.ingestDate === "2024-01-10")
+      .select(
+        concat(lit("tenantId=t1/date=2024-01-10/hour="),
+          date_format(col("ts"), "HH"), lit("/"), col("event_id"),
+          lit(".jsonl")).as("key"),
+        length(col("props")).as("size"),
+        col("ts").as("last_modified"))
+      .orderBy(col("key")).limit(500)
+      .withColumn("rn", row_number().over(w))
+    reqs.withColumn("eff_limit", eff)
+      .join(objs, col("rn") <= col("eff_limit"))
+      .select(col("request_id"), col("eff_limit"), col("key"), col("size"),
+        col("last_modified"))
+  }
+
+  val auditListPageSql: String =
+    """WITH reqs(request_id, req_limit) AS (
+      |  VALUES ('r_default', CAST(NULL AS INTEGER)), ('r_cap', 600),
+      |         ('r_small', 7), ('r_zero', 0)
+      |), objs AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY key) AS INTEGER) AS rn FROM (
+      |    SELECT 'tenantId=t1/date=2024-01-10/hour=' || strftime(ts, '%H')
+      |        || '/' || event_id || '.jsonl' AS key,
+      |      CAST(length(props) AS INTEGER) AS size,
+      |      CAST(ts AS TIMESTAMP) AS last_modified
+      |    FROM events
+      |    WHERE 't' || (user_id % 4) = 't1'
+      |      AND strftime(ts, '%Y-%m-%d') = '2024-01-10'
+      |    ORDER BY key LIMIT 500
+      |  )
+      |)
+      |SELECT request_id,
+      |  LEAST(COALESCE(req_limit, 100), 500) AS eff_limit,
+      |  key, size, last_modified
+      |FROM reqs JOIN objs ON rn <= LEAST(COALESCE(req_limit, 100), 500)""".stripMargin
+
   /** F4 `reprocess_content_type` — replay routing: extension derived
     * from the source adapter, contentType from the extension, replay
     * idempotency key `reproc:<key>` (reference: reprocess-prep
@@ -208,6 +264,7 @@ object Audit {
     "audit_metric_counts" -> (metricCounts _),
     "dlq_redrive_pending" -> (dlqRedrivePending _),
     "dlq_redrive_batch" -> (dlqRedriveBatch _),
+    "audit_list_page" -> (auditListPage _),
     "reprocess_content_type" -> (reprocessContentType _),
     "audit_value_quantiles" -> (valueQuantiles _))
 
@@ -216,6 +273,7 @@ object Audit {
     "audit_metric_counts" -> metricCountsSql,
     "dlq_redrive_pending" -> dlqRedrivePendingSql,
     "dlq_redrive_batch" -> dlqRedriveBatchSql,
+    "audit_list_page" -> auditListPageSql,
     "reprocess_content_type" -> reprocessContentTypeSql,
     "audit_value_quantiles" -> valueQuantilesSql)
 }

@@ -377,7 +377,9 @@ object Dedup {
     * otherwise. Never hint a broadcast whose size scales with the
     * corpus. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir, 3)
+    // cached: both the bench and train side read the same shingle set,
+    // so the synth+shingle pipeline runs once, not once per side
+    val sh = shingles(spark, dir, 3).cache()
     val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("bench_doc_id"), col("shingle"))
     val train = sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)

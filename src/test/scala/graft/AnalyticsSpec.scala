@@ -13,6 +13,13 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(total == expected)
   }
 
+  test("k6 plan: per-nation winner is an aggregate, not a 25-key window") {
+    val df = run("k6_top_customer_per_nation")
+    val p = executedPlan(df).toString
+    assert(!p.contains("Window"), "K6 must not funnel rows through a low-cardinality window")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
   test("q1 plan: whole-stage codegen + partial aggregation") {
     val df = run("q1_pricing_summary")
     assert(hasWholeStageCodegen(df))
