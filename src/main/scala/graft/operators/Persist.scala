@@ -11,13 +11,17 @@ import graft.Tables
   *
   * The reference does a row-at-a-time conditional DynamoDB update:
   * `version = if_not_exists(version,0)+1` (services/persist/
-  * handler.ts:51) guarded on idempotencyKey (handler.ts:60,71), so
-  * re-applying the same idempotency key is a no-op and version counts
-  * the distinct applied keys.
-  * Set-oriented, a whole batch of upserts reduces to: keep the first
-  * event per (entity, idempotency_key) — those are the "applied"
-  * writes — then per entity version = applied count and attributes =
-  * the latest applied write.
+  * handler.ts:51) guarded by `attribute_not_exists(idempotencyKey) OR
+  * idempotencyKey <> :idk` (handler.ts:54) — a write is a no-op IFF
+  * its key equals the key CURRENTLY stored on the row, i.e. only
+  * consecutive replays are suppressed; a key seen earlier but since
+  * overwritten applies again.
+  * Set-oriented, that reduces to one lag() window: a skipped write
+  * leaves the row unchanged, so "equals the last applied key" is
+  * equivalent (by induction over the write sequence) to "equals the
+  * previous raw event's key" — applied = rows where
+  * `ik <> lag(ik) over (entity ORDER BY ts, id)`. Version = applied
+  * count, attributes = the latest applied write.
   *
   * Scale: one shuffle on the entity key; both windows share the same
   * partitioning so Catalyst plans a single Exchange. No driver-side
@@ -27,16 +31,19 @@ object Persist {
 
   /** Entity here = (patient, code) "latest observation" document; the
     * synthetic idempotency key (event_id mod 5 within the entity)
-    * collides on purpose so replays exist. */
+    * collides on purpose so both consecutive replays (suppressed) and
+    * recycled keys (applied again) exist. */
   private def applied(spark: SparkSession, dir: String): DataFrame = {
-    val wApply = Window
-      .partitionBy(col("user_id"), col("event_type"), col("ik"))
+    val wSeq = Window
+      .partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
-      .withColumn("apply_rn", row_number().over(wApply))
-      .filter(col("apply_rn") === 1) // replayed idempotency keys are no-ops
-      .drop("apply_rn")
+      .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
+      // conditional-write semantics: only a consecutive same-key write
+      // is a no-op (see object doc for the lag equivalence proof)
+      .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
+      .drop("prev_ik")
   }
 
   /** D1 `persist_key_design` — single-table key projection: PK/SK,
@@ -69,8 +76,9 @@ object Persist {
       |FROM events""".stripMargin
 
   /** D2 `persist_upsert_version` — idempotent versioned upsert, whole
-    * batch at once: version = count of applied (distinct) idempotency
-    * keys, attributes = latest applied write wins. */
+    * batch at once: version = count of applied writes (consecutive
+    * same-key replays suppressed), attributes = latest applied write
+    * wins. */
   def upsertVersion(spark: SparkSession, dir: String): DataFrame = {
     val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -88,10 +96,10 @@ object Persist {
     """WITH applied AS (
       |  SELECT * FROM (
       |    SELECT *, 'ik' || (event_id % 5) AS ik,
-      |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type, 'ik' || (event_id % 5)
-      |                         ORDER BY ts, event_id) AS apply_rn
+      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
+      |                                        ORDER BY ts, event_id) AS prev_ik
       |    FROM events
-      |  ) WHERE apply_rn = 1
+      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
       |), ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
       |                               ORDER BY ts DESC, event_id DESC) AS latest_rn
@@ -125,10 +133,10 @@ object Persist {
     """WITH applied AS (
       |  SELECT * FROM (
       |    SELECT *, 'ik' || (event_id % 5) AS ik,
-      |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type, 'ik' || (event_id % 5)
-      |                         ORDER BY ts, event_id) AS apply_rn
+      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
+      |                                        ORDER BY ts, event_id) AS prev_ik
       |    FROM events
-      |  ) WHERE apply_rn = 1
+      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
       |)
       |SELECT 'etl.persisted.v1' AS event_name,
       |  'observation' AS entity_type,

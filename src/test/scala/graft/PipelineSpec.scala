@@ -37,10 +37,21 @@ class PipelineSpec extends SparkSpecBase {
     df.unpersist()
   }
 
-  test("D2 upsert version: version bounded by distinct ik count (5)") {
+  test("D2 upsert version: consecutive same-key replays are the only no-ops") {
     val df = run("persist_upsert_version")
-    assert(df.filter(col("version") > 5 || col("version") < 1).count() == 0)
+    assert(df.filter(col("version") < 1).count() == 0)
     assert(df.filter(col("last_value").isNull).count() == 0)
+    // the applied sequence never repeats a key back-to-back (the
+    // conditional-write guard), but MAY re-apply a recycled key later
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity_id").orderBy("version")
+    val log = run("persist_commit_log")
+      .withColumn("prev_ik", lag(col("idempotency_key"), 1).over(w))
+    assert(log.filter(col("prev_ik") === col("idempotency_key")).count() == 0)
+    assert(log.groupBy("entity_id")
+      .agg(countDistinct("idempotency_key").as("nd"), count(lit(1)).as("n"))
+      .filter(col("n") > col("nd")).count() > 0,
+      "synth should exercise recycled-key re-application")
   }
 
   test("D3 commit log: versions are dense 1..n per entity") {
