@@ -204,7 +204,55 @@ object TextAnalysis {
       |  FROM scored
       |) WHERE rank <= 3""".stripMargin
 
+  private val VocabK = 20
+
+  /** I6 `text_unigram_surprisal` — unigram-LM quality score (the
+    * CCNet-style LM filter for pre-training data): corpus unigram
+    * probabilities from the top-VocabK tokens, per-doc mean surprisal
+    * `-ln p(token)`, OOV tokens scored at the floor probability
+    * 1/total. Cross-engine determinism: per-token surprisal is
+    * rounded to 6 dp (ln's last-ULP hazard, see I5) then summed as
+    * DECIMAL(18,9) — exact integer arithmetic, so the mean is
+    * summation-order-insensitive. Scale: one explode+groupBy for
+    * counts, a bounded (VocabK-row) broadcast vocab, one per-doc agg
+    * — no unbounded broadcast, no second pass. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(nonEmptyToks).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.select(sum(col("cnt")).as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(VocabK)
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("surp",
+        round(-log(coalesce(col("cnt").cast("double"), lit(1.0)) /
+          col("total").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("surp")).cast("double") / count(lit(1))).as("surprisal"))
+  }
+
+  val unigramSurprisalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents
+       |), c AS (
+       |  SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(cnt) AS total FROM c
+       |), v AS (
+       |  SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT $VocabK
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CAST(ROUND(-ln(COALESCE(CAST(v.cnt AS DOUBLE), 1.0)
+       |        / CAST(total AS DOUBLE)), 6) AS DECIMAL(18,9))) AS DOUBLE)
+       |    / COUNT(*) AS surprisal
+       |FROM t LEFT JOIN v USING (token) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_lang_id" -> (langId _),
     "text_quality_score" -> (qualityScore _),
@@ -212,6 +260,7 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_surprisal" -> unigramSurprisalSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,

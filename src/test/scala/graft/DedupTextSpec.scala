@@ -75,6 +75,17 @@ class DedupTextSpec extends SparkSpecBase {
     surv.unpersist()
   }
 
+  test("I6 unigram surprisal: one score per doc, positive and finite") {
+    val df = run("text_unigram_surprisal").cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("surprisal") <= 0.0 || isnan(col("surprisal")) ||
+      col("n_tokens") < 1).count() == 0)
+    // corpus has common and rare tokens, so scores must spread
+    val mm = df.agg(min("surprisal"), max("surprisal")).head()
+    assert(mm.getDouble(0) < mm.getDouble(1))
+    df.unpersist()
+  }
+
   test("I1 lang id: predictions valid, corpus is English-ish") {
     val df = run("text_lang_id").cache()
     assert(df.filter(!col("predicted_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == 0)
