@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[FloatVectorDot].getName, null, "float_vector_dot"),
       exprs => FloatVectorDot(exprs(0), exprs(1))))
+    // whole-operator extension: expands graft.plans.AsOfJoin during
+    // analysis into its shuffle-once union+window plan
+    e.injectResolutionRule(_ => graft.plans.ResolveAsOfJoin())
   }
 }

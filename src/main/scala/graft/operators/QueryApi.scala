@@ -111,35 +111,22 @@ object QueryApi {
       |LIMIT 20""".stripMargin
 
   /** E5 `api_obs_asof_join` — as-of join: for every probe event (a
-    * purchase), the latest prior-or-equal observation (a click) of the
-    * same patient. Implemented with the union + last_value(ignore
-    * nulls) pattern: tag both streams, sort once within the user
-    * partition, carry the last observation forward. ONE shuffle on
-    * user_id, no range-join pair explosion — this is the 100 TB-safe
-    * as-of plan (a naive ts-range join is O(probes x obs) per user).
-    * Spark lacks a built-in as-of join; this composition expresses it
-    * with built-ins, so Catalyst still plans/codegens everything. */
+    * purchase), the latest prior-or-equal observation (a click) of
+    * the same patient. Spark lacks a built-in as-of join, so it is a
+    * first-class custom logical operator here:
+    * [[graft.plans.AsOfJoin]], expanded during analysis by the
+    * injected [[graft.plans.ResolveAsOfJoin]] rule into the
+    * union + last(struct, ignoreNulls) window plan — ONE shuffle on
+    * user_id, no range-join pair explosion (a naive ts-range join is
+    * O(probes x obs) per user). The expansion is ordinary Catalyst
+    * operators, so the optimizer and codegen treat it like any
+    * hand-written query. */
   def obsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val obs = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
-        lit(0).as("is_probe"))
-    val probes = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        lit(null).cast("double").as("value"), lit(1).as("is_probe"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("is_probe"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val obsStruct = when(col("is_probe") === 0,
-      struct(col("event_id").as("oid"), col("ts").as("ots"), col("value").as("oval")))
-    obs.unionAll(probes)
-      .withColumn("carried", last(obsStruct, ignoreNulls = true).over(w))
-      .filter(col("is_probe") === 1)
-      .select(col("event_id").as("probe_id"), col("user_id"),
-        col("ts").as("probe_ts"),
-        col("carried.oid").as("obs_event_id"),
-        col("carried.ots").as("obs_ts"),
-        col("carried.oval").as("obs_value"))
+    graft.plans.AsOf.join(
+      probe = ev.filter(col("event_type") === "purchase"),
+      obs = ev.filter(col("event_type") === "click"),
+      key = "user_id", ts = "ts", id = "event_id", value = "value")
   }
 
   val obsAsofJoinSql: String =

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** A whole-operator Catalyst extension: AS-OF JOIN as a first-class
+  * logical operator (the SparkSessionExtensions tier above custom
+  * expressions — see GraftExtensions).
+  *
+  * Spark has no built-in as-of join (reference semantics:
+  * api-query's "latest observation at each probe time"). Rather than
+  * hiding the composition in library code, [[AsOfJoin]] is a real
+  * (unresolved) logical node and [[ResolveAsOfJoin]] — injected via
+  * `injectResolutionRule` — expands it during analysis into the
+  * shuffle-once plan: tag both inputs, union, carry the last
+  * observation forward with a `last(struct, ignoreNulls)` window
+  * partitioned by the key, keep probe rows. Catalyst then optimizes
+  * and codegens the expansion like any hand-written query: ONE
+  * shuffle on the key, no per-user range-join pair explosion — the
+  * 100 TB-safe as-of plan.
+  *
+  * Column names are carried unresolved (strings) and resolved against
+  * the children once they are analyzed, like built-in UnresolvedStar
+  * machinery does.
+  */
+case class AsOfJoin(
+    probe: LogicalPlan,
+    obs: LogicalPlan,
+    keyCol: String,
+    tsCol: String,
+    idCol: String,
+    valueCol: String)
+  extends BinaryNode {
+
+  override def left: LogicalPlan = probe
+  override def right: LogicalPlan = obs
+
+  // the node never resolves itself — ResolveAsOfJoin must replace it
+  // during analysis (registering GraftExtensions is required)
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(probe = newLeft, obs = newRight)
+}
+
+/** Analysis rule expanding [[AsOfJoin]] once both inputs resolve. */
+case class ResolveAsOfJoin() extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case aj: AsOfJoin if aj.probe.resolved && aj.obs.resolved => expand(aj)
+  }
+
+  private def expand(aj: AsOfJoin): LogicalPlan = {
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: column '$n' not found in ${p.output.map(_.name)}"))
+
+    // tag and align both sides: (k, ts, eid, v, is_probe)
+    val obsProj = Project(Seq(
+      Alias(attr(aj.obs, aj.keyCol), "k")(),
+      Alias(attr(aj.obs, aj.tsCol), "ts")(),
+      Alias(attr(aj.obs, aj.idCol), "eid")(),
+      Alias(attr(aj.obs, aj.valueCol), "v")(),
+      Alias(Literal(0), "is_probe")()), aj.obs)
+    val probeProj = Project(Seq(
+      Alias(attr(aj.probe, aj.keyCol), "k")(),
+      Alias(attr(aj.probe, aj.tsCol), "ts")(),
+      Alias(attr(aj.probe, aj.idCol), "eid")(),
+      Alias(Cast(Literal(null), DoubleType), "v")(),
+      Alias(Literal(1), "is_probe")()), aj.probe)
+    val union = Union(Seq(obsProj, probeProj), byName = false,
+      allowMissingCol = false)
+
+    val Seq(k, ts, eid, v, isProbe) = union.output
+
+    // carried = last(struct(eid, ts, v) when observation, ignoreNulls)
+    //           over (partition by k order by ts, is_probe, eid rows
+    //                 unbounded preceding .. current row)
+    val obsStruct = CreateNamedStruct(Seq(
+      Literal("oid"), eid, Literal("ots"), ts, Literal("oval"), v))
+    val tagged = If(EqualTo(isProbe, Literal(0)), obsStruct,
+      Literal.create(null, obsStruct.dataType))
+    val spec = WindowSpecDefinition(
+      Seq(k),
+      Seq(SortOrder(ts, Ascending), SortOrder(isProbe, Ascending),
+        SortOrder(eid, Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val carried = Alias(
+      WindowExpression(
+        AggregateExpression(Last(tagged, ignoreNulls = true), Complete,
+          isDistinct = false, None),
+        spec), "carried")()
+    val win = Window(Seq(carried), Seq(k), spec.orderSpec, union, None)
+
+    val c = carried.toAttribute
+    Project(Seq(
+      Alias(eid, "probe_id")(),
+      Alias(k, aj.keyCol)(),
+      Alias(ts, "probe_ts")(),
+      Alias(GetStructField(c, 0, Some("oid")), "obs_event_id")(),
+      Alias(GetStructField(c, 1, Some("ots")), "obs_ts")(),
+      Alias(GetStructField(c, 2, Some("oval")), "obs_value")()),
+      Filter(EqualTo(isProbe, Literal(1)), win))
+  }
+}
+
+/** User-facing API for the custom operator. */
+object AsOf {
+  /** For every probe row, the latest obs row (same key) with
+    * `obs.ts <= probe.ts` — ties broken obs-first, then by id.
+    * Output: probe_id, <key>, probe_ts, obs_event_id, obs_ts,
+    * obs_value. */
+  def join(probe: DataFrame, obs: DataFrame, key: String, ts: String,
+      id: String, value: String): DataFrame =
+    GraftSqlBridge.ofRows(probe.sparkSession,
+      AsOfJoin(GraftSqlBridge.logicalPlan(probe),
+        GraftSqlBridge.logicalPlan(obs), key, ts, id, value))
+}

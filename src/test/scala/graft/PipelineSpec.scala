@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 /** Specs for the ingest/persist/query-api/audit slices (SURVEY §2 A/D/E/F). */
 class PipelineSpec extends SparkSpecBase {
 
+  test("E5 as-of join custom operator: rule expands it, one shuffle total") {
+    val df = run("api_obs_asof_join")
+    // the injected resolution rule must have replaced the custom node
+    assert(!df.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoin]))
+    val shuffles = flattenPlan(executedPlan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles == 1, "as-of join must shuffle exactly once on the key")
+  }
+
   test("C2 FHIR validation: Infinity passes DTO (Zod) but rejects as fhir_invalid") {
     val counts = run("normalize_reject_counts").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
