@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[FloatVectorDot].getName, null, "float_vector_dot"),
       exprs => FloatVectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("long_vector_dot"),
+      new ExpressionInfo(
+        classOf[graft.functions.LongVectorDot].getName, null, "long_vector_dot"),
+      exprs => graft.functions.LongVectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimhashAgg].getName, null, "simhash_agg"),
+      exprs => graft.functions.SimhashAgg(exprs(0)).toAggregateExpression()))
     // whole-operator extension: expands graft.plans.AsOfJoin during
     // analysis into its shuffle-once union+window plan
     e.injectResolutionRule(_ => graft.plans.ResolveAsOfJoin())

@@ -46,6 +46,17 @@ class SimilaritySpec extends SparkSpecBase {
     ivf.unpersist(); brute.unpersist()
   }
 
+  test("custom expressions are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT long_vector_dot(array(1L, 2L), array(3L, 4L)) AS d,
+        |  float_vector_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS f
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 11L && r.getDouble(1) == 3.0)
+    // th=1 (bit0), th=3 (bits 0,1): bit0 votes 2/2 -> set; bit1 1/2 -> tie, clear
+    val s = spark.sql("SELECT simhash_agg(th) AS sh FROM VALUES (1L), (3L) AS t(th)")
+    assert(s.head().getLong(0) == 1L)
+  }
+
   test("H1 plan: query side broadcast, no shuffle of the corpus for the join") {
     val df = run("sim_topk_bruteforce")
     val p = flattenPlan(executedPlan(df))
