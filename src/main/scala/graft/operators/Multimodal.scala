@@ -161,11 +161,56 @@ object Multimodal {
        |    AS DOUBLE) / $FrameBytes AS FLOAT) AS frame_mean
        |FROM f WHERE frame_idx % $FrameStride = 0""".stripMargin
 
+  case class ResizedPixel(doc_id: Long, out_idx: Int, pix: Int)
+
+  private val ResizeW = 32
+
+  /** The stubbed resizer: nearest-neighbor resample of the 1xN "image"
+    * to a fixed 1x32 — out pixel i reads source byte floor(i*n/32).
+    * A real deployment swaps the body for an image library's resize;
+    * the fixed-output-shape batched contract is what a training
+    * pipeline needs (constant tensor shapes downstream). */
+  private def resizeOne(docId: Long, media: Array[Byte]): Seq[ResizedPixel] =
+    if (media.isEmpty) Seq.empty
+    else (0 until ResizeW).map { i =>
+      ResizedPixel(docId, i,
+        media(((i.toLong * media.length) / ResizeW).toInt) & 0xff)
+    }
+
+  /** J4 `multimodal_resize_stub` — deterministic nearest-neighbor
+    * resize over the binary column, long format (one row per output
+    * pixel), through the same mapPartitions batching seam. */
+  def resizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) => resizeOne(id, bytes) }
+      }
+    }.toDF()
+  }
+
+  val resizeStubSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(str_split(text, ''), c -> ascii(c)) AS bytes
+       |  FROM documents WHERE length(text) > 0
+       |), px AS (
+       |  SELECT doc_id, n, bytes, unnest(range(0, $ResizeW)) AS i
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(i AS INTEGER) AS out_idx,
+       |  CAST(bytes[(i * n) // $ResizeW + 1] AS INTEGER) AS pix
+       |FROM px""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_feature_stub" -> (featureStub _),
-    "multimodal_frame_sample" -> (frameSample _))
+    "multimodal_frame_sample" -> (frameSample _),
+    "multimodal_resize_stub" -> (resizeStub _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_feature_stub" -> featureStubSql,
-    "multimodal_frame_sample" -> frameSampleSql)
+    "multimodal_frame_sample" -> frameSampleSql,
+    "multimodal_resize_stub" -> resizeStubSql)
 }

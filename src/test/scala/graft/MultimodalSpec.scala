@@ -37,6 +37,16 @@ class MultimodalSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("J4 resize stub: fixed 32-pixel output per doc, bytes in range") {
+    val df = run("multimodal_resize_stub").cache()
+    val nDocs = Tables.documents(spark, sf).filter(length(col("text")) > 0).count()
+    assert(df.count() == nDocs * 32)
+    assert(df.groupBy("doc_id").count().filter(col("count") =!= 32).count() == 0)
+    assert(df.filter(col("pix") < 0 || col("pix") > 255 ||
+      col("out_idx") < 0 || col("out_idx") >= 32).count() == 0)
+    df.unpersist()
+  }
+
   test("J2 feature stub: batch shape bounded, features deterministic") {
     val raw = operators.Multimodal.featureStubRaw(spark, sf).cache()
     assert(raw.filter(col("batch_size") > 32 || col("batch_size") < 1).count() == 0)
