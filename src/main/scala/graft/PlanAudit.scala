@@ -15,9 +15,11 @@ object PlanAudit {
     val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    // windowspecdefinition whose first argument is already a sort order
-    // (ASC/DESC) has no partition columns -> single-task window
-    val globalWindow = "windowspecdefinition\\([^,]*(ASC|DESC)".r.unanchored
+    // windowspecdefinition whose FIRST argument is already a sort order
+    // ("attr#id ASC/DESC ...") has no partition columns -> single-task
+    // window. Anchored to the attr#id token so partition columns whose
+    // NAMES contain ASC/DESC don't false-positive.
+    val globalWindow = "windowspecdefinition\\(\\S+#\\d+L? (ASC|DESC)".r.unanchored
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
@@ -26,7 +28,9 @@ object PlanAudit {
           if (plan.contains("BroadcastNestedLoopJoin")) Some("BNLJ") else None,
           if (globalWindow.findFirstIn(plan).isDefined) Some("GLOBAL_WINDOW") else None
         ).flatten
-        val nExch = "Exchange".r.findAllIn(plan).size
+        // shuffles only: broadcast/reused exchanges are not shuffles
+        val nExch = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+          .r.findAllIn(plan).size
         println(f"PLAN $name%-28s exch=$nExch ${hazards.mkString(" ")}")
       } catch {
         case e: Throwable => println(s"PLAN $name ERROR $e")

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -79,6 +80,15 @@ case class SimhashAgg(
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "simhash_agg"
+
+  // SQL-registered (GraftExtensions): reject non-long inputs at
+  // analysis instead of casting garbage in update()
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT token-hash argument, got ${other.simpleString}")
+    }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimhashAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native float-vector dot product as a Catalyst expression.
   *
@@ -19,10 +20,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float> (ExpectsInputTypes is private[sql];
-  // callers go through vdotNative which only receives embedding cols)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_dot"
+
+  // SQL-registered (GraftExtensions), so arbitrary types can arrive:
+  // getFloat on a non-float array reads garbage — reject at analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireArrayOf(prettyName, FloatType, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,6 +73,9 @@ case class LongVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_vector_dot"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireArrayOf(prettyName, LongType, left, right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -103,6 +110,24 @@ case class LongVectorDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Analysis-time input check shared by the vector expressions: each
+    * arg must be array<elem> (nullability ignored). */
+  private[functions] def requireArrayOf(fn: String, elem: DataType,
+      exprs: Expression*): TypeCheckResult = {
+    val bad = exprs.find {
+      _.dataType match {
+        case ArrayType(`elem`, _) => false
+        case _ => true
+      }
+    }
+    bad match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<${elem.simpleString}> arguments, " +
+          s"got ${e.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   /** Column wrapper for FloatVectorDot. */
   def vdotNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(

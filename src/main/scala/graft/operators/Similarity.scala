@@ -214,10 +214,20 @@ object Similarity {
     * every-Nth-vector scheme would grow both linearly with n. A real
     * deployment would k-means a sample for better cell balance; the
     * partitioning/probing mechanics are identical. */
+  /** Memoized corpus counts: `emb.count()` is a Spark job, and k is
+    * needed at PLAN time (limit(k)) — without the memo, merely
+    * constructing or explaining sim_ivf_probe launches a count job
+    * every time. Keyed like Dedup.clusterCache (session, dir, mtime). */
+  private val ivfKCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
-    val k = math.min(MaxCentroids,
-      math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
+    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val k = ivfKCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$mtime",
+      _ => math.min(MaxCentroids,
+        math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)))
     val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
       .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
