@@ -202,15 +202,19 @@ object Audit {
   def reprocessContentType(spark: SparkSession, dir: String): DataFrame = {
     val ext = when(col("event_type").isin("click", "purchase"), ".csv")
       .when(col("event_type") === "error", ".hl7")
+      .when(col("event_type") === "signup", ".bin")
       .otherwise(".json")
     val key = concat(lit("raw/"), Obs.tenant, lit("/"), Obs.ingestDate,
       lit("/"), col("event_id"), ext)
     Tables.events(spark, dir).select(
       col("event_id"),
       key.as("raw_key"),
+      // full reference chain incl. the unknown-extension fallback
+      // (reprocess-prep handler.ts:22-25: csv/hl7/json else text/plain)
       when(ext === ".csv", "text/csv")
         .when(ext === ".hl7", "application/hl7-v2")
-        .otherwise("application/json").as("content_type"),
+        .when(ext === ".json", "application/json")
+        .otherwise("text/plain").as("content_type"),
       concat(lit("reproc:"), key).as("idempotency_key"))
   }
 
@@ -219,6 +223,7 @@ object Audit {
       |  SELECT event_id,
       |    CASE WHEN event_type IN ('click','purchase') THEN '.csv'
       |         WHEN event_type = 'error' THEN '.hl7'
+      |         WHEN event_type = 'signup' THEN '.bin'
       |         ELSE '.json' END AS ext,
       |    'raw/t' || (user_id % 4) || '/' || strftime(ts, '%Y-%m-%d') || '/'
       |      || event_id AS stem
@@ -228,7 +233,8 @@ object Audit {
       |  stem || ext AS raw_key,
       |  CASE ext WHEN '.csv' THEN 'text/csv'
       |           WHEN '.hl7' THEN 'application/hl7-v2'
-      |           ELSE 'application/json' END AS content_type,
+      |           WHEN '.json' THEN 'application/json'
+      |           ELSE 'text/plain' END AS content_type,
       |  'reproc:' || stem || ext AS idempotency_key
       |FROM keyed""".stripMargin
 
