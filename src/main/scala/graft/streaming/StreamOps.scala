@@ -148,6 +148,49 @@ object StreamOps {
     closed.result().iterator
   }
 
+  case class AsOfOut(probe_id: Long, user_id: Long, probe_ts: Timestamp,
+      obs_event_id: java.lang.Long, obs_ts: Timestamp,
+      obs_value: java.lang.Double)
+
+  case class LastObs(id: Long, tsUs: Long, value: Double)
+
+  /** E5 streaming — as-of join on a single interleaved stream:
+    * clicks (observations) update per-user state, purchases (probes)
+    * emit immediately with the carried last click — the incremental
+    * form of the batch [[graft.plans.AsOfJoin]] operator. State per
+    * user is ONE LastObs (bounded, unlike a buffered range join).
+    * Same tie rule as batch: at equal ts the observation is applied
+    * before the probe. */
+  def asofJoin(events: Dataset[Event], spark: SparkSession): Dataset[AsOfOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(asofFn)
+  }
+
+  private[streaming] def asofFn(userId: Long, events: Iterator[Event],
+      state: GroupState[LastObs]): Iterator[AsOfOut] = {
+    // obs-before-probe at equal ts, then id — the batch ordering
+    val sorted = events.toSeq.sortBy(e =>
+      (us(e.ts), if (e.event_type == "purchase") 1 else 0, e.event_id))
+    var last = state.getOption
+    val out = Seq.newBuilder[AsOfOut]
+    sorted.foreach { e =>
+      e.event_type match {
+        case "click" =>
+          last = Some(LastObs(e.event_id, us(e.ts), e.value))
+        case "purchase" =>
+          out += AsOfOut(e.event_id, userId, e.ts,
+            last.map(l => java.lang.Long.valueOf(l.id)).orNull,
+            last.map(l => toTs(l.tsUs)).orNull,
+            last.map(l => java.lang.Double.valueOf(l.value)).orNull)
+        case _ => // other event types are neither probe nor observation
+      }
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
   /** L4 streaming — per-user rolling state via mapGroupsWithState
     * (update mode): latest event attributes + lifetime counters. */
   def userLatestState(events: Dataset[Event], spark: SparkSession): Dataset[UserStateOut] = {

@@ -69,6 +69,24 @@ class StreamingSpec extends SparkSpecBase {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("E5 streaming as-of join matches the batch custom operator") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.asofJoin(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_asof")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_asof")
+      .filter(col("user_id") =!= -1L)
+      .collect().map(_.toSeq).toSet
+    val want = run("api_obs_asof_join")
+      .select(col("probe_id"), col("user_id"), col("probe_ts"),
+        col("obs_event_id"), col("obs_ts"), col("obs_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"streaming asof ${got.size} vs batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("L3 streaming dedup keeps one event per (user, type, minute)") {
     val ms = MemoryStream[Event]
     val q = StreamOps.eventDedup(ms.toDF())
