@@ -21,12 +21,24 @@ object Normalize {
 
   /** DTO stream with one extra injected defect class (empty code every
     * 101st event) on top of the adapter's non-numeric values, so every
-    * validation rule fires. */
+    * validation rule fires.
+    *
+    * Sealed ([[graft.functions.Sealed]]): every downstream normalize
+    * query filters on these parsed columns AND projects them, and
+    * without the barrier Catalyst substitutes the synth+parse chain
+    * (concat_ws -> sha2 -> split -> to_timestamp) into each conjunct
+    * and output column — the r2 driver bench measured that at ~49 s
+    * per query for 100 k rows (BENCH_r02). The barrier pins the parse
+    * into one Project evaluated once per row; at sf0.1 that is ~1 s.
+    * Scan pushdown is not lost: nothing in this stage can reach the
+    * parquet scan anyway, since every predicate is over derived
+    * columns. */
   def dto(spark: SparkSession, dir: String): DataFrame =
-    Adapters.csvLabx(spark, dir)
-      .withColumn("code",
-        when(pmod(col("event_id"), lit(101)) === 0, lit(""))
-          .otherwise(col("code")))
+    graft.functions.Sealed.sealAll(
+      Adapters.csvLabx(spark, dir)
+        .withColumn("code",
+          when(pmod(col("event_id"), lit(101)) === 0, lit(""))
+            .otherwise(col("code"))))
 
   private val dtoSqlCte: String =
     """raw AS (
