@@ -40,4 +40,18 @@ object Tables {
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Modification time of a table path for cache-staleness keys,
+    * resolved through Hadoop's FileSystem so it works for every
+    * supported scheme (s3a://, hdfs://, file:...) — java.io.File
+    * .lastModified() silently returns 0 off the local filesystem,
+    * which would quietly revert the stale-cache guard in exactly the
+    * object-store deployments the 100 TB framing targets. A missing
+    * path maps to -1 (distinct from any real mtime). */
+  def mtime(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
+  }
 }

@@ -220,9 +220,10 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val strategyKey = spark.conf
       .getOption("graft.dedup.clusters.driverMaxEdges").getOrElse("default")
-    // cache key includes the source mtime so a rewrite of the data
-    // under `dir` within one session doesn't serve stale clusters
-    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+    // cache key includes the source mtime (via Hadoop FS, so object
+    // stores work too) so a rewrite of the data under `dir` within
+    // one session doesn't serve stale clusters
+    val mtime = graft.Tables.mtime(spark, s"$dir/documents.parquet")
     clusterCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$dir:$mtime:$strategyKey", _ => {
       val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))

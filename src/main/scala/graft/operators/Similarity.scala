@@ -223,7 +223,7 @@ object Similarity {
 
   def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
-    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val mtime = graft.Tables.mtime(spark, s"$dir/embeddings.parquet")
     val k = ivfKCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$dir:$mtime",
       _ => math.min(MaxCentroids,

@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Last}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
 
 /** A whole-operator Catalyst extension: AS-OF JOIN as a first-class
   * logical operator (the SparkSessionExtensions tier above custom
@@ -57,10 +56,27 @@ case class ResolveAsOfJoin() extends Rule[LogicalPlan] {
   }
 
   private def expand(aj: AsOfJoin): LogicalPlan = {
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"as-of join: column '$n' not found in ${p.output.map(_.name)}"))
+    // Resolve with the session resolver (case sensitivity follows
+    // spark.sql.caseSensitive) and fail on ambiguity, matching how
+    // every built-in operator binds names; find-first on exact name
+    // would silently pick one of two same-named columns.
+    def attr(p: LogicalPlan, n: String): Expression = {
+      val matches = p.output.filter(a => conf.resolver(a.name, n))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"as-of join: column '$n' not found in ${p.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"as-of join: column '$n' is ambiguous, matches ${many.map(_.name)}")
+      }
+    }
+
+    // Probe rows carry no observation value; the null must be typed as
+    // the OBS side's value type — a hardcoded DoubleType made Union
+    // type-widening re-alias child outputs after expand() captured
+    // union.output, leaving dangling exprIds for any non-double value
+    // column (and silently widening the value even when it resolved).
+    val valueType = attr(aj.obs, aj.valueCol).dataType
 
     // tag and align both sides: (k, ts, eid, v, is_probe)
     val obsProj = Project(Seq(
@@ -73,7 +89,7 @@ case class ResolveAsOfJoin() extends Rule[LogicalPlan] {
       Alias(attr(aj.probe, aj.keyCol), "k")(),
       Alias(attr(aj.probe, aj.tsCol), "ts")(),
       Alias(attr(aj.probe, aj.idCol), "eid")(),
-      Alias(Cast(Literal(null), DoubleType), "v")(),
+      Alias(Cast(Literal(null), valueType), "v")(),
       Alias(Literal(1), "is_probe")()), aj.probe)
     val union = Union(Seq(obsProj, probeProj), byName = false,
       allowMissingCol = false)

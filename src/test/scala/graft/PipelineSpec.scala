@@ -14,6 +14,39 @@ class PipelineSpec extends SparkSpecBase {
     assert(shuffles == 1, "as-of join must shuffle exactly once on the key")
   }
 
+  test("E5 as-of join: non-double value column resolves and keeps its type") {
+    import spark.implicits._
+    val obs = Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"))
+      .toDF("k", "ts", "id", "v")
+    val probe = Seq((1L, 15L, 200L, "ignored"), (1L, 25L, 201L, "ignored"))
+      .toDF("k", "ts", "id", "v")
+    val joined = plans.AsOf.join(probe, obs, "k", "ts", "id", "v")
+    assert(joined.schema("obs_value").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = joined.orderBy("probe_ts").collect()
+    assert(rows.map(_.getAs[String]("obs_value")).toSeq == Seq("a", "b"))
+  }
+
+  test("E5 as-of join: ambiguous and missing column names fail loudly") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L)).toDF("k", "ts")
+      .select(col("k"), col("ts"), lit(1).as("V"), lit(2).as("v"))
+    val probe = Seq((1L, 15L, 200L, 0)).toDF("k", "ts", "id", "v")
+    // the analyzer may wrap the rule's error; search the cause chain
+    def msgs(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    // case-insensitive by default: "v" matches both V and v
+    val amb = intercept[Exception] {
+      plans.AsOf.join(probe, dup.withColumn("id", lit(1L)), "k", "ts", "id", "v").collect()
+    }
+    assert(msgs(amb).contains("ambiguous"), msgs(amb))
+    val missing = intercept[Exception] {
+      plans.AsOf.join(probe, probe, "k", "ts", "id", "nope").collect()
+    }
+    assert(msgs(missing).contains("not found"), msgs(missing))
+  }
+
   test("C2 FHIR validation: Infinity passes DTO (Zod) but rejects as fhir_invalid") {
     val counts = run("normalize_reject_counts").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
