@@ -226,11 +226,14 @@ object Dedup {
     val mtime = graft.Tables.mtime(spark, s"$dir/documents.parquet")
     clusterCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$dir:$mtime:$strategyKey", _ => {
+      // checkpoint the pairs BEFORE symmetrizing: a union of the raw
+      // pipeline with its own swap would run the shingle pair join
+      // twice in the checkpoint materialization
       val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // the shingle pipeline only runs once
       val edges = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-        .localCheckpoint() // the shingle pipeline only runs once
       // Size-adaptive strategy, like AQE picks joins by runtime stats:
       // the candidate graph after Jaccard/LSH pruning is orders of
       // magnitude smaller than the corpus, so when it fits the driver

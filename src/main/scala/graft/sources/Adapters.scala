@@ -105,17 +105,22 @@ object Adapters {
       .when(pmod(col("event_id"), lit(3)) === 0, lit("mg"))
       .otherwise(lit("mg^mg/dL"))
     val nObx = (pmod(col("event_id"), lit(3)) + 1).cast("int")
-    val obxSegs = transform(sequence(lit(1), nObx), k => {
+    // lambda-free: higher-order functions (transform/sequence) are
+    // interpreted per row and eject the whole projection from
+    // whole-stage codegen — the bounded segment count (1-3) unrolls
+    // to plain when()s, and concat_ws skips the null absent segments
+    def obxSeg(k: Int): Column = {
       val valueField = when(pmod(col("event_id"), lit(97)) === 0, lit("N/A"))
-        .otherwise((col("value") + (k - 1)).cast(DecimalType(18, 2)).cast("string"))
+        .otherwise((col("value") + lit(k - 1)).cast(DecimalType(18, 2)).cast("string"))
       concat(
-        lit("OBX|"), k.cast("string"), lit("|NM|"), col("event_type"), lit("^"),
+        lit(s"OBX|$k|NM|"), col("event_type"), lit("^"),
         upper(col("event_type")), lit("||"), valueField, lit("|"), unitField,
         lit("|||||F|||"), date_format(col("ts"), "yyyyMMddHHmmss"))
-    })
+    }
     concat(
       lit("PID|1||"), col("user_id"), lit("^^^MRN||DOE^JOHN"), lit("\r"),
-      array_join(obxSegs, "\r"))
+      concat_ws("\r", obxSeg(1),
+        when(nObx >= 2, obxSeg(2)), when(nObx >= 3, obxSeg(3))))
   }
 
   /** B2+B3 `adapter_hl7_obx` — HL7 v2 PID/OBX parser: segment split on
@@ -126,18 +131,25 @@ object Adapters {
     * .1 default "1" (v2.ts:66 `c6[1] || c6[0] || "" -> "1"`);
     * effective = OBX-14 YYYYMMDDHHMMSS -> UTC timestamp (v2.ts:68). */
   def hl7Obx(spark: SparkSession, dir: String): DataFrame = {
-    val segs = split(col("msg"), "\r")
-    val pidSeg = element_at(filter(segs, s => s.startsWith("PID|")), 1)
+    // PID via regexp (codegen'd) instead of filter(split(...)) array
+    // lambdas (interpreted); patient_id derived ONCE per message
+    // before the explode fan-out. OBX selection = explode every
+    // segment, then a codegen'd startsWith row filter.
+    val pidF = split(
+      regexp_extract(col("msg"), "(?:^|\r)(PID\\|[^\r]*)", 1), "\\|")
     val df = Tables.events(spark, dir)
       .select(col("event_id"), hl7Message.as("msg"))
-      .withColumn("pid_f", split(pidSeg, "\\|"))
-      .withColumn("obx", explode(filter(segs, s => s.startsWith("OBX|"))))
+      .select(col("event_id"),
+        element_at(split(element_at(pidF, 4), "\\^"), 1).as("patient_id"),
+        col("msg"))
+      .withColumn("obx", explode(split(col("msg"), "\r")))
+      .filter(col("obx").startsWith("OBX|"))
       .withColumn("f", split(col("obx"), "\\|"))
     val code3 = split(element_at(col("f"), 4), "\\^")
     val unit6 = split(element_at(col("f"), 7), "\\^")
     df.select(
         col("event_id"),
-        element_at(split(element_at(col("pid_f"), 4), "\\^"), 1).as("patient_id"),
+        col("patient_id"),
         coalesce(nullif(element_at(code3, 1), lit("")),
           element_at(code3, 2)).as("code"),
         element_at(col("f"), 6).cast("double").as("value"),
