@@ -29,7 +29,8 @@ object SparkEntry {
       sources.Adapters.queries ++
       operators.Normalize.queries ++
       operators.EventStream.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       sources.Adapters.oracles ++
       operators.Normalize.oracles ++
       operators.EventStream.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.Corpus.oracles
 }

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus preparation operators (SURVEY §2.M): the steps
+  * between a deduplicated document set and model-ready sequences —
+  * PII scrubbing, chunking, stratified downsampling, and sequence
+  * packing. All pure Column pipelines; the only shuffles are the ones
+  * the semantics require (packing's prefix scan), and those are
+  * structured as the two-level scan that survives 100 TB.
+  *
+  * Cross-engine determinism: regex classes are shared Java/RE2
+  * syntax, sampling uses md5 hex-prefix thresholds (lexicographic
+  * compare of lowercase hex is identical in both engines), and all
+  * arithmetic is integer.
+  */
+object Corpus {
+
+  private def nonEmptyToks: Column = filter(split(col("text"), " "), c => c =!= "")
+
+  // ---------------------------------------------------------------- M1
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII injection (the corpus itself is clean word
+    * soup): every 3rd doc gains an email, every 5th a phone number —
+    * so the scrubber has real work and the counts are checkable. */
+  private def piiText: Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" contact user"), col("doc_id"), lit("@mail-example.com")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" call 415-555-0"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 3, "0")))
+      .otherwise(lit("")))
+
+  /** M1 `corpus_pii_redact` — regex PII scrub (emails, phone
+    * numbers), the compliance pass every published training corpus
+    * runs. Counts per class are reported so a pipeline can alert on
+    * unexpectedly PII-dense sources. Narrow scan-project, no shuffle;
+    * the char classes are valid in both Java regex and RE2. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), piiText.as("text"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+
+  // single line: this fragment is interpolated into another
+  // stripMargin string, which would eat the leading '|' of a '||'
+  private val piiTextSql: String =
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || " +
+      "'@mail-example.com' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN " +
+      "' call 415-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ELSE '' END"
+
+  val piiRedactSql: String =
+    s"""WITH p AS (SELECT doc_id, lang, $piiTextSql AS text FROM documents)
+       |SELECT doc_id, lang,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g') AS redacted
+       |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- M2
+  private val ChunkTokens = 32
+  private val ChunkStride = 24 // overlap = 8 tokens
+
+  /** M2 `corpus_chunk` — split each document into fixed-token-count
+    * windows with overlap (RAG/pre-training chunking). Chunk i covers
+    * tokens [i*stride, i*stride+chunk); chunks exist while
+    * i*stride < n_tokens. One explode, no shuffle — chunking 100 TB
+    * is a narrow fan-out stage. sequence() here is NOT a lambda HOF
+    * (stays codegen'd); the bound is (n-1)/stride so every chunk is
+    * non-empty. */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("toks"))
+      .withColumn("n", size(col("toks")))
+    docs
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / lit(ChunkStride)).cast("int"))).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * ChunkStride + 1, lit(ChunkTokens)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_id") * ChunkStride + 1,
+          lit(ChunkTokens)), " ").as("chunk_text"))
+  }
+
+  val chunkSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, (len(toks) - 1) // $ChunkStride)) AS chunk_id
+       |  FROM d
+       |)
+       |SELECT doc_id, chunk_id,
+       |  len(list_slice(toks, chunk_id * $ChunkStride + 1,
+       |    chunk_id * $ChunkStride + $ChunkTokens)) AS n_chunk_tokens,
+       |  array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
+       |    chunk_id * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
+       |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- M3
+  /** Per-language keep rates as md5 hex-prefix thresholds: a doc is
+    * kept iff the first two hex chars of md5('strat:'||doc_id) sort
+    * below the threshold — '40' keeps 64/256 = 25%, 'c0' keeps 75%.
+    * Lexicographic compare of lowercase hex is engine-portable, and
+    * the decision is a pure function of doc_id (rerunning the
+    * pipeline keeps the same sample — the property that matters for
+    * reproducible training mixes). */
+  val strataThresholds: Seq[(String, String)] = Seq(
+    "en" -> "40", // English over-represented -> 25%
+    "zh" -> "c0", // 75%
+    "es" -> "c0",
+    "de" -> "c0",
+    "fr" -> "c0")
+  private val DefaultThreshold = "80" // unknown strata -> 50%
+
+  /** M3 `corpus_sample_stratified` — deterministic hash-based
+    * stratified sampling (rebalancing the language mix of a training
+    * corpus). Pure filter — no shuffle, no RNG state; at 100 TB this
+    * is a scan that drops rows at read time. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 2)
+    val threshold = strataThresholds.foldRight(lit(DefaultThreshold)) {
+      case ((l, t), els) => when(col("lang") === l, lit(t)).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        bucket.as("bucket"), threshold.as("threshold"))
+      .filter(col("bucket") < col("threshold"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = strataThresholds
+      .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, source,
+       |    substring(md5('strat:' || doc_id), 1, 2) AS bucket,
+       |    CASE $cases ELSE '$DefaultThreshold' END AS threshold
+       |  FROM documents
+       |)
+       |SELECT * FROM s WHERE bucket < threshold""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- M4
+  private val SeqLen = 256
+  /** Docs per prefix-scan block. Locally tiny so the spec exercises
+    * multiple blocks; at 100 TB you size it so the number of blocks
+    * (corpus/BlockSize) stays driver-bounded (e.g. 1 M docs/block ->
+    * thousands of blocks for trillions of docs). */
+  private val PackBlock = 64
+
+  /** M4 `corpus_pack` — GPT-style sequence packing: concatenate all
+    * documents in doc_id order and cut the token stream into SeqLen
+    * sequences; each doc reports its global token offset and the
+    * first/last sequence it lands in.
+    *
+    * The global running sum is the textbook two-level distributed
+    * prefix scan, NOT one partition-less window (which would funnel
+    * the corpus through a single reducer): (1) per-block token totals
+    * (groupBy on doc_id div BlockSize — contiguous ranges, so block
+    * order == doc order), (2) block prefix offsets via a window over
+    * the tiny blocks table only, broadcast-joined back, (3) a
+    * within-block running sum windowed per block. Every unbounded
+    * window here is over a bounded row set. */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(nonEmptyToks).as("n_tokens"))
+      .withColumn("block", floor(col("doc_id") / lit(PackBlock)).cast("long"))
+    val blockTotals = docs.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+    val wBlocks = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = blockTotals
+      .select(col("block"),
+        coalesce(sum(col("block_total")).over(wBlocks), lit(0L)).as("block_offset"))
+    val wInBlock = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(blockOffsets), "block")
+      .withColumn("token_offset",
+        col("block_offset") + coalesce(sum(col("n_tokens")).over(wInBlock), lit(0L)))
+      .select(
+        col("doc_id"), col("n_tokens"), col("token_offset"),
+        floor(col("token_offset") / lit(SeqLen)).cast("long").as("seq_first"),
+        floor((col("token_offset") + col("n_tokens") - 1) / lit(SeqLen))
+          .cast("long").as("seq_last"))
+  }
+
+  val packSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT doc_id, n_tokens,
+       |    -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, which the
+       |    -- harness canonicalizes as float
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS token_offset
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens, token_offset,
+       |  token_offset // $SeqLen AS seq_first,
+       |  (token_offset + n_tokens - 1) // $SeqLen AS seq_last
+       |FROM o""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pii_redact" -> (piiRedact _),
+    "corpus_chunk" -> (chunk _),
+    "corpus_sample_stratified" -> (sampleStratified _),
+    "corpus_pack" -> (pack _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_pii_redact" -> piiRedactSql,
+    "corpus_chunk" -> chunkSql,
+    "corpus_sample_stratified" -> sampleStratifiedSql,
+    "corpus_pack" -> packSql)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-corpus preparation slice (SURVEY §2.M). */
+class CorpusSpec extends SparkSpecBase {
+
+  test("M1 pii redact: no email/phone survives, counts match injections") {
+    val df = run("corpus_pii_redact").cache()
+    assert(df.filter(col("redacted").rlike("@")).count() == 0)
+    assert(df.filter(col("redacted").rlike("[0-9]{3}-[0-9]{3}-[0-9]{4}")).count() == 0)
+    // every 3rd doc got an email, every 5th a phone
+    val n = df.count()
+    assert(df.agg(sum("n_emails")).head.getLong(0) == (n + 2) / 3)
+    assert(df.agg(sum("n_phones")).head.getLong(0) == (n + 4) / 5)
+    assert(df.filter(col("n_emails") > 0 &&
+      !col("redacted").contains("[EMAIL]")).count() == 0)
+    df.unpersist()
+  }
+
+  test("M1 pii redact plan: narrow scan-project, no shuffle") {
+    assert(!flattenPlan(executedPlan(run("corpus_pii_redact"))).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]))
+  }
+
+  test("M2 chunking: stride/size invariants and full coverage") {
+    val df = run("corpus_chunk").cache()
+    assert(df.filter(col("n_chunk_tokens") < 1 ||
+      col("n_chunk_tokens") > 32).count() == 0)
+    // chunk ids are dense 0..last
+    assert(df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), (max("chunk_id") + 1).as("m"))
+      .filter(col("n") =!= col("m")).count() == 0)
+    // exact size law: chunk i covers tokens [i*stride, min(i*stride+32, n))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), c => c =!= "")).as("n_toks"))
+    val joined = df.join(docs, "doc_id")
+    assert(joined.filter(col("n_chunk_tokens") =!=
+      least(lit(32), col("n_toks") - col("chunk_id") * 24)).count() == 0)
+    // coverage: some chunk reaches the last token of every doc
+    assert(joined.groupBy("doc_id", "n_toks")
+      .agg(max(col("chunk_id") * 24 + col("n_chunk_tokens")).as("covered"))
+      .filter(col("covered") =!= col("n_toks")).count() == 0)
+    df.unpersist()
+  }
+
+  test("M3 stratified sample: deterministic, rates near targets, en downsampled") {
+    val a = run("corpus_sample_stratified").cache()
+    val total = Tables.documents(spark, sf).groupBy("lang").count()
+      .withColumnRenamed("count", "n_all")
+    val kept = a.groupBy("lang").count().withColumnRenamed("count", "n_kept")
+    val rates = kept.join(total, "lang")
+      .withColumn("rate", col("n_kept").cast("double") / col("n_all"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    assert(rates("en") < 0.45, s"en rate ${rates("en")} should be ~0.25")
+    assert(rates.filterKeys(_ != "en").values.forall(r => r > 0.5),
+      s"non-en rates $rates should be ~0.75")
+    // deterministic: same rows on a second evaluation
+    val b = run("corpus_sample_stratified")
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0)
+    a.unpersist()
+  }
+
+  test("M4 packing: offsets are exact prefix sums, sequences consistent") {
+    val df = run("corpus_pack").cache()
+    // offset(doc) = offset(prev) + n_tokens(prev) in doc_id order
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val chained = df
+      .withColumn("expected", coalesce(lag(col("token_offset") + col("n_tokens"), 1).over(w), lit(0L)))
+    assert(chained.filter(col("token_offset") =!= col("expected")).count() == 0)
+    assert(df.filter(col("seq_last") < col("seq_first")).count() == 0)
+    assert(df.filter(col("seq_first") =!=
+      floor(col("token_offset") / 256).cast("long")).count() == 0)
+    df.unpersist()
+  }
+
+  test("M4 packing plan: prefix scan is two-level, no corpus-wide single-partition window") {
+    // the only partition-less window may run over the tiny blocks
+    // table (#blocks rows), never over the documents themselves: the
+    // doc-level window must be partitioned (by block)
+    val df = run("corpus_pack")
+    val windows = flattenPlan(executedPlan(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val docLevel = windows.filter(_.output.exists(_.name == "token_offset"))
+    assert(docLevel.forall(_.partitionSpec.nonEmpty),
+      "doc-level running sum must be partitioned by block")
+  }
+}
