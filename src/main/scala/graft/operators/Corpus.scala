@@ -220,13 +220,93 @@ object Corpus {
        |  (token_offset + n_tokens - 1) // $SeqLen AS seq_last
        |FROM o""".stripMargin
 
+  // ---------------------------------------------------------------- M5
+  private val SourceCap = 15
+
+  /** M5 `corpus_source_cap` — cap documents per source (the "no
+    * single crawl dominates" mixing rule): rank docs within each
+    * source by a salted md5 of doc_id (a deterministic shuffle) and
+    * keep the first SourceCap. One window partitioned by source —
+    * sources are numerous at corpus scale, so the partitioning is
+    * well-spread; no global ordering anywhere. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= SourceCap)
+  }
+
+  val sourceCapSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5('cap:' || doc_id), doc_id) AS pick_rank
+       |  FROM documents
+       |)
+       |SELECT * FROM r WHERE pick_rank <= $SourceCap""".stripMargin
+
+  // ---------------------------------------------------------------- M6
+  /** Target token share per language for the training mix. */
+  val targetShares: Seq[(String, Double)] = Seq(
+    "en" -> 0.30, "zh" -> 0.175, "es" -> 0.175, "de" -> 0.175, "fr" -> 0.175)
+
+  /** M6 `corpus_mix_weights` — per-language sampling weights to hit a
+    * target token share: weight = target_share * total_tokens /
+    * lang_tokens (weight >1 means upsample/epoch-repeat, <1 means
+    * downsample — the number a mixing stage like M3 consumes). One
+    * tiny groupBy; the totals join is a broadcast of #langs rows. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val target = targetShares.foldRight(lit(0.0)) { case ((l, s), els) =>
+      when(col("lang") === l, lit(s)).otherwise(els)
+    }
+    val byLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(nonEmptyToks).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = byLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    byLang.crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("actual_share"),
+        target.as("target_share"),
+        round(target * col("total_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("weight"))
+  }
+
+  val mixWeightsSql: String = {
+    val cases = targetShares
+      .map { case (l, s) => s"WHEN lang = '$l' THEN $s" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT lang, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks
+       |  FROM documents
+       |), byLang AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM byLang)
+       |SELECT lang, n_docs, n_tokens,
+       |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+       |    AS actual_share,
+       |  (CASE $cases ELSE 0.0 END) AS target_share,
+       |  ROUND((CASE $cases ELSE 0.0 END) * CAST(total_tokens AS DOUBLE)
+       |    / CAST(n_tokens AS DOUBLE), 6) AS weight
+       |FROM byLang CROSS JOIN tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pii_redact" -> (piiRedact _),
     "corpus_chunk" -> (chunk _),
     "corpus_sample_stratified" -> (sampleStratified _),
-    "corpus_pack" -> (pack _))
+    "corpus_pack" -> (pack _),
+    "corpus_source_cap" -> (sourceCap _),
+    "corpus_mix_weights" -> (mixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_source_cap" -> sourceCapSql,
+    "corpus_mix_weights" -> mixWeightsSql,
     "corpus_pii_redact" -> piiRedactSql,
     "corpus_chunk" -> chunkSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,

@@ -400,6 +400,41 @@ object Dedup {
        | AND b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
        |GROUP BY 1, 2""".stripMargin
 
+  /** G11 `dedup_bloom_decontaminate` — the 100 TB decontamination
+    * path: compress the benchmark shingle set into a Bloom filter
+    * (Catalyst's own BloomFilterAggregate — the machinery behind
+    * Spark's runtime row-level join filtering), then flag training
+    * docs with a scan-side might_contain probe. Unlike G8's join, the
+    * corpus side never shuffles on shingles: the filter is a
+    * fixed-size binary (1 MiB here) embedded as a literal, so cost is
+    * one scan of the corpus plus a tiny aggregation of the flagged
+    * subset — and the driver only ever holds the bloom bytes, sized
+    * by the BENCHMARK set, not the corpus.
+    *
+    * Spec-only (no DuckDB oracle — the sketch is engine-specific):
+    * DedupTextSpec asserts the superset law (every exactly-
+    * contaminated doc is flagged; false-positive extras bounded). */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sh = shingles(spark, dir, 3).cache()
+    val benchHashes = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(xxhash64(col("shingle")).as("h"))
+    val bloomAgg = GraftSqlBridge.column(
+      BloomFilterAggregate(GraftSqlBridge.expression(col("h")),
+        CatLit(1000000L), CatLit(8L * 1024 * 1024), 0, 0).toAggregateExpression())
+    val bloomBytes = benchHashes.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    require(bloomBytes != null, "benchmark shingle set is empty")
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      CatLit.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("shingle")))))
+    sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .filter(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("flagged_shingles"))
+  }
+
   /** G9 `dedup_embedding_neardup` — embedding-cosine near-dup dedup:
     * survivors of the embeddings corpus after dropping every vector
     * that has a smaller-id near-duplicate (quantized cosine >= Tau)
@@ -451,6 +486,7 @@ object Dedup {
     "dedup_clusters" -> (clusters _),
     "dedup_keep_corpus" -> (keepCorpus _),
     "dedup_decontaminate" -> (decontaminate _),
+    "dedup_bloom_decontaminate" -> (bloomDecontaminate _),
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprint _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),

@@ -75,6 +75,31 @@ class CorpusSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("M5 source cap: never more than 15 docs per source, deterministic picks") {
+    val a = run("corpus_source_cap").cache()
+    assert(a.groupBy("source").count().filter(col("count") > 15).count() == 0)
+    // sources under the cap keep everything
+    val totals = Tables.documents(spark, sf).groupBy("source").count()
+      .withColumnRenamed("count", "n_all")
+    val kept = a.groupBy("source").count().withColumnRenamed("count", "n_kept")
+    assert(kept.join(totals, "source")
+      .filter(col("n_all") <= 15 && col("n_kept") =!= col("n_all")).count() == 0)
+    val b = run("corpus_source_cap")
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0)
+    a.unpersist()
+  }
+
+  test("M6 mix weights: shares sum to 1, weights invert the actual share") {
+    val rows = run("corpus_mix_weights").collect()
+    val shareSum = rows.map(_.getAs[Double]("actual_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      val expected = r.getAs[Double]("target_share") / r.getAs[Double]("actual_share")
+      assert(math.abs(r.getAs[Double]("weight") - expected) < 1e-3,
+        s"weight off for ${r.getAs[String]("lang")}")
+    }
+  }
+
   test("M4 packing plan: prefix scan is two-level, no corpus-wide single-partition window") {
     // the only partition-less window may run over the tiny blocks
     // table (#blocks rows), never over the documents themselves: the

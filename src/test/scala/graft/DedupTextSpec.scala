@@ -113,6 +113,24 @@ class DedupTextSpec extends SparkSpecBase {
     assert(r1.forall { r => val f = r.getLong(1); f >= 0 && f < 1000000007L })
   }
 
+  test("G11 bloom decontaminate: superset of exact, bounded extras, no shingle shuffle") {
+    val exact = run("dedup_decontaminate").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bloomDf = run("dedup_bloom_decontaminate")
+    val bloom = bloomDf.collect().map(_.getLong(0)).toSet
+    // a Bloom filter admits false positives, never false negatives
+    assert((exact -- bloom).isEmpty,
+      s"docs missed by bloom: ${(exact -- bloom).take(5)}")
+    val extras = bloom -- exact
+    assert(extras.size <= math.max(1, exact.size / 10),
+      s"bloom false-positive docs: ${extras.size} vs exact ${exact.size}")
+    // the corpus side must not shuffle on shingles: the only exchange
+    // feeds the tiny flagged-doc aggregation
+    val shuffles = flattenPlan(executedPlan(bloomDf)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles <= 1, s"bloom path should shuffle at most once, got $shuffles")
+  }
+
   test("dedup plans: exact dedup is one shuffle; no cartesian in LSH") {
     val exact = run("dedup_exact")
     assert(flattenPlan(executedPlan(exact)).count(
