@@ -265,7 +265,40 @@ object Audit {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** F8 `audit_value_quantiles_sketch` — the 100 TB twin of F5:
+    * approx_percentile (Greenwald-Khanna sketch) per service. Exact
+    * percentiles need a full per-group sort; the sketch is one
+    * mergeable pass with bounded memory, which is what a dashboard
+    * over 100 TB of metrics actually runs. Spec-only (sketches are
+    * engine-specific): AuditSketchSpec bounds the rank error against
+    * F5's exact answers. Accuracy 10000 -> eps 1/10000. */
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("service"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p90"),
+        element_at(col("q"), 3).as("p99"),
+        col("n"))
+
+  /** F9 `audit_distinct_users_sketch` — HyperLogLog++ distinct users
+    * per service next to the exact count. Exact distinct shuffles
+    * every key; the sketch is constant-size and mergeable — the scale
+    * path for cardinality dashboards. rsd 1% -> spec asserts the
+    * estimate lands within a few percent of exact. */
+  def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
+    "audit_distinct_users_sketch" -> (distinctUsersSketch _),
     "audit_partition_counts" -> (partitionCounts _),
     "audit_metric_counts" -> (metricCounts _),
     "dlq_redrive_pending" -> (dlqRedrivePending _),

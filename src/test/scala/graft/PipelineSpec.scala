@@ -157,6 +157,25 @@ class PipelineSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("F8/F9 sketch twins: bounded error against the exact answers") {
+    val exact = run("audit_value_quantiles").collect()
+      .map(r => r.getAs[String]("service") -> r).toMap
+    run("audit_value_quantiles_sketch").collect().foreach { r =>
+      val e = exact(r.getAs[String]("service"))
+      Seq("p50", "p90", "p99").foreach { c =>
+        val (ev, sv) = (e.getAs[Double](c), r.getAs[Double](c))
+        assert(math.abs(sv - ev) <= math.max(0.02 * math.abs(ev), 1e-9),
+          s"$c sketch $sv vs exact $ev")
+      }
+      assert(r.getAs[Long]("n") == e.getAs[Long]("n"))
+    }
+    run("audit_distinct_users_sketch").collect().foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"hll $a vs exact $e")
+    }
+  }
+
   test("F3 dlq redrive: pending errors have no later event for the user") {
     val pending = run("dlq_redrive_pending")
     val ev = Tables.events(spark, sf).select(col("user_id").as("u"), col("ts").as("t2"))
