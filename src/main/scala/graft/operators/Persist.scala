@@ -148,13 +148,63 @@ object Persist {
       |  event_id
       |FROM applied""".stripMargin
 
+  /** Snapshot cutoff for D4 — mid-range of the synthetic event window. */
+  private val SnapshotTs = "2024-01-08 00:00:00"
+
+  /** D4 `persist_asof_snapshot` — time travel over the commit log:
+    * the state (version, latest attributes) of every entity as of a
+    * cutoff instant. Because the conditional-write suppression only
+    * ever looks backward (lag), filtering writes to ts <= cutoff then
+    * replaying equals replaying then rolling back — so the snapshot
+    * is the same one windowed pass as D2 over the restricted write
+    * set. The cutoff comparison is done at microsecond precision on
+    * BOTH engines (events.ts is parquet NANOS; Spark truncates at
+    * load, the oracle casts) so boundary events agree. */
+  def asofSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    applied(spark, dir)
+      .filter(col("ts") <= lit(SnapshotTs).cast("timestamp"))
+      .withColumn("latest_rn", row_number().over(wLatest))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("version_asof"),
+        max(when(col("latest_rn") === 1, col("value"))).as("value_asof"),
+        max(when(col("latest_rn") === 1, col("ts"))).as("ts_asof"))
+  }
+
+  val asofSnapshotSql: String =
+    s"""WITH applied AS (
+       |  SELECT * FROM (
+       |    SELECT *, 'ik' || (event_id % 5) AS ik,
+       |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
+       |                                        ORDER BY ts, event_id) AS prev_ik
+       |    FROM events
+       |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
+       |), cut AS (
+       |  SELECT * FROM applied
+       |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                               ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |  FROM cut
+       |)
+       |SELECT user_id, event_type,
+       |  COUNT(*) AS version_asof,
+       |  MAX(CASE WHEN latest_rn = 1 THEN value END) AS value_asof,
+       |  CAST(MAX(CASE WHEN latest_rn = 1 THEN ts END) AS TIMESTAMP) AS ts_asof
+       |FROM ranked
+       |GROUP BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "persist_key_design" -> (keyDesign _),
     "persist_upsert_version" -> (upsertVersion _),
-    "persist_commit_log" -> (commitLog _))
+    "persist_commit_log" -> (commitLog _),
+    "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
     "persist_key_design" -> keyDesignSql,
     "persist_upsert_version" -> upsertVersionSql,
-    "persist_commit_log" -> commitLogSql)
+    "persist_commit_log" -> commitLogSql,
+    "persist_asof_snapshot" -> asofSnapshotSql)
 }

@@ -292,15 +292,58 @@ object Similarity {
        |  FROM cand
        |) WHERE rank <= $K""".stripMargin
 
+  /** H5 `sim_recall_eval` — recall@K of the two ANN paths against the
+    * brute-force ground truth, per query: the evaluation loop every
+    * real ANN deployment runs before trusting an index. Everything is
+    * deterministic (quantized cosines, fixed probes), so even the
+    * recall numbers are oracle-checkable. Scale: ground truth on a
+    * SAMPLE of queries (here all NQueries) joined against the index
+    * results — tiny compared to the index build itself. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id"))
+    val qids = bf.select(col("qid")).distinct()
+    def per(m: DataFrame, name: String): DataFrame = {
+      val hits = bf.join(m.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(name).as("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }
+    per(lshAnn(spark, dir), "lsh")
+      .unionAll(per(ivfProbe(spark, dir), "ivf"))
+      .withColumn("recall_at_k", col("hits").cast("double") / K)
+  }
+
+  val recallEvalSql: String =
+    s"""WITH bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
+       |lshr AS (SELECT qid, vec_id FROM ($lshAnnSql)),
+       |ivfr AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
+       |qids AS (SELECT DISTINCT qid FROM bf),
+       |hl AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN lshr l ON b.qid = l.qid AND b.vec_id = l.vec_id GROUP BY 1),
+       |hi AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN ivfr i ON b.qid = i.qid AND b.vec_id = i.vec_id GROUP BY 1)
+       |SELECT qid, method, hits,
+       |  CAST(hits AS DOUBLE) / $K AS recall_at_k
+       |FROM (
+       |  SELECT q.qid, 'lsh' AS method, COALESCE(hl.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hl ON q.qid = hl.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'ivf' AS method, COALESCE(hi.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hi ON q.qid = hi.qid
+       |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_lsh_ann" -> (lshAnn _),
-    "sim_ivf_probe" -> (ivfProbe _))
+    "sim_ivf_probe" -> (ivfProbe _),
+    "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkBruteforceSql,
     "sim_cosine_pairs" -> cosinePairsSql,
     "sim_lsh_ann" -> lshAnnSql,
-    "sim_ivf_probe" -> ivfProbeSql)
+    "sim_ivf_probe" -> ivfProbeSql,
+    "sim_recall_eval" -> recallEvalSql)
 }

@@ -96,6 +96,29 @@ class PipelineSpec extends SparkSpecBase {
       "synth should exercise recycled-key re-application")
   }
 
+  test("D4 as-of snapshot: a rollback of the full replay, never ahead of it") {
+    val snap = run("persist_asof_snapshot")
+    val full = run("persist_upsert_version")
+      .withColumnRenamed("version", "version_full")
+    val j = snap.join(full, Seq("user_id", "event_type")).cache()
+    // every snapshotted entity exists in the full state with >= version
+    assert(j.count() == snap.count())
+    assert(j.filter(col("version_asof") > col("version_full")).count() == 0)
+    // snapshot attributes come from a write at or before the cutoff
+    assert(snap.filter(col("ts_asof") > lit("2024-01-08 00:00:00")
+      .cast("timestamp")).count() == 0)
+    // and they match the commit log entry AT that version
+    val log = run("persist_commit_log")
+      .select(col("entity_id"), col("version"), col("applied_at"))
+    val withId = snap.withColumn("entity_id",
+      concat(col("user_id"), lit(":"), col("event_type")))
+    assert(withId.join(log,
+      withId("entity_id") === log("entity_id") &&
+        col("version_asof") === col("version") &&
+        col("ts_asof") =!= col("applied_at")).count() == 0)
+    j.unpersist()
+  }
+
   test("D3 commit log: versions are dense 1..n per entity") {
     val df = run("persist_commit_log")
     val perEntity = df.groupBy("entity_id")

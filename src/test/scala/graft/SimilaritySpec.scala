@@ -46,6 +46,21 @@ class SimilaritySpec extends SparkSpecBase {
     ivf.unpersist(); brute.unpersist()
   }
 
+  test("H5 recall eval: per-query recall in [0,1] and consistent with raw joins") {
+    val df = run("sim_recall_eval").cache()
+    assert(df.count() == 16, "8 queries x 2 methods")
+    assert(df.filter(col("recall_at_k") < 0 || col("recall_at_k") > 1).count() == 0)
+    assert(df.filter(col("recall_at_k") =!=
+      col("hits").cast("double") / 10).count() == 0)
+    // the eval must agree with computing the overlap directly
+    val bf = run("sim_topk_bruteforce").select(col("qid"), col("vec_id"))
+    val lshHits = bf.join(run("sim_lsh_ann").select(col("qid"), col("vec_id")),
+      Seq("qid", "vec_id")).count()
+    assert(df.filter(col("method") === "lsh")
+      .agg(sum("hits")).head.getLong(0) == lshHits)
+    df.unpersist()
+  }
+
   test("custom expressions are SQL-registered via GraftExtensions") {
     val r = spark.sql(
       """SELECT long_vector_dot(array(1L, 2L), array(3L, 4L)) AS d,
