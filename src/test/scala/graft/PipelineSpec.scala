@@ -47,6 +47,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(msgs(missing).contains("not found"), msgs(missing))
   }
 
+  test("C3/C4 sealed parse: expensive expressions appear exactly once in the plan") {
+    // regression pin for the r2 pathology (BENCH_r02: 49 s per query):
+    // without the Sealed barrier, Catalyst substitutes the parse chain
+    // into every filter conjunct and output column. Count the
+    // expensive leaves in the FINAL physical plan — each must appear
+    // exactly once, and the validity filter must sit ABOVE the parse
+    // projection (on attributes), not inside the scan.
+    Seq("normalize_fhir_map", "normalize_entity_id").foreach { q =>
+      val plan = executedPlan(run(q)).toString
+      Seq("sha2", "concat_ws", "split(line").foreach { token =>
+        val n = java.util.regex.Pattern.quote(token).r.findAllIn(plan).size
+        assert(n == 1, s"$q: expected 1 occurrence of $token in plan, got $n")
+      }
+      assert("gettimestamp|to_timestamp".r.findAllIn(plan).size <= 2,
+        s"$q: timestamp parse re-derived")
+    }
+  }
+
   test("C2 FHIR validation: Infinity passes DTO (Zod) but rejects as fhir_invalid") {
     val counts = run("normalize_reject_counts").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
