@@ -86,6 +86,10 @@ object Corpus {
       .select(col("doc_id"), nonEmptyToks.as("toks"))
       .withColumn("n", size(col("toks")))
     docs
+      // zero-token docs emit no chunks; without the guard Spark's
+      // sequence(0, -1) would count DOWN to [0, -1] while the
+      // oracle's generate_series(0, -1) is empty
+      .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0),
           floor((col("n") - 1) / lit(ChunkStride)).cast("int"))).as("chunk_id"))
@@ -197,8 +201,10 @@ object Corpus {
       .select(
         col("doc_id"), col("n_tokens"), col("token_offset"),
         floor(col("token_offset") / lit(SeqLen)).cast("long").as("seq_first"),
-        floor((col("token_offset") + col("n_tokens") - 1) / lit(SeqLen))
-          .cast("long").as("seq_last"))
+        // greatest(n,1): a zero-token doc spans its single boundary
+        // sequence, not seq_first - 1
+        floor((col("token_offset") + greatest(col("n_tokens"), lit(1)) - 1)
+          / lit(SeqLen)).cast("long").as("seq_last"))
   }
 
   val packSql: String =
@@ -217,7 +223,7 @@ object Corpus {
        |)
        |SELECT doc_id, n_tokens, token_offset,
        |  token_offset // $SeqLen AS seq_first,
-       |  (token_offset + n_tokens - 1) // $SeqLen AS seq_last
+       |  (token_offset + GREATEST(n_tokens, 1) - 1) // $SeqLen AS seq_last
        |FROM o""".stripMargin
 
   // ---------------------------------------------------------------- M5

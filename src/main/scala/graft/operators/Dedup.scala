@@ -414,17 +414,28 @@ object Dedup {
     * Spec-only (no DuckDB oracle — the sketch is engine-specific):
     * DedupTextSpec asserts the superset law (every exactly-
     * contaminated doc is flagged; false-positive extras bounded). */
+  /** Memoized bloom bytes: building the filter is a Spark job, and
+    * the DataFrame constructor must stay plan-only (merely explaining
+    * the query must not launch jobs) — same hazard and same cache key
+    * discipline as Similarity.ivfKCache. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val sh = shingles(spark, dir, 3).cache()
-    val benchHashes = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select(xxhash64(col("shingle")).as("h"))
-    val bloomAgg = GraftSqlBridge.column(
-      BloomFilterAggregate(GraftSqlBridge.expression(col("h")),
-        CatLit(1000000L), CatLit(8L * 1024 * 1024), 0, 0).toAggregateExpression())
-    val bloomBytes = benchHashes.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mtime = graft.Tables.mtime(spark, s"$dir/documents.parquet")
+    val bloomBytes = bloomCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$mtime", _ => {
+        val benchHashes = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(xxhash64(col("shingle")).as("h"))
+        val bloomAgg = GraftSqlBridge.column(
+          BloomFilterAggregate(GraftSqlBridge.expression(col("h")),
+            CatLit(1000000L), CatLit(8L * 1024 * 1024), 0, 0).toAggregateExpression())
+        benchHashes.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+      })
     require(bloomBytes != null, "benchmark shingle set is empty")
     val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
       CatLit.create(bloomBytes, org.apache.spark.sql.types.BinaryType),

@@ -300,7 +300,10 @@ object Similarity {
     * SAMPLE of queries (here all NQueries) joined against the index
     * results — tiny compared to the index build itself. */
   def recallEval(spark: SparkSession, dir: String): DataFrame = {
-    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id"))
+    // cached: the ground-truth subtree feeds qids and BOTH per-method
+    // joins — without the cache the brute-force join + top-K window
+    // re-executes per branch (ReuseExchange dedups only the shuffle)
+    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id")).cache()
     val qids = bf.select(col("qid")).distinct()
     def per(m: DataFrame, name: String): DataFrame = {
       val hits = bf.join(m.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))

@@ -71,24 +71,39 @@ case class ResolveAsOfJoin() extends Rule[LogicalPlan] {
       }
     }
 
-    // Probe rows carry no observation value; the null must be typed as
-    // the OBS side's value type — a hardcoded DoubleType made Union
-    // type-widening re-alias child outputs after expand() captured
-    // union.output, leaving dangling exprIds for any non-double value
-    // column (and silently widening the value even when it resolved).
+    // The Union below must see IDENTICAL column types on both sides:
+    // if any aligned column differs (a hardcoded DoubleType null
+    // historically; an int probe key against a long obs key still
+    // today), WidenSetOperationTypes wraps the children in cast
+    // Projects with fresh exprIds AFTER expand() captured
+    // union.output, and everything built above references dangling
+    // attributes. Widen each aligned pair to the tightest common type
+    // ourselves — explicitly, before the Union exists.
+    def widened(n: String): org.apache.spark.sql.types.DataType = {
+      val (to, tp) = (attr(aj.obs, n).dataType, attr(aj.probe, n).dataType)
+      org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(to, tp).getOrElse(
+          throw new IllegalArgumentException(
+            s"as-of join: incompatible types for column '$n': $to vs $tp"))
+    }
+    def cast(e: Expression, to: org.apache.spark.sql.types.DataType): Expression =
+      if (e.dataType == to) e else Cast(e, to)
+    val (keyT, tsT, idT) = (widened(aj.keyCol), widened(aj.tsCol), widened(aj.idCol))
+    // probe rows carry no observation value: a null typed as the OBS
+    // side's value type
     val valueType = attr(aj.obs, aj.valueCol).dataType
 
     // tag and align both sides: (k, ts, eid, v, is_probe)
     val obsProj = Project(Seq(
-      Alias(attr(aj.obs, aj.keyCol), "k")(),
-      Alias(attr(aj.obs, aj.tsCol), "ts")(),
-      Alias(attr(aj.obs, aj.idCol), "eid")(),
+      Alias(cast(attr(aj.obs, aj.keyCol), keyT), "k")(),
+      Alias(cast(attr(aj.obs, aj.tsCol), tsT), "ts")(),
+      Alias(cast(attr(aj.obs, aj.idCol), idT), "eid")(),
       Alias(attr(aj.obs, aj.valueCol), "v")(),
       Alias(Literal(0), "is_probe")()), aj.obs)
     val probeProj = Project(Seq(
-      Alias(attr(aj.probe, aj.keyCol), "k")(),
-      Alias(attr(aj.probe, aj.tsCol), "ts")(),
-      Alias(attr(aj.probe, aj.idCol), "eid")(),
+      Alias(cast(attr(aj.probe, aj.keyCol), keyT), "k")(),
+      Alias(cast(attr(aj.probe, aj.tsCol), tsT), "ts")(),
+      Alias(cast(attr(aj.probe, aj.idCol), idT), "eid")(),
       Alias(Cast(Literal(null), valueType), "v")(),
       Alias(Literal(1), "is_probe")()), aj.probe)
     val union = Union(Seq(obsProj, probeProj), byName = false,

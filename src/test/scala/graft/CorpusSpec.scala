@@ -109,7 +109,12 @@ class CorpusSpec extends SparkSpecBase {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(windows.nonEmpty)
-    val docLevel = windows.filter(_.output.exists(_.name == "token_offset"))
+    // identify the doc-level window by its INPUT carrying doc_id (the
+    // window outputs themselves are renamed _weN by
+    // ExtractWindowExpressions, so matching on token_offset would
+    // never fire and the assertion would be vacuous)
+    val docLevel = windows.filter(_.output.exists(_.name == "doc_id"))
+    assert(docLevel.nonEmpty, "expected a window over the document rows")
     assert(docLevel.forall(_.partitionSpec.nonEmpty),
       "doc-level running sum must be partitioned by block")
   }

@@ -25,6 +25,14 @@ class PipelineSpec extends SparkSpecBase {
       org.apache.spark.sql.types.StringType)
     val rows = joined.orderBy("probe_ts").collect()
     assert(rows.map(_.getAs[String]("obs_value")).toSeq == Seq("a", "b"))
+    // mixed aligned-column types: int probe key against long obs key
+    // must widen BEFORE the Union (not via WidenSetOperationTypes,
+    // which would re-alias the captured outputs)
+    val probeIntKey = Seq((1, 15L, 200L, "x"), (1, 25L, 201L, "x"))
+      .toDF("k", "ts", "id", "v")
+    val widenedRows = plans.AsOf.join(probeIntKey, obs, "k", "ts", "id", "v")
+      .orderBy("probe_ts").collect()
+    assert(widenedRows.map(_.getAs[String]("obs_value")).toSeq == Seq("a", "b"))
   }
 
   test("E5 as-of join: ambiguous and missing column names fail loudly") {
