@@ -39,20 +39,26 @@ object Corpus {
         lpad(pmod(col("doc_id"), lit(100)).cast("string"), 3, "0")))
       .otherwise(lit("")))
 
+  /** The scrub itself, as a frame transform over any (doc_id, lang,
+    * text) relation — batch OR streaming: it is a stateless
+    * scan-project, so the same code runs under readStream/writeStream
+    * unchanged (StreamingSpec pins batch/stream equality). */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("redacted"))
+
   /** M1 `corpus_pii_redact` — regex PII scrub (emails, phone
     * numbers), the compliance pass every published training corpus
     * runs. Counts per class are reported so a pipeline can alert on
     * unexpectedly PII-dense sources. Narrow scan-project, no shuffle;
     * the char classes are valid in both Java regex and RE2. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), piiText.as("text"))
-      .select(
-        col("doc_id"), col("lang"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]").as("redacted"))
+    redact(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), piiText.as("text")))
 
   // single line: this fragment is interpolated into another
   // stripMargin string, which would eat the leading '|' of a '||'

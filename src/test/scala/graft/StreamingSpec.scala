@@ -124,6 +124,24 @@ class StreamingSpec extends SparkSpecBase {
       s"stream ${got.size} vs batch ${want.size} joined pairs")
   }
 
+  test("M1 stateless corpus op runs unchanged under Structured Streaming") {
+    // the redact transform is a pure scan-project, so the SAME code
+    // path serves batch and streaming; results must be identical
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.operators.Corpus.redact(
+        ms.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("s_redact")
+      .outputMode("append").start()
+    ms.addData(docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s_redact").collect().map(_.toSeq).toSet
+    val want = graft.operators.Corpus.redact(docs).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("custom expression is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT float_vector_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
