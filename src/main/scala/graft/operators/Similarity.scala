@@ -223,11 +223,7 @@ object Similarity {
 
   def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
-    val mtime = graft.Tables.mtime(spark, s"$dir/embeddings.parquet")
-    val k = ivfKCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$mtime",
-      _ => math.min(MaxCentroids,
-        math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)))
+    val k = ivfK(spark, dir, emb)
     val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
       .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -292,6 +288,144 @@ object Similarity {
        |  FROM cand
        |) WHERE rank <= $K""".stripMargin
 
+  private val KmeansIters = 2
+
+  /** Shared k (≈sqrt(n) capped) — see ivfKCache. */
+  private def ivfK(spark: SparkSession, dir: String,
+      emb: => DataFrame): Int = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/embeddings.parquet")
+    ivfKCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$mtime",
+      _ => math.min(MaxCentroids,
+        math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)))
+  }
+
+  /** H6 `sim_ivf_kmeans` — IVF with TRAINED coarse centroids: the
+    * hash-picked sample of H4 refined by KmeansIters Lloyd
+    * iterations (assign to nearest centroid, recompute each centroid
+    * as the element-wise mean of its cell). Every step is exact
+    * integer arithmetic — quantized-cosine assignment, long sums,
+    * floor(sum/count) means — so the trained centroids, the inverted
+    * file, AND the final ranks are bit-identical in both engines and
+    * the whole operator hash-matches a DuckDB oracle (unrolled-CTE
+    * Lloyd). Scale: per iteration one O(n·k) broadcast assignment
+    * (k ≤ 256) and one (cell, dim)-keyed aggregation — the standard
+    * distributed k-means step; cells that lose all members drop out,
+    * shrinking k, exactly like a real IVF training run. */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val k = ivfK(spark, dir, emb)
+    var cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
+    for (_ <- 1 to KmeansIters) {
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          cosineQ(vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select(col("cent_id"), col("qvec"))
+      cents = assign
+        .select(col("cent_id"), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        // floor of the exact double quotient — Spark's integral `div`
+        // truncates toward zero while DuckDB's // floors, so go
+        // through the (exact, < 2^53) double division in both engines
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cq"))
+        .withColumn("cn", vdotQuantizedNative(col("cq"), col("cq")))
+    }
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        cosineQ(vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qcent_cos").desc, col("cent_id"))
+    val probes = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qcent_cos",
+        cosineQ(vdotQuantizedNative(col("qq"), col("cq")), col("qn"), col("cn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NProbeCells)
+      .select(col("qid"), col("qq"), col("qn"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"), col("cell"))
+  }
+
+  val ivfKmeansSql: String = {
+    // one Lloyd iteration as a CTE pair: assignment against `prev`,
+    // then element-wise floor-mean rebuild
+    def iter(prev: String, a: String, u: String, next: String): String =
+      s"""$a AS (
+         |  SELECT cent_id, qvec FROM (
+         |    SELECT e.qvec, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+         |                 c.cent_id) AS arn
+         |    FROM qnn e CROSS JOIN $prev c
+         |  ) WHERE arn = 1
+         |), $u AS (
+         |  SELECT cent_id, s[2] AS pos,
+         |    CAST(FLOOR(CAST(SUM(s[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |  FROM (SELECT cent_id,
+         |          unnest(list_zip(qvec, range(1, len(qvec) + 1))) AS s
+         |        FROM $a)
+         |  GROUP BY 1, 2
+         |), $next AS (
+         |  SELECT cent_id, cq,
+         |    CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
+         |  FROM (SELECT cent_id, list(m ORDER BY pos) AS cq FROM $u GROUP BY 1)
+         |)""".stripMargin
+    s"""WITH $qnSqlCte, c0 AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
+       |), ${iter("c0", "a1", "u1", "c1")},
+       |${iter("c1", "a2", "u2", "c2")},
+       |assigned AS (
+       |  SELECT vec_id, qvec, nsq, cell FROM (
+       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN c2 c
+       |  ) WHERE arn = 1
+       |), probes AS (
+       |  SELECT qid, qq, qn, cell FROM (
+       |    SELECT e.vec_id AS qid, e.qvec AS qq, e.nsq AS qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS prn
+       |    FROM qnn e CROSS JOIN c2 c WHERE e.vec_id < $NQueries
+       |  ) WHERE prn <= $NProbeCells
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} AS cosine,
+       |    p.cell
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |)
+       |SELECT qid, rank, vec_id, cosine, cell FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand
+       |) WHERE rank <= $K""".stripMargin
+  }
+
   /** H5 `sim_recall_eval` — recall@K of the two ANN paths against the
     * brute-force ground truth, per query: the evaluation loop every
     * real ANN deployment runs before trusting an index. Everything is
@@ -341,6 +475,7 @@ object Similarity {
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_probe" -> (ivfProbe _),
+    "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +483,6 @@ object Similarity {
     "sim_cosine_pairs" -> cosinePairsSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_probe" -> ivfProbeSql,
+    "sim_ivf_kmeans" -> ivfKmeansSql,
     "sim_recall_eval" -> recallEvalSql)
 }

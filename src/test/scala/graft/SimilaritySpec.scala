@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkSpecBase {
     ivf.unpersist(); brute.unpersist()
   }
 
+  test("H6 ivf kmeans: dense ranks, bounded cells, probes limited to 2 cells") {
+    val df = run("sim_ivf_kmeans").cache()
+    // dense ranks 1..n per query, n <= K
+    assert(df.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("rank").as("m"))
+      .filter(col("n") =!= col("m") || col("m") > 10).count() == 0)
+    // each query saw candidates from at most NProbeCells cells
+    assert(df.groupBy("qid")
+      .agg(countDistinct("cell").as("nc"))
+      .filter(col("nc") > 2).count() == 0)
+    // trained centroid ids are a subset of vec ids (cells keep the
+    // id of the seed centroid they refined)
+    assert(df.select("cell").distinct().count() <= 256)
+    // the trained index still finds true neighbors: nonzero recall
+    val brute = run("sim_topk_bruteforce").select(col("qid"), col("vec_id"))
+    val hits = df.join(brute, Seq("qid", "vec_id"), "left_semi").count()
+    assert(hits > 0, "kmeans IVF found no true top-k neighbors at all")
+    df.unpersist()
+  }
+
   test("H5 recall eval: per-query recall in [0,1] and consistent with raw joins") {
     val df = run("sim_recall_eval").cache()
     assert(df.count() == 16, "8 queries x 2 methods")
