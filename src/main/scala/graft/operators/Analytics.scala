@@ -362,7 +362,66 @@ object Analytics {
       |FROM lineitem JOIN avg_qty ON l_partkey = p_key
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  /** K12 `k12_min_cost_supplier` — TPC-H Q2-style argmin join: for
+    * every SMALL-type part, the cheapest EUROPE supplier (unit cost
+    * derived from lineitem since this schema carries no partsupp),
+    * account-balance-ranked top 100. The argmin is a row_number
+    * window over the HIGH-cardinality part key (not a double-equality
+    * join back against the min — exact, and no min-value collision
+    * hazard). Scale: supplier/nation/region and part are broadcast
+    * dims; the one shuffle is the (partkey, suppkey) cost rollup,
+    * partial-aggregated map-side. Unit costs are single IEEE
+    * divisions (no sums), so min/rank/order agree across engines. */
+  def k12MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = Tables.lineitem(spark, dir)
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_cost"), col("s_acctbal").desc, col("s_suppkey"))
+    cost
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "SMALL")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(100)
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("s_acctbal"), col("unit_cost"))
+  }
+
+  val k12Sql: String =
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |), cost AS (
+      |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+      |    MIN(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), ranked AS (
+      |  SELECT cost.*, p_partkey, p_name,
+      |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |      ORDER BY unit_cost, s_acctbal DESC, s_suppkey) AS rn
+      |  FROM cost JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      |)
+      |SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+      |FROM ranked WHERE rn = 1
+      |ORDER BY s_acctbal DESC, p_partkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k12_min_cost_supplier" -> (k12MinCostSupplier _),
     "k11_small_qty_revenue" -> (k11SmallQtyRevenue _),
     "k10_running_revenue" -> (k10RunningRevenue _),
     "k7_priority_semi_join" -> (k7PrioritySemiJoin _),
@@ -376,6 +435,7 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k12_min_cost_supplier" -> k12Sql,
     "k11_small_qty_revenue" -> k11Sql,
     "k10_running_revenue" -> k10Sql,
     "k7_priority_semi_join" -> k7Sql,

@@ -49,6 +49,24 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(grand.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
   }
 
+  test("k12: one supplier per part, EUROPE only, dims broadcast with one shuffle") {
+    val df = run("k12_min_cost_supplier")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length == rows.length)
+    // EUROPE nations only
+    val euNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => euNations.contains(r.getAs[String]("n_name"))))
+    // dims broadcast; the only shuffle feeds the cost rollup (+ the
+    // final global sort for the top-100)
+    assert(plan(df).contains("BroadcastHashJoin"))
+    val shuffles = flattenPlan(executedPlan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles <= 2, s"expected cost-rollup (+sort) shuffles only, got $shuffles")
+  }
+
   test("k6: exactly one top customer per nation present in orders") {
     val df = run("k6_top_customer_per_nation")
     val n = df.select("n_name").distinct().count()
