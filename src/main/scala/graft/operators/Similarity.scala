@@ -448,6 +448,7 @@ object Similarity {
     }
     per(lshAnn(spark, dir), "lsh")
       .unionAll(per(ivfProbe(spark, dir), "ivf"))
+      .unionAll(per(ivfKmeans(spark, dir), "ivf_kmeans"))
       .withColumn("recall_at_k", col("hits").cast("double") / K)
   }
 
@@ -455,11 +456,14 @@ object Similarity {
     s"""WITH bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
        |lshr AS (SELECT qid, vec_id FROM ($lshAnnSql)),
        |ivfr AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
+       |ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
        |qids AS (SELECT DISTINCT qid FROM bf),
        |hl AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
        |       JOIN lshr l ON b.qid = l.qid AND b.vec_id = l.vec_id GROUP BY 1),
        |hi AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
-       |       JOIN ivfr i ON b.qid = i.qid AND b.vec_id = i.vec_id GROUP BY 1)
+       |       JOIN ivfr i ON b.qid = i.qid AND b.vec_id = i.vec_id GROUP BY 1),
+       |hk AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN ivfk k ON b.qid = k.qid AND b.vec_id = k.vec_id GROUP BY 1)
        |SELECT qid, method, hits,
        |  CAST(hits AS DOUBLE) / $K AS recall_at_k
        |FROM (
@@ -468,6 +472,9 @@ object Similarity {
        |  UNION ALL
        |  SELECT q.qid, 'ivf' AS method, COALESCE(hi.hits, 0) AS hits
        |  FROM qids q LEFT JOIN hi ON q.qid = hi.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'ivf_kmeans' AS method, COALESCE(hk.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hk ON q.qid = hk.qid
        |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
