@@ -311,7 +311,10 @@ object Similarity {
     * Lloyd). Scale: per iteration one O(n·k) broadcast assignment
     * (k ≤ 256) and one (cell, dim)-keyed aggregation — the standard
     * distributed k-means step; cells that lose all members drop out,
-    * shrinking k, exactly like a real IVF training run. */
+    * shrinking k, exactly like a real IVF training run. At 100 TB
+    * you train on a corpus SAMPLE (each Lloyd iteration rescans its
+    * input) and only the final assignment pass touches every vector;
+    * here the corpus is small enough to train on directly. */
   def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
     val k = ivfK(spark, dir, emb)
