@@ -308,7 +308,53 @@ object Corpus {
        |FROM byLang CROSS JOIN tot""".stripMargin
   }
 
+  // ---------------------------------------------------------------- M7
+  /** M7 `corpus_resample` — materialize the M6 mix: every doc is
+    * emitted floor(weight) times, plus one more with probability
+    * frac(weight), decided by a salted md5 hex prefix against a
+    * per-language hex threshold (deterministic — the same doc always
+    * gets the same copy count, the reproducibility property training
+    * mixes need; epoch-repeat upsampling and fractional downsampling
+    * fall out of the same rule). The weights side is #langs rows,
+    * broadcast; the explode is bounded by ceil(weight). */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val w = mixWeights(spark, dir).select(col("lang"), col("weight"))
+    val frac = col("weight") - floor(col("weight"))
+    // threshold as 4 lowercase hex chars: lexicographic compare on
+    // the md5 prefix == numeric compare on the first 16 bits
+    val thresh = lower(lpad(hex(floor(frac * 65536).cast("int")), 4, "0"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(w), "lang")
+      .withColumn("bucket4",
+        substring(md5(concat(lit("rs:"), col("doc_id").cast("string"))), 1, 4))
+      .withColumn("n_copies",
+        (floor(col("weight")) +
+          when(col("bucket4") < thresh, 1).otherwise(0)).cast("long"))
+      .filter(col("n_copies") > 0) // sequence(1,0) would count DOWN
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+  }
+
+  val resampleSql: String =
+    s"""WITH wts AS (SELECT lang, weight FROM ($mixWeightsSql)),
+       |d AS (
+       |  SELECT doc_id, documents.lang AS lang, weight,
+       |    substring(md5('rs:' || doc_id), 1, 4) AS bucket4,
+       |    lower(lpad(hex(CAST(FLOOR((weight - FLOOR(weight)) * 65536) AS INT)),
+       |      4, '0')) AS thresh
+       |  FROM documents JOIN wts ON documents.lang = wts.lang
+       |), c AS (
+       |  SELECT doc_id, lang,
+       |    CAST(FLOOR(weight) +
+       |      CASE WHEN bucket4 < thresh THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, n_copies,
+       |  unnest(generate_series(1, n_copies)) AS copy_id
+       |FROM c WHERE n_copies > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_resample" -> (resample _),
     "corpus_pii_redact" -> (piiRedact _),
     "corpus_chunk" -> (chunk _),
     "corpus_sample_stratified" -> (sampleStratified _),
@@ -317,6 +363,7 @@ object Corpus {
     "corpus_mix_weights" -> (mixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_resample" -> resampleSql,
     "corpus_source_cap" -> sourceCapSql,
     "corpus_mix_weights" -> mixWeightsSql,
     "corpus_pii_redact" -> piiRedactSql,

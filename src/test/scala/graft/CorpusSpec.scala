@@ -100,6 +100,26 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("M7 resample: copy counts bracket the weight, per-lang mean approaches it") {
+    val df = run("corpus_resample").cache()
+    val w = run("corpus_mix_weights")
+      .select(col("lang"), col("weight"), col("n_docs"))
+    // per-doc law: n_copies in {floor(w), floor(w)+1}
+    val perDoc = df.groupBy("doc_id", "lang").agg(max("n_copies").as("nc"))
+      .join(w, "lang")
+    assert(perDoc.filter(col("nc") < floor(col("weight")) ||
+      col("nc") > floor(col("weight")) + 1).count() == 0)
+    // per-lang realized mean copies within 0.15 of the target weight
+    val real = df.groupBy("lang").count().join(w, "lang")
+      .withColumn("mean_copies", col("count").cast("double") / col("n_docs"))
+    assert(real.filter(abs(col("mean_copies") - col("weight")) > 0.15).count() == 0,
+      real.collect().mkString(";"))
+    // deterministic
+    val again = run("corpus_resample")
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    df.unpersist()
+  }
+
   test("M4 packing plan: prefix scan is two-level, no corpus-wide single-partition window") {
     // the only partition-less window may run over the tiny blocks
     // table (#blocks rows), never over the documents themselves: the
