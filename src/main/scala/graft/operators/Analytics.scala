@@ -369,9 +369,13 @@ object Analytics {
     * window over the HIGH-cardinality part key (not a double-equality
     * join back against the min — exact, and no min-value collision
     * hazard). Scale: supplier/nation/region and part are broadcast
-    * dims; the one shuffle is the (partkey, suppkey) cost rollup,
-    * partial-aggregated map-side. Unit costs are single IEEE
-    * divisions (no sums), so min/rank/order agree across engines. */
+    * dims, BOTH applied before the rollup so the (partkey, suppkey)
+    * aggregation shuffle carries only EUROPE x SMALL rows (~1/6 of
+    * lineitem here), partial-aggregated map-side; the second, smaller
+    * exchange is the argmin window's repartition on l_partkey (the
+    * final orderBy+limit plans as TakeOrdered, no shuffle). Unit
+    * costs are single IEEE divisions (no sums), so min/rank/order
+    * agree across engines. */
   def k12MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val euSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
@@ -380,16 +384,20 @@ object Analytics {
             col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val smallPart = Tables.part(spark, dir).filter(col("p_type") === "SMALL")
+      .select(col("p_partkey"), col("p_name"))
     val cost = Tables.lineitem(spark, dir)
       .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
-        col("s_acctbal"), col("n_name"))
+      // filter to SMALL parts BEFORE the rollup: p_partkey is unique,
+      // so grouping after the join is identical but the shuffle only
+      // carries surviving rows
+      .join(broadcast(smallPart), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-    val w = Window.partitionBy(col("l_partkey"))
+    val w = Window.partitionBy(col("p_partkey"))
       .orderBy(col("unit_cost"), col("s_acctbal").desc, col("s_suppkey"))
     cost
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "SMALL")),
-        col("l_partkey") === col("p_partkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .orderBy(col("s_acctbal").desc, col("p_partkey"))
@@ -405,15 +413,17 @@ object Analytics {
       |  JOIN nation ON s_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
       |), cost AS (
-      |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+      |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
       |    MIN(l_extendedprice / l_quantity) AS unit_cost
-      |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
-      |  GROUP BY 1, 2, 3, 4, 5
+      |  FROM lineitem
+      |  JOIN eu ON l_suppkey = s_suppkey
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      |  GROUP BY 1, 2, 3, 4, 5, 6
       |), ranked AS (
-      |  SELECT cost.*, p_partkey, p_name,
-      |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |  SELECT cost.*,
+      |    ROW_NUMBER() OVER (PARTITION BY p_partkey
       |      ORDER BY unit_cost, s_acctbal DESC, s_suppkey) AS rn
-      |  FROM cost JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      |  FROM cost
       |)
       |SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
       |FROM ranked WHERE rn = 1

@@ -29,7 +29,7 @@ object Corpus {
   /** Deterministic PII injection (the corpus itself is clean word
     * soup): every 3rd doc gains an email, every 5th a phone number —
     * so the scrubber has real work and the counts are checkable. */
-  private def piiText: Column = concat(
+  private[graft] def piiText: Column = concat(
     col("text"),
     when(pmod(col("doc_id"), lit(3)) === 0,
       concat(lit(" contact user"), col("doc_id"), lit("@mail-example.com")))

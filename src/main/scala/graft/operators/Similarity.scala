@@ -221,11 +221,13 @@ object Similarity {
   private val ivfKCache =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
-  def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(spark, dir)
-    val k = ivfK(spark, dir, emb)
-    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
-      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
+  /** The IVF search itself, given any centroid set (cent_id, cq, cn):
+    * build the inverted file (nearest-centroid assignment), probe the
+    * NProbeCells nearest cells per query, re-rank by exact cosine.
+    * Shared by the hash-picked (H4) and k-means-trained (H6) indexes
+    * — one implementation, so tie-breaks/probe counts cannot drift
+    * between them. */
+  private def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val assigned = emb.crossJoin(broadcast(cents))
@@ -254,19 +256,15 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cosine"), col("cell"))
   }
 
-  val ivfProbeSql: String =
-    s"""WITH $qnSqlCte, cents AS (
-       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
-       |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
-       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
-       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
-       |), assigned AS (
+  /** Same search tail in SQL, parameterized by the centroid CTE name. */
+  private def ivfTailSql(cents: String): String =
+    s"""assigned AS (
        |  SELECT vec_id, qvec, nsq, cell FROM (
        |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
        |                 c.cent_id) AS arn
-       |    FROM qnn e CROSS JOIN cents c
+       |    FROM qnn e CROSS JOIN $cents c
        |  ) WHERE arn = 1
        |), probes AS (
        |  SELECT qid, qq, qn, cell FROM (
@@ -274,7 +272,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
        |                 c.cent_id) AS prn
-       |    FROM qnn e CROSS JOIN cents c WHERE e.vec_id < $NQueries
+       |    FROM qnn e CROSS JOIN $cents c WHERE e.vec_id < $NQueries
        |  ) WHERE prn <= $NProbeCells
        |), cand AS (
        |  SELECT p.qid, a.vec_id,
@@ -287,6 +285,22 @@ object Similarity {
        |                               ORDER BY cosine DESC, vec_id) AS rank
        |  FROM cand
        |) WHERE rank <= $K""".stripMargin
+
+  def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val k = ivfK(spark, dir, emb)
+    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
+    ivfSearch(emb, cents)
+  }
+
+  val ivfProbeSql: String =
+    s"""WITH $qnSqlCte, cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
+       |), ${ivfTailSql("cents")}""".stripMargin
 
   private val KmeansIters = 2
 
@@ -341,32 +355,7 @@ object Similarity {
           s => s.getField("m")).as("cq"))
         .withColumn("cn", vdotQuantizedNative(col("cq"), col("cq")))
     }
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        cosineQ(vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("qcent_cos").desc, col("cent_id"))
-    val probes = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("qcent_cos",
-        cosineQ(vdotQuantizedNative(col("qq"), col("cq")), col("qn"), col("cn")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= NProbeCells)
-      .select(col("qid"), col("qq"), col("qn"), col("cent_id").as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"), col("cell"))
+    ivfSearch(emb, cents)
   }
 
   val ivfKmeansSql: String = {
@@ -400,36 +389,10 @@ object Similarity {
        |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
        |), ${iter("c0", "a1", "u1", "c1")},
        |${iter("c1", "a2", "u2", "c2")},
-       |assigned AS (
-       |  SELECT vec_id, qvec, nsq, cell FROM (
-       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
-       |                 c.cent_id) AS arn
-       |    FROM qnn e CROSS JOIN c2 c
-       |  ) WHERE arn = 1
-       |), probes AS (
-       |  SELECT qid, qq, qn, cell FROM (
-       |    SELECT e.vec_id AS qid, e.qvec AS qq, e.nsq AS qn, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
-       |                 c.cent_id) AS prn
-       |    FROM qnn e CROSS JOIN c2 c WHERE e.vec_id < $NQueries
-       |  ) WHERE prn <= $NProbeCells
-       |), cand AS (
-       |  SELECT p.qid, a.vec_id,
-       |    ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} AS cosine,
-       |    p.cell
-       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
-       |)
-       |SELECT qid, rank, vec_id, cosine, cell FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |                               ORDER BY cosine DESC, vec_id) AS rank
-       |  FROM cand
-       |) WHERE rank <= $K""".stripMargin
+       |${ivfTailSql("c2")}""".stripMargin
   }
 
-  /** H5 `sim_recall_eval` — recall@K of the two ANN paths against the
+  /** H5 `sim_recall_eval` — recall@K of the three ANN paths against the
     * brute-force ground truth, per query: the evaluation loop every
     * real ANN deployment runs before trusting an index. Everything is
     * deterministic (quantized cosines, fixed probes), so even the

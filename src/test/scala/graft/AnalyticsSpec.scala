@@ -59,12 +59,14 @@ class AnalyticsSpec extends SparkSpecBase {
         col("n_regionkey") === col("r_regionkey"))
       .select("n_name").collect().map(_.getString(0)).toSet
     assert(rows.forall(r => euNations.contains(r.getAs[String]("n_name"))))
-    // dims broadcast; the only shuffle feeds the cost rollup (+ the
-    // final global sort for the top-100)
+    // dims broadcast; two exchanges expected — the cost rollup
+    // (hash on all group keys) and the argmin window's repartition
+    // on p_partkey alone; orderBy+limit plans as TakeOrdered (no
+    // shuffle)
     assert(plan(df).contains("BroadcastHashJoin"))
     val shuffles = flattenPlan(executedPlan(df)).count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
-    assert(shuffles <= 2, s"expected cost-rollup (+sort) shuffles only, got $shuffles")
+    assert(shuffles <= 2, s"expected rollup + window shuffles only, got $shuffles")
   }
 
   test("k6: exactly one top customer per nation present in orders") {

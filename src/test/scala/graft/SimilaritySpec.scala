@@ -57,7 +57,10 @@ class SimilaritySpec extends SparkSpecBase {
       .agg(countDistinct("cell").as("nc"))
       .filter(col("nc") > 2).count() == 0)
     // trained centroid ids are a subset of vec ids (cells keep the
-    // id of the seed centroid they refined)
+    // id of the seed centroid they refined) — checked by anti-join
+    val vecIds = Tables.embeddings(spark, sf).select(col("vec_id"))
+    assert(df.select(col("cell").as("vec_id")).distinct()
+      .join(vecIds, Seq("vec_id"), "left_anti").count() == 0)
     assert(df.select("cell").distinct().count() <= 256)
     // the trained index still finds true neighbors: nonzero recall
     val brute = run("sim_topk_bruteforce").select(col("qid"), col("vec_id"))

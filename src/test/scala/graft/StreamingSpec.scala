@@ -126,9 +126,12 @@ class StreamingSpec extends SparkSpecBase {
 
   test("M1 stateless corpus op runs unchanged under Structured Streaming") {
     // the redact transform is a pure scan-project, so the SAME code
-    // path serves batch and streaming; results must be identical
+    // path serves batch and streaming; results must be identical.
+    // Feed the PII-INJECTED text (the raw corpus has no PII, which
+    // would make the equality vacuously green)
     val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Corpus.piiText.as("text"))
     val ms = MemoryStream[(Long, String, String)]
     val q = graft.operators.Corpus.redact(
         ms.toDF().toDF("doc_id", "lang", "text"))
@@ -140,6 +143,8 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("s_redact").collect().map(_.toSeq).toSet
     val want = graft.operators.Corpus.redact(docs).collect().map(_.toSeq).toSet
     assert(got == want)
+    // and the comparison is not vacuous: the stream really redacted
+    assert(spark.table("s_redact").filter(col("n_emails") > 0).count() > 0)
   }
 
   test("custom expression is callable from SQL via GraftExtensions") {
