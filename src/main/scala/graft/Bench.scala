@@ -12,23 +12,36 @@ object Bench {
       .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     // noop sink: materializes every row and column (count() would let
     // Catalyst prune computed columns away and under-measure).
+    //
+    // Median of 3 runs per query: a single run under varying machine
+    // load showed 17x swings on unchanged code between rounds (r2/r3
+    // driver artifacts) — too noisy to gate regressions. The first
+    // run is reported separately so cold-cache cost stays visible
+    // without polluting the steady-state number.
+    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name: $e")
-        failed += name
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          if (!failed.contains(name)) failed += name
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val median = times.sorted.apply(times.length / 2)
+      name -> (median, times.head)
     }.toMap
     // a crashing query usually "finishes" fast — marking it in the
     // JSON keeps a failure from masquerading as a fast pass.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val firsts = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -265,14 +265,14 @@ object Audit {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
-  /** F8 `audit_value_quantiles_sketch` — the 100 TB twin of F5:
-    * approx_percentile (Greenwald-Khanna sketch) per service. Exact
-    * percentiles need a full per-group sort; the sketch is one
-    * mergeable pass with bounded memory, which is what a dashboard
-    * over 100 TB of metrics actually runs. Spec-only (sketches are
-    * engine-specific): AuditSketchSpec bounds the rank error against
-    * F5's exact answers. Accuracy 10000 -> eps 1/10000. */
-  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame =
+  /** F8 raw sketch output — approx_percentile (Greenwald-Khanna) per
+    * service. Exact percentiles need a full per-group sort; the
+    * sketch is one mergeable pass with bounded memory, which is what
+    * a dashboard over 100 TB of metrics actually runs. The raw
+    * estimates are engine-specific (no DuckDB oracle), so the SERVED
+    * query is [[valueQuantilesSketch]] below; PipelineSpec bounds the
+    * raw value error against F5. Accuracy 10000 -> rank eps 1/10000. */
+  def valueQuantilesSketchRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(serviceCol.as("service"))
       .agg(
@@ -284,17 +284,75 @@ object Audit {
         element_at(col("q"), 3).as("p99"),
         col("n"))
 
-  /** F9 `audit_distinct_users_sketch` — HyperLogLog++ distinct users
-    * per service next to the exact count. Exact distinct shuffles
-    * every key; the sketch is constant-size and mergeable — the scale
-    * path for cardinality dashboards. rsd 1% -> spec asserts the
-    * estimate lands within a few percent of exact. */
-  def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame =
+  /** F8 `audit_value_quantiles_sketch` — driver-checkable form: the
+    * exact percentiles (hash-compared against DuckDB quantile_disc)
+    * plus one BOOLEAN per percentile asserting the GK sketch estimate
+    * landed inside the exact [p-0.01, p+0.01] rank band. The booleans
+    * are deterministic (GK on fixed input is deterministic) and the
+    * oracle asserts them as literal TRUE — a sketch drifting out of
+    * its error bound becomes a hash mismatch instead of a `no_oracle`
+    * hole. Band 0.01 is generous vs the configured eps 1e-4. */
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    def pd(p: Double) = expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY value)")
+    Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"))
+      .agg(
+        pd(0.5).as("p50"), pd(0.9).as("p90"), pd(0.99).as("p99"),
+        pd(0.49).as("p50_lo"), pd(0.51).as("p50_hi"),
+        pd(0.89).as("p90_lo"), pd(0.91).as("p90_hi"),
+        pd(0.98).as("p99_lo"), pd(1.0).as("p99_hi"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("service"), col("p50"), col("p90"), col("p99"), col("n"),
+        element_at(col("q"), 1).between(col("p50_lo"), col("p50_hi")).as("sketch_p50_in_band"),
+        element_at(col("q"), 2).between(col("p90_lo"), col("p90_hi")).as("sketch_p90_in_band"),
+        element_at(col("q"), 3).between(col("p99_lo"), col("p99_hi")).as("sketch_p99_in_band"))
+  }
+
+  val valueQuantilesSketchSql: String =
+    """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+      |            WHEN event_type = 'purchase' THEN 'persist'
+      |            ELSE 'dlq' END AS service,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.9) AS p90,
+      |  quantile_disc(value, 0.99) AS p99,
+      |  COUNT(*) AS n,
+      |  TRUE AS sketch_p50_in_band,
+      |  TRUE AS sketch_p90_in_band,
+      |  TRUE AS sketch_p99_in_band
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** F9 raw sketch output — HyperLogLog++ distinct users per service
+    * next to the exact count. Exact distinct shuffles every key; the
+    * sketch is constant-size and mergeable — the scale path for
+    * cardinality dashboards. rsd 1%. Raw estimate is engine-specific;
+    * the served query is [[distinctUsersSketch]]. */
+  def distinctUsersSketchRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(serviceCol.as("service"))
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+
+  /** F9 `audit_distinct_users_sketch` — driver-checkable form: the
+    * exact distinct count (hash-compared) plus a BOOLEAN asserting
+    * the HLL++ estimate lands within 5% of exact (same bound the
+    * spec enforces numerically). Deterministic, so the oracle can
+    * assert literal TRUE. */
+  def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame =
+    distinctUsersSketchRaw(spark, dir)
+      .select(col("service"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
+          .as("hll_within_5pct"))
+
+  val distinctUsersSketchSql: String =
+    """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+      |            WHEN event_type = 'purchase' THEN 'persist'
+      |            ELSE 'dlq' END AS service,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
@@ -308,6 +366,8 @@ object Audit {
     "audit_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,
+    "audit_distinct_users_sketch" -> distinctUsersSketchSql,
     "audit_partition_counts" -> partitionCountsSql,
     "audit_metric_counts" -> metricCountsSql,
     "dlq_redrive_pending" -> dlqRedrivePendingSql,

@@ -411,9 +411,11 @@ object Dedup {
     * subset — and the driver only ever holds the bloom bytes, sized
     * by the BENCHMARK set, not the corpus.
     *
-    * Spec-only (no DuckDB oracle — the sketch is engine-specific):
-    * DedupTextSpec asserts the superset law (every exactly-
-    * contaminated doc is flagged; false-positive extras bounded). */
+    * This raw per-doc form is engine-specific (bloom false positives
+    * have no DuckDB oracle), so the SERVED query is
+    * [[bloomDecontaminate]] below, which hash-checks the superset law
+    * against the exact join; DedupTextSpec additionally pins this raw
+    * path's no-shingle-shuffle plan shape. */
   /** Memoized bloom bytes: building the filter is a Spark job, and
     * the DataFrame constructor must stay plan-only (merely explaining
     * the query must not launch jobs) — same hazard and same cache key
@@ -421,7 +423,7 @@ object Dedup {
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
-  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def bloomFlaggedDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -445,6 +447,40 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("flagged_shingles"))
   }
+
+  /** G11 `dedup_bloom_decontaminate` — driver-checkable form: one
+    * summary row hash-compared against DuckDB. `exact_contaminated`
+    * (count of docs the exact G8 join flags) is reproducible SQL;
+    * the two BOOLEANs encode the bloom laws — `all_exact_flagged`
+    * (no false negatives: flagged ⊇ exact) and `extras_bounded`
+    * (false-positive docs ≤ max(1, exact/10)) — both deterministic
+    * (xxhash64 + bloom on fixed input), so the oracle asserts them
+    * as literal TRUE and a law violation becomes a hash mismatch. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = decontaminate(spark, dir).select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(true))
+    val flagged = bloomFlaggedDocs(spark, dir).select(col("doc_id"))
+      .withColumn("is_flagged", lit(true))
+    val nExact = count(when(col("is_exact"), lit(1)))
+    val nMissed = count(when(col("is_exact") && col("is_flagged").isNull, lit(1)))
+    val nExtras = count(when(col("is_flagged") && col("is_exact").isNull, lit(1)))
+    exact.join(flagged, Seq("doc_id"), "full_outer")
+      .agg(
+        nExact.as("exact_contaminated"),
+        (nMissed === 0).as("all_exact_flagged"),
+        (nExtras <= greatest(lit(1L), floor(nExact / 10))).as("extras_bounded"))
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""WITH ${shinglesSql(3)}, exact AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM sh t JOIN sh b ON t.shingle = b.shingle
+       |  WHERE b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+       |)
+       |SELECT COUNT(*) AS exact_contaminated,
+       |  TRUE AS all_exact_flagged,
+       |  TRUE AS extras_bounded
+       |FROM exact""".stripMargin
 
   /** G9 `dedup_embedding_neardup` — embedding-cosine near-dup dedup:
     * survivors of the embeddings corpus after dropping every vector
@@ -510,6 +546,7 @@ object Dedup {
     "dedup_clusters" -> clustersSql,
     "dedup_keep_corpus" -> keepCorpusSql,
     "dedup_decontaminate" -> decontaminateSql,
+    "dedup_bloom_decontaminate" -> bloomDecontaminateSql,
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -116,7 +116,7 @@ class DedupTextSpec extends SparkSpecBase {
   test("G11 bloom decontaminate: superset of exact, bounded extras, no shingle shuffle") {
     val exact = run("dedup_decontaminate").select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    val bloomDf = run("dedup_bloom_decontaminate")
+    val bloomDf = operators.Dedup.bloomFlaggedDocs(spark, sf)
     val bloom = bloomDf.collect().map(_.getLong(0)).toSet
     // a Bloom filter admits false positives, never false negatives
     assert((exact -- bloom).isEmpty,
@@ -129,6 +129,13 @@ class DedupTextSpec extends SparkSpecBase {
     val shuffles = flattenPlan(executedPlan(bloomDf)).count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
     assert(shuffles <= 1, s"bloom path should shuffle at most once, got $shuffles")
+    // served summary encodes the same laws as driver-hashable columns
+    val served = run("dedup_bloom_decontaminate").collect()
+    assert(served.length == 1)
+    val s = served.head
+    assert(s.getAs[Long]("exact_contaminated") == exact.size)
+    assert(s.getAs[Boolean]("all_exact_flagged"))
+    assert(s.getAs[Boolean]("extras_bounded"))
   }
 
   test("dedup plans: exact dedup is one shuffle; no cartesian in LSH") {

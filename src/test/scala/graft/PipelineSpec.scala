@@ -209,7 +209,7 @@ class PipelineSpec extends SparkSpecBase {
   test("F8/F9 sketch twins: bounded error against the exact answers") {
     val exact = run("audit_value_quantiles").collect()
       .map(r => r.getAs[String]("service") -> r).toMap
-    run("audit_value_quantiles_sketch").collect().foreach { r =>
+    operators.Audit.valueQuantilesSketchRaw(spark, sf).collect().foreach { r =>
       val e = exact(r.getAs[String]("service"))
       Seq("p50", "p90", "p99").foreach { c =>
         val (ev, sv) = (e.getAs[Double](c), r.getAs[Double](c))
@@ -218,10 +218,19 @@ class PipelineSpec extends SparkSpecBase {
       }
       assert(r.getAs[Long]("n") == e.getAs[Long]("n"))
     }
-    run("audit_distinct_users_sketch").collect().foreach { r =>
+    operators.Audit.distinctUsersSketchRaw(spark, sf).collect().foreach { r =>
       val (a, e) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
       assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
         s"hll $a vs exact $e")
+    }
+    // served (driver-checkable) forms: every in-band / within-bound
+    // boolean must be true, matching the oracle's literal TRUE
+    run("audit_value_quantiles_sketch").collect().foreach { r =>
+      Seq("sketch_p50_in_band", "sketch_p90_in_band", "sketch_p99_in_band")
+        .foreach(c => assert(r.getAs[Boolean](c), s"$c false for ${r}"))
+    }
+    run("audit_distinct_users_sketch").collect().foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"), s"hll flag false for ${r}")
     }
   }
 
