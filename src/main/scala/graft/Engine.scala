@@ -45,6 +45,20 @@ object Engine {
     spark
   }
 
+  /** Conf gate for the documented O(n²) correctness baselines (H2
+    * `sim_cosine_pairs`, G3 `dedup_ngram_jaccard`). They exist to
+    * ground-truth the LSH/IVF scale paths and die at 100× data, so a
+    * cluster deployment sets `graft.allowQuadraticBaselines=false`
+    * and anything that would plan all-pairs fails fast instead.
+    * Default true so local oracles and specs run unchanged (same
+    * pattern as Dedup's `graft.dedup.driverMaxEdges`). */
+  def requireQuadraticAllowed(spark: SparkSession, op: String): Unit =
+    if (!spark.conf.get("graft.allowQuadraticBaselines", "true").toBoolean)
+      throw new IllegalStateException(
+        s"$op is an O(n^2) correctness baseline and " +
+          "graft.allowQuadraticBaselines=false — run the bucketed scale " +
+          "path (MinHash/LSH or IVF) instead")
+
   /** Runtime confs safe to (re)apply on an externally created session. */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")

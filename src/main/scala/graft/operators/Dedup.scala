@@ -87,6 +87,7 @@ object Dedup {
     * ratio divides exact ints so both engines produce identical
     * doubles. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.Engine.requireQuadraticAllowed(spark, "dedup_ngram_jaccard")
     val sh = shingles(spark, dir, 3).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))

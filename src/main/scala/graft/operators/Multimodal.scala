@@ -204,13 +204,114 @@ object Multimodal {
        |  CAST(bytes[(i * n) // $ResizeW + 1] AS INTEGER) AS pix
        |FROM px""".stripMargin
 
+  // ---- J5: REAL codec behind the same batching seam ----------------
+
+  private val ImgW = 8
+  private val ImgH = 8
+
+  /** Deterministic synthetic image: pixel channels are pure functions
+    * of (doc_id, x, y), so the decode output is reproducible in plain
+    * SQL without any codec — which is what lets a real PNG round-trip
+    * be driver-oracle-checked. */
+  private def synthPng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        val r = ((docId * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((docId * 11 + x * 13 + y * 17) % 256).toInt
+        val b = ((docId * 19 + x * 23 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** J5 media table: real PNG bytes in the binary column (media is
+    * synthesized per doc_id on the executors — nothing driver-side). */
+  def pngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+        it.map(id => (id, synthPng(id)))
+      }.toDF("doc_id", "media")
+  }
+
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The real decoder: javax.imageio PNG decode (lossless, so pixels
+    * recover exactly), per-channel integer SUMS — integers, not float
+    * means, so the oracle compare is bit-exact. Non-decodable media
+    * in a production feed would route to the C2-style reject channel;
+    * here the synth PNGs always decode, so a null decode is a hard
+    * error rather than a silent drop. */
+  private def decodeImage(docId: Long, png: Array[Byte]): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, s"undecodable image for doc $docId")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(docId, img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** J5 `multimodal_decode_real` — a REAL image decode through the
+    * identical mapPartitions + grouped(BatchSize) seam the stubs use:
+    * encode a deterministic 8x8 PNG per doc, decode it back with
+    * javax.imageio, emit per-channel pixel sums. Proves the batching
+    * contract carries an actual codec (J2-J4's remaining gap), and
+    * because the pixels are a pure function of (doc_id,x,y) the
+    * result is fully driver-oracle-checked — rare for codec code. */
+  def decodeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] = pngTable(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { case (id, bytes) => decodeImage(id, bytes) }
+      }
+    }.toDF()
+  }
+
+  val decodeRealSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, unnest(range(0, $ImgW)) AS x FROM documents
+       |), pxy AS (
+       |  SELECT doc_id, x, unnest(range(0, $ImgH)) AS y FROM px
+       |)
+       |SELECT doc_id,
+       |  CAST($ImgW AS INTEGER) AS width,
+       |  CAST($ImgH AS INTEGER) AS height,
+       |  CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+       |  CAST(SUM((doc_id * 11 + x * 13 + y * 17) % 256) AS BIGINT) AS sum_g,
+       |  CAST(SUM((doc_id * 19 + x * 23 + y * 29) % 256) AS BIGINT) AS sum_b
+       |FROM pxy GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_feature_stub" -> (featureStub _),
     "multimodal_frame_sample" -> (frameSample _),
-    "multimodal_resize_stub" -> (resizeStub _))
+    "multimodal_resize_stub" -> (resizeStub _),
+    "multimodal_decode_real" -> (decodeReal _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_feature_stub" -> featureStubSql,
     "multimodal_frame_sample" -> frameSampleSql,
-    "multimodal_resize_stub" -> resizeStubSql)
+    "multimodal_resize_stub" -> resizeStubSql,
+    "multimodal_decode_real" -> decodeRealSql)
 }

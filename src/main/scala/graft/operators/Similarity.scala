@@ -101,6 +101,7 @@ object Similarity {
     * O(n^2) version: correctness baseline for the spec's recall
     * checks; production path at scale is H3/H4. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.Engine.requireQuadraticAllowed(spark, "sim_cosine_pairs")
     val emb = quantized(spark, dir)
     val a = emb.select(col("vec_id").as("vec_a"), col("qvec").as("qa"), col("nsq").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("qvec").as("qb"), col("nsq").as("nb"))

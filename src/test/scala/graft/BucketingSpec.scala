@@ -23,6 +23,16 @@ class BucketingSpec extends SparkSpecBase {
     assert(joined.count() == ev.count())
   }
 
+  test("served bucketed upsert: same results as flat D2, zero Exchange") {
+    val bucketed = run("persist_upsert_bucketed")
+    val flat = run("persist_upsert_version")
+    assert(bucketed.except(flat).count() == 0 && flat.except(bucketed).count() == 0)
+    // the whole windowed upsert reads co-located buckets: no shuffle
+    val shuffles = flattenPlan(executedPlan(bucketed)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles == 0, s"bucketed upsert should not shuffle, got $shuffles")
+  }
+
   test("aggregation on the bucket key needs no exchange") {
     val agg = spark.table("events_bucketed")
       .groupBy("user_id").agg(sum("value").as("total"))

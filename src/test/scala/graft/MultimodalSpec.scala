@@ -47,6 +47,24 @@ class MultimodalSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("J5 real decode: PNG round-trip recovers the known synth pixels") {
+    val df = run("multimodal_decode_real").cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("width") =!= 8 || col("height") =!= 8).count() == 0)
+    // analytic ground truth: channel c of pixel (x,y) for doc d is
+    // (d*kc + x*kx + y*ky) % 256 — recompute on the driver and compare
+    def sums(d: Long, kc: Long, kx: Long, ky: Long): Long =
+      (for { x <- 0 until 8; y <- 0 until 8 }
+        yield (d * kc + x * kx + y * ky) % 256).sum
+    df.collect().foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("sum_r") == sums(d, 7, 3, 5), s"sum_r doc $d")
+      assert(r.getAs[Long]("sum_g") == sums(d, 11, 13, 17), s"sum_g doc $d")
+      assert(r.getAs[Long]("sum_b") == sums(d, 19, 23, 29), s"sum_b doc $d")
+    }
+    df.unpersist()
+  }
+
   test("J2 feature stub: batch shape bounded, features deterministic") {
     val raw = operators.Multimodal.featureStubRaw(spark, sf).cache()
     assert(raw.filter(col("batch_size") > 32 || col("batch_size") < 1).count() == 0)

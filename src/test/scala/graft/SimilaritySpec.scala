@@ -101,4 +101,14 @@ class SimilaritySpec extends SparkSpecBase {
     assert(p.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
   }
+
+  test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
+    spark.conf.set("graft.allowQuadraticBaselines", "false")
+    try {
+      intercept[IllegalStateException](run("sim_cosine_pairs"))
+      intercept[IllegalStateException](run("dedup_ngram_jaccard"))
+    } finally spark.conf.set("graft.allowQuadraticBaselines", "true")
+    // default-on: constructing the plan works again
+    assert(run("sim_cosine_pairs").columns.contains("cosine"))
+  }
 }
