@@ -213,6 +213,66 @@ class StreamingSpec extends SparkSpecBase {
       "no duplicated rows across restart")
   }
 
+  test("E5 as-of twin: RocksDB state restores across a checkpointed restart") {
+    // the production restart story: per-user LastObs state written by
+    // the first run must come back from the RocksDB checkpoint, or
+    // post-restart probes lose their pre-restart observations
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("asof_restart").toString
+      val (inDir, outDir, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+      new java.io.File(inDir).mkdirs()
+      val schema = spark.emptyDataset[Event].schema
+      def addFiles(evs: Seq[Event], tag: String): Unit = {
+        val stage = s"$base/stage_$tag"
+        evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+        new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.copy(f.toPath,
+              java.nio.file.Paths.get(s"$inDir/${tag}_$i.parquet"))
+          }
+      }
+      def startQuery() = StreamOps.asofJoin(
+          spark.readStream.schema(schema).parquet(inDir).as[Event], spark)
+        .toDF().writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp).outputMode("append").start()
+
+      // split on a ts boundary so equal-ts click/purchase pairs stay
+      // in one phase (the obs-before-probe tie rule needs them together)
+      val cutoff = batchEvents(batchEvents.size / 2).ts.getTime
+      addFiles(batchEvents.filter(_.ts.getTime <= cutoff), "early")
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      addFiles(batchEvents.filter(_.ts.getTime > cutoff), "late")
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+      val cols = Seq("probe_id", "user_id", "probe_ts",
+        "obs_event_id", "obs_ts", "obs_value")
+      val out = spark.read.parquet(outDir).cache()
+      val got = out.select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+      val want = run("api_obs_asof_join")
+        .select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"restarted asof ${got.size} vs batch ${want.size}; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // the equality above only proves restore if some post-restart
+      // probe actually depended on pre-restart state — assert that
+      val crossed = out.filter(col("probe_ts") > new Timestamp(cutoff) &&
+        col("obs_ts").isNotNull && col("obs_ts") <= new Timestamp(cutoff))
+      assert(crossed.count() > 0, "no probe crossed the restart boundary")
+      out.unpersist()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
