@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Normalize.queries ++
       operators.EventStream.queries ++
       operators.Multimodal.queries ++
-      operators.Corpus.queries
+      operators.Corpus.queries ++
+      operators.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.Normalize.oracles ++
       operators.EventStream.oracles ++
       operators.Multimodal.oracles ++
-      operators.Corpus.oracles
+      operators.Corpus.oracles ++
+      operators.Skew.oracles
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew mitigation for hot keys (SURVEY §4).
   *
@@ -46,4 +48,32 @@ object Skew {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+
+  /** Served `skew_salted_rollup` — the two-phase salted count+sum
+    * over events keyed by event_type: 5 hot keys across the whole
+    * table, exactly the shape AQE never splits (it splits skewed
+    * JOINS, not skewed groupBys). The value routes through
+    * decimal(18,6) (Analytics.dsum discipline) so decimal addition
+    * is exact and order-insensitive — the salted two-phase result is
+    * hash-equal to the plain single-phase rollup, which is what the
+    * DuckDB oracle computes. Phase 2 moves only n salt-shard rows
+    * per key regardless of how hot the key is. */
+  def saltedRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v", col("value").cast("decimal(18,6)"))
+    saltedCountSum(ev, "event_type", "v", 16)
+      .select(col("event_type"), col("n"),
+        col("total").cast("double").as("total_value"))
+  }
+
+  val saltedRollupSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_rollup" -> (saltedRollup _))
+
+  val oracles: Map[String, String] = Map(
+    "skew_salted_rollup" -> saltedRollupSql)
 }

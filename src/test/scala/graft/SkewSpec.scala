@@ -29,6 +29,16 @@ class SkewSpec extends SparkSpecBase {
     assert(p.contains("__salt"))
   }
 
+  test("served salted rollup: exactly two shuffles, first keyed by (key, salt)") {
+    val df = run("skew_salted_rollup")
+    val exch = flattenPlan(executedPlan(df)).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exch.size == 2, s"expected phase-1 and phase-2 shuffles, got ${exch.size}")
+    assert(exch.exists(_.outputPartitioning.toString.contains("__salt")),
+      "phase-1 shuffle must be keyed by (key, __salt)")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = skewed.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
