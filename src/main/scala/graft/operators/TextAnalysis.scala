@@ -251,7 +251,63 @@ object TextAnalysis {
        |FROM t LEFT JOIN v USING (token) CROSS JOIN tot
        |GROUP BY doc_id""".stripMargin
 
+  /** I7 `text_repetition_signals` — repetition-based quality filters
+    * in the style of the published Gopher/MassiveText rules (Rae et
+    * al. 2021, public): `dup_word_frac` (1 - distinct/total words,
+    * the within-doc repetition mass) and `top_bigram_frac` (share of
+    * the most frequent bigram among all bigrams — boilerplate and
+    * template spam light up on it). Column-only: the bigram counting
+    * shuffles on (doc_id, bigram), i.e. keyed BY DOCUMENT — linear in
+    * corpus size, no cross-doc state, so it scales like the other I
+    * ops. Ratios divide exact integers (bit-identical doubles in both
+    * engines). */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+    val bigrams = base
+      .select(col("doc_id"), explode(when(col("n_words") >= 2,
+          expr("transform(sequence(1, n_words - 1), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val top = bigrams
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") > 0,
+          (col("n_words") - col("n_distinct")) / col("n_words"))
+          .as("dup_word_frac"),
+        when(col("n_words") >= 2, col("top_c") / (col("n_words") - 1))
+          .as("top_bigram_frac"))
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+      |  FROM toks
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM toks WHERE len(w) >= 2
+      |), topbg AS (
+      |  SELECT doc_id, MAX(c) AS top_c FROM (
+      |    SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |)
+      |SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words,
+      |  CASE WHEN b.n_words > 0
+      |       THEN (b.n_words - b.n_distinct) * 1.0 / b.n_words END AS dup_word_frac,
+      |  CASE WHEN b.n_words >= 2
+      |       THEN t.top_c * 1.0 / (b.n_words - 1) END AS top_bigram_frac
+      |FROM base b LEFT JOIN topbg t ON b.doc_id = t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition_signals" -> (repetitionSignals _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_lang_id" -> (langId _),
@@ -260,6 +316,7 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition_signals" -> repetitionSignalsSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,

@@ -113,6 +113,24 @@ class DedupTextSpec extends SparkSpecBase {
     assert(r1.forall { r => val f = r.getLong(1); f >= 0 && f < 1000000007L })
   }
 
+  test("I7 repetition signals: fracs in range, match a driver recount") {
+    val df = run("text_repetition_signals").cache()
+    assert(df.filter(col("dup_word_frac") < 0 || col("dup_word_frac") >= 1).count() == 0)
+    assert(df.filter(col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() == 0)
+    // recount one doc by hand
+    val doc = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").head
+    val words = doc.getString(1).split(" ").filter(_.nonEmpty)
+    val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+    val want = (
+      (words.length - words.distinct.length).toDouble / words.length,
+      bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size)
+    val got = df.filter(col("doc_id") === doc.getLong(0)).head
+    assert(got.getAs[Double]("dup_word_frac") == want._1)
+    assert(got.getAs[Double]("top_bigram_frac") == want._2)
+    df.unpersist()
+  }
+
   test("G11 bloom decontaminate: superset of exact, bounded extras, no shingle shuffle") {
     val exact = run("dedup_decontaminate").select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
