@@ -430,7 +430,73 @@ object Analytics {
       |ORDER BY s_acctbal DESC, p_partkey
       |LIMIT 100""".stripMargin
 
+  /** K13 `k13_linestatus_priority` — TPC-H Q12 shape adapted to the
+    * testdata schema (it has no shipmode/commitdate columns):
+    * casewise high/low order-priority line counts per linestatus for
+    * a one-year ship window. Scale: the canonical q12 plan — both
+    * sides shuffle once on orderkey, the CASE counts partial-agg
+    * map-side, and the date filter pushes to the lineitem scan. */
+  def k13LinestatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val k13Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** K14 `k14_disjunctive_revenue` — TPC-H Q19 shape: revenue under a
+    * 3-way disjunction that mixes part and lineitem predicates.
+    * Scale: part broadcasts; the interesting behavior is Catalyst's
+    * PushExtraPredicateThroughJoin deriving the lineitem-only
+    * disjunct (the OR of the three l_quantity ranges) and pushing it
+    * below the join into the scan — so lineitem IO drops to the
+    * quantity-selected fraction even though the original filter
+    * references both tables (AnalyticsSpec pins the derived pushed
+    * filter). */
+  def k14DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val k14Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k13_linestatus_priority" -> (k13LinestatusPriority _),
+    "k14_disjunctive_revenue" -> (k14DisjunctiveRevenue _),
     "k12_min_cost_supplier" -> (k12MinCostSupplier _),
     "k11_small_qty_revenue" -> (k11SmallQtyRevenue _),
     "k10_running_revenue" -> (k10RunningRevenue _),
@@ -445,6 +511,8 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k13_linestatus_priority" -> k13Sql,
+    "k14_disjunctive_revenue" -> k14Sql,
     "k12_min_cost_supplier" -> k12Sql,
     "k11_small_qty_revenue" -> k11Sql,
     "k10_running_revenue" -> k10Sql,

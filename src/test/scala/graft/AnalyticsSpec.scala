@@ -42,6 +42,26 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(!readSchema.contains("l_orderkey"))
   }
 
+  test("k13: high+low line counts add up to the ship-window join size") {
+    val rows = run("k13_linestatus_priority").collect()
+    val total = rows.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total == want)
+  }
+
+  test("k14 plan: the l_quantity disjunction is derived and pushed to the scan") {
+    val p = plan(run("k14_disjunctive_revenue"))
+    // the original filter references part columns too; Catalyst must
+    // still derive the lineitem-only OR and push it into the scan
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_quantity"), s"no pushed l_quantity filter in: $pushed")
+  }
+
   test("k5 rollup: grand total row present and equals orders count") {
     val rows = run("k5_segment_rollup").collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
