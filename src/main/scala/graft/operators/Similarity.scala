@@ -444,7 +444,100 @@ object Similarity {
        |  FROM qids q LEFT JOIN hk ON q.qid = hk.qid
        |)""".stripMargin
 
+  private val PqM = 8      // subspaces
+  private val PqDsub = 8   // dims per subspace (8 x 8 = 64)
+  private val PqCodes = 16 // codewords per subspace
+
+  /** H7 `sim_pq_adc` — product-quantization ANN with asymmetric
+    * distance computation (Jégou et al. 2011, public): split each
+    * 64-dim vector into PqM subvectors, quantize each to its nearest
+    * of PqCodes codewords (so the searchable representation is PqM
+    * small code ids — a 64x compression of the stored vector), then
+    * score queries by summing per-subspace LUT dot products instead
+    * of touching the raw vectors. Everything is exact integer
+    * arithmetic on the quantized vectors — codebook pick, L2 argmin
+    * (via the cn - 2·dot identity; the ||sub(v)||² term is constant
+    * per group), LUT dots, and ADC sums — so ranks hash-match a
+    * DuckDB oracle like H4/H6 do.
+    *
+    * Scale: the codebook is hash-picked (H4 discipline) and tiny
+    * (PqM·PqCodes·PqDsub longs, broadcast); encoding is one
+    * crossJoin-with-broadcast + a (vec_id, m)-keyed partial-agg
+    * argmin; scoring joins the long-format codes against a broadcast
+    * LUT (NQueries·PqM·PqCodes rows) and sums per (qid, vec_id). In
+    * a real deployment the codes table is precomputed and stored —
+    * search then never reads the embedding column at all, which is
+    * the entire point of PQ at 100 TB. */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val subvec = slice(col("qvec"), col("m") * PqDsub + 1, lit(PqDsub))
+    val codes = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(PqCodes)
+      .select(col("vec_id").as("code_id"), col("qvec"))
+      .select(col("code_id"),
+        explode(typedLit((0 until PqM).toArray)).as("m"), col("qvec"))
+      .select(col("code_id"), col("m"), subvec.as("cvec"))
+      .withColumn("cn", vdotQuantizedNative(col("cvec"), col("cvec")))
+    val enc = emb.crossJoin(broadcast(codes))
+      .withColumn("score",
+        col("cn") - lit(2L) * vdotQuantizedNative(subvec, col("cvec")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code_id").as("code_id"))
+    val lut = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec"))
+      .crossJoin(broadcast(codes.drop("cn")))
+      .select(col("qid"), col("m"), col("code_id"),
+        vdotQuantizedNative(subvec, col("cvec")).as("pdot"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    enc.join(broadcast(lut), Seq("m", "code_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdot")).as("approx_dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
+  }
+
+  val pqAdcSql: String =
+    s"""WITH $qnSqlCte, cb AS (
+       |  SELECT vec_id AS code_id, qvec FROM qnn
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes
+       |), codes AS (
+       |  SELECT code_id, m, qvec[m*$PqDsub+1 : m*$PqDsub+$PqDsub] AS cvec
+       |  FROM cb CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |), codes2 AS (
+       |  SELECT code_id, m, cvec,
+       |    CAST(list_sum(list_transform(cvec, x -> x * x)) AS BIGINT) AS cn
+       |  FROM codes
+       |), enc AS (
+       |  SELECT vec_id, m, code_id FROM (
+       |    SELECT e.vec_id, c.m, c.code_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+       |        ORDER BY c.cn - 2 * ${dotSql(
+                  s"e.qvec[c.m*$PqDsub+1 : c.m*$PqDsub+$PqDsub]", "c.cvec")},
+       |                 c.code_id) AS rn
+       |    FROM qnn e CROSS JOIN codes2 c
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.code_id,
+       |    ${dotSql(s"q.qvec[c.m*$PqDsub+1 : c.m*$PqDsub+$PqDsub]", "c.cvec")} AS pdot
+       |  FROM qnn q CROSS JOIN codes2 c WHERE q.vec_id < $NQueries
+       |), scored AS (
+       |  SELECT l.qid, e.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS approx_dot
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code_id = l.code_id
+       |  WHERE e.vec_id <> l.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, rank, vec_id, approx_dot FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY approx_dot DESC, vec_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_adc" -> (pqAdc _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_lsh_ann" -> (lshAnn _),
@@ -453,6 +546,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> pqAdcSql,
     "sim_topk_bruteforce" -> topkBruteforceSql,
     "sim_cosine_pairs" -> cosinePairsSql,
     "sim_lsh_ann" -> lshAnnSql,

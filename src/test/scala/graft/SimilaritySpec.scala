@@ -102,6 +102,36 @@ class SimilaritySpec extends SparkSpecBase {
       org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
   }
 
+  test("H7 PQ/ADC: k rows per query, ADC score matches a driver recompute") {
+    val df = run("sim_pq_adc").cache()
+    assert(df.groupBy("qid").count().filter(col("count") =!= 10).count() == 0)
+    assert(df.filter(col("qid") === col("vec_id")).count() == 0)
+    // rebuild the whole PQ pipeline on the driver from raw embeddings
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray)
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cbIds = vecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(16)
+    def sub(v: Array[Long], m: Int): Array[Long] = v.slice(m * 8, m * 8 + 8)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def adc(q: Array[Long], v: Array[Long]): Long =
+      (0 until 8).map { m =>
+        val best = cbIds.minBy { cid =>
+          val c = sub(vecs(cid), m)
+          (dot(c, c) - 2 * dot(sub(v, m), c), cid)
+        }
+        dot(sub(q, m), sub(vecs(best), m))
+      }.sum
+    val top = df.filter(col("qid") === 0 && col("rank") === 1).head
+    assert(top.getAs[Long]("approx_dot") == adc(vecs(0L), vecs(top.getAs[Long]("vec_id"))))
+    df.unpersist()
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
