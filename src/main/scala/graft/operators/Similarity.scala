@@ -393,56 +393,6 @@ object Similarity {
        |${ivfTailSql("c2")}""".stripMargin
   }
 
-  /** H5 `sim_recall_eval` — recall@K of the three ANN paths against the
-    * brute-force ground truth, per query: the evaluation loop every
-    * real ANN deployment runs before trusting an index. Everything is
-    * deterministic (quantized cosines, fixed probes), so even the
-    * recall numbers are oracle-checkable. Scale: ground truth on a
-    * SAMPLE of queries (here all NQueries) joined against the index
-    * results — tiny compared to the index build itself. */
-  def recallEval(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the ground-truth subtree feeds qids and BOTH per-method
-    // joins — without the cache the brute-force join + top-K window
-    // re-executes per branch (ReuseExchange dedups only the shuffle)
-    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id")).cache()
-    val qids = bf.select(col("qid")).distinct()
-    def per(m: DataFrame, name: String): DataFrame = {
-      val hits = bf.join(m.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
-        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-      qids.join(hits, Seq("qid"), "left")
-        .select(col("qid"), lit(name).as("method"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
-    }
-    per(lshAnn(spark, dir), "lsh")
-      .unionAll(per(ivfProbe(spark, dir), "ivf"))
-      .unionAll(per(ivfKmeans(spark, dir), "ivf_kmeans"))
-      .withColumn("recall_at_k", col("hits").cast("double") / K)
-  }
-
-  val recallEvalSql: String =
-    s"""WITH bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
-       |lshr AS (SELECT qid, vec_id FROM ($lshAnnSql)),
-       |ivfr AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
-       |ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
-       |qids AS (SELECT DISTINCT qid FROM bf),
-       |hl AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
-       |       JOIN lshr l ON b.qid = l.qid AND b.vec_id = l.vec_id GROUP BY 1),
-       |hi AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
-       |       JOIN ivfr i ON b.qid = i.qid AND b.vec_id = i.vec_id GROUP BY 1),
-       |hk AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
-       |       JOIN ivfk k ON b.qid = k.qid AND b.vec_id = k.vec_id GROUP BY 1)
-       |SELECT qid, method, hits,
-       |  CAST(hits AS DOUBLE) / $K AS recall_at_k
-       |FROM (
-       |  SELECT q.qid, 'lsh' AS method, COALESCE(hl.hits, 0) AS hits
-       |  FROM qids q LEFT JOIN hl ON q.qid = hl.qid
-       |  UNION ALL
-       |  SELECT q.qid, 'ivf' AS method, COALESCE(hi.hits, 0) AS hits
-       |  FROM qids q LEFT JOIN hi ON q.qid = hi.qid
-       |  UNION ALL
-       |  SELECT q.qid, 'ivf_kmeans' AS method, COALESCE(hk.hits, 0) AS hits
-       |  FROM qids q LEFT JOIN hk ON q.qid = hk.qid
-       |)""".stripMargin
 
   private val PqM = 8      // subspaces
   private val PqDsub = 8   // dims per subspace (8 x 8 = 64)
@@ -535,6 +485,64 @@ object Similarity {
        |                               ORDER BY approx_dot DESC, vec_id) AS rank
        |  FROM scored
        |) WHERE rank <= $K""".stripMargin
+
+  /** H5 `sim_recall_eval` — recall@K of the three ANN paths against the
+    * brute-force ground truth, per query: the evaluation loop every
+    * real ANN deployment runs before trusting an index. Everything is
+    * deterministic (quantized cosines, fixed probes), so even the
+    * recall numbers are oracle-checkable. Scale: ground truth on a
+    * SAMPLE of queries (here all NQueries) joined against the index
+    * results — tiny compared to the index build itself. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the ground-truth subtree feeds qids and BOTH per-method
+    // joins — without the cache the brute-force join + top-K window
+    // re-executes per branch (ReuseExchange dedups only the shuffle)
+    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id")).cache()
+    val qids = bf.select(col("qid")).distinct()
+    def per(m: DataFrame, name: String): DataFrame = {
+      val hits = bf.join(m.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(name).as("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }
+    per(lshAnn(spark, dir), "lsh")
+      .unionAll(per(ivfProbe(spark, dir), "ivf"))
+      .unionAll(per(ivfKmeans(spark, dir), "ivf_kmeans"))
+      .unionAll(per(pqAdc(spark, dir), "pq"))
+      .withColumn("recall_at_k", col("hits").cast("double") / K)
+  }
+
+  val recallEvalSql: String =
+    s"""WITH bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
+       |lshr AS (SELECT qid, vec_id FROM ($lshAnnSql)),
+       |ivfr AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
+       |ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
+       |pqr AS (SELECT qid, vec_id FROM ($pqAdcSql)),
+       |qids AS (SELECT DISTINCT qid FROM bf),
+       |hl AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN lshr l ON b.qid = l.qid AND b.vec_id = l.vec_id GROUP BY 1),
+       |hi AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN ivfr i ON b.qid = i.qid AND b.vec_id = i.vec_id GROUP BY 1),
+       |hk AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN ivfk k ON b.qid = k.qid AND b.vec_id = k.vec_id GROUP BY 1),
+       |hp AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN pqr p ON b.qid = p.qid AND b.vec_id = p.vec_id GROUP BY 1)
+       |SELECT qid, method, hits,
+       |  CAST(hits AS DOUBLE) / $K AS recall_at_k
+       |FROM (
+       |  SELECT q.qid, 'lsh' AS method, COALESCE(hl.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hl ON q.qid = hl.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'ivf' AS method, COALESCE(hi.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hi ON q.qid = hi.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'ivf_kmeans' AS method, COALESCE(hk.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hk ON q.qid = hk.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'pq' AS method, COALESCE(hp.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hp ON q.qid = hp.qid
+       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (pqAdc _),

@@ -71,7 +71,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("H5 recall eval: per-query recall in [0,1] and consistent with raw joins") {
     val df = run("sim_recall_eval").cache()
-    assert(df.count() == 24, "8 queries x 3 methods")
+    assert(df.count() == 32, "8 queries x 4 methods (lsh, ivf, ivf_kmeans, pq)")
     assert(df.filter(col("recall_at_k") < 0 || col("recall_at_k") > 1).count() == 0)
     assert(df.filter(col("recall_at_k") =!=
       col("hits").cast("double") / 10).count() == 0)
