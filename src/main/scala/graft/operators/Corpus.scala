@@ -353,7 +353,37 @@ object Corpus {
        |  unnest(generate_series(1, n_copies)) AS copy_id
        |FROM c WHERE n_copies > 0""".stripMargin
 
+  /** M8 `corpus_split_leakfree` — dedup-aware train/validation split:
+    * the split key is the near-dup CLUSTER representative (G6), not
+    * the raw doc_id, so a document and its near-duplicates always
+    * land on the same side — the standard guard against train/val
+    * leakage through paraphrases (cf. the published dedup-then-split
+    * practice in Lee et al. 2022). Assignment is the same md5
+    * hex-prefix threshold as M3 ('e6'/'100' ≈ 90/10), deterministic
+    * and reproducible with no RNG state. Scale: one broadcast-able
+    * left join against the (tiny) cluster map, then a codegen'd
+    * projection — the split of a 100 TB corpus costs one scan. */
+  def splitLeakFree(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.clusters(spark, dir)
+    val gid = coalesce(col("cluster_rep"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), gid.as("group_id"),
+        when(substring(md5(concat(lit("split:"), gid.cast("string"))), 1, 2)
+          < "e6", "train").otherwise("val").as("split"))
+  }
+
+  val splitLeakFreeSql: String =
+    s"""WITH cl AS (SELECT * FROM (${Dedup.clustersSql}))
+       |SELECT d.doc_id,
+       |  COALESCE(cl.cluster_rep, d.doc_id) AS group_id,
+       |  CASE WHEN substring(md5('split:' ||
+       |         COALESCE(cl.cluster_rep, d.doc_id)), 1, 2) < 'e6'
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split_leakfree" -> (splitLeakFree _),
     "corpus_resample" -> (resample _),
     "corpus_pii_redact" -> (piiRedact _),
     "corpus_chunk" -> (chunk _),
@@ -363,6 +393,7 @@ object Corpus {
     "corpus_mix_weights" -> (mixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_split_leakfree" -> splitLeakFreeSql,
     "corpus_resample" -> resampleSql,
     "corpus_source_cap" -> sourceCapSql,
     "corpus_mix_weights" -> mixWeightsSql,

@@ -138,4 +138,21 @@ class CorpusSpec extends SparkSpecBase {
     assert(docLevel.forall(_.partitionSpec.nonEmpty),
       "doc-level running sum must be partitioned by block")
   }
+
+  test("M8 leak-free split: covers all docs, no near-dup edge straddles the boundary") {
+    val split = run("corpus_split_leakfree").cache()
+    assert(split.count() == Tables.documents(spark, sf).count())
+    assert(split.select("split").distinct().count() == 2, "both splits non-empty")
+    // the whole point: a near-dup pair must never span train and val
+    val pairs = operators.Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+    val sa = split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val sb = split.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val straddling = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(straddling.count() == 0, "near-dup pair split across train/val")
+    // roughly 90/10 by group (md5 threshold 'e6' = 230/256)
+    val frac = split.filter(col("split") === "train").count().toDouble / split.count()
+    assert(frac > 0.8 && frac < 0.98, s"train fraction $frac out of band")
+    split.unpersist()
+  }
 }
