@@ -172,7 +172,30 @@ object EventStream {
       | AND c.ts >= p.ts - INTERVAL 30 MINUTE
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin
 
+  /** L6 `stream_enriched_rollup` — dimension-enriched stream rollup:
+    * events joined to the customer registry (the static dim), rolled
+    * up per (market segment, event type). The streaming twin
+    * (StreamOps.enrichedRollup) runs the same plan as a stream-static
+    * join — the dim is broadcast per micro-batch with no watermark
+    * needed on the static side, the standard enrichment pattern for a
+    * 100 TB event feed. One broadcast join + one tiny-key shuffle. */
+  def enrichedRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Analytics.dsum(col("value")).as("value_sum"))
+
+  val enrichedRollupSql: String =
+    """SELECT c_mktsegment AS segment, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enriched_rollup" -> (enrichedRollup _),
     "stream_tumbling_agg" -> (tumblingAgg _),
     "stream_sessionize" -> (sessionize _),
     "stream_event_dedup" -> (eventDedup _),
@@ -180,6 +203,7 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_enriched_rollup" -> enrichedRollupSql,
     "stream_tumbling_agg" -> tumblingAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_event_dedup" -> eventDedupSql,

@@ -46,6 +46,19 @@ object StreamOps {
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 
+  /** L6 streaming — stream-static enrichment join + running rollup:
+    * the static dimension is joined per micro-batch (Spark re-plans
+    * the broadcast each batch; no watermark is needed on the static
+    * side), and the unwindowed rollup runs in update mode — the
+    * standard "enrich the feed against a registry" pattern. The
+    * sentinel/unknown users drop out via the inner join, mirroring a
+    * registry-validated feed. */
+  def enrichedRollup(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Analytics.dsum(col("value")).as("value_sum"))
+
   /** L1 streaming — tumbling 1h windows with a 10-minute watermark;
     * append mode emits a window only once the watermark passes its
     * end (exactly-once per window). */

@@ -273,6 +273,28 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("L6 stream-static enrichment join converges to the batch rollup") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.enrichedRollup(ms.toDF(), Tables.customer(spark, sf))
+      .writeStream.format("memory").queryName("s_enriched")
+      .outputMode("update").start()
+    runStream(q, ms) // sentinel user -1 has no registry row -> dropped
+    // update mode emits one row per key per trigger; n_events grows
+    // monotonically, so the max-struct row is the final state
+    val got = spark.table("s_enriched")
+      .groupBy("segment", "event_type")
+      .agg(max(struct(col("n_events"), col("value_sum"))).as("s"))
+      .select(col("segment"), col("event_type"),
+        col("s.n_events"), col("s.value_sum"))
+      .collect().map(_.toSeq).toSet
+    val want = run("stream_enriched_rollup")
+      .select("segment", "event_type", "n_events", "value_sum")
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"stream ${got.size} vs batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
