@@ -18,7 +18,7 @@ object Bench {
     // driver artifacts) — too noisy to gate regressions. The first
     // run is reported separately so cold-cache cost stays visible
     // without polluting the steady-state number.
-    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>

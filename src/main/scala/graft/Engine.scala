@@ -51,7 +51,7 @@ object Engine {
     * cluster deployment sets `graft.allowQuadraticBaselines=false`
     * and anything that would plan all-pairs fails fast instead.
     * Default true so local oracles and specs run unchanged (same
-    * pattern as Dedup's `graft.dedup.driverMaxEdges`). */
+    * pattern as Dedup's `graft.dedup.clusters.driverMaxEdges`). */
   def requireQuadraticAllowed(spark: SparkSession, op: String): Unit =
     if (!spark.conf.get("graft.allowQuadraticBaselines", "true").toBoolean)
       throw new IllegalStateException(

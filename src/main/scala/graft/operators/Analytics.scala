@@ -445,7 +445,9 @@ object Analytics {
       .groupBy(col("l_linestatus"))
       .agg(
         sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        // otherwise-side (not `when(!high, ...)`) so a NULL priority
+        // counts as low, matching the oracle's CASE ... ELSE 1
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
   val k13Sql: String =

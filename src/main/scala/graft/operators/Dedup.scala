@@ -88,6 +88,17 @@ object Dedup {
     * doubles. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.Engine.requireQuadraticAllowed(spark, "dedup_ngram_jaccard")
+    jaccardPairs(spark, dir)
+  }
+
+  /** Ungated core of G3, shared with [[clusters]]: the conf gate
+    * guards the SERVED all-pairs query; the cluster edge derivation
+    * at test scale deliberately uses the exact pairs (so G6's oracle
+    * is the true transitive closure). A 100 TB deployment swaps this
+    * edge source for G4's LSH candidates re-ranked by this Jaccard —
+    * results then depend on index recall, which is why the exact form
+    * stays the correctness baseline here. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir, 3).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -230,7 +241,7 @@ object Dedup {
       // checkpoint the pairs BEFORE symmetrizing: a union of the raw
       // pipeline with its own swap would run the shingle pair join
       // twice in the checkpoint materialization
-      val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
         .localCheckpoint() // the shingle pipeline only runs once
       val edges = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -437,7 +448,7 @@ object Dedup {
         val bloomAgg = GraftSqlBridge.column(
           BloomFilterAggregate(GraftSqlBridge.expression(col("h")),
             CatLit(1000000L), CatLit(8L * 1024 * 1024), 0, 0).toAggregateExpression())
-        benchHashes.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+        benchHashes.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
       })
     require(bloomBytes != null, "benchmark shingle set is empty")
     val mightContain = GraftSqlBridge.column(BloomFilterMightContain(

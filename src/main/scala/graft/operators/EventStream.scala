@@ -180,12 +180,10 @@ object EventStream {
     * needed on the static side, the standard enrichment pattern for a
     * 100 TB event feed. One broadcast join + one tiny-key shuffle. */
   def enrichedRollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
-        col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        Analytics.dsum(col("value")).as("value_sum"))
+    // the SAME transform object the streaming twin runs — one plan
+    // definition, so batch/stream equivalence can't drift
+    graft.streaming.StreamOps.enrichedRollup(
+      Tables.events(spark, dir), Tables.customer(spark, dir))
 
   val enrichedRollupSql: String =
     """SELECT c_mktsegment AS segment, event_type,

@@ -119,7 +119,12 @@ object Persist {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
     val table = bucketedCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$dir:$mtime", _ => {
-        val name = "events_bucketed_" + math.abs(dir.hashCode).toString
+        // md5 prefix, not dir.hashCode: hashCode collides across dirs
+        // (one dir's table would silently serve another's data) and
+        // Int.MinValue would yield an invalid '-'-prefixed identifier
+        val name = "events_bucketed_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
         Bucketing.writeBucketed(
           Tables.events(spark, dir)
             .select("event_id", "user_id", "event_type", "value", "ts"),

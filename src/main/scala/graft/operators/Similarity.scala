@@ -9,16 +9,17 @@ import graft.functions.VectorOps._
 import graft.functions.VectorExpressions.vdotQuantizedNative
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (SURVEY §2.H). ALL four queries run on the integer-quantized
+  * (SURVEY §2.H). ALL queries run on the integer-quantized
   * representation (round(x*1e4) as long): integer dot products are
   * exact, and cosine derived as `dot / (sqrt(nsq_a) * sqrt(nsq_b))`
   * is a fixed sequence of IEEE-exact double ops on integer inputs —
-  * bit-identical in Spark and DuckDB, which is what lets H2-H4
+  * bit-identical in Spark and DuckDB, which is what lets H2-H7
   * hash-match a SQL oracle instead of being rows-only (float-sum
   * cosines differ across engines by summation order). The scale
-  * paths are LSH (H3) and IVF (H4): at 100 TB the candidate set per
-  * query is O(bucket) not O(n); both are equi-joins on bucket/cell
-  * keys so they shuffle-partition cleanly across a cluster. The
+  * paths are LSH (H3), IVF (H4/H6), and PQ (H7): at 100 TB the
+  * candidate work per query is O(bucket)/O(cell) or LUT-sized, never
+  * O(n·dim) over raw vectors; the bucketed ones are equi-joins so
+  * they shuffle-partition cleanly across a cluster. The
   * synthetic embeddings are near-random (max pairwise cosine ~0.5),
   * so recall bounds in specs are modest — the mechanisms (bucketing,
   * multiprobe, re-rank) are what's tested.
@@ -428,6 +429,10 @@ object Similarity {
         explode(typedLit((0 until PqM).toArray)).as("m"), col("qvec"))
       .select(col("code_id"), col("m"), subvec.as("cvec"))
       .withColumn("cn", vdotQuantizedNative(col("cvec"), col("cvec")))
+      // cached: enc and lut broadcast different projections of the
+      // codebook, which defeats exchange reuse — without the cache the
+      // hash-pick TakeOrdered over the full corpus runs twice per plan
+      .cache()
     val enc = emb.crossJoin(broadcast(codes))
       .withColumn("score",
         col("cn") - lit(2L) * vdotQuantizedNative(subvec, col("cvec")))
