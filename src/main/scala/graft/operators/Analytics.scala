@@ -496,7 +496,47 @@ object Analytics {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** K15 `k15_promo_revenue` — TPC-H Q14 shape: the promo share of
+    * one ship-month's revenue, a conditional-aggregate ratio over a
+    * broadcast part join. Both sums route through decimal (exact,
+    * order-insensitive) and only the FINAL division happens in
+    * doubles — one IEEE op on two exact inputs, so even the
+    * percentage hash-matches the oracle. Scale: date filter pushed to
+    * the lineitem scan, part broadcast, single partial-agg'd
+    * aggregation — no shuffle of lineitem at all. */
+  def k15PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(rev).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_revenue_pct"))
+  }
+
+  val k15Sql: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |                       THEN l_extendedprice*(1.0-l_discount)
+      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |)
+      |SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_revenue_pct
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k15_promo_revenue" -> (k15PromoRevenue _),
     "k13_linestatus_priority" -> (k13LinestatusPriority _),
     "k14_disjunctive_revenue" -> (k14DisjunctiveRevenue _),
     "k12_min_cost_supplier" -> (k12MinCostSupplier _),
@@ -513,6 +553,7 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k15_promo_revenue" -> k15Sql,
     "k13_linestatus_priority" -> k13Sql,
     "k14_disjunctive_revenue" -> k14Sql,
     "k12_min_cost_supplier" -> k12Sql,
