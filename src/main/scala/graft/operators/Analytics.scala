@@ -535,7 +535,166 @@ object Analytics {
       |  100.0 * promo_revenue / total_revenue AS promo_revenue_pct
       |FROM agg""".stripMargin
 
+  /** K16 `k16_returned_item_report` — TPC-H Q10 shape: revenue lost to
+    * returned items per customer for one order quarter, top 20.
+    * Scale: orders carries the date filter (pushed to its scan),
+    * lineitem carries the returnflag filter (pushed likewise); the
+    * join shuffles both sides once on orderkey, the per-customer
+    * rollup re-shuffles the small survivor set on custkey, and
+    * customer/nation are broadcast dims. Ordered LIMIT plans as
+    * TakeOrdered — no global sort materialization. */
+  def k16ReturnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val ret = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_returned_lines"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
+        col("revenue"), col("n_returned_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val k16Sql: String =
+    """SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_returned_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** K17 `k17_top_supplier_revenue` — TPC-H Q15 shape: the supplier(s)
+    * with maximum shipped revenue in one quarter. The global max is a
+    * one-row aggregate of the per-supplier rollup joined back — the
+    * set-oriented form of Q15's revenue view + scalar subquery, and
+    * the join-back equality is safe cross-engine because both sides
+    * are the same exact decimal sum cast once to double. Scale: the
+    * rollup shuffles lineitem once on suppkey (partial-agg'd), the
+    * 1-row max broadcasts back, supplier is a broadcast dim. */
+  def k17TopSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("total_revenue"))
+  }
+
+  val k17Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, s_acctbal, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
+
+  /** K18 `k18_nation_trade_volume` — TPC-H Q7 shape: shipped revenue
+    * between two specific nations (either direction) per ship year.
+    * Scale: supplier⋈nation and customer⋈nation are broadcast dims
+    * with their nation filters applied BEFORE the big joins, so the
+    * orders join only carries rows from the two nations; lineitem
+    * shuffles once on orderkey; the (supp_nation, cust_nation, year)
+    * rollup is tiny and partial-agg'd. */
+  def k18NationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cus = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val k18Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+      |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+      |  AND sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** K19 `k19_idle_customers` — TPC-H Q22 shape: per market segment,
+    * the count and total balance of LAPSED customers — above-average
+    * positive account balance and no order since mid-1998 (this
+    * synthetic data gives every customer early orders, so plain
+    * order-lessness is degenerate; the recency cutoff keeps Q22's
+    * anti-join semantics non-trivial). The global average is a
+    * one-row exact aggregate (decimal sum / count) broadcast into the
+    * filter; lapsed-ness is a left_anti join (the NOT EXISTS path —
+    * shuffles both sides once on custkey, no row multiplication; the
+    * orders side is cut down by the pushed date filter first). */
+  def k19IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.customer(spark, dir)
+    val avgBal = cus.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val rich = cus.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  val k19Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      |                     / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1998-06-01')
+      |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k16_returned_item_report" -> (k16ReturnedItemReport _),
+    "k17_top_supplier_revenue" -> (k17TopSupplierRevenue _),
+    "k18_nation_trade_volume" -> (k18NationTradeVolume _),
+    "k19_idle_customers" -> (k19IdleCustomers _),
     "k15_promo_revenue" -> (k15PromoRevenue _),
     "k13_linestatus_priority" -> (k13LinestatusPriority _),
     "k14_disjunctive_revenue" -> (k14DisjunctiveRevenue _),
@@ -553,6 +712,10 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k16_returned_item_report" -> k16Sql,
+    "k17_top_supplier_revenue" -> k17Sql,
+    "k18_nation_trade_volume" -> k18Sql,
+    "k19_idle_customers" -> k19Sql,
     "k15_promo_revenue" -> k15Sql,
     "k13_linestatus_priority" -> k13Sql,
     "k14_disjunctive_revenue" -> k14Sql,

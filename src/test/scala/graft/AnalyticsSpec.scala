@@ -95,4 +95,52 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(df.count() == n)
     assert(plan(df).contains("BroadcastHashJoin"))
   }
+
+  test("k15: promo + non-promo revenue partition the month's total") {
+    val r = run("k15_promo_revenue").collect().head
+    val promo = r.getAs[Double]("promo_revenue")
+    val total = r.getAs[Double]("total_revenue")
+    assert(promo >= 0.0 && promo <= total)
+    assert(r.getAs[Double]("promo_revenue_pct") == 100.0 * promo / total)
+  }
+
+  test("k16: top-20 returned-item customers, revenue descending, dims broadcast") {
+    val df = run("k16_returned_item_report")
+    val rows = df.collect()
+    assert(rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("k17: every returned supplier has the same (max) revenue") {
+    val rows = run("k17_top_supplier_revenue").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
+  test("k18: both nation directions only, year within ship range") {
+    val rows = run("k18_nation_trade_volume").collect()
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+    assert(rows.forall(r => r.getAs[Int]("l_year") >= 1995 &&
+      r.getAs[Int]("l_year") <= 2001))
+  }
+
+  test("k19: lapsed rich customers have no recent orders, above-average balance") {
+    val rows = run("k19_idle_customers").collect()
+    assert(rows.nonEmpty)
+    // cross-check the cohort total against a direct anti-join count
+    val cus = Tables.customer(spark, sf)
+    val avgBal = cus.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).head().getDouble(0)
+    val want = cus.filter(col("c_acctbal") > avgBal)
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(rows.map(_.getAs[Long]("numcust")).sum == want)
+  }
 }
