@@ -540,7 +540,85 @@ object Dedup {
        |SELECT vec_id AS doc_id, bucket FROM b
        |WHERE vec_id NOT IN (SELECT id_b FROM dominated)""".stripMargin
 
+  /** Window length (tokens) for G12's repeated-substring detection. */
+  private val SpanN = 8
+
+  /** G12 `dedup_substring_spans` — corpus-wide repeated-substring
+    * report, the set-oriented re-expression of exact-substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better" — public): every length-[[SpanN]] token window
+    * that appears verbatim in >= 2 distinct documents is "duplicated
+    * text"; per document we report how many of its windows are
+    * duplicated and the longest consecutive run of duplicated windows
+    * (the span a dedup pass would cut). Their suffix-array build is a
+    * single-machine algorithm; the Spark-native shape is rolling
+    * window hashes: bounded fan-out per doc (the 60-token cap =>
+    * <= 53 windows/doc), one count shuffle keyed by window hash
+    * (high-cardinality, partial-agg'd), and a per-doc island
+    * detection via (pos - row_number) grouping — all linear in corpus
+    * size. The duplicated-hash set is corpus-derived, so no broadcast
+    * hint: AQE picks the join strategy (same reasoning as G8). */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = when(size(col("w")) >= SpanN,
+        sequence(lit(1), size(col("w")) - (SpanN - 1)))
+      .otherwise(array().cast("array<int>"))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("w"))
+    val win = base
+      .select(col("doc_id"), explode(idx).as("pos"), col("w"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanN)))
+          .cast("binary")).as("h"))
+    val dup = win.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val islands = win.join(dup, "h")
+      .withColumn("grp", col("pos") - rn)
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+    val stats = islands.groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("dw"), max(col("run")).as("mr"))
+    base
+      .select(col("doc_id"),
+        greatest(lit(0), size(col("w")) - (SpanN - 1)).as("n_windows"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dw"), lit(0L)).as("dup_windows"),
+        coalesce(col("mr"), lit(0L)).as("max_dup_run"))
+  }
+
+  val substringSpansSql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
+       |  FROM documents
+       |), win0 AS (
+       |  SELECT doc_id, unnest(range(1, len(w) - ${SpanN - 2})) AS pos, w
+       |  FROM toksw WHERE len(w) >= $SpanN
+       |), win AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(w[pos:pos+${SpanN - 1}], ' ')) AS h
+       |  FROM win0
+       |), dup AS (
+       |  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+       |), isl AS (
+       |  SELECT doc_id,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM win JOIN dup USING (h)
+       |), runs AS (
+       |  SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT doc_id, CAST(SUM(run) AS BIGINT) AS dw, MAX(run) AS mr
+       |  FROM runs GROUP BY 1
+       |)
+       |SELECT t.doc_id,
+       |  CAST(greatest(0, len(w) - ${SpanN - 1}) AS INTEGER) AS n_windows,
+       |  COALESCE(s.dw, 0) AS dup_windows,
+       |  COALESCE(s.mr, 0) AS max_dup_run
+       |FROM toksw t LEFT JOIN stats s ON t.doc_id = s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> (substringSpans _),
     "dedup_embedding_neardup" -> (embeddingNearDup _),
     "dedup_clusters" -> (clusters _),
     "dedup_keep_corpus" -> (keepCorpus _),
@@ -553,6 +631,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> substringSpansSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,

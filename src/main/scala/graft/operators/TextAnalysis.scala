@@ -306,7 +306,135 @@ object TextAnalysis {
       |       THEN t.top_c * 1.0 / (b.n_words - 1) END AS top_bigram_frac
       |FROM base b LEFT JOIN topbg t ON b.doc_id = t.doc_id""".stripMargin
 
+  private val DsirBuckets = 4096L
+
+  /** I8 `text_dsir_weights` — DSIR-style data-selection importance
+    * weights (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — public): hashed word-bigram features,
+    * target distribution = the `lang = 'en'` slice, raw distribution =
+    * the whole corpus; per-doc log importance weight = sum over its
+    * bigram occurrences of ln(p_target(bucket) / p_raw(bucket)) with
+    * add-1 smoothing over [[DsirBuckets]] buckets. Cross-engine
+    * determinism: buckets come from md5 hex (engine-portable), the
+    * probability ratio is a fixed sequence of IEEE ops on exact
+    * integers, and each ln term is rounded to 6 dp then summed as
+    * DECIMAL(18,9) — order-insensitive, the I6 recipe. Scale: one
+    * explode+groupBy whose shuffle is bounded by the 4096-bucket key
+    * space (partial-agg'd to <= 4096 rows per mapper), a <= 4096-row
+    * broadcast weight table joined back, one per-doc agg. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs
+      .select(col("doc_id"), col("lang"), nonEmptyToks.as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("w")) >= 2,
+            expr("transform(sequence(1, size(w) - 1), " +
+              "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val feats = bigrams.select(col("doc_id"), col("lang"),
+      pmod(conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(DsirBuckets)).as("bucket"))
+    val rCnt = feats.groupBy(col("bucket")).agg(count(lit(1)).as("r_cnt"))
+    val tCnt = feats.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val totals = rCnt.agg(sum(col("r_cnt")).as("r_total"))
+      .crossJoin(tCnt.agg(sum(col("t_cnt")).as("t_total")))
+    val weights = rCnt.join(tCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), round(log(
+        ((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double") /
+          (col("t_total") + DsirBuckets).cast("double")) /
+        ((col("r_cnt") + 1).cast("double") /
+          (col("r_total") + DsirBuckets).cast("double"))), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lw"))
+    val perDoc = feats.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("lw")).cast("double").as("lwsum"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lwsum"), lit(0.0)).as("log_weight"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM toksw WHERE len(w) >= 2
+       |), feats AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(bg), 1, 15)) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM bg
+       |), r AS (
+       |  SELECT bucket, COUNT(*) AS r_cnt FROM feats GROUP BY 1
+       |), t AS (
+       |  SELECT bucket, COUNT(*) AS t_cnt FROM feats WHERE lang = 'en' GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT CAST(SUM(r_cnt) AS BIGINT) FROM r) AS r_total,
+       |         (SELECT CAST(SUM(t_cnt) AS BIGINT) FROM t) AS t_total
+       |), wt AS (
+       |  SELECT bucket, CAST(ROUND(ln(
+       |      (CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)
+       |        / CAST(t_total + $DsirBuckets AS DOUBLE)) /
+       |      (CAST(r_cnt + 1 AS DOUBLE)
+       |        / CAST(r_total + $DsirBuckets AS DOUBLE))), 6)
+       |    AS DECIMAL(18,9)) AS lw
+       |  FROM r LEFT JOIN t USING (bucket) CROSS JOIN tot
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(SUM(lw) AS DOUBLE) AS lwsum
+       |  FROM feats JOIN wt USING (bucket) GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(p.nb, 0) AS n_bigrams,
+       |  COALESCE(p.lwsum, 0.0) AS log_weight
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+
+  private val BpeTopK = 30
+
+  /** I9 `text_bpe_pair_stats` — the statistics pass behind a BPE
+    * tokenizer-training step (Sennrich et al. 2016 — public): corpus
+    * frequencies of adjacent within-word character pairs, top
+    * [[BpeTopK]] with a deterministic (count desc, pair asc)
+    * tie-break — i.e. the candidate merge table for the first BPE
+    * merge. Scale: explode is bounded by text length, the count
+    * shuffles once on the pair key (high-cardinality, partial-agg'd),
+    * and the top-k is an ordered LIMIT (TakeOrdered — no global
+    * sort); the rank window runs on the <= [[BpeTopK]]-row survivor
+    * set only. */
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(nonEmptyToks).as("t"))
+      .select(explode(when(length(col("t")) >= 2,
+          expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(BpeTopK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
+  val bpePairStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+       |  FROM documents
+       |), p AS (
+       |  SELECT unnest(list_transform(range(1, length(t)), i -> substring(t, i, 2))) AS pair
+       |  FROM t WHERE length(t) >= 2
+       |), c AS (
+       |  SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+       |  ORDER BY cnt DESC, pair LIMIT $BpeTopK
+       |)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_weights" -> (dsirWeights _),
+    "text_bpe_pair_stats" -> (bpePairStats _),
     "text_repetition_signals" -> (repetitionSignals _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -316,6 +444,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_dsir_weights" -> dsirWeightsSql,
+    "text_bpe_pair_stats" -> bpePairStatsSql,
     "text_repetition_signals" -> repetitionSignalsSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,

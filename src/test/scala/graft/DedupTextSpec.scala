@@ -164,4 +164,57 @@ class DedupTextSpec extends SparkSpecBase {
     assert(!flattenPlan(executedPlan(lsh)).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
+
+  test("G12 substring spans: run/window invariants hold; exact dup docs fully flagged") {
+    val rows = run("dedup_substring_spans").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val nw = r.getAs[Int]("n_windows").toLong
+      val dw = r.getAs[Long]("dup_windows")
+      val mr = r.getAs[Long]("max_dup_run")
+      assert(dw >= 0 && dw <= nw)
+      assert(mr <= dw && (dw == 0 || mr >= 1))
+    }
+    // independent recount on raw window STRINGS (no hashing, no
+    // island machinery): the flagged-doc set must agree exactly
+    val w8 = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        slice(filter(split(col("text"), " "), c => c =!= ""), 1, 60).as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 8,
+          expr("transform(sequence(1, size(w) - 7), " +
+            "i -> concat_ws(' ', slice(w, i, 8)))"))
+        .otherwise(array().cast("array<string>"))).as("win"))
+    val shared = w8.groupBy(col("win"))
+      .agg(count_distinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .join(w8, "win").select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shared.nonEmpty, "test corpus should contain shared 8-token spans")
+    val flagged = rows.filter(_.getAs[Long]("dup_windows") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == shared)
+  }
+
+  test("I8 DSIR weights: en docs score higher on average; zero-bigram docs weight 0") {
+    val rows = run("text_dsir_weights").collect()
+    val langs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = rows.partition(r => langs(r.getAs[Long]("doc_id")) == "en")
+    def meanPer(b: Array[org.apache.spark.sql.Row]) =
+      b.map(r => r.getAs[Double]("log_weight") /
+        math.max(1L, r.getAs[Long]("n_bigrams"))).sum / b.length
+    assert(meanPer(en) > meanPer(other),
+      "target-domain (en) docs must receive higher mean importance weight")
+    rows.filter(_.getAs[Long]("n_bigrams") == 0)
+      .foreach(r => assert(r.getAs[Double]("log_weight") == 0.0))
+  }
+
+  test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
+    val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 30)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 30))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+  }
 }
