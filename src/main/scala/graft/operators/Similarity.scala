@@ -549,7 +549,68 @@ object Similarity {
        |  FROM qids q LEFT JOIN hp ON q.qid = hp.qid
        |)""".stripMargin
 
+  private val SubVecs = 4
+  private val SubDim = 16
+
+  /** H8 `sim_maxsim_multivec` — multi-vector late-interaction scoring
+    * (the MaxSim operator of ColBERT, Khattab & Zaharia 2020 —
+    * public): each 64-dim embedding is treated as [[SubVecs]]
+    * sub-vectors of [[SubDim]] dims (the stand-in for per-token
+    * embeddings); score(q, d) = sum over query sub-vectors of the max
+    * dot product against any doc sub-vector. Top-K per query with
+    * deterministic tie-break. All-integer dots on quantized
+    * sub-vectors -> exact cross-engine ranks. Scale: the doc side
+    * explodes by a constant [[SubVecs]] (bounded), the query side is
+    * a broadcast of NQueries*[[SubVecs]] rows, and both aggregations
+    * partial-agg map-side. Like H1 this exact scorer is the
+    * correctness baseline: a 100 TB deployment runs per-sub-vector
+    * ANN (H3/H7 per segment) to generate candidates and this MaxSim
+    * as the re-rank over the candidate set only. */
+  def maxsimMultivec(spark: SparkSession, dir: String): DataFrame = {
+    val segArr = array((0 until SubVecs).map(i =>
+      struct(lit(i).as("seg_i"),
+        slice(col("qvec"), i * SubDim + 1, SubDim).as("seg"))): _*)
+    val segs = quantized(spark, dir)
+      .select(col("vec_id"), explode(segArr).as("s"))
+      .select(col("vec_id"), col("s.seg_i").as("seg_i"), col("s.seg").as("seg"))
+    val q = segs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("seg_i").as("qi"), col("seg").as("qseg"))
+    val perQSeg = segs.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", vdotQuantizedNative(col("qseg"), col("seg")))
+      .groupBy(col("qid"), col("vec_id"), col("qi"))
+      .agg(max(col("dot")).as("m"))
+    val score = perQSeg.groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("m")).as("maxsim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("vec_id"))
+    score.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("maxsim"))
+  }
+
+  val maxsimMultivecSql: String =
+    s"""WITH $qnSqlCte, segs AS (
+       |  SELECT vec_id, i AS seg_i,
+       |    qvec[(i*$SubDim+1):(i*$SubDim+$SubDim)] AS seg
+       |  FROM qnn CROSS JOIN (SELECT unnest(range(0, $SubVecs)) AS i)
+       |), per_qseg AS (
+       |  SELECT q.vec_id AS qid, d.vec_id, q.seg_i AS qi,
+       |    MAX(${dotSql("q.seg", "d.seg")}) AS m
+       |  FROM segs q JOIN segs d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY 1, 2, 3
+       |), score AS (
+       |  SELECT qid, vec_id, CAST(SUM(m) AS BIGINT) AS maxsim
+       |  FROM per_qseg GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, vec_id, maxsim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY maxsim DESC, vec_id) AS rank
+       |  FROM score
+       |)
+       |SELECT qid, rank, vec_id, maxsim FROM ranked WHERE rank <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_maxsim_multivec" -> (maxsimMultivec _),
     "sim_pq_adc" -> (pqAdc _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_cosine_pairs" -> (cosinePairs _),
@@ -559,6 +620,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_maxsim_multivec" -> maxsimMultivecSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_topk_bruteforce" -> topkBruteforceSql,
     "sim_cosine_pairs" -> cosinePairsSql,

@@ -132,6 +132,24 @@ class SimilaritySpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("H8 MaxSim: k ranked rows per query, no self, dominates the full dot") {
+    val ms = run("sim_maxsim_multivec").collect()
+    val byQ = ms.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.forall(_._2.length == 10))
+    assert(ms.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    // sum of per-segment maxima >= sum of aligned-segment dots = full
+    // dot product — check against H1's exact dots on shared pairs
+    val h1 = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("dot"))
+      .toMap
+    val shared = ms.flatMap { r =>
+      h1.get((r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .map(d => (r.getAs[Long]("maxsim"), d))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (maxsim, dot) => assert(maxsim >= dot) }
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
