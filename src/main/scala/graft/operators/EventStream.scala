@@ -192,7 +192,41 @@ object EventStream {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** L7 `stream_session_window` — Spark's NATIVE session_window
+    * operator (vs L2's hand-rolled lag+cumsum): per-user sessions
+    * that end 30 minutes after their last event. Same transform
+    * object as the streaming twin (StreamOps.sessionWindowAgg) so the
+    * two can't drift. Scale: one shuffle on user_id; the session
+    * merge runs inside Spark's session-window aggregation (partial
+    * merge map-side), state in streaming bounded by the watermark. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionWindowAgg(Tables.events(spark, dir))
+
+  /** Islands with the session_window boundary rule: windows merge on
+    * overlap, so a NEW session starts at gap >= 30 min (L2's lag rule
+    * uses > — the two queries pin both conventions). */
+  val sessionWindowAggSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS BIGINT) AS session_num
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM numbered GROUP BY user_id, session_num""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_window" -> (sessionWindowAgg _),
     "stream_enriched_rollup" -> (enrichedRollup _),
     "stream_tumbling_agg" -> (tumblingAgg _),
     "stream_sessionize" -> (sessionize _),
@@ -201,6 +235,7 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_session_window" -> sessionWindowAggSql,
     "stream_enriched_rollup" -> enrichedRollupSql,
     "stream_tumbling_agg" -> tumblingAggSql,
     "stream_sessionize" -> sessionizeSql,

@@ -59,6 +59,28 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         graft.operators.Analytics.dsum(col("value")).as("value_sum"))
 
+  /** L7 shared batch/stream — NATIVE session windows: Spark's
+    * session_window operator merges per-user event windows
+    * [ts, ts+30min) that overlap, so a session ends 30 minutes after
+    * its last event. One transform object serves both the batch query
+    * (the oracle) and the streaming twin (append mode once the
+    * watermark passes a session's end; state is per open session and
+    * expires with the watermark — Spark's built-in replacement for the
+    * hand-rolled flatMapGroupsWithState sessionizer in [[sessionize]]).
+    * Boundary semantics differ from L2 by design: windows merge on
+    * OVERLAP (gap strictly less than 30 min), while L2's lag rule also
+    * merges at exactly 30 min — both are documented, L2 matches the
+    * reference's gap rule, this matches Spark's operator. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Analytics.dsum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
   /** L1 streaming — tumbling 1h windows with a 10-minute watermark;
     * append mode emits a window only once the watermark passes its
     * end (exactly-once per window). */

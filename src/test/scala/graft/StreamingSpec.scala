@@ -51,6 +51,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L7 native session_window streaming twin matches the batch query") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sessionWindowAgg(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("s_sesswin")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val cols = Seq("user_id", "session_start", "session_end", "n_events", "value_sum")
+    val got = spark.table("s_sesswin")
+      .filter(col("user_id") =!= -1L)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val want = run("stream_session_window")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("L2 streaming sessionization matches batch sessions exactly") {
     val ms = MemoryStream[Event]
     val q = StreamOps.sessionize(ms.toDS(), spark)
