@@ -31,7 +31,8 @@ object SparkEntry {
       operators.EventStream.queries ++
       operators.Multimodal.queries ++
       operators.Corpus.queries ++
-      operators.Skew.queries
+      operators.Skew.queries ++
+      operators.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.EventStream.oracles ++
       operators.Multimodal.oracles ++
       operators.Corpus.oracles ++
-      operators.Skew.oracles
+      operators.Skew.oracles ++
+      operators.Bucketing.oracles
 }

@@ -33,6 +33,28 @@ class BucketingSpec extends SparkSpecBase {
     assert(shuffles == 0, s"bucketed upsert should not shuffle, got $shuffles")
   }
 
+  test("N2 partition prune: executed scan reads only the queried day's files") {
+    val df = run("store_partition_prune")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // planning-time pruning: every file the EXECUTED scan actually
+    // selected lives in the queried partition directory (note
+    // df.inputFiles would report the relation's full file list)
+    val scan = flattenPlan(executedPlan(df)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val files = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("event_date=2024-01-15")),
+      s"unpruned files: ${files.filterNot(_.contains("event_date=2024-01-15")).take(3).mkString(", ")}")
+    // and the rollup matches the flat-table filter
+    val want = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit("2024-01-15"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap == want)
+  }
+
   test("aggregation on the bucket key needs no exchange") {
     val agg = spark.table("events_bucketed")
       .groupBy("user_id").agg(sum("value").as("total"))
