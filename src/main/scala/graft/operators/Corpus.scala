@@ -382,7 +382,90 @@ object Corpus {
        |       THEN 'train' ELSE 'val' END AS split
        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  /** M9 `corpus_quality_funnel` — the keep/drop decision a filtering
+    * pass actually emits: each doc is tested against ordered quality
+    * rules (the C4/Gopher-style funnel — Raffel et al. 2020, Rae et
+    * al. 2021, public) and labeled with the FIRST failing rule, so
+    * per-reason drop counts tell you which rule is eating the corpus
+    * (the standard funnel report). Rules, in order: too_short
+    * (< 10 words), too_repetitive (distinct/total words < 0.5),
+    * too_punct (punct chars > 30% of text), else keep. All signals
+    * are exact-integer ratios (bit-identical cross-engine). Scale:
+    * pure scan-project — no shuffle, no joins; the funnel of a
+    * 100 TB corpus costs one pass. */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = nonEmptyToks
+    val nWords = size(w)
+    val nDistinct = size(array_distinct(w))
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val verdict =
+      when(nWords < 10, "too_short")
+        .when(nDistinct.cast("double") / nWords.cast("double") < 0.5, "too_repetitive")
+        .when(punct.cast("double") / length(col("text")).cast("double") > 0.3, "too_punct")
+        .otherwise("keep")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"), verdict.as("verdict"))
+  }
+
+  val qualityFunnelSql: String =
+    """SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+      |  CASE
+      |    WHEN n_words < 10 THEN 'too_short'
+      |    WHEN CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.5
+      |      THEN 'too_repetitive'
+      |    WHEN CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.3
+      |      THEN 'too_punct'
+      |    ELSE 'keep'
+      |  END AS verdict
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_words,
+      |    len(list_distinct(list_filter(str_split(text, ' '), x -> x <> '')))
+      |      AS n_distinct,
+      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct,
+      |    length(text) AS n_chars
+      |  FROM documents
+      |)""".stripMargin
+
+  private val ShuffleShards = 64
+
+  /** M10 `corpus_shuffle_shards` — deterministic global training-order
+    * shuffle: every doc gets a shard (md5 mod [[ShuffleShards]]) and a
+    * position within its shard (rank by md5 hex, doc_id tie-break) —
+    * the reproducible corpus shuffle a data loader consumes
+    * shard-by-shard (epoch reshuffle = change the salt). No RNG
+    * state: the same corpus always yields the same order. Scale: one
+    * shuffle keyed by shard; the within-shard rank is a sort of
+    * shard-sized data (at 100 TB raise [[ShuffleShards]] so shards
+    * fit a task — the knob is the same files-per-task sizing every
+    * shuffled write uses). */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("shuf0:"), col("doc_id").cast("string")))
+    val shard = pmod(conv(substring(h, 1, 15), 16, 10).cast("long"),
+      lit(ShuffleShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val shuffleShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('shuf0:' || doc_id) AS h,
+       |    CAST(('0x' || substring(md5('shuf0:' || doc_id), 1, 15)) AS BIGINT)
+       |      % $ShuffleShards AS shard
+       |  FROM documents
+       |)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |    AS INTEGER) AS pos
+       |FROM h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_funnel" -> (qualityFunnel _),
+    "corpus_shuffle_shards" -> (shuffleShards _),
     "corpus_split_leakfree" -> (splitLeakFree _),
     "corpus_resample" -> (resample _),
     "corpus_pii_redact" -> (piiRedact _),
@@ -393,6 +476,8 @@ object Corpus {
     "corpus_mix_weights" -> (mixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_quality_funnel" -> qualityFunnelSql,
+    "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_split_leakfree" -> splitLeakFreeSql,
     "corpus_resample" -> resampleSql,
     "corpus_source_cap" -> sourceCapSql,

@@ -155,4 +155,29 @@ class CorpusSpec extends SparkSpecBase {
     assert(frac > 0.8 && frac < 0.98, s"train fraction $frac out of band")
     split.unpersist()
   }
+
+  test("M9 quality funnel: every doc gets exactly one verdict, rules fire in order") {
+    val rows = run("corpus_quality_funnel").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val verdicts = rows.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.subsetOf(Set("keep", "too_short", "too_repetitive", "too_punct")))
+    assert(verdicts.contains("keep"), "funnel should keep most of this corpus")
+    // first-failing-rule ordering: any doc labeled too_repetitive or
+    // too_punct must NOT also be too_short
+    rows.filter(r => r.getAs[String]("verdict") != "too_short")
+      .foreach(r => assert(r.getAs[Int]("n_words") >= 10))
+  }
+
+  test("M10 shuffle shards: dense positions per shard, deterministic across runs") {
+    val a = run("corpus_shuffle_shards").collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    assert(a.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 64))
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val ps = rs.map(_.getAs[Int]("pos")).sorted
+      assert(ps.toSeq == (1 to rs.length), "positions must be dense 1..n per shard")
+    }
+    // reproducible: same corpus -> identical order
+    val b = run("corpus_shuffle_shards").collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
 }
