@@ -609,7 +609,40 @@ object Similarity {
        |)
        |SELECT qid, rank, vec_id, maxsim FROM ranked WHERE rank <= $K""".stripMargin
 
+  private val RangeTau = 0.2
+
+  /** H9 `sim_range_search` — range (radius) search, the other standard
+    * vector-store query shape next to top-k: ALL corpus vectors with
+    * cosine >= [[RangeTau]] of each query vector, however many there
+    * are. Same integer-quantized cosine as H2-H4 (bit-identical
+    * cross-engine, so even the similarity values hash-match). Scale:
+    * same shape as H1 — queries broadcast, one streaming pass over
+    * the corpus, no per-query state; the 100 TB path prunes
+    * candidates with the H3/H4 buckets first and range-checks only
+    * the candidate set. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"))
+    emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
+      .filter(col("cosine") >= RangeTau)
+      .select(col("qid"), col("vec_id"), col("cosine"))
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH $qnSqlCte, q AS (
+       |  SELECT vec_id AS qid, qvec AS qq, nsq AS qn
+       |  FROM qnn WHERE vec_id < $NQueries
+       |)
+       |SELECT qid, vec_id,
+       |  ${cosSql(dotSql("qq", "qvec"), "qn", "nsq")} AS cosine
+       |FROM qnn JOIN q ON vec_id <> qid
+       |WHERE ${cosSql(dotSql("qq", "qvec"), "qn", "nsq")} >= $RangeTau""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_search" -> (rangeSearch _),
     "sim_maxsim_multivec" -> (maxsimMultivec _),
     "sim_pq_adc" -> (pqAdc _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
@@ -620,6 +653,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_range_search" -> rangeSearchSql,
     "sim_maxsim_multivec" -> maxsimMultivecSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_topk_bruteforce" -> topkBruteforceSql,

@@ -150,6 +150,22 @@ class SimilaritySpec extends SparkSpecBase {
     shared.foreach { case (maxsim, dot) => assert(maxsim >= dot) }
   }
 
+  test("H9 range search: all above threshold, superset of H2 pairs touching a query") {
+    val rs = run("sim_range_search").collect()
+    assert(rs.nonEmpty)
+    assert(rs.forall(_.getAs[Double]("cosine") >= 0.2))
+    assert(rs.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    val got = rs.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    // H2's all-pairs set (cosine >= 0.35 > 0.2): any pair involving a
+    // query id must appear here, in the query->neighbor orientation
+    val h2 = run("sim_cosine_pairs").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val expected = h2.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).filter(_._1 < 8)
+    }.toSet
+    assert(expected.nonEmpty && expected.subsetOf(got))
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
