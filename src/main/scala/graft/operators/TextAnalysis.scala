@@ -331,18 +331,23 @@ object TextAnalysis {
             expr("transform(sequence(1, size(w) - 1), " +
               "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
           .otherwise(array().cast("array<string>"))).as("bg"))
+    // cached: the exploded feature stream feeds both the bucket-count
+    // aggregation and the per-doc weight join — one synth+explode pass
     val feats = bigrams.select(col("doc_id"), col("lang"),
       pmod(conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
-        .cast("long"), lit(DsirBuckets)).as("bucket"))
-    val rCnt = feats.groupBy(col("bucket")).agg(count(lit(1)).as("r_cnt"))
-    val tCnt = feats.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
-    val totals = rCnt.agg(sum(col("r_cnt")).as("r_total"))
-      .crossJoin(tCnt.agg(sum(col("t_cnt")).as("t_total")))
-    val weights = rCnt.join(tCnt, Seq("bucket"), "left")
+        .cast("long"), lit(DsirBuckets)).as("bucket")).cache()
+    // raw and target counts in ONE aggregation (t_cnt = conditional
+    // count), not two passes + a join: buckets with no target hits get
+    // t_cnt = 0 directly, which is what the add-1 smoothing wants
+    val cnts = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("r_cnt"),
+        count(when(col("lang") === "en", lit(1))).as("t_cnt"))
+    val totals = cnts.agg(sum(col("r_cnt")).as("r_total"),
+      sum(col("t_cnt")).as("t_total"))
+    val weights = cnts
       .crossJoin(broadcast(totals))
       .select(col("bucket"), round(log(
-        ((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double") /
+        ((col("t_cnt") + 1).cast("double") /
           (col("t_total") + DsirBuckets).cast("double")) /
         ((col("r_cnt") + 1).cast("double") /
           (col("r_total") + DsirBuckets).cast("double"))), 6)
