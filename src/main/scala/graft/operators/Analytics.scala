@@ -586,11 +586,16 @@ object Analytics {
     * rollup shuffles lineitem once on suppkey (partial-agg'd), the
     * 1-row max broadcasts back, supplier is a broadcast dim. */
   def k17TopSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the rollup subtree feeds both the 1-row max and the
+    // join-back — Spark plans common subtrees twice, and without the
+    // cache that is two full lineitem scans; the cached rollup is
+    // supplier-sized (tiny at any SF)
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      .cache()
     val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
       .join(broadcast(Tables.supplier(spark, dir)),
@@ -690,7 +695,32 @@ object Analytics {
       |                    AND o.o_orderdate >= TIMESTAMP '1998-06-01')
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** K21 `k21_supplier_variety` — TPC-H Q16 shape: how many distinct
+    * suppliers ship each (brand, size) part family, excluding one
+    * brand. Exercises the COUNT(DISTINCT) path: Spark plans it as a
+    * two-level aggregate (partial distinct on (group, suppkey)
+    * map-side, then the count) — no row explosion, one logical
+    * shuffle on the group keys. part is a broadcast dim with the
+    * brand filter applied before the join. */
+  def k21SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#45")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val k21Sql: String =
+    """SELECT p_brand, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45'
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k21_supplier_variety" -> (k21SupplierVariety _),
     "k16_returned_item_report" -> (k16ReturnedItemReport _),
     "k17_top_supplier_revenue" -> (k17TopSupplierRevenue _),
     "k18_nation_trade_volume" -> (k18NationTradeVolume _),
@@ -712,6 +742,7 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k21_supplier_variety" -> k21Sql,
     "k16_returned_item_report" -> k16Sql,
     "k17_top_supplier_revenue" -> k17Sql,
     "k18_nation_trade_volume" -> k18Sql,

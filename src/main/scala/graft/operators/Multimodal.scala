@@ -303,15 +303,69 @@ object Multimodal {
        |  CAST(SUM((doc_id * 19 + x * 23 + y * 29) % 256) AS BIGINT) AS sum_b
        |FROM pxy GROUP BY doc_id""".stripMargin
 
+  private val ImgGroups = 100
+
+  /** J6 `multimodal_image_dedup` — dedup of a multimodal corpus by
+    * DECODED content, not raw bytes (the point of perceptual dedup:
+    * re-encoded copies differ byte-wise but decode identically).
+    * Media synth deliberately reuses images across docs (image id =
+    * doc_id % [[ImgGroups]], ~5 copies each), each PNG is REALLY
+    * decoded through the J5 codec seam, and the dedup key is a
+    * fingerprint of the decoded channel statistics — the stand-in for
+    * a perceptual hash (pHash/dHash would drop into the same
+    * fingerprint column; channel sums keep it exactly
+    * oracle-checkable). Downstream is G1's shape: one shuffle on the
+    * fingerprint, keeper = min doc_id. */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] =
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, synthPng(id % ImgGroups)))
+        }.toDF("doc_id", "media").as[(Long, Array[Byte])]
+    val decoded = media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { case (id, bytes) => decodeImage(id, bytes) }
+      }
+    }.toDF()
+    decoded
+      .groupBy(md5(concat_ws(":", col("width"), col("height"), col("sum_r"),
+        col("sum_g"), col("sum_b")).cast("binary")).as("img_fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val imageDedupSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, doc_id % $ImgGroups AS gid,
+       |    unnest(range(0, $ImgW)) AS x
+       |  FROM documents
+       |), pxy AS (
+       |  SELECT doc_id, gid, x, unnest(range(0, $ImgH)) AS y FROM px
+       |), dec AS (
+       |  SELECT doc_id,
+       |    CAST(SUM((gid * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+       |    CAST(SUM((gid * 11 + x * 13 + y * 17) % 256) AS BIGINT) AS sum_g,
+       |    CAST(SUM((gid * 19 + x * 23 + y * 29) % 256) AS BIGINT) AS sum_b
+       |  FROM pxy GROUP BY 1
+       |)
+       |SELECT md5($ImgW || ':' || $ImgH || ':' || sum_r || ':' || sum_g
+       |    || ':' || sum_b) AS img_fingerprint,
+       |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+       |FROM dec GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_feature_stub" -> (featureStub _),
     "multimodal_frame_sample" -> (frameSample _),
     "multimodal_resize_stub" -> (resizeStub _),
-    "multimodal_decode_real" -> (decodeReal _))
+    "multimodal_decode_real" -> (decodeReal _),
+    "multimodal_image_dedup" -> (imageDedup _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_feature_stub" -> featureStubSql,
     "multimodal_frame_sample" -> frameSampleSql,
     "multimodal_resize_stub" -> resizeStubSql,
-    "multimodal_decode_real" -> decodeRealSql)
+    "multimodal_decode_real" -> decodeRealSql,
+    "multimodal_image_dedup" -> imageDedupSql)
 }

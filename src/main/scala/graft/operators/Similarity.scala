@@ -641,7 +641,48 @@ object Similarity {
        |FROM qnn JOIN q ON vec_id <> qid
        |WHERE ${cosSql(dotSql("qq", "qvec"), "qn", "nsq")} >= $RangeTau""".stripMargin
 
+  /** H10 `sim_filtered_search` — metadata-filtered ("hybrid") search:
+    * top-k per query among vectors whose document passes a metadata
+    * predicate (lang = 'en'), the filter+vector query every vector
+    * store serves. The predicate applies BEFORE scoring (a left_semi
+    * against the qualifying id set), so only qualifying vectors are
+    * scored — the hybrid-search analogue of predicate pushdown; at
+    * 100 TB the id set comes from the metadata index and AQE picks
+    * broadcast vs shuffle for the semi join. Scoring/ranking is H1's
+    * exact integer path. */
+  def filteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val enIds = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    emb.join(enIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
+  }
+
+  val filteredSearchSql: String =
+    s"""WITH $qnSqlCte, en AS (
+       |  SELECT qnn.* FROM qnn JOIN documents ON vec_id = doc_id
+       |  WHERE lang = 'en'
+       |), q AS (
+       |  SELECT vec_id AS qid, qvec AS qq FROM qnn WHERE vec_id < $NQueries
+       |), d AS (
+       |  SELECT qid, vec_id, ${dotSql("qq", "qvec")} AS dot
+       |  FROM en JOIN q ON vec_id <> qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, vec_id, dot FROM ranked WHERE rank <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_filtered_search" -> (filteredSearch _),
     "sim_range_search" -> (rangeSearch _),
     "sim_maxsim_multivec" -> (maxsimMultivec _),
     "sim_pq_adc" -> (pqAdc _),
@@ -653,6 +694,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_filtered_search" -> filteredSearchSql,
     "sim_range_search" -> rangeSearchSql,
     "sim_maxsim_multivec" -> maxsimMultivecSql,
     "sim_pq_adc" -> pqAdcSql,

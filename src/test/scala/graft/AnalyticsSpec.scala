@@ -128,6 +128,17 @@ class AnalyticsSpec extends SparkSpecBase {
       r.getAs[Int]("l_year") <= 2001))
   }
 
+  test("k21: distinct supplier counts bounded, excluded brand absent") {
+    val rows = run("k21_supplier_variety").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("p_brand") != "Brand#45"))
+    val nSuppliers = Tables.supplier(spark, sf).count()
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("supplier_cnt")
+      assert(cnt >= 1 && cnt <= r.getAs[Long]("n_lines") && cnt <= nSuppliers)
+    }
+  }
+
   test("k19: lapsed rich customers have no recent orders, above-average balance") {
     val rows = run("k19_idle_customers").collect()
     assert(rows.nonEmpty)

@@ -86,4 +86,15 @@ class MultimodalSpec extends SparkSpecBase {
       .count() == 0)
     df.unpersist()
   }
+
+  test("J6 image dedup: copies collapse to their min-id keeper, corpus covered") {
+    val rows = run("multimodal_image_dedup").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // image id = doc_id % 100 -> at most 100 decoded-content groups
+    assert(rows.length <= 100)
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == nDocs)
+    // keeper of group g is g itself (the smallest id with id % 100 == g)
+    assert(rows.forall(_.getAs[Long]("keeper_doc_id") < 100))
+    assert(rows.map(_.getAs[String]("img_fingerprint")).distinct.length == rows.length)
+  }
 }

@@ -166,6 +166,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(expected.nonEmpty && expected.subsetOf(got))
   }
 
+  test("H10 filtered search: only en-doc vectors returned, scores match H1") {
+    val fs = run("sim_filtered_search").collect()
+    assert(fs.nonEmpty)
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fs.forall(r => en.contains(r.getAs[Long]("vec_id"))))
+    // shared (qid, vec_id) pairs must score identically to H1
+    val h1 = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("dot"))
+      .toMap
+    val shared = fs.flatMap(r =>
+      h1.get((r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .map(d => (r.getAs[Long]("dot"), d)))
+    shared.foreach { case (a, b) => assert(a == b) }
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
