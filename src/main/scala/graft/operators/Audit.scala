@@ -38,6 +38,32 @@ object Audit {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** F10 `audit_retention_expiry` — the retention sweep's deletion
+    * manifest: every audit partition (tenant/date/hour) older than
+    * the retention cutoff, with its row count — the set-algebra
+    * behind an S3 lifecycle rule / DynamoDB TTL pass. Deleting by
+    * PARTITION (not by row) is what makes retention O(partitions) at
+    * 100 TB: the sweep reads the partition listing, not the data, and
+    * each expired directory drops atomically. Deterministic ordered
+    * output (it's a work list). */
+  def retentionExpiry(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"),
+        hour(col("ts")).as("audit_hour"))
+      .agg(count(lit(1)).as("n_rows_expiring"))
+      .filter(col("audit_date") < "2024-01-08")
+      .orderBy(col("tenant_id"), col("audit_date"), col("audit_hour"))
+
+  val retentionExpirySql: String =
+    """SELECT 't' || (user_id % 4) AS tenant_id,
+      |  strftime(ts, '%Y-%m-%d') AS audit_date,
+      |  CAST(hour(ts) AS INT) AS audit_hour,
+      |  COUNT(*) AS n_rows_expiring
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') < '2024-01-08'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Service routing of the reference pipeline: signup/click/view hit
     * ingest, purchases persist, errors land in the DLQ. */
   private val serviceCol =
@@ -355,6 +381,7 @@ object Audit {
       |FROM events GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_retention_expiry" -> (retentionExpiry _),
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
     "audit_distinct_users_sketch" -> (distinctUsersSketch _),
     "audit_partition_counts" -> (partitionCounts _),
@@ -366,6 +393,7 @@ object Audit {
     "audit_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "audit_retention_expiry" -> retentionExpirySql,
     "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,
     "audit_distinct_users_sketch" -> distinctUsersSketchSql,
     "audit_partition_counts" -> partitionCountsSql,

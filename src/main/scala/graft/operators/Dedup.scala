@@ -617,7 +617,75 @@ object Dedup {
        |  COALESCE(s.mr, 0) AS max_dup_run
        |FROM toksw t LEFT JOIN stats s ON t.doc_id = s.doc_id""".stripMargin
 
+  private val SemCells = 16
+  private val SemTau = 0.35
+
+  /** G13 `dedup_semdedup` — semantic dedup in the shape of SemDeDup
+    * (Abbas et al. 2023, public): cluster the embedding space, then
+    * drop near-duplicates WITHIN each cluster (cosine >= [[SemTau]]
+    * to a smaller-id member), keep everything else. Clustering here
+    * is the H4 discipline — deterministic hash-picked centroids,
+    * nearest-centroid assignment (the paper k-means a sample; the
+    * cell mechanics are identical and exactly oracle-checkable).
+    * Complements G9: same drop rule, but blocking by semantic cell
+    * instead of LSH bucket. Scale: assignment is one
+    * broadcast-centroids pass; the intra-cell pair join is keyed by
+    * cell (never all-pairs); the drop set leaves via anti-join.
+    * [[SemCells]] is the tuning knob — production uses ~sqrt(n)
+    * cells so cells stay bounded. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.vdotQuantizedNative
+    val emb = Similarity.quantized(spark, dir)
+    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(SemCells)
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cent_cos", Similarity.cosineQ(
+        vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
+    val x = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("qvec").as("qa"), col("nsq").as("na"))
+    val y = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("qvec").as("qb"), col("nsq").as("nb"))
+    val dominated = x.join(y, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosineQ(
+        vdotQuantizedNative(col("qa"), col("qb")),
+        col("na"), col("nb")) >= SemTau)
+      .select(col("id_b")).distinct()
+    assigned.join(dominated, assigned("vec_id") === dominated("id_b"), "left_anti")
+      .select(col("vec_id").as("doc_id"), col("cell"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH ${Similarity.qnSqlCte}, cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $SemCells
+       |), assigned AS (
+       |  SELECT vec_id, qvec, nsq, cell FROM (
+       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Similarity.cosSql(
+                  Similarity.dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |  ) WHERE arn = 1
+       |), dominated AS (
+       |  SELECT DISTINCT y.vec_id AS id_b
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${Similarity.cosSql(
+                  Similarity.dotSql("x.qvec", "y.qvec"), "x.nsq", "y.nsq")} >= $SemTau
+       |)
+       |SELECT vec_id AS doc_id, cell FROM assigned
+       |WHERE vec_id NOT IN (SELECT id_b FROM dominated)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semdedup" -> (semDedup _),
     "dedup_substring_spans" -> (substringSpans _),
     "dedup_embedding_neardup" -> (embeddingNearDup _),
     "dedup_clusters" -> (clusters _),
@@ -631,6 +699,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_semdedup" -> semDedupSql,
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "dedup_simhash" -> simhashSql,

@@ -197,13 +197,68 @@ object Normalize {
        |FROM dto WHERE ($isValidSql)
        |  AND ($fhirValidSql)""".stripMargin
 
+  /** C5 `normalize_unit_canonical` — unit canonicalization, the
+    * set-oriented form of the reference mapper's unit -> UCUM lookup
+    * (libs/mappers/observation.ts maps display units to UCUM codes;
+    * a production pipeline also converts VALUES so downstream
+    * analytics compare like with like). Units are synthesized by
+    * observation code; a tiny broadcast conversion table maps each
+    * convertible unit to the canonical mg/dL with an exact literal
+    * factor (the mmol/L factor is the glucose-style 18 — synthetic
+    * but shaped like a real UCUM table). Non-convertible units pass
+    * through flagged `converted = false`, the mapper's fallback
+    * behavior. One broadcast join over a scan — no shuffle; the
+    * conversion multiply is a single IEEE op on a literal, so values
+    * hash-match cross-engine. */
+  def unitCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conv = Seq(
+      ("mg/dL", 1.0), ("g/L", 100.0), ("mmol/L", 18.0))
+      .toDF("unit", "factor")
+    val unit = when(col("event_type") === "purchase", "mg/dL")
+      .when(col("event_type") === "click", "g/L")
+      .when(col("event_type") === "view", "mmol/L")
+      .otherwise("1")
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type").as("code"),
+        col("value"), unit.as("unit"))
+      .join(broadcast(conv), Seq("unit"), "left")
+      .select(col("event_id"), col("code"), col("unit"), col("value"),
+        when(col("factor").isNotNull, "mg/dL").otherwise(col("unit"))
+          .as("canonical_unit"),
+        when(col("factor").isNotNull, col("value") * col("factor"))
+          .otherwise(col("value")).as("canonical_value"),
+        col("factor").isNotNull.as("converted"))
+  }
+
+  val unitCanonicalSql: String =
+    """WITH conv(unit, factor) AS (
+      |  VALUES ('mg/dL', 1.0), ('g/L', 100.0), ('mmol/L', 18.0)
+      |), obs AS (
+      |  SELECT event_id, event_type AS code, value,
+      |    CASE event_type WHEN 'purchase' THEN 'mg/dL'
+      |                    WHEN 'click' THEN 'g/L'
+      |                    WHEN 'view' THEN 'mmol/L'
+      |                    ELSE '1' END AS unit
+      |  FROM events
+      |)
+      |SELECT event_id, code, obs.unit, value,
+      |  CASE WHEN factor IS NOT NULL THEN 'mg/dL' ELSE obs.unit END
+      |    AS canonical_unit,
+      |  CASE WHEN factor IS NOT NULL THEN value * CAST(factor AS DOUBLE)
+      |       ELSE value END AS canonical_value,
+      |  factor IS NOT NULL AS converted
+      |FROM obs LEFT JOIN conv ON obs.unit = conv.unit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "normalize_unit_canonical" -> (unitCanonical _),
     "normalize_validate_dto" -> (validateDto _),
     "normalize_reject_counts" -> (rejectCounts _),
     "normalize_fhir_map" -> (fhirMap _),
     "normalize_entity_id" -> (entityId _))
 
   val oracles: Map[String, String] = Map(
+    "normalize_unit_canonical" -> unitCanonicalSql,
     "normalize_validate_dto" -> validateDtoSql,
     "normalize_reject_counts" -> rejectCountsSql,
     "normalize_fhir_map" -> fhirMapSql,

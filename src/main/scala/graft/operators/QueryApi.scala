@@ -266,7 +266,46 @@ object QueryApi {
       |ORDER BY ts, event_id
       |LIMIT 5""".stripMargin
 
+  /** E8 `api_multi_get` — batch point-get: N (patient, code) keys
+    * answered in ONE pass (the BatchGetItem / GraphQL-dataloader
+    * analogue of E3's per-key lookup). The probe set broadcasts and
+    * SEMI-JOINS the events table BEFORE the latest-observation window
+    * — the window only sees rows for requested keys, the batch
+    * equivalent of N key-prefix range reads, not a full scan ranked
+    * then filtered. Missing keys return no row (BatchGetItem
+    * semantics); one probe here is deliberately absent. */
+  def multiGet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq(
+      (13L, "purchase"), (13L, "click"), (42L, "purchase"),
+      (77L, "view"), (5L, "click"), (99999L, "purchase"))
+      .toDF("p_user", "p_type")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .join(broadcast(probes),
+        col("user_id") === col("p_user") && col("event_type") === col("p_type"),
+        "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+  }
+
+  val multiGetSql: String =
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |  WHERE (user_id, event_type) IN (
+      |    (13, 'purchase'), (13, 'click'), (42, 'purchase'),
+      |    (77, 'view'), (5, 'click'), (99999, 'purchase'))
+      |) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "api_multi_get" -> (multiGet _),
     "api_next_token" -> (nextToken _),
     "api_limit_clamp" -> (limitClamp _),
     "api_get_patient" -> (getPatient _),
@@ -276,6 +315,7 @@ object QueryApi {
     "api_obs_asof_join" -> (obsAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "api_multi_get" -> multiGetSql,
     "api_next_token" -> nextTokenSql,
     "api_limit_clamp" -> limitClampSql,
     "api_get_patient" -> getPatientSql,

@@ -240,4 +240,60 @@ class PipelineSpec extends SparkSpecBase {
     val joined = pending.join(ev, col("user_id") === col("u") && col("t2") > col("ts"), "inner")
     assert(joined.count() == 0)
   }
+
+  test("E8 multi-get: one row per present key, absent key yields none, probes filter before the window") {
+    val rows = run("api_multi_get").collect()
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == keys.length, "one row per key")
+    assert(!keys.exists(_._1 == 99999L), "absent probe must return no row")
+    // each returned row matches E3's latest for that key
+    val e3 = run("api_latest_observation").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("event_id")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert(e3(k) == r.getAs[Long]("event_id"))
+    }
+  }
+
+  test("F10 retention expiry: only pre-cutoff partitions, counts match F1") {
+    val rows = run("audit_retention_expiry").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("audit_date") < "2024-01-08"))
+    val f1 = run("audit_partition_counts").collect()
+      .map(r => (r.getAs[String]("tenant_id"), r.getAs[String]("audit_date"),
+        r.getAs[Int]("audit_hour")) -> r.getAs[Long]("n_events")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("tenant_id"), r.getAs[String]("audit_date"),
+        r.getAs[Int]("audit_hour"))
+      assert(f1(k) == r.getAs[Long]("n_rows_expiring"))
+    }
+  }
+
+  test("C5 unit canonicalization: factors applied, non-convertible flagged, no shuffle") {
+    val df = run("normalize_unit_canonical")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (unit, v, cv) = (r.getAs[String]("unit"), r.getAs[Double]("value"),
+        r.getAs[Double]("canonical_value"))
+      unit match {
+        case "g/L"    => assert(r.getAs[Boolean]("converted") && cv == v * 100.0)
+        case "mmol/L" => assert(r.getAs[Boolean]("converted") && cv == v * 18.0)
+        case "mg/dL"  => assert(r.getAs[Boolean]("converted") && cv == v)
+        case _        => assert(!r.getAs[Boolean]("converted") && cv == v &&
+          r.getAs[String]("canonical_unit") == unit)
+      }
+    }
+    assert(rows.map(_.getAs[String]("unit")).distinct.length == 4)
+    val shuffles = flattenPlan(executedPlan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles == 0, s"broadcast-join projection must not shuffle, got $shuffles")
+  }
+
+  test("G13 semdedup: survivors have no same-cell smaller-id near-dup") {
+    val surv = run("dedup_semdedup").collect()
+    assert(surv.nonEmpty && surv.length < Tables.embeddings(spark, sf).count())
+    // cells cover all survivors; at most 16 distinct cells
+    assert(surv.map(_.getAs[Long]("cell")).distinct.length <= 16)
+  }
 }
