@@ -684,7 +684,75 @@ object Dedup {
        |SELECT vec_id AS doc_id, cell FROM assigned
        |WHERE vec_id NOT IN (SELECT id_b FROM dominated)""".stripMargin
 
+  private val WinnowW = 4
+
+  /** G14 `dedup_winnowing` — winnowing fingerprint selection
+    * (Schleimer et al. 2003, the MOSS algorithm — public): from each
+    * doc's stream of [[SpanN]]-token window hashes, keep the minimum
+    * hash of every [[WinnowW]]-length sliding window (ties to the
+    * smallest position), deduplicated — the guaranteed-coverage
+    * fingerprint subset (any shared run of length >= w+n-1 tokens
+    * shares a selected fingerprint), at ~2/(w+1) the density of G12's
+    * full hash stream. The min is taken over a string encoding
+    * `hash:zero-padded-pos`, which makes the (hash, pos) lexicographic
+    * tie-break portable to the oracle byte-for-byte. Scale: one
+    * per-doc window pass (doc-keyed partitions) + a distinct — linear,
+    * no cross-doc state; the selected set then feeds G4/G8-style
+    * collision joins at a fraction of the volume. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = when(size(col("w")) >= SpanN,
+        sequence(lit(1), size(col("w")) - (SpanN - 1)))
+      .otherwise(array().cast("array<int>"))
+    val win = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(idx).as("pos"), col("w"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanN)))
+          .cast("binary")).as("h"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    val nWin = Window.partitionBy(col("doc_id"))
+    // windows shorter than WinnowW at the tail are not window starts;
+    // the count guard drops them (classic winnowing definition)
+    win
+      .withColumn("n", count(lit(1)).over(nWin))
+      .withColumn("sel",
+        min(concat(col("h"), lit(":"), lpad(col("pos").cast("string"), 6, "0")))
+          .over(wWin))
+      .filter(col("pos") <= col("n") - (WinnowW - 1))
+      .select(col("doc_id"),
+        substring(col("sel"), 1, 32).as("fingerprint"),
+        substring(col("sel"), 34, 6).cast("int").as("sel_pos"))
+      .distinct()
+  }
+
+  val winnowingSql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
+       |  FROM documents
+       |), win0 AS (
+       |  SELECT doc_id, unnest(range(1, len(w) - ${SpanN - 2})) AS pos, w
+       |  FROM toksw WHERE len(w) >= $SpanN
+       |), win AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(w[pos:pos+${SpanN - 1}], ' ')) AS h
+       |  FROM win0
+       |), sel AS (
+       |  SELECT doc_id, pos,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+       |    MIN(h || ':' || lpad(CAST(pos AS VARCHAR), 6, '0'))
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS s
+       |  FROM win
+       |)
+       |SELECT DISTINCT doc_id,
+       |  substring(s, 1, 32) AS fingerprint,
+       |  CAST(substring(s, 34, 6) AS INTEGER) AS sel_pos
+       |FROM sel WHERE pos <= n - ${WinnowW - 1}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnowing" -> (winnowing _),
     "dedup_semdedup" -> (semDedup _),
     "dedup_substring_spans" -> (substringSpans _),
     "dedup_embedding_neardup" -> (embeddingNearDup _),
@@ -699,6 +767,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_winnowing" -> winnowingSql,
     "dedup_semdedup" -> semDedupSql,
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,

@@ -437,7 +437,58 @@ object TextAnalysis {
        |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank, pair, cnt
        |FROM c""".stripMargin
 
+  private val LmMinCount = 20L
+
+  /** I10 `text_bigram_lm` — bigram language-model TRAINING counts
+    * (the KenLM-style count pass behind every n-gram LM): corpus
+    * bigram counts, unigram context counts, and the conditional
+    * probability p(w2|w1) = c(w1 w2)/c(w1) for every bigram seen at
+    * least [[LmMinCount]] times (the pruning every n-gram toolkit
+    * applies). The probability divides exact integers — bit-identical
+    * doubles cross-engine, no rounding needed. Scale: two groupBys
+    * (bigram-keyed and unigram-keyed), both partial-agg'd; the
+    * context-count join is keyed on w1 and AQE-sized. I6 consumes a
+    * unigram LM for scoring; this is the model-building side. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+    val bigr = toks
+      .select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ctx = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+      .filter(col("c_bigram") >= LmMinCount)
+      .join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_ctx"),
+        (col("c_bigram").cast("double") / col("c_ctx").cast("double"))
+          .as("p_cond"))
+  }
+
+  val bigramLmSql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), bg AS (
+       |  SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |  FROM toksw WHERE len(w) >= 2
+       |), pairs AS (
+       |  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg
+       |), ctx AS (
+       |  SELECT w1, COUNT(*) AS c_ctx FROM pairs GROUP BY 1
+       |), bc AS (
+       |  SELECT w1, w2, COUNT(*) AS c_bigram FROM pairs GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $LmMinCount
+       |)
+       |SELECT bc.w1, w2, c_bigram, c_ctx,
+       |  CAST(c_bigram AS DOUBLE) / CAST(c_ctx AS DOUBLE) AS p_cond
+       |FROM bc JOIN ctx ON bc.w1 = ctx.w1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (bigramLm _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_repetition_signals" -> (repetitionSignals _),
@@ -449,6 +500,7 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" -> bigramLmSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_bpe_pair_stats" -> bpePairStatsSql,
     "text_repetition_signals" -> repetitionSignalsSql,

@@ -209,6 +209,51 @@ class DedupTextSpec extends SparkSpecBase {
       .foreach(r => assert(r.getAs[Double]("log_weight") == 0.0))
   }
 
+  test("G14 winnowing: selection matches a direct recompute on sample docs") {
+    val rows = run("dedup_winnowing").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // recompute the winnowed set in plain Scala for 5 docs
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 5)
+      .select("doc_id", "text").collect()
+    docs.foreach { d =>
+      val toks = d.getString(1).split(" ").filter(_.nonEmpty).take(60)
+      if (toks.length >= 8) {
+        val hashes = (0 to toks.length - 8).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(toks.slice(i, i + 8).mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (h, i + 1) // 1-based pos
+        }
+        val want = (0 to hashes.length - 4).map { s =>
+          hashes.slice(s, s + 4).minBy { case (h, p) => (h, p) }
+        }.distinct.toSet
+        val got = byDoc(d.getLong(0))
+          .map(r => (r.getAs[String]("fingerprint"), r.getAs[Int]("sel_pos"))).toSet
+        assert(got == want, s"doc ${d.getLong(0)} winnowed set mismatch")
+      }
+    }
+    // density: winnowing keeps a strict subset of the window stream
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("sel_pos")).distinct.length == rs.length)
+    }
+  }
+
+  test("I10 bigram LM: probabilities are exact count ratios, contexts consistent") {
+    val rows = run("text_bigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cb, cc, p) = (r.getAs[Long]("c_bigram"), r.getAs[Long]("c_ctx"),
+        r.getAs[Double]("p_cond"))
+      assert(cb >= 20L && cb <= cc)
+      assert(p == cb.toDouble / cc.toDouble && p > 0.0 && p <= 1.0)
+    }
+    // per-context probability mass of the PRUNED table can't exceed 1
+    rows.groupBy(_.getAs[String]("w1")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Double]("p_cond")).sum <= 1.0 + 1e-9)
+    }
+  }
+
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
     val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
     assert(rows.length == 30)
