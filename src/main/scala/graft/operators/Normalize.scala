@@ -250,7 +250,49 @@ object Normalize {
       |  factor IS NOT NULL AS converted
       |FROM obs LEFT JOIN conv ON obs.unit = conv.unit""".stripMargin
 
+  /** P1 `pipeline_end_to_end` — the reference's WHOLE pipeline as one
+    * Spark plan: raw events → ingest envelope + CSV adapter synth →
+    * DTO parse (sealed) → Zod-equivalent validation → FHIR structural
+    * check → persisted per-(patient, code) latest state — i.e. the
+    * table `latestObservation` serves after the full ETL has run.
+    * This is the "switch to this library" statement: every stage is
+    * the same operator the stage queries serve individually, fused,
+    * and the ENTIRE pipeline plans with exactly ONE shuffle (the
+    * entity-key exchange shared by the ranking window and the rollup;
+    * PipelineSpec pins it). At 100 TB this is the nightly batch that
+    * replaces the reference's per-event Lambda chain. */
+  def endToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("patient_id"), col("code"))
+      .orderBy(col("effective").desc, col("event_id").desc)
+    validateDto(spark, dir).filter(fhirValid)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("patient_id"), col("code"))
+      .agg(count(lit(1)).as("n_observations"),
+        max(when(col("rn") === 1, col("value"))).as("latest_value"),
+        max(when(col("rn") === 1, col("effective"))).as("latest_effective"),
+        max(when(col("rn") === 1, col("ingest_hash"))).as("latest_ingest_hash"))
+  }
+
+  val endToEndSql: String =
+    s"""WITH $dtoSqlCte, valid AS (
+       |  SELECT * FROM dto WHERE ($isValidSql)
+       |    AND ($fhirValidSql)
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY patient_id, code
+       |    ORDER BY effective DESC, event_id DESC) AS rn
+       |  FROM valid
+       |)
+       |SELECT patient_id, code,
+       |  COUNT(*) AS n_observations,
+       |  MAX(CASE WHEN rn = 1 THEN value END) AS latest_value,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN effective END) AS TIMESTAMP)
+       |    AS latest_effective,
+       |  MAX(CASE WHEN rn = 1 THEN ingest_hash END) AS latest_ingest_hash
+       |FROM ranked GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_end_to_end" -> (endToEnd _),
     "normalize_unit_canonical" -> (unitCanonical _),
     "normalize_validate_dto" -> (validateDto _),
     "normalize_reject_counts" -> (rejectCounts _),
@@ -258,6 +300,7 @@ object Normalize {
     "normalize_entity_id" -> (entityId _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_end_to_end" -> endToEndSql,
     "normalize_unit_canonical" -> unitCanonicalSql,
     "normalize_validate_dto" -> validateDtoSql,
     "normalize_reject_counts" -> rejectCountsSql,

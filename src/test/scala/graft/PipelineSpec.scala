@@ -290,6 +290,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(shuffles == 0, s"broadcast-join projection must not shuffle, got $shuffles")
   }
 
+  test("P1 end-to-end pipeline: one shuffle total, consistent with the stage queries") {
+    val df = run("pipeline_end_to_end")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // whole pipeline = exactly one exchange (the entity-key shuffle
+    // shared by the ranking window and the rollup)
+    val shuffles = flattenPlan(executedPlan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles == 1, s"end-to-end pipeline should shuffle once, got $shuffles")
+    // n_observations sums to the FHIR-valid row count (C3's output)
+    assert(rows.map(_.getAs[Long]("n_observations")).sum ==
+      run("normalize_fhir_map").count())
+  }
+
   test("G13 semdedup: survivors have no same-cell smaller-id near-dup") {
     val surv = run("dedup_semdedup").collect()
     assert(surv.nonEmpty && surv.length < Tables.embeddings(spark, sf).count())
