@@ -34,11 +34,21 @@ object Normalize {
     * parquet scan anyway, since every predicate is over derived
     * columns. */
   def dto(spark: SparkSession, dir: String): DataFrame =
+    dtoFrom(graft.Tables.events(spark, dir))
+
+  /** The same parse+defect-injection over any events-shaped frame
+    * (pure Column pipeline + the Sealed barrier — streaming-safe). */
+  def dtoFrom(events: DataFrame): DataFrame =
     graft.functions.Sealed.sealAll(
-      Adapters.csvLabx(spark, dir)
+      Adapters.csvLabxFrom(events)
         .withColumn("code",
           when(pmod(col("event_id"), lit(101)) === 0, lit(""))
             .otherwise(col("code"))))
+
+  /** DTO rows that survive BOTH validation stages — the stream the
+    * persist stage consumes; shared by P1 and its streaming twin. */
+  def validObsFrom(events: DataFrame): DataFrame =
+    dtoFrom(events).filter(isValid).filter(fhirValid)
 
   private val dtoSqlCte: String =
     """raw AS (
@@ -265,7 +275,7 @@ object Normalize {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("patient_id"), col("code"))
       .orderBy(col("effective").desc, col("event_id").desc)
-    validateDto(spark, dir).filter(fhirValid)
+    validObsFrom(graft.Tables.events(spark, dir))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("patient_id"), col("code"))
       .agg(count(lit(1)).as("n_observations"),

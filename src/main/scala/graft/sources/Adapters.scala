@@ -57,7 +57,13 @@ object Adapters {
     * AND off (~1.5-2 s either way), so this is robustness, not a
     * hot-path fix. */
   def csvLabx(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    csvLabxFrom(Tables.events(spark, dir))
+
+  /** Same transform over any events-shaped frame — the streaming twin
+    * feeds a stream through it (pure Column pipeline, so it runs
+    * unchanged under Structured Streaming). */
+  def csvLabxFrom(events: DataFrame): DataFrame =
+    events
       .select(col("event_id"), csvLine.as("line"))
       .select(col("event_id"), split(col("line"), ",").as("p"),
         sha2(col("line"), 256).as("ingest_hash"))

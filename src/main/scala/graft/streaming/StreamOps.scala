@@ -226,6 +226,47 @@ object StreamOps {
     out.result().iterator
   }
 
+  case class PipelineState(patient_id: String, code: String,
+      n_observations: Long, latest_value: Double,
+      latest_effective: Timestamp, latest_ingest_hash: String)
+
+  case class ObsAgg(n: Long, effUs: Long, id: Long, value: Double, hash: String)
+
+  /** P1 streaming — the END-TO-END pipeline twin: the reference's
+    * Lambda chain IS event-driven, so the same parse → validate →
+    * FHIR-check Column pipeline (stateless, streaming-safe, incl. the
+    * Sealed barrier) runs on the stream, and the persisted
+    * per-(patient, code) latest state accumulates in
+    * mapGroupsWithState — one O(1) state row per entity, the
+    * incremental form of P1's window+rollup. Same tie rule as batch:
+    * later (effective, event_id) wins. */
+  def pipelineLatestState(events: DataFrame, spark: SparkSession): Dataset[PipelineState] = {
+    import spark.implicits._
+    graft.operators.Normalize.validObsFrom(events)
+      .select(col("event_id"), col("patient_id"), col("code"), col("value"),
+        col("effective"), col("ingest_hash"))
+      .as[(Long, String, String, Double, Timestamp, String)]
+      .groupByKey(r => (r._2, r._3))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(pipelineStateFn)
+  }
+
+  private[streaming] def pipelineStateFn(key: (String, String),
+      rows: Iterator[(Long, String, String, Double, Timestamp, String)],
+      state: GroupState[ObsAgg]): PipelineState = {
+    var agg = state.getOption.getOrElse(ObsAgg(0L, Long.MinValue, Long.MinValue, 0.0, ""))
+    rows.foreach { r =>
+      val t = us(r._5)
+      val isLater = t > agg.effUs || (t == agg.effUs && r._1 > agg.id)
+      agg = ObsAgg(agg.n + 1,
+        if (isLater) t else agg.effUs,
+        if (isLater) r._1 else agg.id,
+        if (isLater) r._4 else agg.value,
+        if (isLater) r._6 else agg.hash)
+    }
+    state.update(agg)
+    PipelineState(key._1, key._2, agg.n, agg.value, toTs(agg.effUs), agg.hash)
+  }
+
   /** L4 streaming — per-user rolling state via mapGroupsWithState
     * (update mode): latest event attributes + lifetime counters. */
   def userLatestState(events: Dataset[Event], spark: SparkSession): Dataset[UserStateOut] = {

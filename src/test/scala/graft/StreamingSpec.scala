@@ -310,6 +310,30 @@ class StreamingSpec extends SparkSpecBase {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("P1 streaming end-to-end pipeline converges to the batch latest state") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.pipelineLatestState(ms.toDF(), spark)
+      .writeStream.format("memory").queryName("s_pipeline")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // update mode emits one row per key per trigger: keep the last
+    // (max n_observations) update per (patient, code); the sentinel
+    // user's synthetic row (patient_id "-1") is excluded
+    val got = spark.table("s_pipeline")
+      .filter(col("patient_id") =!= "-1")
+      .groupBy("patient_id", "code")
+      .agg(max(struct(col("n_observations"), col("latest_effective"),
+        col("latest_value"), col("latest_ingest_hash"))).as("s"))
+      .select(col("patient_id"), col("code"), col("s.n_observations"),
+        col("s.latest_value"), col("s.latest_effective"), col("s.latest_ingest_hash"))
+      .collect().map(_.toSeq).toSet
+    val want = run("pipeline_end_to_end")
+      .select(col("patient_id"), col("code"), col("n_observations"),
+        col("latest_value"), col("latest_effective"), col("latest_ingest_hash"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
