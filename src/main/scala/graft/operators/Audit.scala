@@ -264,6 +264,64 @@ object Audit {
       |  'reproc:' || stem || ext AS idempotency_key
       |FROM keyed""".stripMargin
 
+  /** F12 `reprocess_replay_set` — the SAFE replay manifest: raw
+    * objects from a lost-window date range, minus events the persist
+    * store already APPLIED (anti-join against D2's applied set), as
+    * F4-style `ingest.raw.v1` envelopes with `reproc:` idempotency
+    * keys (reference: reprocess-prep handler builds exactly these
+    * envelopes; the anti-join is the set-algebra that keeps a replay
+    * from re-walking writes the conditional upsert already took).
+    * Scale: one date-pruned scan of the window, one anti-join keyed
+    * by event_id — both sides shuffle once; the envelope projection
+    * is codegen'd. Deterministic ordered output (it's a work list). */
+  def replaySet(spark: SparkSession, dir: String): DataFrame = {
+    val window = Tables.events(spark, dir)
+      .filter(Obs.ingestDate >= "2024-01-10" && Obs.ingestDate <= "2024-01-12")
+    val appliedIds = Persist.applied(spark, dir).select(col("event_id"))
+    val ext = when(col("event_type").isin("click", "purchase"), ".csv")
+      .when(col("event_type") === "error", ".hl7")
+      .when(col("event_type") === "signup", ".bin")
+      .otherwise(".json")
+    val key = concat(lit("raw/"), Obs.tenant, lit("/"), Obs.ingestDate,
+      lit("/"), col("event_id"), ext)
+    window.join(appliedIds, Seq("event_id"), "left_anti")
+      .select(
+        col("event_id"),
+        lit("ingest.raw.v1").as("envelope"),
+        key.as("raw_key"),
+        concat(lit("reproc:"), key).as("idempotency_key"),
+        Obs.tenant.as("tenant_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val replaySetSql: String =
+    """WITH applied AS (
+      |  SELECT event_id FROM (
+      |    SELECT event_id, 'ik' || (event_id % 5) AS ik,
+      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
+      |                                        ORDER BY ts, event_id) AS prev_ik
+      |    FROM events
+      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
+      |), win AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type IN ('click','purchase') THEN '.csv'
+      |         WHEN event_type = 'error' THEN '.hl7'
+      |         WHEN event_type = 'signup' THEN '.bin'
+      |         ELSE '.json' END AS ext
+      |  FROM events
+      |  WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+      |)
+      |SELECT event_id,
+      |  'ingest.raw.v1' AS envelope,
+      |  'raw/t' || (user_id % 4) || '/' || strftime(ts, '%Y-%m-%d') || '/'
+      |    || event_id || ext AS raw_key,
+      |  'reproc:' || 'raw/t' || (user_id % 4) || '/' || strftime(ts, '%Y-%m-%d')
+      |    || '/' || event_id || ext AS idempotency_key,
+      |  't' || (user_id % 4) AS tenant_id
+      |FROM win
+      |WHERE event_id NOT IN (SELECT event_id FROM applied)
+      |ORDER BY event_id""".stripMargin
+
   /** F5 `audit_value_quantiles` — exact discrete percentiles of the
     * metric value per service (p50/p90/p99 latencies in the reference's
     * metrics semantics). percentile_disc picks an actual data point
@@ -382,6 +440,7 @@ object Audit {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_retention_expiry" -> (retentionExpiry _),
+    "reprocess_replay_set" -> (replaySet _),
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
     "audit_distinct_users_sketch" -> (distinctUsersSketch _),
     "audit_partition_counts" -> (partitionCounts _),
@@ -394,6 +453,7 @@ object Audit {
 
   val oracles: Map[String, String] = Map(
     "audit_retention_expiry" -> retentionExpirySql,
+    "reprocess_replay_set" -> replaySetSql,
     "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,
     "audit_distinct_users_sketch" -> distinctUsersSketchSql,
     "audit_partition_counts" -> partitionCountsSql,

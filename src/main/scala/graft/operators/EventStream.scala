@@ -225,7 +225,46 @@ object EventStream {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM numbered GROUP BY user_id, session_num""".stripMargin
 
+  /** L8 `stream_interval_join_outer` — the LEFT OUTER form of L5:
+    * every purchase, matched with preceding-30-min clicks when they
+    * exist, with NULL click columns otherwise (the "conversion with
+    * or without attribution" report). In streaming (StreamOps
+    * .intervalJoinOuter) the null row emits only once the watermark
+    * proves no matching click can still arrive — the semantics that
+    * make outer stream-stream joins hard, exercised here and
+    * spec-checked equal to this batch form. One shuffle per side on
+    * user_id; match fan-out bounded by the interval. */
+  def intervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
+  val intervalJoinOuterSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  p.value AS purchase_value,
+      |  c.event_id AS click_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join_outer" -> (intervalJoinOuter _),
     "stream_session_window" -> (sessionWindowAgg _),
     "stream_enriched_rollup" -> (enrichedRollup _),
     "stream_tumbling_agg" -> (tumblingAgg _),
@@ -235,6 +274,7 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join_outer" -> intervalJoinOuterSql,
     "stream_session_window" -> sessionWindowAggSql,
     "stream_enriched_rollup" -> enrichedRollupSql,
     "stream_tumbling_agg" -> tumblingAggSql,

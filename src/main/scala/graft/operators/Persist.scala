@@ -46,7 +46,7 @@ object Persist {
       .drop("prev_ik")
   }
 
-  private def applied(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def applied(spark: SparkSession, dir: String): DataFrame =
     appliedFrom(Tables.events(spark, dir))
 
   /** D1 `persist_key_design` — single-table key projection: PK/SK,

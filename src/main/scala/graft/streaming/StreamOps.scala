@@ -123,6 +123,28 @@ object StreamOps {
         col("purchase_value"), col("click_id"), col("click_ts"))
   }
 
+  /** L8 streaming — LEFT OUTER watermarked interval join: the null
+    * (unattributed) row for a purchase emits only once the click-side
+    * watermark passes purchase_ts, proving no in-window click can
+    * still arrive. Same join condition as [[intervalJoin]]. */
+  def intervalJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
   private val GapUs = 1800L * 1000000L
 
   /** L2 streaming — 30-minute-gap sessionization via

@@ -139,6 +139,32 @@ class StreamingSpec extends SparkSpecBase {
       s"stream ${got.size} vs batch ${want.size} joined pairs")
   }
 
+  test("L8 streaming left-outer interval join matches batch incl. null rows") {
+    val msP = MemoryStream[Event]
+    val msC = MemoryStream[Event]
+    val q = StreamOps.intervalJoinOuter(msP.toDF(), msC.toDF())
+      .writeStream.format("memory").queryName("s_interval_outer")
+      .outputMode("append").start()
+    val (purchases, clicks) = (
+      batchEvents.filter(_.event_type == "purchase"),
+      batchEvents.filter(_.event_type == "click"))
+    msP.addData(purchases); msC.addData(clicks)
+    q.processAllAvailable()
+    // advance BOTH watermarks so unmatched purchases flush their null rows
+    msP.addData(Seq(sentinel)); msC.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_interval_outer")
+      .filter(col("user_id") =!= -1L)
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    val want = run("stream_interval_join_outer")
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"stream ${got.size} vs batch ${want.size} rows (incl. unmatched)")
+    // the outer rows are the point: some purchases must be unattributed
+    assert(got.exists(_(1) == null))
+  }
+
   test("M1 stateless corpus op runs unchanged under Structured Streaming") {
     // the redact transform is a pure scan-project, so the SAME code
     // path serves batch and streaming; results must be identical.
