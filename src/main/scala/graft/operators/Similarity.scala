@@ -29,12 +29,27 @@ object Similarity {
   private val K = 10
   private val NQueries = 8
 
+  /** Shared lazy cache of the quantized corpus: every similarity
+    * query starts from the same quantize+self-dot scan, and the
+    * recall eval runs four indexes over it — the same shared-cache
+    * discipline as Dedup's shingle cache (mtime-keyed, so a data
+    * rewrite within one session invalidates). Spark's cache is
+    * spillable, and at 100 TB the quantized+coded representation is
+    * the thing you'd persist anyway. */
+  private val quantizedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Quantized vectors + integer squared norm (one native self-dot). */
-  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
-      .select(col("vec_id"), col("qvec"),
-        vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/embeddings.parquet")
+    quantizedCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$mtime", _ =>
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
+          .select(col("vec_id"), col("qvec"),
+            vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
+          .cache())
+  }
 
   /** Deterministic cosine from integer parts — see object doc. */
   private[operators] def cosineQ(dot: Column, nsqA: Column, nsqB: Column): Column =
