@@ -589,7 +589,9 @@ object Analytics {
     // cached: the rollup subtree feeds both the 1-row max and the
     // join-back — Spark plans common subtrees twice, and without the
     // cache that is two full lineitem scans; the cached rollup is
-    // supplier-sized (tiny at any SF)
+    // supplier-sized (tiny at any SF). Re-invocation does not stack
+    // copies: CacheManager dedupes by canonicalized plan, so repeated
+    // cache() of this same query reuses the one entry.
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))

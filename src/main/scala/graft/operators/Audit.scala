@@ -295,14 +295,7 @@ object Audit {
   }
 
   val replaySetSql: String =
-    """WITH applied AS (
-      |  SELECT event_id FROM (
-      |    SELECT event_id, 'ik' || (event_id % 5) AS ik,
-      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
-      |                                        ORDER BY ts, event_id) AS prev_ik
-      |    FROM events
-      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
-      |), win AS (
+    s"""WITH ${Persist.appliedSqlCte}, win AS (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN event_type IN ('click','purchase') THEN '.csv'
       |         WHEN event_type = 'error' THEN '.hl7'

@@ -58,8 +58,12 @@ object Bucketing {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
     val path = partCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$dir:$mtime", _ => {
+        // the session identity is part of the PATH, not just the memo
+        // key: a second session over the same data must not overwrite
+        // a directory the first session's lazy plans still read
         val p = "/tmp/graft_part_" + java.security.MessageDigest
-          .getInstance("MD5").digest(s"$dir:$mtime".getBytes("UTF-8"))
+          .getInstance("MD5")
+          .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
           .take(6).map("%02x".format(_)).mkString
         Tables.events(spark, dir)
           .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))

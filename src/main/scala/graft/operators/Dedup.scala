@@ -540,8 +540,37 @@ object Dedup {
        |SELECT vec_id AS doc_id, bucket FROM b
        |WHERE vec_id NOT IN (SELECT id_b FROM dominated)""".stripMargin
 
-  /** Window length (tokens) for G12's repeated-substring detection. */
+  /** Window length (tokens) for G12/G14's rolling-window hashing. */
   private val SpanN = 8
+
+  /** Rolling [[SpanN]]-token window hashes per doc (doc_id, pos, h) —
+    * the shared stream G12 (substring spans) and G14 (winnowing)
+    * both consume; one definition so the two can't disagree about
+    * what a "window" is. */
+  private def windowHashes(spark: SparkSession, dir: String): DataFrame = {
+    val idx = when(size(col("w")) >= SpanN,
+        sequence(lit(1), size(col("w")) - (SpanN - 1)))
+      .otherwise(array().cast("array<int>"))
+    Tables.documents(spark, dir).select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(idx).as("pos"), col("w"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanN)))
+          .cast("binary")).as("h"))
+  }
+
+  /** The identical window stream in DuckDB (CTEs toksw/win0/win). */
+  private val windowHashesSqlCte: String =
+    s"""toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
+       |  FROM documents
+       |), win0 AS (
+       |  SELECT doc_id, unnest(range(1, len(w) - ${SpanN - 2})) AS pos, w
+       |  FROM toksw WHERE len(w) >= $SpanN
+       |), win AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(w[pos:pos+${SpanN - 1}], ' ')) AS h
+       |  FROM win0
+       |)""".stripMargin
 
   /** G12 `dedup_substring_spans` — corpus-wide repeated-substring
     * report, the set-oriented re-expression of exact-substring dedup
@@ -560,15 +589,8 @@ object Dedup {
     * hint: AQE picks the join strategy (same reasoning as G8). */
   def substringSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = when(size(col("w")) >= SpanN,
-        sequence(lit(1), size(col("w")) - (SpanN - 1)))
-      .otherwise(array().cast("array<int>"))
     val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("w"))
-    val win = base
-      .select(col("doc_id"), explode(idx).as("pos"), col("w"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanN)))
-          .cast("binary")).as("h"))
+    val win = windowHashes(spark, dir)
     val dup = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -589,17 +611,7 @@ object Dedup {
   }
 
   val substringSpansSql: String =
-    s"""WITH toksw AS (
-       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
-       |  FROM documents
-       |), win0 AS (
-       |  SELECT doc_id, unnest(range(1, len(w) - ${SpanN - 2})) AS pos, w
-       |  FROM toksw WHERE len(w) >= $SpanN
-       |), win AS (
-       |  SELECT doc_id, pos,
-       |    md5(array_to_string(w[pos:pos+${SpanN - 1}], ' ')) AS h
-       |  FROM win0
-       |), dup AS (
+    s"""WITH $windowHashesSqlCte, dup AS (
        |  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
        |), isl AS (
        |  SELECT doc_id,
@@ -701,15 +713,7 @@ object Dedup {
     * collision joins at a fraction of the volume. */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = when(size(col("w")) >= SpanN,
-        sequence(lit(1), size(col("w")) - (SpanN - 1)))
-      .otherwise(array().cast("array<int>"))
-    val win = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), explode(idx).as("pos"), col("w"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanN)))
-          .cast("binary")).as("h"))
+    val win = windowHashes(spark, dir)
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, WinnowW - 1)
     val nWin = Window.partitionBy(col("doc_id"))
@@ -728,17 +732,7 @@ object Dedup {
   }
 
   val winnowingSql: String =
-    s"""WITH toksw AS (
-       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
-       |  FROM documents
-       |), win0 AS (
-       |  SELECT doc_id, unnest(range(1, len(w) - ${SpanN - 2})) AS pos, w
-       |  FROM toksw WHERE len(w) >= $SpanN
-       |), win AS (
-       |  SELECT doc_id, pos,
-       |    md5(array_to_string(w[pos:pos+${SpanN - 1}], ' ')) AS h
-       |  FROM win0
-       |), sel AS (
+    s"""WITH $windowHashesSqlCte, sel AS (
        |  SELECT doc_id, pos,
        |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
        |    MIN(h || ':' || lpad(CAST(pos AS VARCHAR), 6, '0'))

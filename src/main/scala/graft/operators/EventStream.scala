@@ -194,22 +194,26 @@ object EventStream {
 
   /** L7 `stream_session_window` — Spark's NATIVE session_window
     * operator (vs L2's hand-rolled lag+cumsum): per-user sessions
-    * that end 30 minutes after their last event. Same transform
-    * object as the streaming twin (StreamOps.sessionWindowAgg) so the
-    * two can't drift. Scale: one shuffle on user_id; the session
-    * merge runs inside Spark's session-window aggregation (partial
-    * merge map-side), state in streaming bounded by the watermark. */
+    * that end 30 minutes after their last event; events exactly one
+    * gap apart still merge (same boundary convention as L2, verified
+    * against the operator). Same transform object as the streaming
+    * twin (StreamOps.sessionWindowAgg) so the two can't drift.
+    * Scale: one shuffle on user_id; the session merge runs inside
+    * Spark's session-window aggregation (partial merge map-side),
+    * state in streaming bounded by the watermark. */
   def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamOps.sessionWindowAgg(Tables.events(spark, dir))
 
-  /** Islands with the session_window boundary rule: windows merge on
-    * overlap, so a NEW session starts at gap >= 30 min (L2's lag rule
-    * uses > — the two queries pin both conventions). */
+  /** Islands with the session_window boundary rule: a NEW session
+    * starts only at gap STRICTLY greater than 30 min — verified
+    * empirically (two events exactly 30 min apart merge into one
+    * native session), and the same convention L2's lag rule uses, so
+    * the two sessionizers agree everywhere. */
   val sessionWindowAggSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

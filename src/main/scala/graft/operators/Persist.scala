@@ -134,15 +134,23 @@ object Persist {
     upsertVersionFrom(appliedFrom(spark.table(table)))
   }
 
-  val upsertVersionSql: String =
-    """WITH applied AS (
+  /** The oracle-side `applied` CTE — SINGLE source of truth for the
+    * idempotency rule in SQL, mirroring [[appliedFrom]] on the Spark
+    * side. Every oracle that replays writes interpolates this (D2/D2b
+    * here, D3, D4, and Audit's F12 replay manifest) so the rule can
+    * never drift between copies. */
+  val appliedSqlCte: String =
+    """applied AS (
       |  SELECT * FROM (
       |    SELECT *, 'ik' || (event_id % 5) AS ik,
       |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
       |                                        ORDER BY ts, event_id) AS prev_ik
       |    FROM events
       |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
-      |), ranked AS (
+      |)""".stripMargin
+
+  val upsertVersionSql: String =
+    s"""WITH $appliedSqlCte, ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
       |                               ORDER BY ts DESC, event_id DESC) AS latest_rn
       |  FROM applied
@@ -172,14 +180,7 @@ object Persist {
   }
 
   val commitLogSql: String =
-    """WITH applied AS (
-      |  SELECT * FROM (
-      |    SELECT *, 'ik' || (event_id % 5) AS ik,
-      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
-      |                                        ORDER BY ts, event_id) AS prev_ik
-      |    FROM events
-      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
-      |)
+    s"""WITH $appliedSqlCte
       |SELECT 'etl.persisted.v1' AS event_name,
       |  'observation' AS entity_type,
       |  user_id || ':' || event_type AS entity_id,
@@ -216,14 +217,7 @@ object Persist {
   }
 
   val asofSnapshotSql: String =
-    s"""WITH applied AS (
-       |  SELECT * FROM (
-       |    SELECT *, 'ik' || (event_id % 5) AS ik,
-       |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id, event_type
-       |                                        ORDER BY ts, event_id) AS prev_ik
-       |    FROM events
-       |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
-       |), cut AS (
+    s"""WITH $appliedSqlCte, cut AS (
        |  SELECT * FROM applied
        |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
        |), ranked AS (

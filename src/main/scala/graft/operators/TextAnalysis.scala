@@ -333,6 +333,8 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))).as("bg"))
     // cached: the exploded feature stream feeds both the bucket-count
     // aggregation and the per-doc weight join — one synth+explode pass
+    // (no stacking on re-invocation: CacheManager dedupes by
+    // canonicalized plan, same as the shingle cache)
     val feats = bigrams.select(col("doc_id"), col("lang"),
       pmod(conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
         .cast("long"), lit(DsirBuckets)).as("bucket")).cache()

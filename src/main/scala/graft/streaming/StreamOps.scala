@@ -67,10 +67,9 @@ object StreamOps {
     * watermark passes a session's end; state is per open session and
     * expires with the watermark — Spark's built-in replacement for the
     * hand-rolled flatMapGroupsWithState sessionizer in [[sessionize]]).
-    * Boundary semantics differ from L2 by design: windows merge on
-    * OVERLAP (gap strictly less than 30 min), while L2's lag rule also
-    * merges at exactly 30 min — both are documented, L2 matches the
-    * reference's gap rule, this matches Spark's operator. */
+    * Boundary semantics MATCH L2: two events exactly one gap apart
+    * merge into one session (empirically verified against the native
+    * operator — a new session starts only at a strictly larger gap). */
   def sessionWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
