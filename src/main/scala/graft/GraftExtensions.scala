@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.SimhashAgg].getName, null, "simhash_agg"),
       exprs => graft.functions.SimhashAgg(exprs(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(
+        classOf[graft.functions.CmsEstimate].getName, null, "cms_estimate"),
+      exprs => graft.functions.CmsEstimate(exprs(0), exprs(1))))
     // whole-operator extension: expands graft.plans.AsOfJoin during
     // analysis into its shuffle-once union+window plan
     e.injectResolutionRule(_ => graft.plans.ResolveAsOfJoin())

@@ -315,6 +315,70 @@ object Audit {
       |WHERE event_id NOT IN (SELECT event_id FROM applied)
       |ORDER BY event_id""".stripMargin
 
+  /** Memoized Count-Min sketch bytes — building the sketch is a Spark
+    * job; constructors must stay plan-only on re-entry (the
+    * Dedup.bloomCache discipline, mtime-keyed). */
+  private val cmsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private val CmsEps = 0.001
+
+  private def cmsBytes(spark: SparkSession, dir: String): Array[Byte] = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/events.parquet")
+    cmsCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir:$mtime", _ =>
+        Tables.events(spark, dir)
+          .agg(expr(s"count_min_sketch(user_id, ${CmsEps}d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0))
+  }
+
+  /** Heavy-hitter candidates with their sketch estimates — the raw
+    * engine-specific form (estimates have no DuckDB oracle); the
+    * SERVED query is [[heavyHittersSketch]]. */
+  def heavyHittersRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    val est = GraftSqlBridge.column(graft.functions.CmsEstimate(
+      CatLit.create(cmsBytes(spark, dir), org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.expression(col("user_id"))))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id")).limit(10)
+      .withColumn("cms_estimate", est)
+  }
+
+  /** F13 `audit_heavy_hitters_sketch` — heavy-hitter detection via
+    * Catalyst's own `count_min_sketch` aggregate (Cormode &
+    * Muthukrishnan 2005 — public) plus the [[graft.functions
+    * .CmsEstimate]] companion expression (Spark ships the aggregate
+    * with no query side). The 100 TB shape: the sketch is one
+    * mergeable pass over the stream (fixed size, no per-key state);
+    * candidates are then estimated against the sketch literal without
+    * touching the data again. Driver-hashable served form (the F8/F9
+    * recipe): exact top-10 counts plus two law booleans —
+    * `no_underestimate` (CMS can NEVER undercount — a hard law) and
+    * `overestimate_bounded` (error <= eps * total stream length —
+    * holds with the sketch's confidence and is deterministic for
+    * fixed data+seed); the oracle asserts both as literal TRUE. */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    // stream length for the eps bound comes from the sketch's own
+    // totalCount — no extra Spark job at plan time
+    val total = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(cmsBytes(spark, dir)).totalCount()
+    heavyHittersRaw(spark, dir)
+      .select(col("user_id"), col("n_events"),
+        (col("cms_estimate") >= col("n_events")).as("no_underestimate"),
+        (col("cms_estimate") <= col("n_events") +
+          math.ceil(CmsEps * total).toLong).as("overestimate_bounded"))
+  }
+
+  val heavyHittersSketchSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  TRUE AS no_underestimate,
+      |  TRUE AS overestimate_bounded
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
   /** F5 `audit_value_quantiles` — exact discrete percentiles of the
     * metric value per service (p50/p90/p99 latencies in the reference's
     * metrics semantics). percentile_disc picks an actual data point
@@ -434,6 +498,7 @@ object Audit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_retention_expiry" -> (retentionExpiry _),
     "reprocess_replay_set" -> (replaySet _),
+    "audit_heavy_hitters_sketch" -> (heavyHittersSketch _),
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
     "audit_distinct_users_sketch" -> (distinctUsersSketch _),
     "audit_partition_counts" -> (partitionCounts _),
@@ -447,6 +512,7 @@ object Audit {
   val oracles: Map[String, String] = Map(
     "audit_retention_expiry" -> retentionExpirySql,
     "reprocess_replay_set" -> replaySetSql,
+    "audit_heavy_hitters_sketch" -> heavyHittersSketchSql,
     "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,
     "audit_distinct_users_sketch" -> distinctUsersSketchSql,
     "audit_partition_counts" -> partitionCountsSql,

@@ -489,7 +489,49 @@ object TextAnalysis {
        |  CAST(c_bigram AS DOUBLE) / CAST(c_ctx AS DOUBLE) AS p_cond
        |FROM bc JOIN ctx ON bc.w1 = ctx.w1""".stripMargin
 
+  /** I11 `text_perplexity_buckets` — CCNet-style perplexity
+    * partitioning (Wenzek et al. 2020, public): per LANGUAGE, split
+    * documents into head/middle/tail terciles of the I6 LM surprisal
+    * (CCNet trains on "head", the lowest-perplexity third). Tercile
+    * thresholds are percentile_disc — an actual data point, exact and
+    * engine-portable (the F5 discipline) — over the already
+    * order-insensitive I6 score, so even the bucket labels
+    * hash-match. Scale: I6's single pass + a per-lang threshold agg
+    * (≤ #langs rows, broadcast back); the tercile sort is per-lang
+    * (bounded groups), not global. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = unigramSurprisal(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val ters = s.groupBy(col("lang")).agg(
+      expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY surprisal)").as("t1"),
+      expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY surprisal)").as("t2"))
+    s.join(broadcast(ters), "lang")
+      .select(col("doc_id"), col("lang"), col("surprisal"),
+        when(col("surprisal") <= col("t1"), "head")
+          .when(col("surprisal") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val perplexityBucketsSql: String =
+    s"""WITH surp AS (
+       |  SELECT * FROM ($unigramSurprisalSql)
+       |), sl AS (
+       |  SELECT s.doc_id, d.lang, s.surprisal
+       |  FROM surp s JOIN documents d ON s.doc_id = d.doc_id
+       |), ters AS (
+       |  SELECT lang,
+       |    quantile_disc(surprisal, 0.3333333333333333) AS t1,
+       |    quantile_disc(surprisal, 0.6666666666666666) AS t2
+       |  FROM sl GROUP BY 1
+       |)
+       |SELECT doc_id, sl.lang, surprisal,
+       |  CASE WHEN surprisal <= t1 THEN 'head'
+       |       WHEN surprisal <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sl JOIN ters ON sl.lang = ters.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_bigram_lm" -> (bigramLm _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_bpe_pair_stats" -> (bpePairStats _),
@@ -502,6 +544,7 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_perplexity_buckets" -> perplexityBucketsSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_bpe_pair_stats" -> bpePairStatsSql,

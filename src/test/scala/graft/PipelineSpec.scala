@@ -241,6 +241,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(joined.count() == 0)
   }
 
+  test("F13 CMS heavy hitters: estimates never undercount, SQL function registered") {
+    val raw = operators.Audit.heavyHittersRaw(spark, sf).collect()
+    assert(raw.length == 10)
+    raw.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("n_events"))
+    }
+    // served law booleans are all TRUE
+    run("audit_heavy_hitters_sketch").collect().foreach { r =>
+      assert(r.getAs[Boolean]("no_underestimate"))
+      assert(r.getAs[Boolean]("overestimate_bounded"))
+    }
+    // the companion expression is SQL-callable via GraftExtensions
+    val viaSql = spark.sql(
+      "SELECT cms_estimate(count_min_sketch(user_id, 0.001d, 0.99d, 42), 13L) AS e " +
+        s"FROM parquet.`$sf/events.parquet`").head().getLong(0)
+    val exact13 = Tables.events(spark, sf).filter(col("user_id") === 13L).count()
+    assert(viaSql >= exact13)
+  }
+
   test("E8 multi-get: one row per present key, absent key yields none, probes filter before the window") {
     val rows = run("api_multi_get").collect()
     val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
