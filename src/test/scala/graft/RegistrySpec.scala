@@ -35,7 +35,8 @@ class RegistrySpec extends SparkSpecBase {
     "k19_idle_customers", "audit_list_page",
     // (b) one-row broadcast scalar attach
     "corpus_mix_weights", "corpus_resample", "text_dsir_weights",
-    "text_tfidf_top_terms", "text_unigram_surprisal")
+    "text_tfidf_top_terms", "text_unigram_surprisal",
+    "text_perplexity_buckets")
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
