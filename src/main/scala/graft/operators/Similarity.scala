@@ -696,7 +696,61 @@ object Similarity {
        |)
        |SELECT qid, rank, vec_id, dot FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** H11 `sim_pooled_search` — chunk-embedding mean pooling + doc-level
+    * retrieval, the standard RAG shape (chunk embeddings pooled to one
+    * doc vector; retrieval runs at doc granularity, chunk re-rank
+    * after): each vector's [[SubVecs]] sub-vectors play the chunk
+    * embeddings (H8's framing), pooled by element-wise FLOOR-mean in
+    * exact integer arithmetic (the H6 centroid-rebuild discipline —
+    * deterministic cross-engine, unlike float means), then top-k by
+    * integer dot over the pooled 16-dim vectors. Scale: pooling is a
+    * narrow per-row transform (no shuffle — the chunks of a doc are
+    * already colocated in its row; in a chunk-table layout it is one
+    * doc-keyed partial agg), search is H1's broadcast-queries pass at
+    * 1/[[SubVecs]] the dimensionality. */
+  def pooledSearch(spark: SparkSession, dir: String): DataFrame = {
+    val segs = (0 until SubVecs).map(i =>
+      slice(col("qvec"), i * SubDim + 1, SubDim))
+    // element-wise floor-mean of the SubVecs chunk vectors
+    val pooled = transform(segs.reduce((a, b) => zip_with(a, b, _ + _)),
+      x => floor(x / SubVecs).cast("long"))
+    val docs = quantized(spark, dir)
+      .select(col("vec_id"), pooled.as("pv"))
+    val q = docs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("pv").as("qp"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    docs.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", vdotQuantizedNative(col("qp"), col("pv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
+  }
+
+  val pooledSearchSql: String = {
+    val seg = (i: Int) => s"qvec[(${i} * $SubDim + 1):(${i} * $SubDim + $SubDim)]"
+    val summed = (1 until SubVecs).foldLeft(seg(0)) { (acc, i) =>
+      s"list_transform(list_zip($acc, ${seg(i)}), s -> s[1] + s[2])"
+    }
+    s"""WITH $qnSqlCte, pooled AS (
+       |  SELECT vec_id,
+       |    list_transform($summed,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) / $SubVecs) AS BIGINT)) AS pv
+       |  FROM qnn
+       |), q AS (
+       |  SELECT vec_id AS qid, pv AS qp FROM pooled WHERE vec_id < $NQueries
+       |), d AS (
+       |  SELECT qid, vec_id, ${dotSql("qp", "pv")} AS dot
+       |  FROM pooled JOIN q ON vec_id <> qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, vec_id, dot FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pooled_search" -> (pooledSearch _),
     "sim_filtered_search" -> (filteredSearch _),
     "sim_range_search" -> (rangeSearch _),
     "sim_maxsim_multivec" -> (maxsimMultivec _),
@@ -709,6 +763,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_pooled_search" -> pooledSearchSql,
     "sim_filtered_search" -> filteredSearchSql,
     "sim_range_search" -> rangeSearchSql,
     "sim_maxsim_multivec" -> maxsimMultivecSql,

@@ -28,7 +28,8 @@ class RegistrySpec extends SparkSpecBase {
   private val bnljAllowed = Set(
     // (a) broadcast query/request side, streaming corpus side
     "sim_topk_bruteforce", "sim_cosine_pairs", "sim_range_search",
-    "sim_maxsim_multivec", "sim_filtered_search", "sim_recall_eval",
+    "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
+    "sim_recall_eval",
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
     "dedup_embedding_neardup", "dedup_semdedup",
     "api_limit_clamp", "api_next_token", "dlq_redrive_batch",

@@ -182,6 +182,27 @@ class SimilaritySpec extends SparkSpecBase {
     shared.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("H11 pooled search: k per query, no self, pooling matches a driver recompute") {
+    val rows = run("sim_pooled_search").collect()
+    assert(rows.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 10))
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    // recompute the pooled dot for the top pair of query 0 from raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pooled(id: Long): Array[Long] = {
+      val q = vecs(id).map(x => math.round(x.toDouble * 10000.0))
+      Array.tabulate(16) { j =>
+        val s = (0 until 4).map(i => q(i * 16 + j)).sum
+        math.floor(s.toDouble / 4).toLong
+      }
+    }
+    val top = rows.filter(r => r.getAs[Long]("qid") == 0 && r.getAs[Int]("rank") == 1).head
+    val want = pooled(0L).zip(pooled(top.getAs[Long]("vec_id")))
+      .map { case (a, b) => a * b }.sum
+    assert(top.getAs[Long]("dot") == want)
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
