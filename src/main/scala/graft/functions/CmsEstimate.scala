@@ -35,11 +35,17 @@ case class CmsEstimate(left: Expression, right: Expression)
     java.util.Collections.synchronizedMap(
       new java.util.IdentityHashMap[Array[Byte], CountMinSketch]())
 
+  /** Bound on distinct memoized sketches: the intended use hands eval
+    * ONE literal array, but the function is SQL-registered, so a
+    * per-row sketch column must not grow the memo without limit. */
+  private val MemoMax = 16
+
   override def nullSafeEval(sketchBytes: Any, key: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
     var sk = memo.get(bytes)
     if (sk == null) {
       sk = CountMinSketch.readFrom(bytes)
+      if (memo.size >= MemoMax) memo.clear()
       memo.put(bytes, sk)
     }
     sk.estimateCount(key.asInstanceOf[java.lang.Long])

@@ -591,7 +591,10 @@ object Analytics {
     // cache that is two full lineitem scans; the cached rollup is
     // supplier-sized (tiny at any SF). Re-invocation does not stack
     // copies: CacheManager dedupes by canonicalized plan, so repeated
-    // cache() of this same query reuses the one entry.
+    // cache() of this same query reuses the one entry. That same
+    // dedupe means the entry assumes immutable input files for the
+    // session (the driver contract; same as the shingle caches) — an
+    // in-session rewrite needs the quantizedCache unpersist pattern.
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))

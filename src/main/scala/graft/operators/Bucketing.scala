@@ -60,14 +60,24 @@ object Bucketing {
       s"${System.identityHashCode(spark)}:$dir:$mtime", _ => {
         // the session identity is part of the PATH, not just the memo
         // key: a second session over the same data must not overwrite
-        // a directory the first session's lazy plans still read
-        val p = "/tmp/graft_part_" + java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
-          .take(6).map("%02x".format(_)).mkString
+        // a directory the first session's lazy plans still read. The
+        // OS user is included so two users over a shared read-only
+        // dataset never collide on the same /tmp directory, and a
+        // shutdown hook reclaims the copy when the JVM exits.
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+          s"${System.getProperty("user.name")}_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString
         Tables.events(spark, dir)
           .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
           .write.mode("overwrite").partitionBy("event_date").parquet(p)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(p))
+        }))
         p
       })
     spark.read.parquet(path)

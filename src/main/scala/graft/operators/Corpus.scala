@@ -397,7 +397,10 @@ object Corpus {
     val w = nonEmptyToks
     val nWords = size(w)
     val nDistinct = size(array_distinct(w))
-    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    // keep-class includes A-Z: capitalized text is not punctuation
+    // (the synthetic corpus is lowercase, but the rule must hold for
+    // mixed-case corpora too)
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
     val verdict =
       when(nWords < 10, "too_short")
         .when(nDistinct.cast("double") / nWords.cast("double") < 0.5, "too_repetitive")
@@ -422,7 +425,7 @@ object Corpus {
       |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_words,
       |    len(list_distinct(list_filter(str_split(text, ' '), x -> x <> '')))
       |      AS n_distinct,
-      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct,
+      |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct,
       |    length(text) AS n_chars
       |  FROM documents
       |)""".stripMargin

@@ -653,12 +653,17 @@ object Dedup {
       .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
+    // cached: the assignment subtree (cross join + rank window) feeds
+    // the pair join's BOTH sides and the final anti-join — without the
+    // cache Spark executes it three times (the k17 shared-subtree
+    // situation; immutable-input assumption as documented there)
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("cent_cos", Similarity.cosineQ(
         vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
+      .cache()
     val x = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("qvec").as("qa"), col("nsq").as("na"))
     val y = assigned.select(col("cell"), col("vec_id").as("id_b"),

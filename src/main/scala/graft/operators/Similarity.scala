@@ -31,24 +31,33 @@ object Similarity {
 
   /** Shared lazy cache of the quantized corpus: every similarity
     * query starts from the same quantize+self-dot scan, and the
-    * recall eval runs four indexes over it — the same shared-cache
-    * discipline as Dedup's shingle cache (mtime-keyed, so a data
-    * rewrite within one session invalidates). Spark's cache is
+    * recall eval runs four indexes over it. Spark's cache is
     * spillable, and at 100 TB the quantized+coded representation is
-    * the thing you'd persist anyway. */
+    * the thing you'd persist anyway.
+    *
+    * Invalidation note: CacheManager matches cached plans by
+    * CANONICALIZED form (root path, not file list), so merely
+    * re-caching after a data rewrite would silently serve the OLD
+    * blocks. On an mtime change we therefore unpersist the superseded
+    * entry FIRST (dropping its blocks), then cache the rebuilt plan —
+    * which also caps the cache at one entry per (session, dir). */
   private val quantizedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
 
   /** Quantized vectors + integer squared norm (one native self-dot). */
   private[operators] def quantized(spark: SparkSession, dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/embeddings.parquet")
-    quantizedCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$mtime", _ =>
-        Tables.embeddings(spark, dir)
-          .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
-          .select(col("vec_id"), col("qvec"),
-            vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
-          .cache())
+    quantizedCache.compute(
+      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) prev._2.unpersist()
+          (mtime, Tables.embeddings(spark, dir)
+            .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
+            .select(col("vec_id"), col("qvec"),
+              vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
+            .cache())
+        })._2
   }
 
   /** Deterministic cosine from integer parts — see object doc. */

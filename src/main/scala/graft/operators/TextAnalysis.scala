@@ -334,7 +334,8 @@ object TextAnalysis {
     // cached: the exploded feature stream feeds both the bucket-count
     // aggregation and the per-doc weight join — one synth+explode pass
     // (no stacking on re-invocation: CacheManager dedupes by
-    // canonicalized plan, same as the shingle cache)
+    // canonicalized plan; like the shingle caches this assumes
+    // immutable input files for the session — the driver contract)
     val feats = bigrams.select(col("doc_id"), col("lang"),
       pmod(conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
         .cast("long"), lit(DsirBuckets)).as("bucket")).cache()

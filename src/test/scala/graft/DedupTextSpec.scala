@@ -228,8 +228,13 @@ class DedupTextSpec extends SparkSpecBase {
         val want = (0 to hashes.length - 4).map { s =>
           hashes.slice(s, s + 4).minBy { case (h, p) => (h, p) }
         }.distinct.toSet
-        val got = byDoc(d.getLong(0))
-          .map(r => (r.getAs[String]("fingerprint"), r.getAs[Int]("sel_pos"))).toSet
+        // docs with < 4 windows select nothing and are absent from the
+        // result — byDoc.get, not byDoc(), so that stays an equality
+        // check rather than a key-miss crash
+        val got = byDoc.get(d.getLong(0))
+          .map(_.map(r =>
+            (r.getAs[String]("fingerprint"), r.getAs[Int]("sel_pos"))).toSet)
+          .getOrElse(Set.empty)
         assert(got == want, s"doc ${d.getLong(0)} winnowed set mismatch")
       }
     }
