@@ -724,7 +724,68 @@ object Analytics {
       |WHERE p_brand <> 'Brand#45'
       |GROUP BY 1, 2""".stripMargin
 
+  /** K22 `k22_market_share` — TPC-H Q8 shape: NATION_3 suppliers'
+    * share of ASIA customers' SMALL-part revenue, per order year.
+    * Both the conditional and total sums route through decimal
+    * (exact, order-insensitive) and the share is ONE IEEE division of
+    * two exact doubles — so even the ratio hash-matches. Scale: all
+    * four dims broadcast (customer nations pre-filtered to ASIA
+    * before the join, parts to SMALL), lineitem⋈orders is the one
+    * big shuffle on orderkey, and the (year) rollup is tiny and
+    * partial-agg'd map-side. */
+  def k22MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val smallPart = Tables.part(spark, dir).filter(col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(smallPart), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        dsum(rev).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"))
+  }
+
+  val k22Sql: String =
+    """WITH yr AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+      |                       THEN l_extendedprice*(1.0-l_discount)
+      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+      |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  GROUP BY 1
+      |)
+      |SELECT o_year, nation_volume, total_volume,
+      |  nation_volume / total_volume AS mkt_share
+      |FROM yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k22_market_share" -> (k22MarketShare _),
     "k21_supplier_variety" -> (k21SupplierVariety _),
     "k16_returned_item_report" -> (k16ReturnedItemReport _),
     "k17_top_supplier_revenue" -> (k17TopSupplierRevenue _),
@@ -747,6 +808,7 @@ object Analytics {
     "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
 
   val oracles: Map[String, String] = Map(
+    "k22_market_share" -> k22Sql,
     "k21_supplier_variety" -> k21Sql,
     "k16_returned_item_report" -> k16Sql,
     "k17_top_supplier_revenue" -> k17Sql,

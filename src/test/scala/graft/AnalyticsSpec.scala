@@ -139,6 +139,17 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("k22: market share in [0,1], nation volume bounded by total") {
+    val rows = run("k22_market_share").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nv, tv, ms) = (r.getAs[Double]("nation_volume"),
+        r.getAs[Double]("total_volume"), r.getAs[Double]("mkt_share"))
+      assert(nv >= 0.0 && nv <= tv)
+      assert(ms == nv / tv && ms >= 0.0 && ms <= 1.0)
+    }
+  }
+
   test("k19: lapsed rich customers have no recent orders, above-average balance") {
     val rows = run("k19_idle_customers").collect()
     assert(rows.nonEmpty)
