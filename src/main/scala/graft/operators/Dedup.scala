@@ -645,25 +645,44 @@ object Dedup {
     * cell (never all-pairs); the drop set leaves via anti-join.
     * [[SemCells]] is the tuning knob — production uses ~sqrt(n)
     * cells so cells stay bounded. */
+  /** Keyed cache for semDedup's assignment subtree — the
+    * Similarity.quantizedCache discipline (unpersist the superseded
+    * entry on an mtime change), NOT a bare .cache(): CacheManager
+    * matches canonicalized plans, so after a data rewrite a plain
+    * re-cache would keep serving blocks built from the old files even
+    * though quantized() itself rebuilt. */
+  private val semAssignCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExpressions.vdotQuantizedNative
     val emb = Similarity.quantized(spark, dir)
-    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(SemCells)
-      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val mtime = graft.Tables.mtime(spark, s"$dir/embeddings.parquet")
     // cached: the assignment subtree (cross join + rank window) feeds
     // the pair join's BOTH sides and the final anti-join — without the
     // cache Spark executes it three times (the k17 shared-subtree
-    // situation; immutable-input assumption as documented there)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("cent_cos", Similarity.cosineQ(
-        vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
-      .cache()
+    // situation)
+    val assigned = semAssignCache.compute(
+      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) prev._2.unpersist()
+          val cents = emb.orderBy(md5(col("vec_id").cast("string")))
+            .limit(SemCells)
+            .select(col("vec_id").as("cent_id"), col("qvec").as("cq"),
+              col("nsq").as("cn"))
+          val wAssign = Window.partitionBy(col("vec_id"))
+            .orderBy(col("cent_cos").desc, col("cent_id"))
+          (mtime, emb.crossJoin(broadcast(cents))
+            .withColumn("cent_cos", Similarity.cosineQ(
+              vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
+            .withColumn("arn", row_number().over(wAssign))
+            .filter(col("arn") === 1)
+            .select(col("vec_id"), col("qvec"), col("nsq"),
+              col("cent_id").as("cell"))
+            .cache())
+        })._2
     val x = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("qvec").as("qa"), col("nsq").as("na"))
     val y = assigned.select(col("cell"), col("vec_id").as("id_b"),

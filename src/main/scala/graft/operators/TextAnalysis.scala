@@ -76,7 +76,9 @@ object TextAnalysis {
     val nChars = length(col("text")).cast("double")
     val stopToks = size(filter(nonEmptyToks,
       t => t.isin(stopwords.map(lit): _*).cast("boolean"))).cast("double")
-    val punctChars = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    // keep-class includes A-Z (capitalized text is not punctuation —
+    // same fix as the M9 funnel; lowercase corpus, identical results)
+    val punctChars = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double")
     val wordChars = length(regexp_replace(col("text"), " ", "")).cast("double")
     val lenScore = least(lit(1.0), nToks / 100.0)
     val stopRatio = stopToks / nToks
@@ -107,7 +109,7 @@ object TextAnalysis {
       |      x -> x IN ('the','a','and','of','is','to','in','for')))::DOUBLE
       |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
       |      AS stopword_ratio,
-      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+      |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
       |      / length(text)::DOUBLE AS punct_ratio,
       |    length(replace(text, ' ', ''))::DOUBLE
       |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
