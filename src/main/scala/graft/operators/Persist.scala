@@ -232,11 +232,69 @@ object Persist {
        |FROM ranked
        |GROUP BY user_id, event_type""".stripMargin
 
+  /** D5 `persist_patient_meta` — the patient-profile META row the
+    * reference's getPatient reads (services/api-query/src/handler.ts:
+    * 41-57: name / birthDate / lastUpdated off the PATIENT#<id> META
+    * item, written by the registry-update path). The profile-update
+    * stream is synthesized from signup events (each signup = one
+    * registry upsert touching the profile), replayed through the SAME
+    * conditional-write idempotency rule as D2 — entity here is the
+    * patient, so the lag window partitions on user_id alone. The META
+    * row is the latest applied state: version = applied-write count,
+    * lastUpdated = the last applied write's time. name/birthDate are
+    * registry attributes, derived deterministically from the patient
+    * id (the testdata carries no profile payload).
+    *
+    * Scale: one shuffle on the patient key; the window and the final
+    * aggregate share hashpartitioning(user_id) so Catalyst plans a
+    * single Exchange — same discipline as D2. */
+  def patientMeta(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
+      .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
+      .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
+      .groupBy(Obs.tenant.as("tenant_id"), col("user_id").as("patient_id"))
+      .agg(count(lit(1)).as("version"), max(col("ts")).as("last_updated"))
+      .select(col("tenant_id"), col("patient_id"),
+        concat(lit("patient-"), col("patient_id")).as("name"),
+        date_add(to_date(lit("1950-01-01")),
+          pmod(col("patient_id") * 37, lit(18250)).cast("int")).as("birth_date"),
+        col("version"), col("last_updated"))
+  }
+
+  /** The META-row CTE in SQL — single source of truth shared by the
+    * D5 oracle and E1's (api_get_patient) point-lookup oracle. */
+  val patientMetaSqlCte: String =
+    """meta_applied AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts, event_id, 'ik' || (event_id % 5) AS ik,
+      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) AS prev_ik
+      |    FROM events WHERE event_type = 'signup'
+      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
+      |), meta AS (
+      |  SELECT 't' || (user_id % 4) AS tenant_id,
+      |    user_id AS patient_id,
+      |    'patient-' || user_id AS name,
+      |    DATE '1950-01-01' + CAST((user_id * 37) % 18250 AS INT) AS birth_date,
+      |    COUNT(*) AS version,
+      |    CAST(MAX(ts) AS TIMESTAMP) AS last_updated
+      |  FROM meta_applied GROUP BY 1, 2
+      |)""".stripMargin
+
+  val patientMetaSql: String =
+    s"""WITH $patientMetaSqlCte
+       |SELECT tenant_id, patient_id, name, birth_date, version, last_updated
+       |FROM meta""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "persist_key_design" -> (keyDesign _),
     "persist_upsert_version" -> (upsertVersion _),
     "persist_upsert_bucketed" -> (upsertVersionBucketed _),
     "persist_commit_log" -> (commitLog _),
+    "persist_patient_meta" -> (patientMeta _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +302,6 @@ object Persist {
     "persist_upsert_version" -> upsertVersionSql,
     "persist_upsert_bucketed" -> upsertVersionSql,
     "persist_commit_log" -> commitLogSql,
+    "persist_patient_meta" -> patientMetaSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

@@ -13,144 +13,224 @@ import graft.Tables
   * event_type ~ code, ts ~ effectiveDateTime; `customer` plays the
   * patient registry.
   *
+  * TENANCY: the reference derives the tenant from the auth claim and
+  * keys EVERY read by it (handler.ts:16-20, :43-44 —
+  * `TENANT#<t>#PATIENT#<p>` is the GSI2 partition key; a caller can
+  * never address another tenant's rows). Every operator here takes
+  * the serving tenant as its first domain parameter and applies the
+  * tenant predicate next to the patient key, so isolation is
+  * structural: a (tenant, patient) pair that doesn't match yields the
+  * empty set, exactly like a key-prefix miss in the reference store
+  * (TenancySpec asserts no cross-tenant row can appear in any
+  * E-result). The synthetic claim→tenant mapping is [[Obs.tenant]]
+  * (t<user_id mod 4>), shared with the Audit/Ingest families.
+  *
+  * PARAMETERS: every operator is a library function with defaulted
+  * domain parameters (patient, code, time range, page size); the
+  * registry entries in [[queries]] are the pinned oracle
+  * instantiations, and each `*Sql` oracle is a builder over the SAME
+  * parameters so Spark and DuckDB can be compared at ANY call site
+  * (the `param_*` registry keys pin a second, non-default
+  * instantiation per family).
+  *
   * Scale notes: every per-patient query is a partition-pruned range
-  * scan in spirit — the predicates (user, code, time range) push into
-  * the parquet scan so a 100 TB store reads only matching row groups;
-  * at cluster scale the store would be partitioned/bucketed by
-  * (tenant, patient) making these true point scans. The latest-per-key
-  * query shuffles once on the grouping key.
+  * scan in spirit — the predicates (tenant, user, code, time range)
+  * push into the parquet scan so a 100 TB store reads only matching
+  * row groups; at cluster scale the store would be partitioned by
+  * tenant and bucketed by patient, making these true point scans.
+  * The latest-per-key query shuffles once on the grouping key.
   */
 object QueryApi {
 
-  /** E1 `api_get_patient` — getPatient(id): point lookup in the
-    * registry (reference handler does a DynamoDB GetItem on
-    * PK=TENANT#t, SK=ENTITY#patient#id). */
-  def getPatient(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .filter(col("c_custkey") === 42)
-      .select(col("c_custkey").as("patient_id"), col("c_name").as("name"),
-        col("c_nationkey").as("nation_id"), col("c_acctbal").as("balance"),
-        col("c_mktsegment").as("segment"))
+  /** The synthetic auth-claim→tenant mapping of the testdata (the
+    * reference reads it off the JWT; here it is derivable from the
+    * patient id so specs can name the right AND the wrong tenant). */
+  def tenantOf(patient: Long): String = s"t${patient % 4}"
 
-  val getPatientSql: String =
-    """SELECT c_custkey AS patient_id, c_name AS name,
-      |  c_nationkey AS nation_id, c_acctbal AS balance,
-      |  c_mktsegment AS segment
-      |FROM customer WHERE c_custkey = 42""".stripMargin
+  /** Tenant predicate over the events stream. */
+  private def tenantPred(tenant: String) = Obs.tenant === lit(tenant)
+
+  private def tenantSqlPred(tenant: String) = s"'t' || (user_id % 4) = '$tenant'"
+
+  /** E1 `api_get_patient` — getPatient(id): point lookup of the
+    * patient-profile META row (reference: api-query/src/handler.ts:
+    * 41-57 reads name/birthDate/lastUpdated from the PATIENT#<id>
+    * META item), left-joined with the static registry attributes
+    * (segment/balance ~ the demographics the registry carries). The
+    * META row comes from [[Persist.patientMeta]] — the D5 versioned
+    * upsert — so a profile update stream changes what this returns,
+    * exactly like the reference. The (tenant, patient) point
+    * predicates push through the META aggregate into the scan; the
+    * registry side is filtered to the same point key before a
+    * broadcast 1x1 join. */
+  def getPatient(spark: SparkSession, dir: String,
+                 tenant: String = "t1", patient: Long = 13L): DataFrame = {
+    val registry = Tables.customer(spark, dir)
+      .filter(col("c_custkey") === patient)
+      .select(col("c_custkey").as("patient_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("balance"))
+    Persist.patientMeta(spark, dir)
+      .filter(col("tenant_id") === tenant && col("patient_id") === patient)
+      .join(broadcast(registry), Seq("patient_id"), "left")
+      .select(col("tenant_id"), col("patient_id"), col("name"),
+        col("birth_date"), col("version"), col("last_updated"),
+        col("segment"), col("balance"))
+  }
+
+  def getPatientSql(tenant: String = "t1", patient: Long = 13L): String =
+    s"""WITH ${Persist.patientMetaSqlCte}
+       |SELECT m.tenant_id, m.patient_id, m.name, m.birth_date,
+       |  m.version, m.last_updated,
+       |  c.c_mktsegment AS segment, c.c_acctbal AS balance
+       |FROM meta m LEFT JOIN customer c ON c.c_custkey = m.patient_id
+       |WHERE m.tenant_id = '$tenant' AND m.patient_id = $patient""".stripMargin
 
   /** E2 `api_obs_by_patient` — observationsByPatient(patientId, code,
     * from, to, limit): ascending time-range scan with code filter
     * (reference: services/api-query/src/handler.ts:64-86 —
-    * ScanIndexForward ascending, Limit clamped to 100). LIMIT is
-    * ordered by the unique (ts, event_id) chain so the page is
+    * ScanIndexForward ascending, Limit clamped to 100), keyed by
+    * (tenant, patient) like the reference's GSI2 partition key. LIMIT
+    * is ordered by the unique (ts, event_id) chain so the page is
     * deterministic (reference pages on the GSI2 sort key). */
-  def obsByPatient(spark: SparkSession, dir: String): DataFrame =
+  def obsByPatient(spark: SparkSession, dir: String,
+                   tenant: String = "t1", patient: Long = 13L,
+                   code: String = "purchase",
+                   from: String = "2024-01-05 00:00:00",
+                   to: String = "2024-01-25 00:00:00",
+                   limit: Int = 50): DataFrame =
     Tables.events(spark, dir)
-      .filter(col("user_id") === 13 && col("event_type") === "purchase" &&
-        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
-        col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .filter(tenantPred(tenant) &&
+        col("user_id") === patient && col("event_type") === code &&
+        col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(to).cast("timestamp"))
+      .select(Obs.tenant.as("tenant_id"), col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
       .orderBy(col("ts"), col("event_id"))
-      .limit(50)
+      .limit(limit)
 
-  val obsByPatientSql: String =
-    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
-      |FROM events
-      |WHERE user_id = 13 AND event_type = 'purchase'
-      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
-      |  AND ts <  TIMESTAMP '2024-01-25 00:00:00'
-      |ORDER BY ts, event_id
-      |LIMIT 50""".stripMargin
+  def obsByPatientSql(tenant: String = "t1", patient: Long = 13L,
+                      code: String = "purchase",
+                      from: String = "2024-01-05 00:00:00",
+                      to: String = "2024-01-25 00:00:00",
+                      limit: Int = 50): String =
+    s"""SELECT 't' || (user_id % 4) AS tenant_id,
+       |  event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+       |FROM events
+       |WHERE ${tenantSqlPred(tenant)}
+       |  AND user_id = $patient AND event_type = '$code'
+       |  AND ts >= TIMESTAMP '$from'
+       |  AND ts <  TIMESTAMP '$to'
+       |ORDER BY ts, event_id
+       |LIMIT $limit""".stripMargin
 
   /** E3 `api_latest_observation` — latestObservation(patient, code)
-    * for every (patient, code) at once: the reference scans the GSI
-    * descending and takes the first row; set-oriented that is a
-    * row_number window over (ts, event_id) descending. One shuffle on
-    * the entity key. */
-  def latestObservation(spark: SparkSession, dir: String): DataFrame = {
+    * for every (patient, code) of ONE tenant at once: the reference
+    * scans the tenant-scoped GSI descending and takes the first row;
+    * set-oriented that is a row_number window over (ts, event_id)
+    * descending. The tenant predicate restricts the scan BEFORE the
+    * window, so the shuffle carries one tenant's rows only. */
+  def latestObservation(spark: SparkSession, dir: String,
+                        tenant: String = "t1"): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
     Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .filter(tenantPred(tenant))
+      .select(Obs.tenant.as("tenant_id"), col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
   }
 
-  val latestObservationSql: String =
-    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
-      |FROM (
-      |  SELECT event_id, user_id, event_type, ts, value,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-      |                       ORDER BY ts DESC, event_id DESC) AS rn
-      |  FROM events
-      |) WHERE rn = 1""".stripMargin
+  def latestObservationSql(tenant: String = "t1"): String =
+    s"""SELECT tenant_id, event_id, user_id, event_type,
+       |  CAST(ts AS TIMESTAMP) AS ts, value
+       |FROM (
+       |  SELECT 't' || (user_id % 4) AS tenant_id,
+       |    event_id, user_id, event_type, ts, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |  WHERE ${tenantSqlPred(tenant)}
+       |) WHERE rn = 1""".stripMargin
 
   /** E4 `api_obs_page_after` — keyset pagination: the page after
-    * cursor (ts0, id0) for one patient, strictly ordered by the
-    * unique (ts, event_id) chain. Equivalent of the reference's
+    * cursor (ts0, id0) for one (tenant, patient), strictly ordered by
+    * the unique (ts, event_id) chain. Equivalent of the reference's
     * nextToken continuation. */
-  def obsPageAfter(spark: SparkSession, dir: String): DataFrame = {
-    val ts0 = lit("2024-01-10 00:00:00").cast("timestamp")
-    val id0 = lit(0L)
+  def obsPageAfter(spark: SparkSession, dir: String,
+                   tenant: String = "t1", patient: Long = 13L,
+                   cursorTs: String = "2024-01-10 00:00:00",
+                   cursorId: Long = 0L, limit: Int = 20): DataFrame = {
+    val ts0 = lit(cursorTs).cast("timestamp")
+    val id0 = lit(cursorId)
     Tables.events(spark, dir)
-      .filter(col("user_id") === 13 &&
+      .filter(tenantPred(tenant) && col("user_id") === patient &&
         (col("ts") > ts0 || (col("ts") === ts0 && col("event_id") > id0)))
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .select(Obs.tenant.as("tenant_id"), col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
       .orderBy(col("ts"), col("event_id"))
-      .limit(20)
+      .limit(limit)
   }
 
-  val obsPageAfterSql: String =
-    """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
-      |FROM events
-      |WHERE user_id = 13
-      |  AND (ts > TIMESTAMP '2024-01-10 00:00:00'
-      |       OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND event_id > 0))
-      |ORDER BY ts, event_id
-      |LIMIT 20""".stripMargin
+  def obsPageAfterSql(tenant: String = "t1", patient: Long = 13L,
+                      cursorTs: String = "2024-01-10 00:00:00",
+                      cursorId: Long = 0L, limit: Int = 20): String =
+    s"""SELECT 't' || (user_id % 4) AS tenant_id,
+       |  event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+       |FROM events
+       |WHERE ${tenantSqlPred(tenant)}
+       |  AND user_id = $patient
+       |  AND (ts > TIMESTAMP '$cursorTs'
+       |       OR (ts = TIMESTAMP '$cursorTs' AND event_id > $cursorId))
+       |ORDER BY ts, event_id
+       |LIMIT $limit""".stripMargin
 
-  /** E5 `api_obs_asof_join` — as-of join: for every probe event (a
-    * purchase), the latest prior-or-equal observation (a click) of
-    * the same patient. Spark lacks a built-in as-of join, so it is a
+  /** E5 `api_obs_asof_join` — as-of join: for every probe event of
+    * one tenant, the latest prior-or-equal observation of the same
+    * patient. Spark lacks a built-in as-of join, so it is a
     * first-class custom logical operator here:
     * [[graft.plans.AsOfJoin]], expanded during analysis by the
     * injected [[graft.plans.ResolveAsOfJoin]] rule into the
     * union + last(struct, ignoreNulls) window plan — ONE shuffle on
     * user_id, no range-join pair explosion (a naive ts-range join is
-    * O(probes x obs) per user). The expansion is ordinary Catalyst
-    * operators, so the optimizer and codegen treat it like any
-    * hand-written query. */
-  def obsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    * O(probes x obs) per user). The tenant predicate lands on BOTH
+    * sides before the union, so it reaches both scans. */
+  def obsAsofJoin(spark: SparkSession, dir: String,
+                  tenant: String = "t1",
+                  probeCode: String = "purchase",
+                  obsCode: String = "click"): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(tenantPred(tenant))
     graft.plans.AsOf.join(
-      probe = ev.filter(col("event_type") === "purchase"),
-      obs = ev.filter(col("event_type") === "click"),
+      probe = ev.filter(col("event_type") === probeCode),
+      obs = ev.filter(col("event_type") === obsCode),
       key = "user_id", ts = "ts", id = "event_id", value = "value")
   }
 
-  val obsAsofJoinSql: String =
-    """WITH tagged AS (
-      |  SELECT user_id, ts, event_id, value, 0 AS is_probe
-      |  FROM events WHERE event_type = 'click'
-      |  UNION ALL
-      |  SELECT user_id, ts, event_id, NULL AS value, 1 AS is_probe
-      |  FROM events WHERE event_type = 'purchase'
-      |), carried AS (
-      |  SELECT *,
-      |    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
-      |      OVER w AS obs_event_id,
-      |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
-      |      OVER w AS obs_ts,
-      |    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
-      |      OVER w AS obs_value
-      |  FROM tagged
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |)
-      |SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS probe_ts,
-      |  obs_event_id, CAST(obs_ts AS TIMESTAMP) AS obs_ts, obs_value
-      |FROM carried WHERE is_probe = 1""".stripMargin
+  def obsAsofJoinSql(tenant: String = "t1",
+                     probeCode: String = "purchase",
+                     obsCode: String = "click"): String =
+    s"""WITH tagged AS (
+       |  SELECT user_id, ts, event_id, value, 0 AS is_probe
+       |  FROM events WHERE event_type = '$obsCode' AND ${tenantSqlPred(tenant)}
+       |  UNION ALL
+       |  SELECT user_id, ts, event_id, NULL AS value, 1 AS is_probe
+       |  FROM events WHERE event_type = '$probeCode' AND ${tenantSqlPred(tenant)}
+       |), carried AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+       |      OVER w AS obs_event_id,
+       |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+       |      OVER w AS obs_ts,
+       |    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+       |      OVER w AS obs_value
+       |  FROM tagged
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_id AS probe_id, user_id, CAST(ts AS TIMESTAMP) AS probe_ts,
+       |  obs_event_id, CAST(obs_ts AS TIMESTAMP) AS obs_ts, obs_value
+       |FROM carried WHERE is_probe = 1""".stripMargin
 
   /** E6 `api_limit_clamp` — the reference's page-size contract
     * (services/api-query/src/handler.ts:84): effective limit =
@@ -158,10 +238,12 @@ object QueryApi {
     * makes BOTH null and 0 fall back to the default 25 (JS falsy) and
     * negatives clamp up to 1. Modeled set-oriented: a tiny inline
     * request table (one row per limit edge case) non-equi-joined to
-    * the patient's ordered scan — each request returns exactly its
-    * clamped page. The request side is bounded by contract (a page of
-    * API calls), so the nested-loop broadcast join is scale-safe. */
-  def limitClamp(spark: SparkSession, dir: String): DataFrame = {
+    * the (tenant, patient) ordered scan — each request returns
+    * exactly its clamped page. The request side is bounded by
+    * contract (a page of API calls), so the nested-loop broadcast
+    * join is scale-safe. */
+  def limitClamp(spark: SparkSession, dir: String,
+                 tenant: String = "t1", patient: Long = 13L): DataFrame = {
     import spark.implicits._
     val reqs = Seq(
       ("r_null", Option.empty[Int]), ("r_zero", Option(0)),
@@ -174,7 +256,7 @@ object QueryApi {
     // window then only ever sees <= 100 rows, never the full scan
     val w = Window.orderBy(col("ts"), col("event_id"))
     val page = Tables.events(spark, dir)
-      .filter(col("user_id") === 13)
+      .filter(tenantPred(tenant) && col("user_id") === patient)
       .select(col("event_id"), col("ts"), col("value"))
       .orderBy(col("ts"), col("event_id")).limit(100)
       .withColumn("rn", row_number().over(w))
@@ -184,37 +266,40 @@ object QueryApi {
         col("event_id"), col("ts"), col("value"))
   }
 
-  val limitClampSql: String =
-    """WITH reqs(request_id, req_limit) AS (
-      |  VALUES ('r_null', CAST(NULL AS INTEGER)), ('r_zero', 0),
-      |         ('r_neg', -5), ('r_mid', 17), ('r_cap', 250)
-      |), page AS (
-      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS INTEGER) AS rn
-      |  FROM events WHERE user_id = 13
-      |)
-      |SELECT request_id,
-      |  LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25))) AS eff_limit,
-      |  rn, event_id, ts, value
-      |FROM reqs JOIN page
-      |  ON rn <= LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25)))""".stripMargin
+  def limitClampSql(tenant: String = "t1", patient: Long = 13L): String =
+    s"""WITH reqs(request_id, req_limit) AS (
+       |  VALUES ('r_null', CAST(NULL AS INTEGER)), ('r_zero', 0),
+       |         ('r_neg', -5), ('r_mid', 17), ('r_cap', 250)
+       |), page AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS INTEGER) AS rn
+       |  FROM events WHERE ${tenantSqlPred(tenant)} AND user_id = $patient
+       |)
+       |SELECT request_id,
+       |  LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25))) AS eff_limit,
+       |  rn, event_id, ts, value
+       |FROM reqs JOIN page
+       |  ON rn <= LEAST(100, GREATEST(1, COALESCE(NULLIF(req_limit, 0), 25)))""".stripMargin
 
   /** E7 `api_next_token` — the reference's pagination token contract
     * (services/api-query/src/handler.ts:85,106): the page's last
     * evaluated key is serialized to JSON, base64-encoded into
     * `nextToken`, and a follow-up request decodes it back into the
-    * exclusive-start cursor. Modeled end-to-end: page 1 (limit 20) →
+    * exclusive-start cursor. Modeled end-to-end: page 1 (pageSize) →
     * token = base64({"ts":...,"id":...}) of its last row → decode +
-    * JSON-parse the token → keyset-continue into the first 5 rows of
-    * page 2, each carrying the token that produced them. The cursor
-    * is a 1-row broadcast against the patient scan. */
-  def nextToken(spark: SparkSession, dir: String): DataFrame = {
+    * JSON-parse the token → keyset-continue into the first `nextN`
+    * rows of page 2, each carrying the token that produced them. The
+    * cursor is a 1-row broadcast against the (tenant, patient) scan. */
+  def nextToken(spark: SparkSession, dir: String,
+                tenant: String = "t1", patient: Long = 13L,
+                pageSize: Int = 20, nextN: Int = 5): DataFrame = {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    val page1Last = Tables.events(spark, dir)
-      .filter(col("user_id") === 13)
+    val scan = Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("user_id") === patient)
+    val page1Last = scan
       .select(col("event_id"), col("ts"))
       .orderBy(col("ts"), col("event_id"))
-      .limit(20)
+      .limit(pageSize)
       .agg(max(struct(col("ts"), col("event_id"))).as("c"))
     val token = page1Last.select(
       base64(concat(
@@ -227,63 +312,72 @@ object QueryApi {
         tsFmt).as("cts"),
       get_json_object(unbase64(col("next_token")).cast("string"), "$.id")
         .cast("long").as("cid"))
-    Tables.events(spark, dir)
-      .filter(col("user_id") === 13)
+    scan
       .select(col("event_id"), col("ts"), col("value"))
       .crossJoin(broadcast(cursor))
       .filter(col("ts") > col("cts") ||
         (col("ts") === col("cts") && col("event_id") > col("cid")))
       .orderBy(col("ts"), col("event_id"))
-      .limit(5)
+      .limit(nextN)
       .select(col("next_token"), col("event_id"), col("ts"), col("value"))
   }
 
-  val nextTokenSql: String =
-    """WITH page1 AS (
-      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
-      |  FROM events WHERE user_id = 13
-      |  ORDER BY ts, event_id LIMIT 20
-      |), last AS (
-      |  SELECT ts, event_id FROM page1
-      |  ORDER BY ts DESC, event_id DESC LIMIT 1
-      |), tok AS (
-      |  SELECT base64(encode(
-      |    '{"ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-      |      || '","id":' || event_id || '}')) AS next_token
-      |  FROM last
-      |), cur AS (
-      |  SELECT next_token,
-      |    strptime(json_extract_string(decode(from_base64(next_token)), '$.ts'),
-      |      '%Y-%m-%d %H:%M:%S.%f') AS cts,
-      |    CAST(json_extract_string(decode(from_base64(next_token)), '$.id')
-      |      AS BIGINT) AS cid
-      |  FROM tok
-      |)
-      |SELECT next_token, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-      |FROM events, cur
-      |WHERE user_id = 13
-      |  AND (ts > cts OR (ts = cts AND event_id > cid))
-      |ORDER BY ts, event_id
-      |LIMIT 5""".stripMargin
+  def nextTokenSql(tenant: String = "t1", patient: Long = 13L,
+                   pageSize: Int = 20, nextN: Int = 5): String =
+    s"""WITH page1 AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events WHERE ${tenantSqlPred(tenant)} AND user_id = $patient
+       |  ORDER BY ts, event_id LIMIT $pageSize
+       |), last AS (
+       |  SELECT ts, event_id FROM page1
+       |  ORDER BY ts DESC, event_id DESC LIMIT 1
+       |), tok AS (
+       |  SELECT base64(encode(
+       |    '{"ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+       |      || '","id":' || event_id || '}')) AS next_token
+       |  FROM last
+       |), cur AS (
+       |  SELECT next_token,
+       |    strptime(json_extract_string(decode(from_base64(next_token)), '$$.ts'),
+       |      '%Y-%m-%d %H:%M:%S.%f') AS cts,
+       |    CAST(json_extract_string(decode(from_base64(next_token)), '$$.id')
+       |      AS BIGINT) AS cid
+       |  FROM tok
+       |)
+       |SELECT next_token, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |FROM events, cur
+       |WHERE ${tenantSqlPred(tenant)} AND user_id = $patient
+       |  AND (ts > cts OR (ts = cts AND event_id > cid))
+       |ORDER BY ts, event_id
+       |LIMIT $nextN""".stripMargin
+
+  /** The pinned E8 probe batch: 13/5/77 live in t1; 42 is the
+    * deliberately CROSS-tenant probe (t2) and 99999 is absent —
+    * BatchGetItem semantics return no row for both. */
+  val defaultProbes: Seq[(Long, String)] = Seq(
+    (13L, "purchase"), (13L, "click"), (42L, "purchase"),
+    (77L, "view"), (5L, "click"), (99999L, "purchase"))
 
   /** E8 `api_multi_get` — batch point-get: N (patient, code) keys
     * answered in ONE pass (the BatchGetItem / GraphQL-dataloader
-    * analogue of E3's per-key lookup). The probe set broadcasts and
-    * SEMI-JOINS the events table BEFORE the latest-observation window
-    * — the window only sees rows for requested keys, the batch
-    * equivalent of N key-prefix range reads, not a full scan ranked
-    * then filtered. Missing keys return no row (BatchGetItem
-    * semantics); one probe here is deliberately absent. */
-  def multiGet(spark: SparkSession, dir: String): DataFrame = {
+    * analogue of E3's per-key lookup). The reference constructs every
+    * batch key under the caller's tenant (handler.ts:43-44), so a
+    * probe for a patient of ANOTHER tenant is a key miss, not a leak
+    * — modeled by the tenant predicate next to the probe semi-join.
+    * The probe set broadcasts and SEMI-JOINS the events table BEFORE
+    * the latest-observation window — the window only sees rows for
+    * requested in-tenant keys, the batch equivalent of N key-prefix
+    * range reads, not a full scan ranked then filtered. */
+  def multiGet(spark: SparkSession, dir: String,
+               tenant: String = "t1",
+               probes: Seq[(Long, String)] = defaultProbes): DataFrame = {
     import spark.implicits._
-    val probes = Seq(
-      (13L, "purchase"), (13L, "click"), (42L, "purchase"),
-      (77L, "view"), (5L, "click"), (99999L, "purchase"))
-      .toDF("p_user", "p_type")
+    val probeDf = probes.toDF("p_user", "p_type")
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
     Tables.events(spark, dir)
-      .join(broadcast(probes),
+      .filter(tenantPred(tenant))
+      .join(broadcast(probeDf),
         col("user_id") === col("p_user") && col("event_type") === col("p_type"),
         "left_semi")
       .withColumn("rn", row_number().over(w))
@@ -292,35 +386,57 @@ object QueryApi {
         col("ts"), col("value"))
   }
 
-  val multiGetSql: String =
-    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-      |FROM (
-      |  SELECT user_id, event_type, event_id, ts, value,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-      |                       ORDER BY ts DESC, event_id DESC) AS rn
-      |  FROM events
-      |  WHERE (user_id, event_type) IN (
-      |    (13, 'purchase'), (13, 'click'), (42, 'purchase'),
-      |    (77, 'view'), (5, 'click'), (99999, 'purchase'))
-      |) WHERE rn = 1""".stripMargin
+  def multiGetSql(tenant: String = "t1",
+                  probes: Seq[(Long, String)] = defaultProbes): String = {
+    val inList = probes.map { case (u, t) => s"($u, '$t')" }.mkString(", ")
+    s"""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |FROM (
+       |  SELECT user_id, event_type, event_id, ts, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events
+       |  WHERE ${tenantSqlPred(tenant)}
+       |    AND (user_id, event_type) IN ($inList)
+       |) WHERE rn = 1""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "api_multi_get" -> (multiGet _),
-    "api_next_token" -> (nextToken _),
-    "api_limit_clamp" -> (limitClamp _),
-    "api_get_patient" -> (getPatient _),
-    "api_obs_by_patient" -> (obsByPatient _),
-    "api_latest_observation" -> (latestObservation _),
-    "api_obs_page_after" -> (obsPageAfter _),
-    "api_obs_asof_join" -> (obsAsofJoin _))
+    "api_multi_get" -> ((s, d) => multiGet(s, d)),
+    "api_next_token" -> ((s, d) => nextToken(s, d)),
+    "api_limit_clamp" -> ((s, d) => limitClamp(s, d)),
+    "api_get_patient" -> ((s, d) => getPatient(s, d)),
+    "api_obs_by_patient" -> ((s, d) => obsByPatient(s, d)),
+    "api_latest_observation" -> ((s, d) => latestObservation(s, d)),
+    "api_obs_page_after" -> ((s, d) => obsPageAfter(s, d)),
+    "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
+    // non-default instantiations — the library-call path the driver
+    // oracle-checks with the SAME parameterized SQL builders
+    "param_get_patient" -> ((s, d) => getPatient(s, d, tenant = "t3", patient = 11L)),
+    "param_obs_by_patient" -> ((s, d) => obsByPatient(s, d, tenant = "t2",
+      patient = 6L, code = "click",
+      from = "2024-01-02 00:00:00", to = "2024-01-20 00:00:00", limit = 30)),
+    "param_latest_observation" -> ((s, d) => latestObservation(s, d, tenant = "t0")),
+    "param_obs_page_after" -> ((s, d) => obsPageAfter(s, d, tenant = "t1",
+      patient = 9L, cursorTs = "2024-01-12 00:00:00", cursorId = 100L, limit = 10)),
+    "param_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d, tenant = "t2",
+      probeCode = "view", obsCode = "signup")))
 
   val oracles: Map[String, String] = Map(
-    "api_multi_get" -> multiGetSql,
-    "api_next_token" -> nextTokenSql,
-    "api_limit_clamp" -> limitClampSql,
-    "api_get_patient" -> getPatientSql,
-    "api_obs_by_patient" -> obsByPatientSql,
-    "api_latest_observation" -> latestObservationSql,
-    "api_obs_page_after" -> obsPageAfterSql,
-    "api_obs_asof_join" -> obsAsofJoinSql)
+    "api_multi_get" -> multiGetSql(),
+    "api_next_token" -> nextTokenSql(),
+    "api_limit_clamp" -> limitClampSql(),
+    "api_get_patient" -> getPatientSql(),
+    "api_obs_by_patient" -> obsByPatientSql(),
+    "api_latest_observation" -> latestObservationSql(),
+    "api_obs_page_after" -> obsPageAfterSql(),
+    "api_obs_asof_join" -> obsAsofJoinSql(),
+    "param_get_patient" -> getPatientSql(tenant = "t3", patient = 11L),
+    "param_obs_by_patient" -> obsByPatientSql(tenant = "t2",
+      patient = 6L, code = "click",
+      from = "2024-01-02 00:00:00", to = "2024-01-20 00:00:00", limit = 30),
+    "param_latest_observation" -> latestObservationSql(tenant = "t0"),
+    "param_obs_page_after" -> obsPageAfterSql(tenant = "t1",
+      patient = 9L, cursorTs = "2024-01-12 00:00:00", cursorId = 100L, limit = 10),
+    "param_obs_asof_join" -> obsAsofJoinSql(tenant = "t2",
+      probeCode = "view", obsCode = "signup"))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QueryApi
+
+/** Tenant-isolation contract over the Query-API family: the reference
+  * keys every read by the auth-claim tenant
+  * (services/api-query/src/handler.ts:16-20, :43-44 —
+  * `TENANT#<t>#PATIENT#<p>`), so no call can ever observe another
+  * tenant's rows. Asserted here structurally for every E-operator:
+  * a mismatched (tenant, patient) pair is a key miss (empty set), and
+  * tenant-scoped set results only ever contain the requested tenant.
+  */
+class TenancySpec extends SparkSpecBase {
+
+  // patient 13 lives in t1 (13 % 4 = 1); t2/t3/t0 are the wrong doors
+  test("patient-scoped reads under a mismatched tenant are key misses") {
+    assert(QueryApi.getPatient(spark, sf, tenant = "t2", patient = 13L).count() == 0)
+    assert(QueryApi.obsByPatient(spark, sf, tenant = "t2").count() == 0)
+    assert(QueryApi.obsPageAfter(spark, sf, tenant = "t3").count() == 0)
+    assert(QueryApi.limitClamp(spark, sf, tenant = "t2").count() == 0)
+    assert(QueryApi.nextToken(spark, sf, tenant = "t0").count() == 0)
+  }
+
+  test("tenant-scoped set queries contain only the requested tenant") {
+    for (t <- Seq("t0", "t1", "t2", "t3")) {
+      val m = t.drop(1).toInt
+      val latest = QueryApi.latestObservation(spark, sf, tenant = t)
+      assert(latest.filter(pmod(col("user_id"), lit(4)) =!= m).count() == 0,
+        s"latestObservation($t) leaked a foreign patient")
+      val asof = QueryApi.obsAsofJoin(spark, sf, tenant = t)
+      assert(asof.filter(pmod(col("user_id"), lit(4)) =!= m).count() == 0,
+        s"obsAsofJoin($t) leaked a foreign patient")
+      val batch = QueryApi.multiGet(spark, sf, tenant = t,
+        probes = QueryApi.defaultProbes)
+      assert(batch.filter(pmod(col("user_id"), lit(4)) =!= m).count() == 0,
+        s"multiGet($t) leaked a foreign patient")
+    }
+  }
+
+  test("the four tenant slices partition the all-tenant latest result") {
+    val perTenant = Seq("t0", "t1", "t2", "t3")
+      .map(t => QueryApi.latestObservation(spark, sf, tenant = t).count()).sum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val allTenants = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
+    assert(perTenant == allTenants,
+      s"tenant slices ($perTenant) do not partition the keyspace ($allTenants)")
+  }
+
+  test("a cross-tenant batch probe is a key miss, not a leak") {
+    // patient 6 (t2) probed through t1's batch: BatchGetItem under
+    // the caller's tenant constructs TENANT#t1#PATIENT#6 — no row
+    val batch = QueryApi.multiGet(spark, sf, tenant = "t1",
+      probes = Seq((13L, "purchase"), (6L, "purchase")))
+    assert(batch.filter(col("user_id") === 6L).count() == 0)
+    assert(batch.filter(col("user_id") === 13L).count() == 1)
+    // same probes through the right door: patient 6 answers
+    val home = QueryApi.multiGet(spark, sf, tenant = "t2",
+      probes = Seq((13L, "purchase"), (6L, "purchase")))
+    assert(home.filter(col("user_id") === 6L).count() == 1)
+    assert(home.filter(col("user_id") === 13L).count() == 0)
+  }
+
+  test("getPatient serves the META row of the D5 profile upsert") {
+    val row = QueryApi.getPatient(spark, sf, tenant = "t1", patient = 13L)
+      .collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[String]("name") == "patient-13")
+    assert(r.getAs[Long]("version") >= 1L)
+    // registry attributes joined from the customer table
+    assert(r.getAs[String]("segment") != null)
+  }
+}
