@@ -33,9 +33,10 @@ object Analytics {
     * partial aggregation makes the shuffle tiny regardless of input
     * size; whole-stage codegen end to end.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+  def q1PricingSummary(spark: SparkSession, dir: String,
+                       shipdateMax: String = "1999-09-02"): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+    li.filter(col("l_shipdate") <= lit(shipdateMax).cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -48,8 +49,8 @@ object Analytics {
         count(lit(1)).as("count_order"))
   }
 
-  val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
+  def q1Sql(shipdateMax: String = "1999-09-02"): String =
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
@@ -59,7 +60,7 @@ object Analytics {
       |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+      |WHERE l_shipdate <= TIMESTAMP '$shipdateMax'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** K2 `q3_shipping_priority` — TPC-H Q3-style 3-way join + top-k.
@@ -67,9 +68,12 @@ object Analytics {
     * shuffles once on orderkey; top-k via ordered LIMIT (Spark
     * TakeOrderedAndProject — no global sort materialization).
     */
-  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
-    val cutoff = lit("1998-06-01").cast("timestamp")
-    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+  def q3ShippingPriority(spark: SparkSession, dir: String,
+                         segment: String = "BUILDING",
+                         date: String = "1998-06-01",
+                         limit: Int = 10): DataFrame = {
+    val cutoff = lit(date).cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === segment)
     val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
     val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -77,35 +81,39 @@ object Analytics {
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(10)
+      .limit(limit)
   }
 
-  val q3Sql: String =
-    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+  def q3Sql(segment: String = "BUILDING", date: String = "1998-06-01",
+            limit: Int = 10): String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |  AND o_orderdate < TIMESTAMP '1998-06-01'
-      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |WHERE c_mktsegment = '$segment'
+      |  AND o_orderdate < TIMESTAMP '$date'
+      |  AND l_shipdate > TIMESTAMP '$date'
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey
-      |LIMIT 10""".stripMargin
+      |LIMIT $limit""".stripMargin
 
   /** K3 `q5_join_chain` — TPC-H Q5-style multi-way join: revenue per
     * nation where customer and supplier share the nation, region
     * filtered. Scale: region/nation/supplier/customer all broadcast;
     * the only shuffle is lineitem-orders on orderkey + final agg.
     */
-  def q5JoinChain(spark: SparkSession, dir: String): DataFrame = {
-    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+  def q5JoinChain(spark: SparkSession, dir: String,
+                  region: String = "ASIA",
+                  from: String = "1996-01-01",
+                  to: String = "1999-01-01"): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === region)
     val nat = Tables.nation(spark, dir)
     val cus = Tables.customer(spark, dir)
     val sup = Tables.supplier(spark, dir)
     val ord = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+              col("o_orderdate") < lit(to).cast("timestamp"))
     val li  = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
@@ -117,8 +125,9 @@ object Analytics {
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
-  val q5Sql: String =
-    """SELECT n_name,
+  def q5Sql(region: String = "ASIA", from: String = "1996-01-01",
+            to: String = "1999-01-01"): String =
+    s"""SELECT n_name,
       |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -126,9 +135,9 @@ object Analytics {
       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       |JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |WHERE r_name = 'ASIA'
-      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |WHERE r_name = '$region'
+      |  AND o_orderdate >= TIMESTAMP '$from'
+      |  AND o_orderdate < TIMESTAMP '$to'
       |GROUP BY n_name""".stripMargin
 
   /** K4 `q6_forecast_revenue` — TPC-H Q6-style filtered aggregate.
@@ -137,25 +146,30 @@ object Analytics {
     * reader (PushedFilters / ReadSchema), so IO scales with the
     * selected fraction, not table size.
     */
-  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def q6ForecastRevenue(spark: SparkSession, dir: String,
+                        from: String = "1997-01-01", to: String = "1998-01-01",
+                        discLo: Double = 0.04, discHi: Double = 0.06,
+                        qtyMax: Int = 24): DataFrame = {
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
-              col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
-              col("l_quantity") < 24)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+              col("l_shipdate") < lit(to).cast("timestamp") &&
+              col("l_discount") >= discLo && col("l_discount") <= discHi &&
+              col("l_quantity") < qtyMax)
       .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
            count(lit(1)).as("n_rows"))
   }
 
-  val q6Sql: String =
-    """SELECT
+  def q6Sql(from: String = "1997-01-01", to: String = "1998-01-01",
+            discLo: Double = 0.04, discHi: Double = 0.06,
+            qtyMax: Int = 24): String =
+    s"""SELECT
       |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      |  AND l_shipdate < TIMESTAMP '1998-01-01'
-      |  AND l_discount BETWEEN 0.04 AND 0.06
-      |  AND l_quantity < 24""".stripMargin
+      |WHERE l_shipdate >= TIMESTAMP '$from'
+      |  AND l_shipdate < TIMESTAMP '$to'
+      |  AND l_discount BETWEEN $discLo AND $discHi
+      |  AND l_quantity < $qtyMax""".stripMargin
 
   /** K5 `k5_segment_rollup` — grouping-sets rollup of order value by
     * (market segment, nation). Scale: one shuffle; rollup expansion
@@ -226,10 +240,12 @@ object Analytics {
     * priority. Exercises the EXISTS/left-semi path: the semi join
     * shuffles both sides once on orderkey and short-circuits per key
     * (no row multiplication), then a tiny agg. */
-  def k7PrioritySemiJoin(spark: SparkSession, dir: String): DataFrame = {
+  def k7PrioritySemiJoin(spark: SparkSession, dir: String,
+                         from: String = "1997-01-01",
+                         to: String = "1998-01-01"): DataFrame = {
     val ord = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+              col("o_orderdate") < lit(to).cast("timestamp"))
     val late = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_shipdate"))
     ord.join(late,
@@ -239,11 +255,11 @@ object Analytics {
       .agg(count(lit(1)).as("order_count"))
   }
 
-  val k7Sql: String =
-    """SELECT o_orderpriority, COUNT(*) AS order_count
+  def k7Sql(from: String = "1997-01-01", to: String = "1998-01-01"): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
       |FROM orders o
-      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |WHERE o_orderdate >= TIMESTAMP '$from'
+      |  AND o_orderdate < TIMESTAMP '$to'
       |  AND EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_orderkey = o.o_orderkey
       |                AND l.l_shipdate > o.o_orderdate)
@@ -279,11 +295,13 @@ object Analytics {
     * Exercises the aggregate-subquery-as-filter shape: the quantity
     * rollup happens once (shuffle on orderkey), the qualifying key set
     * semi-joins back, customer is a broadcast dim. */
-  def k9LargeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+  def k9LargeVolumeOrders(spark: SparkSession, dir: String,
+                          qtyThreshold: Double = 150.0,
+                          limit: Int = 100): DataFrame = {
     val qty = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_quantity")).as("total_qty"))
-      .filter(col("total_qty") > 150.0)
+      .filter(col("total_qty") > qtyThreshold)
     val ord = Tables.orders(spark, dir)
     val cus = Tables.customer(spark, dir)
     ord.join(qty, col("o_orderkey") === col("l_orderkey"))
@@ -291,22 +309,22 @@ object Analytics {
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(100)
+      .limit(limit)
   }
 
-  val k9Sql: String =
-    """WITH qty AS (
+  def k9Sql(qtyThreshold: Double = 150.0, limit: Int = 100): String =
+    s"""WITH qty AS (
       |  SELECT l_orderkey,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > $qtyThreshold
       |)
       |SELECT c_name, c_custkey, o_orderkey,
       |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice, total_qty
       |FROM orders JOIN qty ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey
-      |LIMIT 100""".stripMargin
+      |LIMIT $limit""".stripMargin
 
   /** K10 `k10_running_revenue` — cumulative revenue per customer over
     * order time. The running sum goes through decimal inside the
@@ -339,18 +357,19 @@ object Analytics {
     * back — the set-oriented form of a correlated scalar subquery.
     * The average goes through the exact-decimal sum so the 0.2*avg
     * comparison is bit-identical in both engines. */
-  def k11SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def k11SmallQtyRevenue(spark: SparkSession, dir: String,
+                         fraction: Double = 0.2): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val avgQty = li.groupBy(col("l_partkey").as("p_key"))
       .agg((dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
     li.join(avgQty, col("l_partkey") === col("p_key"))
-      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .filter(col("l_quantity") < lit(fraction) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
         count(lit(1)).as("n_small"))
   }
 
-  val k11Sql: String =
-    """WITH avg_qty AS (
+  def k11Sql(fraction: Double = 0.2): String =
+    s"""WITH avg_qty AS (
       |  SELECT l_partkey AS p_key,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
       |      / COUNT(l_quantity) AS avg_qty
@@ -360,7 +379,7 @@ object Analytics {
       |    AS avg_yearly,
       |  COUNT(*) AS n_small
       |FROM lineitem JOIN avg_qty ON l_partkey = p_key
-      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+      |WHERE l_quantity < $fraction * avg_qty""".stripMargin
 
   /** K12 `k12_min_cost_supplier` — TPC-H Q2-style argmin join: for
     * every SMALL-type part, the cheapest EUROPE supplier (unit cost
@@ -376,15 +395,18 @@ object Analytics {
     * final orderBy+limit plans as TakeOrdered, no shuffle). Unit
     * costs are single IEEE divisions (no sums), so min/rank/order
     * agree across engines. */
-  def k12MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+  def k12MinCostSupplier(spark: SparkSession, dir: String,
+                         region: String = "EUROPE",
+                         partType: String = "SMALL",
+                         limit: Int = 100): DataFrame = {
     val euSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
           .join(broadcast(Tables.region(spark, dir)
-            .filter(col("r_name") === "EUROPE")),
+            .filter(col("r_name") === region)),
             col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val smallPart = Tables.part(spark, dir).filter(col("p_type") === "SMALL")
+    val smallPart = Tables.part(spark, dir).filter(col("p_type") === partType)
       .select(col("p_partkey"), col("p_name"))
     val cost = Tables.lineitem(spark, dir)
       .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
@@ -401,23 +423,24 @@ object Analytics {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .orderBy(col("s_acctbal").desc, col("p_partkey"))
-      .limit(100)
+      .limit(limit)
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
         col("s_acctbal"), col("unit_cost"))
   }
 
-  val k12Sql: String =
-    """WITH eu AS (
+  def k12Sql(region: String = "EUROPE", partType: String = "SMALL",
+             limit: Int = 100): String =
+    s"""WITH eu AS (
       |  SELECT s_suppkey, s_name, s_acctbal, n_name
       |  FROM supplier
       |  JOIN nation ON s_nationkey = n_nationkey
-      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$region'
       |), cost AS (
       |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
       |    MIN(l_extendedprice / l_quantity) AS unit_cost
       |  FROM lineitem
       |  JOIN eu ON l_suppkey = s_suppkey
-      |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      |  JOIN part ON l_partkey = p_partkey AND p_type = '$partType'
       |  GROUP BY 1, 2, 3, 4, 5, 6
       |), ranked AS (
       |  SELECT cost.*,
@@ -428,7 +451,7 @@ object Analytics {
       |SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
       |FROM ranked WHERE rn = 1
       |ORDER BY s_acctbal DESC, p_partkey
-      |LIMIT 100""".stripMargin
+      |LIMIT $limit""".stripMargin
 
   /** K13 `k13_linestatus_priority` — TPC-H Q12 shape adapted to the
     * testdata schema (it has no shipmode/commitdate columns):
@@ -436,11 +459,13 @@ object Analytics {
     * a one-year ship window. Scale: the canonical q12 plan — both
     * sides shuffle once on orderkey, the CASE counts partial-agg
     * map-side, and the date filter pushes to the lineitem scan. */
-  def k13LinestatusPriority(spark: SparkSession, dir: String): DataFrame = {
+  def k13LinestatusPriority(spark: SparkSession, dir: String,
+                            from: String = "1996-01-01",
+                            to: String = "1997-01-01"): DataFrame = {
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+              col("l_shipdate") < lit(to).cast("timestamp"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(
@@ -450,15 +475,15 @@ object Analytics {
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
-  val k13Sql: String =
-    """SELECT l_linestatus,
+  def k13Sql(from: String = "1996-01-01", to: String = "1997-01-01"): String =
+    s"""SELECT l_linestatus,
       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
       |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
       |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |WHERE l_shipdate >= TIMESTAMP '$from'
+      |  AND l_shipdate < TIMESTAMP '$to'
       |GROUP BY l_linestatus""".stripMargin
 
   /** K14 `k14_disjunctive_revenue` — TPC-H Q19 shape: revenue under a
@@ -470,14 +495,19 @@ object Analytics {
     * quantity-selected fraction even though the original filter
     * references both tables (AnalyticsSpec pins the derived pushed
     * filter). */
-  def k14DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def k14DisjunctiveRevenue(spark: SparkSession, dir: String,
+                            brand1: String = "Brand#12",
+                            brand2: String = "Brand#23",
+                            brand3: String = "Brand#34",
+                            qty1: Int = 1, qty2: Int = 10,
+                            qty3: Int = 20): DataFrame = {
     val cond =
-      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
-        col("l_quantity").between(1, 11)) ||
-      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
-        col("l_quantity").between(10, 20)) ||
-      (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
-        col("l_quantity").between(20, 30))
+      (col("p_brand") === brand1 && col("p_size").between(1, 15) &&
+        col("l_quantity").between(qty1, qty1 + 10)) ||
+      (col("p_brand") === brand2 && col("p_size").between(10, 30) &&
+        col("l_quantity").between(qty2, qty2 + 10)) ||
+      (col("p_brand") === brand3 && col("p_size").between(20, 50) &&
+        col("l_quantity").between(qty3, qty3 + 10))
     Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
@@ -487,14 +517,16 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
-  val k14Sql: String =
-    """SELECT
+  def k14Sql(brand1: String = "Brand#12", brand2: String = "Brand#23",
+             brand3: String = "Brand#34",
+             qty1: Int = 1, qty2: Int = 10, qty3: Int = 20): String =
+    s"""SELECT
       |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
-      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
-      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+      |WHERE (p_brand = '$brand1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN $qty1 AND ${qty1 + 10})
+      |   OR (p_brand = '$brand2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN $qty2 AND ${qty2 + 10})
+      |   OR (p_brand = '$brand3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN $qty3 AND ${qty3 + 10})""".stripMargin
 
   /** K15 `k15_promo_revenue` — TPC-H Q14 shape: the promo share of
     * one ship-month's revenue, a conditional-aggregate ratio over a
@@ -504,11 +536,13 @@ object Analytics {
     * percentage hash-matches the oracle. Scale: date filter pushed to
     * the lineitem scan, part broadcast, single partial-agg'd
     * aggregation — no shuffle of lineitem at all. */
-  def k15PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def k15PromoRevenue(spark: SparkSession, dir: String,
+                      from: String = "1997-03-01",
+                      to: String = "1997-04-01"): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+              col("l_shipdate") < lit(to).cast("timestamp"))
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
       .agg(
@@ -520,16 +554,16 @@ object Analytics {
           .as("promo_revenue_pct"))
   }
 
-  val k15Sql: String =
-    """WITH agg AS (
+  def k15Sql(from: String = "1997-03-01", to: String = "1997-04-01"): String =
+    s"""WITH agg AS (
       |  SELECT
       |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
       |                       THEN l_extendedprice*(1.0-l_discount)
       |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
       |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  WHERE l_shipdate >= TIMESTAMP '$from'
+      |    AND l_shipdate < TIMESTAMP '$to'
       |)
       |SELECT promo_revenue, total_revenue,
       |  100.0 * promo_revenue / total_revenue AS promo_revenue_pct
@@ -543,10 +577,13 @@ object Analytics {
     * rollup re-shuffles the small survivor set on custkey, and
     * customer/nation are broadcast dims. Ordered LIMIT plans as
     * TakeOrdered — no global sort materialization. */
-  def k16ReturnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+  def k16ReturnedItemReport(spark: SparkSession, dir: String,
+                            from: String = "1996-10-01",
+                            to: String = "1997-01-01",
+                            limit: Int = 20): DataFrame = {
     val ord = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+              col("o_orderdate") < lit(to).cast("timestamp"))
     val ret = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     ret.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
@@ -559,11 +596,12 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
         col("revenue"), col("n_returned_lines"))
       .orderBy(col("revenue").desc, col("c_custkey"))
-      .limit(20)
+      .limit(limit)
   }
 
-  val k16Sql: String =
-    """SELECT c_custkey, c_name, n_name, c_acctbal,
+  def k16Sql(from: String = "1996-10-01", to: String = "1997-01-01",
+             limit: Int = 20): String =
+    s"""SELECT c_custkey, c_name, n_name, c_acctbal,
       |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_returned_lines
       |FROM lineitem
@@ -571,11 +609,11 @@ object Analytics {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE l_returnflag = 'R'
-      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
-      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND o_orderdate >= TIMESTAMP '$from'
+      |  AND o_orderdate < TIMESTAMP '$to'
       |GROUP BY c_custkey, c_name, n_name, c_acctbal
       |ORDER BY revenue DESC, c_custkey
-      |LIMIT 20""".stripMargin
+      |LIMIT $limit""".stripMargin
 
   /** K17 `k17_top_supplier_revenue` — TPC-H Q15 shape: the supplier(s)
     * with maximum shipped revenue in one quarter. The global max is a
@@ -585,7 +623,9 @@ object Analytics {
     * are the same exact decimal sum cast once to double. Scale: the
     * rollup shuffles lineitem once on suppkey (partial-agg'd), the
     * 1-row max broadcasts back, supplier is a broadcast dim. */
-  def k17TopSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def k17TopSupplierRevenue(spark: SparkSession, dir: String,
+                            from: String = "1996-01-01",
+                            to: String = "1996-04-01"): DataFrame = {
     // cached: the rollup subtree feeds both the 1-row max and the
     // join-back — Spark plans common subtrees twice, and without the
     // cache that is two full lineitem scans; the cached rollup is
@@ -596,8 +636,8 @@ object Analytics {
     // session (the driver contract; same as the shingle caches) — an
     // in-session rewrite needs the quantizedCache unpersist pattern.
     val rev = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+              col("l_shipdate") < lit(to).cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
       .cache()
@@ -609,13 +649,13 @@ object Analytics {
         col("total_revenue"))
   }
 
-  val k17Sql: String =
-    """WITH rev AS (
+  def k17Sql(from: String = "1996-01-01", to: String = "1996-04-01"): String =
+    s"""WITH rev AS (
       |  SELECT l_suppkey,
       |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
       |  FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  WHERE l_shipdate >= TIMESTAMP '$from'
+      |    AND l_shipdate < TIMESTAMP '$to'
       |  GROUP BY l_suppkey
       |)
       |SELECT s_suppkey, s_name, s_acctbal, total_revenue
@@ -629,9 +669,11 @@ object Analytics {
     * orders join only carries rows from the two nations; lineitem
     * shuffles once on orderkey; the (supp_nation, cust_nation, year)
     * rollup is tiny and partial-agg'd. */
-  def k18NationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+  def k18NationTradeVolume(spark: SparkSession, dir: String,
+                           nationA: String = "NATION_3",
+                           nationB: String = "NATION_7"): DataFrame = {
     val nat = Tables.nation(spark, dir)
-      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      .filter(col("n_name").isin(nationA, nationB))
     val sup = Tables.supplier(spark, dir)
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -649,8 +691,8 @@ object Analytics {
            count(lit(1)).as("n_lines"))
   }
 
-  val k18Sql: String =
-    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  def k18Sql(nationA: String = "NATION_3", nationB: String = "NATION_7"): String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
       |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume,
       |  COUNT(*) AS n_lines
@@ -660,8 +702,8 @@ object Analytics {
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation cn ON c_nationkey = cn.n_nationkey
-      |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
-      |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+      |WHERE sn.n_name IN ('$nationA', '$nationB')
+      |  AND cn.n_name IN ('$nationA', '$nationB')
       |  AND sn.n_name <> cn.n_name
       |GROUP BY 1, 2, 3""".stripMargin
 
@@ -675,21 +717,22 @@ object Analytics {
     * filter; lapsed-ness is a left_anti join (the NOT EXISTS path —
     * shuffles both sides once on custkey, no row multiplication; the
     * orders side is cut down by the pushed date filter first). */
-  def k19IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+  def k19IdleCustomers(spark: SparkSession, dir: String,
+                       recencyCutoff: String = "1998-06-01"): DataFrame = {
     val cus = Tables.customer(spark, dir)
     val avgBal = cus.filter(col("c_acctbal") > 0.0)
       .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
     val rich = cus.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
     val recent = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(recencyCutoff).cast("timestamp"))
       .select(col("o_custkey"))
     rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
   }
 
-  val k19Sql: String =
-    """SELECT c_mktsegment, COUNT(*) AS numcust,
+  def k19Sql(recencyCutoff: String = "1998-06-01"): String =
+    s"""SELECT c_mktsegment, COUNT(*) AS numcust,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
       |FROM customer c
       |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
@@ -697,7 +740,7 @@ object Analytics {
       |                   FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey
-      |                    AND o.o_orderdate >= TIMESTAMP '1998-06-01')
+      |                    AND o.o_orderdate >= TIMESTAMP '$recencyCutoff')
       |GROUP BY c_mktsegment""".stripMargin
 
   /** K21 `k21_supplier_variety` — TPC-H Q16 shape: how many distinct
@@ -707,8 +750,9 @@ object Analytics {
     * map-side, then the count) — no row explosion, one logical
     * shuffle on the group keys. part is a broadcast dim with the
     * brand filter applied before the join. */
-  def k21SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#45")
+  def k21SupplierVariety(spark: SparkSession, dir: String,
+                         excludedBrand: String = "Brand#45"): DataFrame = {
+    val parts = Tables.part(spark, dir).filter(col("p_brand") =!= excludedBrand)
     Tables.lineitem(spark, dir)
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_size"))
@@ -716,12 +760,12 @@ object Analytics {
            count(lit(1)).as("n_lines"))
   }
 
-  val k21Sql: String =
-    """SELECT p_brand, p_size,
+  def k21Sql(excludedBrand: String = "Brand#45"): String =
+    s"""SELECT p_brand, p_size,
       |  COUNT(DISTINCT l_suppkey) AS supplier_cnt,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE p_brand <> 'Brand#45'
+      |WHERE p_brand <> '$excludedBrand'
       |GROUP BY 1, 2""".stripMargin
 
   /** K22 `k22_market_share` — TPC-H Q8 shape: NATION_3 suppliers'
@@ -733,11 +777,14 @@ object Analytics {
     * before the join, parts to SMALL), lineitem⋈orders is the one
     * big shuffle on orderkey, and the (year) rollup is tiny and
     * partial-agg'd map-side. */
-  def k22MarketShare(spark: SparkSession, dir: String): DataFrame = {
+  def k22MarketShare(spark: SparkSession, dir: String,
+                     region: String = "ASIA",
+                     nation: String = "NATION_3",
+                     partType: String = "SMALL"): DataFrame = {
     val asiaCust = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
           .join(broadcast(Tables.region(spark, dir)
-            .filter(col("r_name") === "ASIA")),
+            .filter(col("r_name") === region)),
             col("n_regionkey") === col("r_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"))
@@ -746,7 +793,7 @@ object Analytics {
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("sn_key"))
       .select(col("s_suppkey"), col("supp_nation"))
-    val smallPart = Tables.part(spark, dir).filter(col("p_type") === "SMALL")
+    val smallPart = Tables.part(spark, dir).filter(col("p_type") === partType)
       .select(col("p_partkey"))
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, dir)
@@ -756,28 +803,29 @@ object Analytics {
       .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)))
+        dsum(when(col("supp_nation") === nation, rev).otherwise(lit(0.0)))
           .as("nation_volume"),
         dsum(rev).as("total_volume"))
       .select(col("o_year"), col("nation_volume"), col("total_volume"),
         (col("nation_volume") / col("total_volume")).as("mkt_share"))
   }
 
-  val k22Sql: String =
-    """WITH yr AS (
+  def k22Sql(region: String = "ASIA", nation: String = "NATION_3",
+             partType: String = "SMALL"): String =
+    s"""WITH yr AS (
       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-      |    CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+      |    CAST(SUM(CAST(CASE WHEN sn.n_name = '$nation'
       |                       THEN l_extendedprice*(1.0-l_discount)
       |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
       |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
       |  FROM lineitem
-      |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+      |  JOIN part ON l_partkey = p_partkey AND p_type = '$partType'
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
-      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '$region'
       |  GROUP BY 1
       |)
       |SELECT o_year, nation_volume, total_volume,
@@ -785,48 +833,68 @@ object Analytics {
       |FROM yr""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k22_market_share" -> (k22MarketShare _),
-    "k21_supplier_variety" -> (k21SupplierVariety _),
-    "k16_returned_item_report" -> (k16ReturnedItemReport _),
-    "k17_top_supplier_revenue" -> (k17TopSupplierRevenue _),
-    "k18_nation_trade_volume" -> (k18NationTradeVolume _),
-    "k19_idle_customers" -> (k19IdleCustomers _),
-    "k15_promo_revenue" -> (k15PromoRevenue _),
-    "k13_linestatus_priority" -> (k13LinestatusPriority _),
-    "k14_disjunctive_revenue" -> (k14DisjunctiveRevenue _),
-    "k12_min_cost_supplier" -> (k12MinCostSupplier _),
-    "k11_small_qty_revenue" -> (k11SmallQtyRevenue _),
+    "k22_market_share" -> ((s, d) => k22MarketShare(s, d)),
+    "k21_supplier_variety" -> ((s, d) => k21SupplierVariety(s, d)),
+    "k16_returned_item_report" -> ((s, d) => k16ReturnedItemReport(s, d)),
+    "k17_top_supplier_revenue" -> ((s, d) => k17TopSupplierRevenue(s, d)),
+    "k18_nation_trade_volume" -> ((s, d) => k18NationTradeVolume(s, d)),
+    "k19_idle_customers" -> ((s, d) => k19IdleCustomers(s, d)),
+    "k15_promo_revenue" -> ((s, d) => k15PromoRevenue(s, d)),
+    "k13_linestatus_priority" -> ((s, d) => k13LinestatusPriority(s, d)),
+    "k14_disjunctive_revenue" -> ((s, d) => k14DisjunctiveRevenue(s, d)),
+    "k12_min_cost_supplier" -> ((s, d) => k12MinCostSupplier(s, d)),
+    "k11_small_qty_revenue" -> ((s, d) => k11SmallQtyRevenue(s, d)),
     "k10_running_revenue" -> (k10RunningRevenue _),
-    "k7_priority_semi_join" -> (k7PrioritySemiJoin _),
+    "k7_priority_semi_join" -> ((s, d) => k7PrioritySemiJoin(s, d)),
     "k8_order_count_histogram" -> (k8OrderCountHistogram _),
-    "k9_large_volume_orders" -> (k9LargeVolumeOrders _),
-    "q1_pricing_summary" -> (q1PricingSummary _),
-    "q3_shipping_priority" -> (q3ShippingPriority _),
-    "q5_join_chain" -> (q5JoinChain _),
-    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "k9_large_volume_orders" -> ((s, d) => k9LargeVolumeOrders(s, d)),
+    "q1_pricing_summary" -> ((s, d) => q1PricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
+    "q5_join_chain" -> ((s, d) => q5JoinChain(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
     "k5_segment_rollup" -> (k5SegmentRollup _),
-    "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _))
+    "k6_top_customer_per_nation" -> (k6TopCustomerPerNation _),
+    // non-default library-call instantiations, driver-checked against
+    // the SAME parameterized SQL builders
+    "param_q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d,
+      from = "1996-01-01", to = "1997-01-01",
+      discLo = 0.03, discHi = 0.05, qtyMax = 30)),
+    "param_q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d,
+      segment = "MACHINERY", date = "1997-06-01", limit = 15)),
+    "param_k18_nation_trade_volume" -> ((s, d) => k18NationTradeVolume(s, d,
+      nationA = "NATION_1", nationB = "NATION_5")),
+    "param_k15_promo_revenue" -> ((s, d) => k15PromoRevenue(s, d,
+      from = "1996-07-01", to = "1996-08-01")))
 
   val oracles: Map[String, String] = Map(
-    "k22_market_share" -> k22Sql,
-    "k21_supplier_variety" -> k21Sql,
-    "k16_returned_item_report" -> k16Sql,
-    "k17_top_supplier_revenue" -> k17Sql,
-    "k18_nation_trade_volume" -> k18Sql,
-    "k19_idle_customers" -> k19Sql,
-    "k15_promo_revenue" -> k15Sql,
-    "k13_linestatus_priority" -> k13Sql,
-    "k14_disjunctive_revenue" -> k14Sql,
-    "k12_min_cost_supplier" -> k12Sql,
-    "k11_small_qty_revenue" -> k11Sql,
+    "k22_market_share" -> k22Sql(),
+    "k21_supplier_variety" -> k21Sql(),
+    "k16_returned_item_report" -> k16Sql(),
+    "k17_top_supplier_revenue" -> k17Sql(),
+    "k18_nation_trade_volume" -> k18Sql(),
+    "k19_idle_customers" -> k19Sql(),
+    "k15_promo_revenue" -> k15Sql(),
+    "k13_linestatus_priority" -> k13Sql(),
+    "k14_disjunctive_revenue" -> k14Sql(),
+    "k12_min_cost_supplier" -> k12Sql(),
+    "k11_small_qty_revenue" -> k11Sql(),
     "k10_running_revenue" -> k10Sql,
-    "k7_priority_semi_join" -> k7Sql,
+    "k7_priority_semi_join" -> k7Sql(),
     "k8_order_count_histogram" -> k8Sql,
-    "k9_large_volume_orders" -> k9Sql,
-    "q1_pricing_summary" -> q1Sql,
-    "q3_shipping_priority" -> q3Sql,
-    "q5_join_chain" -> q5Sql,
-    "q6_forecast_revenue" -> q6Sql,
+    "k9_large_volume_orders" -> k9Sql(),
+    "q1_pricing_summary" -> q1Sql(),
+    "q3_shipping_priority" -> q3Sql(),
+    "q5_join_chain" -> q5Sql(),
+    "q6_forecast_revenue" -> q6Sql(),
     "k5_segment_rollup" -> k5Sql,
-    "k6_top_customer_per_nation" -> k6Sql)
+    "k6_top_customer_per_nation" -> k6Sql,
+    "param_q6_forecast_revenue" -> q6Sql(
+      from = "1996-01-01", to = "1997-01-01",
+      discLo = 0.03, discHi = 0.05, qtyMax = 30),
+    "param_q3_shipping_priority" -> q3Sql(
+      segment = "MACHINERY", date = "1997-06-01", limit = 15),
+    "param_k18_nation_trade_volume" -> k18Sql(
+      nationA = "NATION_1", nationB = "NATION_5"),
+    "param_k15_promo_revenue" -> k15Sql(
+      from = "1996-07-01", to = "1996-08-01"))
 }
