@@ -42,6 +42,15 @@ object Bench {
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     println(s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"failed":$fl,"sf":"$sfDir"}""")
+    // compact summary LAST: the driver's artifact keeps the tail of
+    // stdout, and the full JSON above can exceed that window — r05's
+    // artifact preserved only first-run numbers because `queries`
+    // printed first and the medians scrolled out. This line is small
+    // enough to always survive, so the signal (medians) is never lost.
+    val slowest = results.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"summary":"medians","total_median_sec":$total,"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

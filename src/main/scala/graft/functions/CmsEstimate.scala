@@ -45,8 +45,17 @@ case class CmsEstimate(left: Expression, right: Expression)
     var sk = memo.get(bytes)
     if (sk == null) {
       sk = CountMinSketch.readFrom(bytes)
-      if (memo.size >= MemoMax) memo.clear()
-      memo.put(bytes, sk)
+      // evict ONE arbitrary entry at the bound, never clear(): on the
+      // documented-but-unenforced misuse path (a non-literal sketch
+      // column) a clear would wipe entries other rows of the task are
+      // about to re-use, turning every 16th row into a full wipe
+      memo.synchronized {
+        if (memo.size >= MemoMax) {
+          val it = memo.keySet.iterator
+          if (it.hasNext) { it.next(); it.remove() }
+        }
+        memo.put(bytes, sk)
+      }
     }
     sk.estimateCount(key.asInstanceOf[java.lang.Long])
   }

@@ -54,32 +54,42 @@ object Bucketing {
     * how the reference's audit-list API prunes by tenant/date prefix
     * (services/audit-list-api). The oracle computes the same rollup
     * from the flat table with a date filter. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
   def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
-    val path = partCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$mtime", _ => {
-        // the session identity is part of the PATH, not just the memo
-        // key: a second session over the same data must not overwrite
-        // a directory the first session's lazy plans still read. The
-        // OS user is included so two users over a shared read-only
-        // dataset never collide on the same /tmp directory, and a
-        // shutdown hook reclaims the copy when the JVM exits.
-        val p = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-          s"${System.getProperty("user.name")}_" +
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
-            .take(6).map("%02x".format(_)).mkString
-        Tables.events(spark, dir)
-          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-          .write.mode("overwrite").partitionBy("event_date").parquet(p)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(p))
-        }))
-        p
-      })
+    val entry = partCache.compute(
+      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
+        if (prev != null && prev.startsWith(s"$mtime@")) prev
+        else {
+          // a superseded copy (older mtime of the same source) is
+          // deleted eagerly — its lazy plans are stale post-rewrite
+          // anyway, and waiting for JVM exit accumulates full table
+          // copies in /tmp across refreshes
+          if (prev != null) rmTree(new java.io.File(prev.substring(prev.indexOf('@') + 1)))
+          // the session identity and the JVM PID are part of the
+          // PATH, not just the memo key: a second session (or a
+          // concurrent JVM of the same user reading the same dataset,
+          // where identityHashCode alone can collide) must never
+          // mode(overwrite) a directory another JVM's lazy plans
+          // still read. The OS user keeps two users on a shared
+          // read-only dataset apart, and a shutdown hook reclaims the
+          // live copy when the JVM exits.
+          val p = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+            s"${System.getProperty("user.name")}_" +
+            s"${ProcessHandle.current().pid()}_" +
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
+              .take(6).map("%02x".format(_)).mkString
+          Tables.events(spark, dir)
+            .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+            .write.mode("overwrite").partitionBy("event_date").parquet(p)
+          Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(p))))
+          s"$mtime@$p"
+        })
+    val path = entry.substring(entry.indexOf('@') + 1)
     spark.read.parquet(path)
       .filter(col("event_date") === PruneDay)
       .groupBy(col("event_type"))

@@ -324,23 +324,39 @@ object TextAnalysis {
     * explode+groupBy whose shuffle is bounded by the 4096-bucket key
     * space (partial-agg'd to <= 4096 rows per mapper), a <= 4096-row
     * broadcast weight table joined back, one per-doc agg. */
+  /** Cached exploded bigram feature stream — the largest cached frame
+    * in the module (one row per bigram occurrence corpus-wide), so it
+    * gets the full keyed-invalidation discipline (quantizedCache
+    * pattern): mtime-keyed, superseded entries unpersisted, never
+    * silently stale after an in-session rewrite of documents. */
+  private val dsirFeatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private def dsirFeats(spark: SparkSession, dir: String): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/documents.parquet")
+    dsirFeatsCache.compute(
+      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) prev._2.unpersist()
+          val bigrams = Tables.documents(spark, dir)
+            .select(col("doc_id"), col("lang"), nonEmptyToks.as("w"))
+            .select(col("doc_id"), col("lang"),
+              explode(when(size(col("w")) >= 2,
+                  expr("transform(sequence(1, size(w) - 1), " +
+                    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+                .otherwise(array().cast("array<string>"))).as("bg"))
+          (mtime, bigrams.select(col("doc_id"), col("lang"),
+            pmod(conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
+              .cast("long"), lit(DsirBuckets)).as("bucket")).cache())
+        })._2
+  }
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bigrams = docs
-      .select(col("doc_id"), col("lang"), nonEmptyToks.as("w"))
-      .select(col("doc_id"), col("lang"),
-        explode(when(size(col("w")) >= 2,
-            expr("transform(sequence(1, size(w) - 1), " +
-              "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
-          .otherwise(array().cast("array<string>"))).as("bg"))
     // cached: the exploded feature stream feeds both the bucket-count
     // aggregation and the per-doc weight join — one synth+explode pass
-    // (no stacking on re-invocation: CacheManager dedupes by
-    // canonicalized plan; like the shingle caches this assumes
-    // immutable input files for the session — the driver contract)
-    val feats = bigrams.select(col("doc_id"), col("lang"),
-      pmod(conv(substring(md5(col("bg").cast("binary")), 1, 15), 16, 10)
-        .cast("long"), lit(DsirBuckets)).as("bucket")).cache()
+    val feats = dsirFeats(spark, dir)
     // raw and target counts in ONE aggregation (t_cnt = conditional
     // count), not two passes + a join: buckets with no target hits get
     // t_cnt = 0 directly, which is what the add-1 smoothing wants

@@ -46,6 +46,25 @@ class DedupTextSpec extends SparkSpecBase {
     labels.unpersist()
   }
 
+  test("G6 clusters: distributed label propagation equals driver union-find") {
+    // the 100-TB path: driverMaxEdges=0 forces the per-iteration
+    // join+agg label propagation instead of the driver union-find the
+    // default path takes locally — the two must produce the SAME
+    // cluster labeling (strategyKey is part of the memo key, so both
+    // variants coexist in one session without cache collisions)
+    val viaUnionFind = run("dedup_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.dedup.clusters.driverMaxEdges", "0")
+    try {
+      val viaPropagation = run("dedup_clusters")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaPropagation == viaUnionFind,
+        s"label propagation and union-find disagree: " +
+          s"${(viaPropagation diff viaUnionFind).take(5)} vs " +
+          s"${(viaUnionFind diff viaPropagation).take(5)}")
+    } finally spark.conf.unset("graft.dedup.clusters.driverMaxEdges")
+  }
+
   test("G5 simhash: LSH-candidate pairs are closer in hamming than random pairs") {
     val sh = run("dedup_simhash").cache()
     val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
