@@ -192,9 +192,11 @@ class PipelineSpec extends SparkSpecBase {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
     assert(shuffles == 1, s"as-of join should shuffle once, got $shuffles")
     assert(df.filter(col("obs_ts") > col("probe_ts")).count() == 0)
-    // left as-of: probes with no prior click keep null obs
+    // left as-of: probes with no prior click keep null obs — the
+    // registry pin serves tenant t1, so count against t1's purchases
     assert(df.count() == Tables.events(spark, sf)
-      .filter(col("event_type") === "purchase").count())
+      .filter(col("event_type") === "purchase" &&
+        pmod(col("user_id"), lit(4)) === 1).count())
   }
 
   test("F5 quantiles: monotone p50<=p90<=p99, values are real data points") {

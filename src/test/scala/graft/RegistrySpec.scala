@@ -53,4 +53,170 @@ class RegistrySpec extends SparkSpecBase {
     }
     assert(failures.isEmpty, failures.mkString("; "))
   }
+
+  /** Per-query shuffle budget: the number of ShuffleExchange nodes
+    * in the FINAL (post-AQE) physical plan, pinned at the as-built
+    * value for every registered query — a regression that adds a
+    * shuffle ANYWHERE in the registry fails here before it costs
+    * anything at scale. Counted over plan NODES (not the plan string)
+    * so cached subtrees (InMemoryTableScan is a leaf) and reused
+    * exchanges (ReusedExchange is a leaf) don't count: only shuffles
+    * the query actually pays for. Ceilings, not equalities — AQE may
+    * legitimately remove one (SMJ→BHJ conversion), never add one.
+    * Queries without an entry (future additions) get a default budget
+    * of 2 — add an explicit entry when a new operator legitimately
+    * needs more. Notable pins: the composite pipeline_end_to_end at
+    * its single-shuffle claim, every adapter/scan at ZERO, and
+    * persist_upsert_bucketed at ZERO (the bucketed layout satisfies
+    * every downstream distribution requirement). */
+  private val shuffleBudget: Map[String, Int] = Map(
+    "adapter_csv_labx" -> 0,
+    "adapter_fixedwidth" -> 0,
+    "adapter_hl7_obx" -> 0,
+    "adapter_json_generic" -> 0,
+    "api_get_patient" -> 1,
+    "api_latest_observation" -> 1,
+    "api_limit_clamp" -> 0,
+    "api_multi_get" -> 1,
+    "api_next_token" -> 0,
+    "api_obs_asof_join" -> 1,
+    "api_obs_by_patient" -> 0,
+    "api_obs_page_after" -> 0,
+    "audit_distinct_users_sketch" -> 2,
+    "audit_heavy_hitters_sketch" -> 2,
+    "audit_latency_quantiles" -> 1,
+    "audit_list_page" -> 0,
+    "audit_metric_counts" -> 1,
+    "audit_partition_counts" -> 2,
+    "audit_retention_expiry" -> 2,
+    "audit_value_quantiles" -> 1,
+    "audit_value_quantiles_sketch" -> 1,
+    "corpus_chunk" -> 0,
+    "corpus_mix_weights" -> 3,
+    "corpus_pack" -> 3,
+    "corpus_pii_redact" -> 0,
+    "corpus_quality_funnel" -> 0,
+    "corpus_resample" -> 3,
+    "corpus_sample_stratified" -> 0,
+    "corpus_shuffle_shards" -> 1,
+    "corpus_source_cap" -> 1,
+    "corpus_split_leakfree" -> 2,
+    "dedup_bloom_decontaminate" -> 3,
+    "dedup_clusters" -> 0,
+    "dedup_decontaminate" -> 1,
+    "dedup_embedding_neardup" -> 2,
+    "dedup_exact" -> 1,
+    "dedup_fingerprint" -> 1,
+    "dedup_keep_corpus" -> 2,
+    "dedup_minhash_lsh" -> 2,
+    "dedup_ngram_jaccard" -> 3,
+    "dedup_semdedup" -> 1,
+    "dedup_simhash" -> 1,
+    "dedup_substring_spans" -> 3,
+    "dedup_winnowing" -> 1,
+    "dlq_redrive_batch" -> 0,
+    "dlq_redrive_pending" -> 0,
+    "ingest_dedup_idempotency" -> 1,
+    "ingest_envelope" -> 0,
+    "ingest_partition_keys" -> 1,
+    "k10_running_revenue" -> 1,
+    "k11_small_qty_revenue" -> 2,
+    "k12_min_cost_supplier" -> 2,
+    "k13_linestatus_priority" -> 1,
+    "k14_disjunctive_revenue" -> 1,
+    "k15_promo_revenue" -> 1,
+    "k16_returned_item_report" -> 1,
+    "k17_top_supplier_revenue" -> 1,
+    "k18_nation_trade_volume" -> 1,
+    "k19_idle_customers" -> 2,
+    "k21_supplier_variety" -> 2,
+    "k22_market_share" -> 1,
+    "k5_segment_rollup" -> 1,
+    "k6_top_customer_per_nation" -> 2,
+    "k7_priority_semi_join" -> 1,
+    "k8_order_count_histogram" -> 2,
+    "k9_large_volume_orders" -> 1,
+    "multimodal_decode_real" -> 0,
+    "multimodal_feature_stub" -> 0,
+    "multimodal_frame_sample" -> 0,
+    "multimodal_image_dedup" -> 1,
+    "multimodal_resize_stub" -> 0,
+    "normalize_entity_id" -> 0,
+    "normalize_fhir_map" -> 0,
+    "normalize_reject_counts" -> 1,
+    "normalize_unit_canonical" -> 0,
+    "normalize_validate_dto" -> 0,
+    "param_get_patient" -> 1,
+    "param_k15_promo_revenue" -> 1,
+    "param_k18_nation_trade_volume" -> 0,
+    "param_latest_observation" -> 1,
+    "param_obs_asof_join" -> 1,
+    "param_obs_by_patient" -> 0,
+    "param_obs_page_after" -> 0,
+    "param_q3_shipping_priority" -> 1,
+    "param_q6_forecast_revenue" -> 1,
+    "persist_asof_snapshot" -> 1,
+    "persist_commit_log" -> 1,
+    "persist_key_design" -> 0,
+    "persist_patient_meta" -> 1,
+    "persist_upsert_bucketed" -> 0,
+    "persist_upsert_version" -> 1,
+    "pipeline_end_to_end" -> 1,
+    "q1_pricing_summary" -> 1,
+    "q3_shipping_priority" -> 1,
+    "q5_join_chain" -> 1,
+    "q6_forecast_revenue" -> 1,
+    "reprocess_content_type" -> 0,
+    "reprocess_replay_set" -> 2,
+    "sim_cosine_pairs" -> 0,
+    "sim_filtered_search" -> 1,
+    "sim_ivf_kmeans" -> 15,
+    "sim_ivf_probe" -> 3,
+    "sim_lsh_ann" -> 1,
+    "sim_maxsim_multivec" -> 3,
+    "sim_pooled_search" -> 1,
+    "sim_pq_adc" -> 3,
+    "sim_range_search" -> 0,
+    "sim_recall_eval" -> 22,
+    "sim_topk_bruteforce" -> 1,
+    "skew_salted_rollup" -> 2,
+    "store_partition_prune" -> 1,
+    "stream_enriched_rollup" -> 1,
+    "stream_event_dedup" -> 1,
+    "stream_interval_join" -> 0,
+    "stream_interval_join_outer" -> 0,
+    "stream_session_window" -> 1,
+    "stream_sessionize" -> 1,
+    "stream_tumbling_agg" -> 1,
+    "stream_user_latest_state" -> 1,
+    "text_bigram_lm" -> 2,
+    "text_bpe_pair_stats" -> 1,
+    "text_dsir_weights" -> 5,
+    "text_lang_id" -> 0,
+    "text_perplexity_buckets" -> 4,
+    "text_quality_score" -> 0,
+    "text_repetition_signals" -> 2,
+    "text_rolling_fingerprint" -> 0,
+    "text_tfidf_top_terms" -> 5,
+    "text_token_count" -> 0,
+    "text_unigram_surprisal" -> 3
+)
+
+  test("shuffle budget: no query plans more exchanges than its pinned ceiling") {
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    val measured = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // node-based count on the FINAL (post-AQE) plan: cached subtrees
+      // (InMemoryTableScan is a leaf) and reused exchanges
+      // (ReusedExchange is a leaf) do not count — only shuffles this
+      // query actually paid for
+      val n = flattenPlan(executedPlan(fn(spark, sf)))
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      measured += s"\"$name\" -> $n,"
+      val budget = shuffleBudget.getOrElse(name, 2)
+      if (n > budget) failures += s"$name: $n exchanges > budget $budget"
+    }
+    info(measured.mkString("MEASURED[", " ", "]MEASURED"))
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
 }

@@ -93,13 +93,24 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("s_asof")
       .filter(col("user_id") =!= -1L)
       .collect().map(_.toSeq).toSet
-    val want = run("api_obs_asof_join")
+    val want = batchAsofAllTenants
       .select(col("probe_id"), col("user_id"), col("probe_ts"),
         col("obs_event_id"), col("obs_ts"), col("obs_value"))
       .collect().map(_.toSeq).toSet
     assert(got == want,
       s"streaming asof ${got.size} vs batch ${want.size}; " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  /** The streaming twin consumes ALL tenants' events, so its batch
+    * equal is the underlying as-of operator unscoped — the registry
+    * pin `api_obs_asof_join` serves one tenant (r6 tenancy). */
+  private def batchAsofAllTenants = {
+    val ev = Tables.events(spark, sf)
+    graft.plans.AsOf.join(
+      probe = ev.filter(col("event_type") === "purchase"),
+      obs = ev.filter(col("event_type") === "click"),
+      key = "user_id", ts = "ts", id = "event_id", value = "value")
   }
 
   test("L3 streaming dedup keeps one event per (user, type, minute)") {
@@ -294,7 +305,7 @@ class StreamingSpec extends SparkSpecBase {
       val out = spark.read.parquet(outDir).cache()
       val got = out.select(cols.head, cols.tail: _*)
         .collect().map(_.toSeq).toSet
-      val want = run("api_obs_asof_join")
+      val want = batchAsofAllTenants
         .select(cols.head, cols.tail: _*)
         .collect().map(_.toSeq).toSet
       assert(got == want,
