@@ -466,7 +466,82 @@ object Corpus {
        |    AS INTEGER) AS pos
        |FROM h""".stripMargin
 
+  // ---------------------------------------------------------------- M11
+  /** Token budget for M11's selection (tokens, not docs — the unit a
+    * training run is actually provisioned in). */
+  private val TokenBudget = 10000L
+  /** Quality buckets for the two-level budget scan; at 100 TB more
+    * buckets = finer blocks, same discipline as [[PackBlock]]. */
+  private val QBuckets = 32
+
+  /** M11 `corpus_token_budget` — quality-ordered TOKEN-budget
+    * selection: rank the corpus by a quality key (here the exact
+    * distinct-word ratio — I7's repetition signal inverted; any
+    * deterministic score plugs in), walk it best-first, and keep
+    * documents until the token budget is exhausted — "give me the
+    * best N-token corpus", the data-constrained selection step of
+    * every budgeted pre-training run (the survey framing of
+    * data-selection work like DSIR). A doc is kept iff the budget was
+    * not yet exhausted when it arrived (token_offset < budget), so
+    * the last kept doc may straddle the boundary.
+    *
+    * The global ordered cumsum does NOT use a partition-less window:
+    * like M4 it is the two-level prefix scan, with BLOCKS = quality
+    * buckets (floor(quality*[[QBuckets]]) — block order is consistent
+    * with the sort order by construction): per-bucket totals, bucket
+    * offsets over the tiny bucket table, within-bucket running sums.
+    * The quality ratio divides exact integers (bit-identical
+    * cross-engine); ties break by doc_id. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("quality",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("qb",
+        least(floor(col("quality") * QBuckets).cast("int"), lit(QBuckets - 1)))
+    val bucketTotals = base.groupBy(col("qb"))
+      .agg(sum(col("n_tokens")).as("b_total"))
+    val wBuckets = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals
+      .select(col("qb"),
+        coalesce(sum(col("b_total")).over(wBuckets), lit(0L)).as("b_offset"))
+    val wInBucket = Window.partitionBy(col("qb"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), "qb")
+      .withColumn("token_offset",
+        col("b_offset") + coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+      .filter(col("token_offset") < TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("token_offset"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH tw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, len(w) AS n_tokens,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+       |      AS quality
+       |  FROM tw WHERE len(w) > 0
+       |), o AS (
+       |  SELECT doc_id, n_tokens, quality,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS token_offset
+       |  FROM q
+       |)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, quality,
+       |  token_offset
+       |FROM o WHERE token_offset < $TokenBudget""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget" -> (tokenBudget _),
     "corpus_quality_funnel" -> (qualityFunnel _),
     "corpus_shuffle_shards" -> (shuffleShards _),
     "corpus_split_leakfree" -> (splitLeakFree _),
@@ -479,6 +554,7 @@ object Corpus {
     "corpus_mix_weights" -> (mixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_token_budget" -> tokenBudgetSql,
     "corpus_quality_funnel" -> qualityFunnelSql,
     "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_split_leakfree" -> splitLeakFreeSql,

@@ -769,7 +769,90 @@ object Dedup {
        |  CAST(substring(s, 34, 6) AS INTEGER) AS sel_pos
        |FROM sel WHERE pos <= n - ${WinnowW - 1}""".stripMargin
 
+  /** Tokens per line for G15's line-level dedup. */
+  private val LineW = 8
+
+  /** G15 `dedup_line_level` — corpus-wide duplicate-LINE removal with
+    * document reconstruction: the C4 recipe (Raffel et al. 2020
+    * dedup repeated three-sentence spans across the whole corpus,
+    * keeping only the first occurrence and REWRITING the documents).
+    * The synthetic docs carry no sentence boundaries, so a "line" is
+    * a fixed [[LineW]]-token span; every line keeps its first global
+    * occurrence (ordered by doc_id, then position) and loses the
+    * rest, and each doc is reassembled from its surviving lines in
+    * order. Output: per-doc line totals + the cleaned text — unlike
+    * G12 (which flags span overlap) this op EDITS the corpus, which
+    * is what the C4 pipeline ships downstream.
+    *
+    * Scale: the line explode is linear (corpus tokens / LineW rows);
+    * first-occurrence election is ONE shuffle keyed by line content
+    * (the same shape as G1's hash groupBy); reconstruction is a
+    * doc-keyed agg over surviving lines — collect_list is bounded by
+    * the DOC length, never corpus-wide. No all-pairs anywhere. */
+  def lineLevel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allToks = filter(split(col("text"), " "), c => c =!= "")
+    val w = col("w")
+    val nLines = ((size(w) + (LineW - 1)) / LineW).cast("int")
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), allToks.as("w"))
+      .filter(size(w) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), nLines - 1),
+        i => struct(i.as("line_idx"),
+          concat_ws(" ", slice(w, i * LineW + 1, lit(LineW))).as("line")))).as("s"))
+      .select(col("doc_id"), col("s.line_idx").as("line_idx"),
+        col("s.line").as("line"))
+    val firstW = Window.partitionBy(col("line"))
+      .orderBy(col("doc_id"), col("line_idx"))
+    val kept = lines
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") === 1)
+    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val lineLevelSql: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), ln AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, CAST(CEIL(len(w) / $LineW.0) AS BIGINT)),
+       |    i -> struct_pack(line_idx := i,
+       |      line := array_to_string(w[(i*$LineW+1):(i*$LineW+$LineW)], ' ')))) AS s
+       |  FROM toksl WHERE len(w) > 0
+       |), lines AS (
+       |  SELECT doc_id, s.line_idx AS line_idx, s.line AS line FROM ln
+       |), firsts AS (
+       |  SELECT doc_id, line_idx, line,
+       |    ROW_NUMBER() OVER (PARTITION BY line
+       |                       ORDER BY doc_id, line_idx) AS rn
+       |  FROM lines
+       |), kept AS (
+       |  SELECT doc_id, line_idx, line FROM firsts WHERE rn = 1
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1
+       |), ka AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+       |  FROM kept GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.n_lines,
+       |  COALESCE(ka.n_kept, 0) AS n_kept,
+       |  COALESCE(ka.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_line_level" -> (lineLevel _),
     "dedup_winnowing" -> (winnowing _),
     "dedup_semdedup" -> (semDedup _),
     "dedup_substring_spans" -> (substringSpans _),
@@ -785,6 +868,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_line_level" -> lineLevelSql,
     "dedup_winnowing" -> winnowingSql,
     "dedup_semdedup" -> semDedupSql,
     "dedup_substring_spans" -> substringSpansSql,

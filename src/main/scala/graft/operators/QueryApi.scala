@@ -351,6 +351,45 @@ object QueryApi {
        |ORDER BY ts, event_id
        |LIMIT $nextN""".stripMargin
 
+  /** E9 `api_obs_by_code` — the inverted-index access path: every
+    * observation of one CODE across a tenant's patients in a time
+    * range. The reference's single-table design carries GSI1
+    * precisely so entity-wide reads don't have to enumerate patients
+    * (src/stacks/data-stack.ts: GSI1 inverts PK/SK — the by-entity
+    * index next to GSI2's by-patient index); this is that read,
+    * set-oriented. Keyed by (tenant, code): at scale this index is
+    * partitioned by code with (effective, patient) as the sort key,
+    * so the scan prunes to one code's slice and the page is the same
+    * keyset-ordered LIMIT as E2/E4 — no window, no shuffle, one
+    * TakeOrdered. */
+  def obsByCode(spark: SparkSession, dir: String,
+                tenant: String = "t1", code: String = "signup",
+                from: String = "2024-01-05 00:00:00",
+                to: String = "2024-02-10 00:00:00",
+                limit: Int = 40): DataFrame =
+    Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("event_type") === code &&
+        col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(to).cast("timestamp"))
+      .select(Obs.tenant.as("tenant_id"), col("event_type"),
+        col("ts"), col("user_id").as("patient_id"), col("event_id"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(limit)
+
+  def obsByCodeSql(tenant: String = "t1", code: String = "signup",
+                   from: String = "2024-01-05 00:00:00",
+                   to: String = "2024-02-10 00:00:00",
+                   limit: Int = 40): String =
+    s"""SELECT 't' || (user_id % 4) AS tenant_id, event_type,
+       |  CAST(ts AS TIMESTAMP) AS ts, user_id AS patient_id, event_id, value
+       |FROM events
+       |WHERE ${tenantSqlPred(tenant)} AND event_type = '$code'
+       |  AND ts >= TIMESTAMP '$from'
+       |  AND ts <  TIMESTAMP '$to'
+       |ORDER BY ts, event_id
+       |LIMIT $limit""".stripMargin
+
   /** The pinned E8 probe batch: 13/5/77 live in t1; 42 is the
     * deliberately CROSS-tenant probe (t2) and 99999 is absent —
     * BatchGetItem semantics return no row for both. */
@@ -409,6 +448,7 @@ object QueryApi {
     "api_latest_observation" -> ((s, d) => latestObservation(s, d)),
     "api_obs_page_after" -> ((s, d) => obsPageAfter(s, d)),
     "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
+    "api_obs_by_code" -> ((s, d) => obsByCode(s, d)),
     // non-default instantiations — the library-call path the driver
     // oracle-checks with the SAME parameterized SQL builders
     "param_get_patient" -> ((s, d) => getPatient(s, d, tenant = "t3", patient = 11L)),
@@ -419,7 +459,10 @@ object QueryApi {
     "param_obs_page_after" -> ((s, d) => obsPageAfter(s, d, tenant = "t1",
       patient = 9L, cursorTs = "2024-01-12 00:00:00", cursorId = 100L, limit = 10)),
     "param_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d, tenant = "t2",
-      probeCode = "view", obsCode = "signup")))
+      probeCode = "view", obsCode = "signup")),
+    "param_obs_by_code" -> ((s, d) => obsByCode(s, d, tenant = "t3",
+      code = "view", from = "2024-01-10 00:00:00",
+      to = "2024-01-20 00:00:00", limit = 25)))
 
   val oracles: Map[String, String] = Map(
     "api_multi_get" -> multiGetSql(),
@@ -430,6 +473,7 @@ object QueryApi {
     "api_latest_observation" -> latestObservationSql(),
     "api_obs_page_after" -> obsPageAfterSql(),
     "api_obs_asof_join" -> obsAsofJoinSql(),
+    "api_obs_by_code" -> obsByCodeSql(),
     "param_get_patient" -> getPatientSql(tenant = "t3", patient = 11L),
     "param_obs_by_patient" -> obsByPatientSql(tenant = "t2",
       patient = 6L, code = "click",
@@ -438,5 +482,8 @@ object QueryApi {
     "param_obs_page_after" -> obsPageAfterSql(tenant = "t1",
       patient = 9L, cursorTs = "2024-01-12 00:00:00", cursorId = 100L, limit = 10),
     "param_obs_asof_join" -> obsAsofJoinSql(tenant = "t2",
-      probeCode = "view", obsCode = "signup"))
+      probeCode = "view", obsCode = "signup"),
+    "param_obs_by_code" -> obsByCodeSql(tenant = "t3",
+      code = "view", from = "2024-01-10 00:00:00",
+      to = "2024-01-20 00:00:00", limit = 25))
 }

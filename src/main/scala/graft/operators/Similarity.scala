@@ -444,6 +444,18 @@ object Similarity {
     * search then never reads the embedding column at all, which is
     * the entire point of PQ at 100 TB. */
   def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    pqApproxScores(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
+  }
+
+  /** The PQ-ADC approximate scorer shared by H7 and H12: every
+    * (query, corpus vector) pair scored as the sum of per-subspace
+    * LUT dots over the vector's codes — (qid, vec_id, approx_dot). */
+  private[operators] def pqApproxScores(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
     val subvec = slice(col("qvec"), col("m") * PqDsub + 1, lit(PqDsub))
     val codes = emb
@@ -468,19 +480,17 @@ object Similarity {
       .crossJoin(broadcast(codes.drop("cn")))
       .select(col("qid"), col("m"), col("code_id"),
         vdotQuantizedNative(subvec, col("cvec")).as("pdot"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_dot").desc, col("vec_id"))
     enc.join(broadcast(lut), Seq("m", "code_id"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pdot")).as("approx_dot"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
   }
 
-  val pqAdcSql: String =
-    s"""WITH $qnSqlCte, cb AS (
+  /** The CTE chain shared by H7's and H12's oracles: ends in
+    * `scored(qid, vec_id, approx_dot)` — the SQL twin of
+    * [[pqApproxScores]]. */
+  private[operators] val pqScoredCtes: String =
+    s"""$qnSqlCte, cb AS (
        |  SELECT vec_id AS code_id, qvec FROM qnn
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes
        |), codes AS (
@@ -508,11 +518,75 @@ object Similarity {
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code_id = l.code_id
        |  WHERE e.vec_id <> l.qid
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  val pqAdcSql: String =
+    s"""WITH $pqScoredCtes
        |SELECT qid, rank, vec_id, approx_dot FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |                               ORDER BY approx_dot DESC, vec_id) AS rank
        |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+
+  private val RerankC = 30
+
+  /** H12 `sim_rerank_pipeline` — the two-stage retrieval pipeline
+    * every production vector store actually runs (candidate
+    * generation + exact re-rank; the deployment shape Jégou'11 and
+    * the ColBERT paper both assume): stage 1 scores the whole corpus
+    * with H7's PQ-ADC approximation (LUT sums over 8 code ids — never
+    * touches the raw vectors), keeps the top [[RerankC]] candidates
+    * per query; stage 2 fetches ONLY those candidates' real vectors
+    * and re-ranks them by the exact integer cosine, emitting the top
+    * [[K]]. `approx_rank` is carried through so the output shows the
+    * reordering the exact pass applied.
+    *
+    * Scale: stage 1 is H7's code-table scan (64x smaller than the
+    * vectors); stage 2's vector fetch is NQueries*[[RerankC]] rows —
+    * the candidate set is broadcast against the corpus, so the
+    * expensive full-dim dot runs on a bounded set no matter the
+    * corpus size. That asymmetry (cheap scan everywhere, exact math
+    * on a bounded set) is the entire economics of ANN at 100 TB. */
+  def rerankPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    val cand = pqApproxScores(spark, dir)
+      .withColumn("approx_rank", row_number().over(wApprox))
+      .filter(col("approx_rank") <= RerankC)
+      .select(col("qid"), col("vec_id"), col("approx_rank"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"),
+        col("approx_rank"))
+  }
+
+  val rerankPipelineSql: String =
+    s"""WITH $pqScoredCtes, cand AS (
+       |  SELECT qid, vec_id, approx_rank FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |                         ORDER BY approx_dot DESC, vec_id) AS approx_rank
+       |    FROM scored
+       |  ) WHERE approx_rank <= $RerankC
+       |), rr AS (
+       |  SELECT c.qid, c.vec_id, c.approx_rank,
+       |    ${cosSql(dotSql("q.qvec", "d.qvec"), "q.nsq", "d.nsq")} AS cosine
+       |  FROM cand c
+       |  JOIN qnn d ON d.vec_id = c.vec_id
+       |  JOIN qnn q ON q.vec_id = c.qid
+       |)
+       |SELECT qid, rank, vec_id, cosine, approx_rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM rr
        |) WHERE rank <= $K""".stripMargin
 
   /** H5 `sim_recall_eval` — recall@K of the three ANN paths against the
@@ -759,6 +833,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rerank_pipeline" -> (rerankPipeline _),
     "sim_pooled_search" -> (pooledSearch _),
     "sim_filtered_search" -> (filteredSearch _),
     "sim_range_search" -> (rangeSearch _),
@@ -772,6 +847,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_rerank_pipeline" -> rerankPipelineSql,
     "sim_pooled_search" -> pooledSearchSql,
     "sim_filtered_search" -> filteredSearchSql,
     "sim_range_search" -> rangeSearchSql,

@@ -508,6 +508,81 @@ object TextAnalysis {
        |  CAST(c_bigram AS DOUBLE) / CAST(c_ctx AS DOUBLE) AS p_cond
        |FROM bc JOIN ctx ON bc.w1 = ctx.w1""".stripMargin
 
+  /** I12 `text_bigram_surprisal` — per-document scoring against the
+    * I10 bigram LM with add-1 (Laplace) smoothing: for every bigram
+    * (w1, w2) of the doc, p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    * where V is the corpus vocabulary size, and the doc score is the
+    * mean of -ln p over its bigrams — the bigram counterpart of I6's
+    * unigram filter, i.e. the SCORING half of the KenLM-style
+    * pipeline whose TRAINING half is I10 (score with a real context
+    * model; smoothing keeps unseen continuations finite). Docs with
+    * fewer than two tokens have no bigrams and are not scored.
+    * Cross-engine determinism: p divides exact integers; each -ln p
+    * term is rounded to 6 dp then summed as DECIMAL(18,9) — the I6
+    * recipe, order-insensitive. Scale: the count tables are keyed
+    * groupBys (partial-agg'd); the doc-bigram stream joins them on
+    * (w1, w2) and w1 — keyed, AQE-sized joins, never a broadcast of
+    * the unbounded model. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docBigr = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = docBigr.select(col("w1"), col("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val ctx = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(nonEmptyToks).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    docBigr
+      .join(bc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("surp",
+        round(-log((col("c_bigram") + lit(1)).cast("double") /
+          (col("c_ctx") + col("v")).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("surp")).cast("double") / count(lit(1)))
+          .as("bigram_surprisal"))
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH toksw AS (
+      |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), db AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+      |  FROM toksw WHERE len(w) >= 2
+      |), dbf AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM db
+      |), bc AS (
+      |  SELECT w1, w2, COUNT(*) AS c_bigram FROM dbf GROUP BY 1, 2
+      |), ctx AS (
+      |  SELECT w1, COUNT(*) AS c_ctx FROM dbf GROUP BY 1
+      |), voc AS (
+      |  SELECT COUNT(DISTINCT token) AS v FROM (
+      |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+      |    FROM documents
+      |  )
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(ROUND(-ln(CAST(c_bigram + 1 AS DOUBLE)
+      |        / CAST(c_ctx + v AS DOUBLE)), 6) AS DECIMAL(18,9))) AS DOUBLE)
+      |    / COUNT(*) AS bigram_surprisal
+      |FROM dbf
+      |JOIN bc USING (w1, w2)
+      |JOIN ctx USING (w1)
+      |CROSS JOIN voc
+      |GROUP BY doc_id""".stripMargin
+
   /** I11 `text_perplexity_buckets` — CCNet-style perplexity
     * partitioning (Wenzek et al. 2020, public): per LANGUAGE, split
     * documents into head/middle/tail terciles of the I6 LM surprisal
@@ -551,6 +626,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_perplexity_buckets" -> (perplexityBuckets _),
+    "text_bigram_surprisal" -> (bigramSurprisal _),
     "text_bigram_lm" -> (bigramLm _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_bpe_pair_stats" -> (bpePairStats _),
@@ -564,6 +640,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_perplexity_buckets" -> perplexityBucketsSql,
+    "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_bpe_pair_stats" -> bpePairStatsSql,

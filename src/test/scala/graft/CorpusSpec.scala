@@ -168,6 +168,37 @@ class CorpusSpec extends SparkSpecBase {
       .foreach(r => assert(r.getAs[Int]("n_words") >= 10))
   }
 
+  test("M11 token budget: two-level scan equals the naive global-window selection") {
+    import org.apache.spark.sql.expressions.Window
+    val sel = run("corpus_token_budget").cache()
+    // the served two-level prefix scan must select EXACTLY the set a
+    // naive single-partition global window would (the correctness
+    // definition the scalable plan re-expresses)
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("quality",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+    val wg = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = base
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(wg), lit(0L)))
+      .filter(col("token_offset") < 10000L)
+      .select(col("doc_id"), col("token_offset"))
+    val mismatch = sel.select(col("doc_id"), col("token_offset"))
+      .unionAll(naive).groupBy("doc_id", "token_offset")
+      .count().filter(col("count") =!= 2)
+    assert(mismatch.count() == 0, "two-level scan diverges from global window")
+    // budget law: selection fills the budget but starts under it
+    val offPlus = sel.agg(max(col("token_offset") + col("n_tokens"))).head.getLong(0)
+    assert(offPlus >= 10000L, "selection should exhaust the budget on this corpus")
+    sel.unpersist()
+  }
+
   test("M10 shuffle shards: dense positions per shard, deterministic across runs") {
     val a = run("corpus_shuffle_shards").collect()
     assert(a.length == Tables.documents(spark, sf).count())

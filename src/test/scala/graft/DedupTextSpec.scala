@@ -278,6 +278,45 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("G15 line-level dedup: first-occurrence election, faithful reconstruction") {
+    val df = run("dedup_line_level").cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) > 0).cache()
+    assert(df.count() == docs.count(), "every non-empty doc gets a row")
+    assert(df.filter(col("n_kept") > col("n_lines")).count() == 0)
+    // election law: total kept lines across the corpus == the number
+    // of DISTINCT line strings (each distinct line survives exactly once)
+    val lines = docs.select(explode(expr(
+      "transform(sequence(0, cast((size(w) + 7) / 8 as int) - 1), " +
+        "i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))")).as("line"))
+    assert(df.agg(sum("n_kept")).head.getLong(0) == lines.distinct().count())
+    // reconstruction law: a doc that kept ALL its lines reads back as
+    // its normalized text verbatim
+    val intact = df.filter(col("n_kept") === col("n_lines"))
+      .join(docs, "doc_id")
+      .withColumn("norm", array_join(col("w"), " "))
+    assert(intact.count() > 0, "corpus should contain fully-unique docs")
+    assert(intact.filter(col("clean_text") =!= col("norm")).count() == 0)
+    df.unpersist(); docs.unpersist()
+  }
+
+  test("I12 bigram surprisal: per-doc bigram counts and smoothing laws hold") {
+    val df = run("text_bigram_surprisal").cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).as("n_toks"))
+    // scored set = docs with >= 2 tokens; n_bigrams = n_tokens - 1
+    val joined = df.join(docs, "doc_id")
+    assert(df.count() == docs.filter(col("n_toks") >= 2).count())
+    assert(joined.filter(col("n_bigrams") =!= (col("n_toks") - 1)).count() == 0)
+    // add-1 smoothing keeps every p in (0, 1) -> surprisal positive+finite
+    assert(df.filter(col("bigram_surprisal") <= 0.0 ||
+      col("bigram_surprisal").isNull || isnan(col("bigram_surprisal"))).count() == 0)
+    df.unpersist()
+  }
+
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
     val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
     assert(rows.length == 30)

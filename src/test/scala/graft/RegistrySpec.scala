@@ -31,13 +31,15 @@ class RegistrySpec extends SparkSpecBase {
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
     "sim_recall_eval",
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
+    "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
     "dedup_embedding_neardup", "dedup_semdedup",
     "api_limit_clamp", "api_next_token", "dlq_redrive_batch",
     "k19_idle_customers", "audit_list_page",
     // (b) one-row broadcast scalar attach
     "corpus_mix_weights", "corpus_resample", "text_dsir_weights",
     "text_tfidf_top_terms", "text_unigram_surprisal",
-    "text_perplexity_buckets")
+    "text_perplexity_buckets",
+    "text_bigram_surprisal") // vocab-size scalar attach
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -80,6 +82,7 @@ class RegistrySpec extends SparkSpecBase {
     "api_multi_get" -> 1,
     "api_next_token" -> 0,
     "api_obs_asof_join" -> 1,
+    "api_obs_by_code" -> 0,
     "api_obs_by_patient" -> 0,
     "api_obs_page_after" -> 0,
     "audit_distinct_users_sketch" -> 2,
@@ -101,6 +104,7 @@ class RegistrySpec extends SparkSpecBase {
     "corpus_shuffle_shards" -> 1,
     "corpus_source_cap" -> 1,
     "corpus_split_leakfree" -> 2,
+    "corpus_token_budget" -> 3,
     "dedup_bloom_decontaminate" -> 3,
     "dedup_clusters" -> 0,
     "dedup_decontaminate" -> 1,
@@ -108,6 +112,7 @@ class RegistrySpec extends SparkSpecBase {
     "dedup_exact" -> 1,
     "dedup_fingerprint" -> 1,
     "dedup_keep_corpus" -> 2,
+    "dedup_line_level" -> 3,
     "dedup_minhash_lsh" -> 2,
     "dedup_ngram_jaccard" -> 3,
     "dedup_semdedup" -> 1,
@@ -151,6 +156,7 @@ class RegistrySpec extends SparkSpecBase {
     "param_k18_nation_trade_volume" -> 0,
     "param_latest_observation" -> 1,
     "param_obs_asof_join" -> 1,
+    "param_obs_by_code" -> 0,
     "param_obs_by_patient" -> 0,
     "param_obs_page_after" -> 0,
     "param_q3_shipping_priority" -> 1,
@@ -178,6 +184,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_pq_adc" -> 3,
     "sim_range_search" -> 0,
     "sim_recall_eval" -> 22,
+    "sim_rerank_pipeline" -> 4,
     "sim_topk_bruteforce" -> 1,
     "skew_salted_rollup" -> 2,
     "store_partition_prune" -> 1,
@@ -190,6 +197,7 @@ class RegistrySpec extends SparkSpecBase {
     "stream_tumbling_agg" -> 1,
     "stream_user_latest_state" -> 1,
     "text_bigram_lm" -> 2,
+    "text_bigram_surprisal" -> 5,
     "text_bpe_pair_stats" -> 1,
     "text_dsir_weights" -> 5,
     "text_lang_id" -> 0,

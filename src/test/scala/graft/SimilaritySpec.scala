@@ -203,6 +203,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(top.getAs[Long]("dot") == want)
   }
 
+  test("H12 rerank pipeline: k per query from PQ candidates, recall >= PQ-only") {
+    val rr = run("sim_rerank_pipeline").cache()
+    val pq = run("sim_pq_adc").cache()
+    val brute = run("sim_topk_bruteforce").cache()
+    // k ranked rows per query, no self, all drawn from the 30 PQ candidates
+    assert(rr.groupBy("qid").count().filter(col("count") =!= 10).count() == 0)
+    assert(rr.filter(col("qid") === col("vec_id")).count() == 0)
+    assert(rr.filter(col("approx_rank") > 30).count() == 0)
+    // exact re-rank of a candidate superset can only improve recall:
+    // every ground-truth member of the candidate set survives the
+    // exact top-k, while PQ's own top-k keeps only an approx-ranked
+    // subset of the same candidates
+    val rrHits = rr.join(brute, Seq("qid", "vec_id"), "left_semi").count()
+    val pqHits = pq.join(brute, Seq("qid", "vec_id"), "left_semi").count()
+    assert(rrHits >= pqHits, s"rerank recall $rrHits < pq recall $pqHits")
+    rr.unpersist(); pq.unpersist(); brute.unpersist()
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
