@@ -412,6 +412,62 @@ object Dedup {
        | AND b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
        |GROUP BY 1, 2""".stripMargin
 
+  /** Overlap fraction above which G16 flags a training doc. */
+  private val ContamTau = 0.5
+
+  /** G16 `dedup_contamination_frac` — decontamination by n-gram
+    * OVERLAP FRACTION, the thresholded form the GPT-3 and PaLM
+    * reports describe (Brown et al. 2020 appendix C / Chowdhery et
+    * al. 2022 — flag a training doc when a high fraction of its
+    * n-grams appears in any benchmark doc, not on a single collision
+    * like G8): per train doc, overlap_frac = |its distinct shingles
+    * ∩ the benchmark shingle set| / |its distinct shingles|, flagged
+    * at >= [[ContamTau]]. The ratio divides exact integers so the
+    * fraction and the boolean hash-match cross-engine. Scale: same
+    * posture as G8 — the bench side is a semi-join set keyed by
+    * shingle (AQE broadcasts it when it fits; a real benchmark is
+    * tiny), the train side is the bounded per-doc shingle stream, and
+    * both aggs are doc-keyed. */
+  def contaminationFrac(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the bench set and both train-side aggs read one
+    // synth+shingle pass
+    val sh = shingles(spark, dir, 3).cache()
+    val bench = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("shingle")).distinct()
+    val train = sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shared = train.join(bench, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val frac = coalesce(col("n_shared"), lit(0L)).cast("double") /
+      col("n_shingles").cast("double")
+    tot.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        frac.as("overlap_frac"),
+        (frac >= ContamTau).as("contaminated"))
+  }
+
+  val contaminationFracSql: String =
+    s"""WITH ${shinglesSql(3)},
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+       |  WHERE doc_id % 10 <> 0 GROUP BY 1
+       |), shr AS (
+       |  SELECT doc_id, COUNT(*) AS n_shared FROM sh
+       |  WHERE doc_id % 10 <> 0
+       |    AND shingle IN (SELECT shingle FROM bench)
+       |  GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.n_shingles,
+       |  COALESCE(s.n_shared, 0) AS n_shared,
+       |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |    AS overlap_frac,
+       |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |    >= $ContamTau AS contaminated
+       |FROM tot t LEFT JOIN shr s ON t.doc_id = s.doc_id""".stripMargin
+
   /** G11 `dedup_bloom_decontaminate` — the 100 TB decontamination
     * path: compress the benchmark shingle set into a Bloom filter
     * (Catalyst's own BloomFilterAggregate — the machinery behind
@@ -853,6 +909,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_line_level" -> (lineLevel _),
+    "dedup_contamination_frac" -> (contaminationFrac _),
     "dedup_winnowing" -> (winnowing _),
     "dedup_semdedup" -> (semDedup _),
     "dedup_substring_spans" -> (substringSpans _),
@@ -869,6 +926,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_line_level" -> lineLevelSql,
+    "dedup_contamination_frac" -> contaminationFracSql,
     "dedup_winnowing" -> winnowingSql,
     "dedup_semdedup" -> semDedupSql,
     "dedup_substring_spans" -> substringSpansSql,

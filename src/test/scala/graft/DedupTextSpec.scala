@@ -302,6 +302,21 @@ class DedupTextSpec extends SparkSpecBase {
     df.unpersist(); docs.unpersist()
   }
 
+  test("G16 contamination fraction: bounded ratio, collision set matches G8 exactly") {
+    val df = run("dedup_contamination_frac").cache()
+    assert(df.filter(col("n_shared") > col("n_shingles")).count() == 0)
+    assert(df.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() == 0)
+    assert(df.filter(col("contaminated") =!=
+      (col("overlap_frac") >= 0.5)).count() == 0)
+    // a train doc has n_shared > 0 exactly when G8's exact-collision
+    // pass lists it (both derive from the same distinct shingle sets)
+    val g8Docs = run("dedup_decontaminate").select("doc_id").distinct()
+    val mismatch = df.filter(col("n_shared") > 0).select("doc_id")
+      .unionAll(g8Docs).groupBy("doc_id").count().filter(col("count") =!= 2)
+    assert(mismatch.count() == 0)
+    df.unpersist()
+  }
+
   test("I12 bigram surprisal: per-doc bigram counts and smoothing laws hold") {
     val df = run("text_bigram_surprisal").cache()
     val docs = Tables.documents(spark, sf)

@@ -97,4 +97,13 @@ class ParamSpec extends SparkSpecBase {
         QueryApi.latestObservationSql(tenant = t), s"latestObservation($t)")
     }
   }
+
+  test("obsByCode with non-default tenant/code/window") {
+    assertAgrees(
+      QueryApi.obsByCode(spark, sf, tenant = "t0", code = "click",
+        from = "2024-01-03 00:00:00", to = "2024-01-15 00:00:00", limit = 15),
+      QueryApi.obsByCodeSql(tenant = "t0", code = "click",
+        from = "2024-01-03 00:00:00", to = "2024-01-15 00:00:00", limit = 15),
+      "obsByCode(t0, click)")
+  }
 }

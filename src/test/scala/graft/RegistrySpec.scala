@@ -107,6 +107,7 @@ class RegistrySpec extends SparkSpecBase {
     "corpus_token_budget" -> 3,
     "dedup_bloom_decontaminate" -> 3,
     "dedup_clusters" -> 0,
+    "dedup_contamination_frac" -> 3,
     "dedup_decontaminate" -> 1,
     "dedup_embedding_neardup" -> 2,
     "dedup_exact" -> 1,
