@@ -232,6 +232,68 @@ object Persist {
        |FROM ranked
        |GROUP BY user_id, event_type""".stripMargin
 
+  /** D6 `persist_compacted_upsert` — INCREMENTAL maintenance of the
+    * D2 upsert state: fold all history up to a compaction cutoff into
+    * a per-entity BASE segment (version so far + latest attributes +
+    * the stored idempotency key), then replay only the TAIL (writes
+    * after the cutoff) on top, seeding each entity's conditional-write
+    * comparison from the base's stored key. This is the mechanic that
+    * makes a Spark-backed store viable at 100 TB: D2 recomputes from
+    * the full write history, but a nightly job only ever needs
+    * base ⊕ yesterday's tail — the base is stored bucketed by entity
+    * (zero-shuffle re-read, D2b's layout) and the tail is a day's
+    * increment, so cost tracks the INCREMENT, not the history.
+    *
+    * Correctness seed: a suppressed write carries the same key as its
+    * raw predecessor, so by induction the last RAW write's key up to
+    * the cutoff equals the last APPLIED key — the base's stored ik is
+    * exactly what the first tail write must compare against (the same
+    * induction that justifies D2's lag form). The ORACLE is D2's
+    * full-replay SQL verbatim: the driver hash-proves that the
+    * incremental path reproduces the full recompute bit-for-bit. */
+  def compactedUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(SnapshotTs).cast("timestamp")
+    val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    // base segment: D2's replay restricted to ts <= cutoff, carrying
+    // the stored idempotency key the next write compares to
+    val base = applied(spark, dir)
+      .filter(col("ts") <= cutoff)
+      .withColumn("latest_rn", row_number().over(wLatest))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("base_version"),
+        max(when(col("latest_rn") === 1, col("value"))).as("base_value"),
+        max(when(col("latest_rn") === 1, col("ts"))).as("base_ts"),
+        max(when(col("latest_rn") === 1, col("ik"))).as("base_ik"))
+    // tail: raw writes after the cutoff; the first write of each
+    // entity compares against the base's stored key, later ones lag
+    // within the tail
+    val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val tailApplied = Tables.events(spark, dir)
+      .filter(col("ts") > cutoff)
+      .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
+      .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
+      .join(base.select(col("user_id"), col("event_type"), col("base_ik")),
+        Seq("user_id", "event_type"), "left")
+      .withColumn("cmp_ik", coalesce(col("prev_ik"), col("base_ik")))
+      .filter(col("cmp_ik").isNull || col("ik") =!= col("cmp_ik"))
+    val tailAgg = tailApplied
+      .withColumn("latest_rn", row_number().over(wLatest))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("tail_version"),
+        max(when(col("latest_rn") === 1, col("value"))).as("tail_value"),
+        max(when(col("latest_rn") === 1, col("ts"))).as("tail_ts"),
+        max(when(col("latest_rn") === 1, col("ik"))).as("tail_ik"))
+    base.join(tailAgg, Seq("user_id", "event_type"), "outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("base_version"), lit(0L)) +
+          coalesce(col("tail_version"), lit(0L))).as("version"),
+        coalesce(col("tail_value"), col("base_value")).as("last_value"),
+        coalesce(col("tail_ts"), col("base_ts")).as("last_ts"),
+        coalesce(col("tail_ik"), col("base_ik")).as("last_ik"))
+  }
+
   /** D5 `persist_patient_meta` — the patient-profile META row the
     * reference's getPatient reads (services/api-query/src/handler.ts:
     * 41-57: name / birthDate / lastUpdated off the PATIENT#<id> META
@@ -295,6 +357,7 @@ object Persist {
     "persist_upsert_bucketed" -> (upsertVersionBucketed _),
     "persist_commit_log" -> (commitLog _),
     "persist_patient_meta" -> (patientMeta _),
+    "persist_compacted_upsert" -> (compactedUpsert _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -303,5 +366,7 @@ object Persist {
     "persist_upsert_bucketed" -> upsertVersionSql,
     "persist_commit_log" -> commitLogSql,
     "persist_patient_meta" -> patientMetaSql,
+    // the incremental path must reproduce the FULL replay bit-for-bit
+    "persist_compacted_upsert" -> upsertVersionSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

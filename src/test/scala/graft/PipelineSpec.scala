@@ -122,6 +122,25 @@ class PipelineSpec extends SparkSpecBase {
       "synth should exercise recycled-key re-application")
   }
 
+  test("D6 compacted upsert: base + tail replay equals the full recompute exactly") {
+    // the incremental path (compact at cutoff, replay only the tail
+    // seeded from the stored key) must reproduce D2's full-history
+    // replay row-for-row — the invariant that makes nightly
+    // compaction safe at scale
+    val inc = run("persist_compacted_upsert")
+    val full = run("persist_upsert_version")
+    assert(inc.count() == full.count())
+    val cols = inc.columns.toSeq
+    val mismatch = inc.unionAll(full.select(cols.map(col): _*))
+      .groupBy(cols.map(col): _*).count().filter(col("count") =!= 2)
+    assert(mismatch.count() == 0, "incremental state diverges from full replay")
+    // both segments contribute: some entities have tail writes, some not
+    val cutoff = lit("2024-01-08 00:00:00").cast("timestamp")
+    val ev = Tables.events(spark, sf)
+    assert(ev.filter(col("ts") <= cutoff).count() > 0)
+    assert(ev.filter(col("ts") > cutoff).count() > 0)
+  }
+
   test("D4 as-of snapshot: a rollback of the full replay, never ahead of it") {
     val snap = run("persist_asof_snapshot")
     val full = run("persist_upsert_version")

@@ -164,6 +164,7 @@ class RegistrySpec extends SparkSpecBase {
     "param_q6_forecast_revenue" -> 1,
     "persist_asof_snapshot" -> 1,
     "persist_commit_log" -> 1,
+    "persist_compacted_upsert" -> 3,
     "persist_key_design" -> 0,
     "persist_patient_meta" -> 1,
     "persist_upsert_bucketed" -> 0,
