@@ -288,6 +288,43 @@ object StreamOps {
     PipelineState(key._1, key._2, agg.n, agg.value, toTs(agg.effUs), agg.hash)
   }
 
+  case class UpsertAgg(version: Long, lastIk: String, lastTs: Long,
+      lastId: Long, lastValue: Double)
+
+  case class UpsertOut(user_id: Long, event_type: String, version: Long,
+      last_value: Double, last_ts: Timestamp, last_ik: String)
+
+  /** D2 streaming — the conditional-write upsert twin: the reference
+    * IS this mode (one Lambda invocation per queued write, DynamoDB
+    * `version = if_not_exists+1` guarded by `idempotencyKey <> :idk`
+    * — services/persist/handler.ts:51-54). State per entity is the
+    * stored row (version, idempotency key, latest attributes);
+    * each write applies iff its key differs from the STORED key,
+    * which is the row-at-a-time form of the batch lag() rule —
+    * StreamingSpec asserts exact equality with
+    * `persist_upsert_version`. Writes apply in (ts, id) order: the
+    * micro-batch slice is sorted in-state (bounded by the batch),
+    * cross-batch order is the queue's FIFO delivery contract. */
+  def upsertState(events: Dataset[Event], spark: SparkSession): Dataset[UpsertOut] = {
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(upsertFn)
+  }
+
+  private[streaming] def upsertFn(key: (Long, String), events: Iterator[Event],
+      state: GroupState[UpsertAgg]): UpsertOut = {
+    var st = state.getOption.getOrElse(
+      UpsertAgg(0L, null, Long.MinValue, Long.MinValue, 0.0))
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val ik = "ik" + (e.event_id % 5)
+      // the conditional write: same key as stored -> no-op, row intact
+      if (st.lastIk == null || ik != st.lastIk)
+        st = UpsertAgg(st.version + 1, ik, us(e.ts), e.event_id, e.value)
+    }
+    state.update(st)
+    UpsertOut(key._1, key._2, st.version, st.lastValue, toTs(st.lastTs), st.lastIk)
+  }
+
   /** L4 streaming — per-user rolling state via mapGroupsWithState
     * (update mode): latest event attributes + lifetime counters. */
   def userLatestState(events: Dataset[Event], spark: SparkSession): Dataset[UserStateOut] = {

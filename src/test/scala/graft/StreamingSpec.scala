@@ -371,6 +371,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("D2 streaming upsert twin equals the batch conditional-write replay") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.upsertState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_upsert")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // update mode emits one row per touched key per trigger: the row
+    // with the highest version is the final stored state
+    val got = spark.table("s_upsert")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("version"), col("last_ts"), col("last_ik"),
+        col("last_value"))).as("s"))
+      .select(col("user_id"), col("event_type"), col("s.version"),
+        col("s.last_value"), col("s.last_ts"), col("s.last_ik"))
+      .collect().map(_.toSeq).toSet
+    val want = run("persist_upsert_version")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("last_value"), col("last_ts"), col("last_ik"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming conditional-write state diverges from batch D2")
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
