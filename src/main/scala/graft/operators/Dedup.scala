@@ -137,11 +137,17 @@ object Dedup {
     * 100 TB near-dup path: shuffle keyed by (band, bucket), never
     * all-pairs. Band id is part of the join key so bucket joins
     * distribute across the cluster. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The 8 MinHash signature minima per doc — shared by G4 (banding)
+    * and G17 (signature-agreement estimation). */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir, 3)
     val sigCols = (0 until 8).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(spark, dir)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 8).map(i => struct(lit(i).as("band"), col(s"h$i").as("bh"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -168,6 +174,74 @@ object Dedup {
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin
+  }
+
+  /** G17 `dedup_minhash_estimate` — MinHash-ESTIMATED Jaccard over
+    * the G4 candidate pairs: est = (matching signature minima) / 8,
+    * the Broder'97 estimator (E[min agree] = J). This is the re-rank
+    * the 100 TB dedup pipeline actually runs — G3's exact Jaccard
+    * joins the SHINGLE streams of both docs (corpus-scale work per
+    * pair), while this compares two 8-value signatures the index
+    * already stores, so scoring a candidate is O(1) regardless of doc
+    * size. Downstream keeps pairs above a signature threshold
+    * (Lee et al. 2021 use the same shape). n_match / 8.0 divides
+    * exact integers — fraction hash-matches cross-engine. Every G4
+    * candidate shares a band, so n_match >= 1 by construction. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    // Carry the full signature array THROUGH the band explode so the
+    // sig aggregation runs once and the band self-join already has
+    // both signatures in hand — no join-back to the signature table
+    // (which would recompute the corpus aggregation per side at
+    // scale). n_match is deterministic per pair, so the post-join
+    // distinct on (pair, n_match) dedups band collisions exactly as
+    // G4's candidate distinct does.
+    val sig = minhashSigs(spark, dir)
+      .select(col("doc_id"),
+        array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(col("sig")).as(Seq("band", "bh")))
+    val nMatch = (0 until 8)
+      .map(i => when(element_at(col("x.sig"), i + 1) ===
+        element_at(col("y.sig"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        nMatch.as("n_match"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / 8.0).as("est_jaccard"))
+  }
+
+  val minhashEstimateSql: String = {
+    val mins = (0 until 8).map(i => s"MIN(md5('$i:' || shingle)) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until 8)
+      .map(i => s"SELECT doc_id, $i AS band, h$i AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matches = (0 until 8)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${shinglesSql(3)},
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY 1
+       |), bands AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |), scored AS (
+       |  SELECT c.doc_a, c.doc_b, $matches AS n_match
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+       |              JOIN sig b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, n_match,
+       |  CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard
+       |FROM scored""".stripMargin
   }
 
   /** G5 `dedup_simhash` — 60-bit SimHash: per-token md5 (top 15 hex
@@ -910,6 +984,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_line_level" -> (lineLevel _),
     "dedup_contamination_frac" -> (contaminationFrac _),
+    "dedup_minhash_estimate" -> (minhashEstimate _),
     "dedup_winnowing" -> (winnowing _),
     "dedup_semdedup" -> (semDedup _),
     "dedup_substring_spans" -> (substringSpans _),
@@ -927,6 +1002,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_line_level" -> lineLevelSql,
     "dedup_contamination_frac" -> contaminationFracSql,
+    "dedup_minhash_estimate" -> minhashEstimateSql,
     "dedup_winnowing" -> winnowingSql,
     "dedup_semdedup" -> semDedupSql,
     "dedup_substring_spans" -> substringSpansSql,

@@ -528,6 +528,60 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $K""".stripMargin
 
+  /** H13 `sim_sq8` — scalar-quantization (SQ8) search, the third
+    * compression family next to IVF partitioning and PQ codes (the
+    * FAISS ScalarQuantizer shape, public): every dimension is
+    * symmetrically quantized to an 8-bit code c = round(x·127/absmax)
+    * with ONE corpus-wide scale, so dot(codes) =
+    * (127/absmax)²·dot(x) up to rounding — rank-preserving in the
+    * limit, 4x smaller storage, and the scoring pass is the same
+    * integer dot kernel as H1 on narrower values. absmax is a 1-row
+    * aggregate broadcast (never a per-dim table, which would distort
+    * the dot with per-dim scales); codes are exact integers so ranks
+    * hash-match the oracle. Scale: one corpus pass to build codes
+    * (stored, in a real deployment), one broadcast-queries pass to
+    * score — H1's economics at a quarter the bytes. */
+  def sq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val docMax = emb.select(col("vec_id"),
+      aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast("double")))).as("dmax"))
+    val absmax = docMax.agg(max(col("dmax")).as("absmax"))
+    val codes = emb.crossJoin(broadcast(absmax))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 127.0 / col("absmax")).cast("long"))
+        .as("cvec"))
+    val q = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("cvec").as("qc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", vdotQuantizedNative(col("qc"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
+  }
+
+  val sq8Sql: String =
+    s"""WITH am AS (
+       |  SELECT MAX(list_max(list_transform(embedding,
+       |    x -> ABS(CAST(x AS DOUBLE))))) AS absmax
+       |  FROM embeddings
+       |), codes AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / absmax) AS BIGINT)) AS cvec
+       |  FROM embeddings CROSS JOIN am
+       |), q AS (
+       |  SELECT vec_id AS qid, cvec AS qc FROM codes WHERE vec_id < $NQueries
+       |), d AS (
+       |  SELECT qid, vec_id, ${dotSql("qc", "cvec")} AS dot
+       |  FROM codes JOIN q ON vec_id <> qid
+       |)
+       |SELECT qid, rank, vec_id, dot FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY dot DESC, vec_id) AS rank
+       |  FROM d
+       |) WHERE rank <= $K""".stripMargin
+
   private val RerankC = 30
 
   /** H12 `sim_rerank_pipeline` — the two-stage retrieval pipeline
@@ -613,6 +667,7 @@ object Similarity {
       .unionAll(per(ivfProbe(spark, dir), "ivf"))
       .unionAll(per(ivfKmeans(spark, dir), "ivf_kmeans"))
       .unionAll(per(pqAdc(spark, dir), "pq"))
+      .unionAll(per(sq8(spark, dir), "sq8"))
       .withColumn("recall_at_k", col("hits").cast("double") / K)
   }
 
@@ -622,6 +677,7 @@ object Similarity {
        |ivfr AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
        |ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
        |pqr AS (SELECT qid, vec_id FROM ($pqAdcSql)),
+       |sqr AS (SELECT qid, vec_id FROM ($sq8Sql)),
        |qids AS (SELECT DISTINCT qid FROM bf),
        |hl AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
        |       JOIN lshr l ON b.qid = l.qid AND b.vec_id = l.vec_id GROUP BY 1),
@@ -630,7 +686,9 @@ object Similarity {
        |hk AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
        |       JOIN ivfk k ON b.qid = k.qid AND b.vec_id = k.vec_id GROUP BY 1),
        |hp AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
-       |       JOIN pqr p ON b.qid = p.qid AND b.vec_id = p.vec_id GROUP BY 1)
+       |       JOIN pqr p ON b.qid = p.qid AND b.vec_id = p.vec_id GROUP BY 1),
+       |hs AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN sqr s ON b.qid = s.qid AND b.vec_id = s.vec_id GROUP BY 1)
        |SELECT qid, method, hits,
        |  CAST(hits AS DOUBLE) / $K AS recall_at_k
        |FROM (
@@ -645,6 +703,9 @@ object Similarity {
        |  UNION ALL
        |  SELECT q.qid, 'pq' AS method, COALESCE(hp.hits, 0) AS hits
        |  FROM qids q LEFT JOIN hp ON q.qid = hp.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'sq8' AS method, COALESCE(hs.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hs ON q.qid = hs.qid
        |)""".stripMargin
 
   private val SubVecs = 4
@@ -834,6 +895,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rerank_pipeline" -> (rerankPipeline _),
+    "sim_sq8" -> (sq8 _),
     "sim_pooled_search" -> (pooledSearch _),
     "sim_filtered_search" -> (filteredSearch _),
     "sim_range_search" -> (rangeSearch _),
@@ -848,6 +910,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_rerank_pipeline" -> rerankPipelineSql,
+    "sim_sq8" -> sq8Sql,
     "sim_pooled_search" -> pooledSearchSql,
     "sim_filtered_search" -> filteredSearchSql,
     "sim_range_search" -> rangeSearchSql,

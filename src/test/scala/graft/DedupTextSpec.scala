@@ -302,6 +302,34 @@ class DedupTextSpec extends SparkSpecBase {
     df.unpersist(); docs.unpersist()
   }
 
+  test("G17 minhash estimate: covers G4 candidates, matches a driver recompute") {
+    val df = run("dedup_minhash_estimate").cache()
+    val cand = run("dedup_minhash_lsh")
+    assert(df.count() == cand.count(), "one estimate per LSH candidate pair")
+    // every candidate shares a band => at least one agreeing minimum
+    assert(df.filter(col("n_match") < 1 || col("n_match") > 8).count() == 0)
+    assert(df.filter(col("est_jaccard") =!=
+      col("n_match").cast("double") / 8.0).count() == 0)
+    // recompute signatures for a few pairs from raw text
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(id: Long): Seq[String] = {
+      val w = docs(id).split(" ").filter(_.nonEmpty).take(60)
+      val sh = w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      (0 until 8).map(i => sh.map(s => md5hex(s"$i:$s")).min)
+    }
+    df.limit(5).collect().foreach { r =>
+      val want = sig(r.getAs[Long]("doc_a")).zip(sig(r.getAs[Long]("doc_b")))
+        .count { case (a, b) => a == b }
+      assert(r.getAs[Int]("n_match") == want,
+        s"pair (${r.getAs[Long]("doc_a")}, ${r.getAs[Long]("doc_b")})")
+    }
+    df.unpersist()
+  }
+
   test("G16 contamination fraction: bounded ratio, collision set matches G8 exactly") {
     val df = run("dedup_contamination_frac").cache()
     assert(df.filter(col("n_shared") > col("n_shingles")).count() == 0)

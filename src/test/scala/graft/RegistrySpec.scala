@@ -31,6 +31,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
     "sim_recall_eval",
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
+    "sim_sq8", // broadcast query codes, streaming corpus codes
     "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
     "dedup_embedding_neardup", "dedup_semdedup",
     "api_limit_clamp", "api_next_token", "dlq_redrive_batch",
@@ -114,6 +115,7 @@ class RegistrySpec extends SparkSpecBase {
     "dedup_fingerprint" -> 1,
     "dedup_keep_corpus" -> 2,
     "dedup_line_level" -> 3,
+    "dedup_minhash_estimate" -> 2, // sig agg (self-join side reused) + distinct
     "dedup_minhash_lsh" -> 2,
     "dedup_ngram_jaccard" -> 3,
     "dedup_semdedup" -> 1,
@@ -185,7 +187,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_pooled_search" -> 1,
     "sim_pq_adc" -> 3,
     "sim_range_search" -> 0,
-    "sim_recall_eval" -> 22,
+    "sim_recall_eval" -> 24, // five index families side by side
     "sim_rerank_pipeline" -> 4,
     "sim_topk_bruteforce" -> 1,
     "skew_salted_rollup" -> 2,

@@ -221,6 +221,23 @@ class SimilaritySpec extends SparkSpecBase {
     rr.unpersist(); pq.unpersist(); brute.unpersist()
   }
 
+  test("H13 SQ8: k per query, no self, code dot matches a driver recompute") {
+    val rows = run("sim_sq8").collect()
+    assert(rows.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 10))
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    // recompute the quantization + code dot for query 0's top hit
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val absmax = vecs.values.flatten.map(x => math.abs(x.toDouble)).max
+    def code(id: Long): Array[Long] =
+      vecs(id).map(x => math.round(x.toDouble * 127.0 / absmax))
+    val top = rows.filter(r => r.getAs[Long]("qid") == 0 && r.getAs[Int]("rank") == 1).head
+    val want = code(0L).zip(code(top.getAs[Long]("vec_id")))
+      .map { case (a, b) => a * b }.sum
+    assert(top.getAs[Long]("dot") == want)
+  }
+
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {
     spark.conf.set("graft.allowQuadraticBaselines", "false")
     try {
