@@ -844,7 +844,225 @@ object Analytics {
       |  nation_volume / total_volume AS mkt_share
       |FROM yr""".stripMargin
 
+  /** K23 `k23_product_profit` — TPC-H Q9 shape: profit by supplier
+    * nation and order year for parts whose name contains a substring.
+    * This schema carries no partsupp, so supply cost is derived from
+    * the part row (`costFactor * p_retailprice`, the K12 discipline of
+    * deriving partsupp measures from carried columns) — the join
+    * topology and profit arithmetic are Q9's. Scale: part and
+    * supplier-nation are broadcast dims applied BEFORE the big
+    * lineitem-orders equi-join, so the only large shuffle carries
+    * pre-filtered rows; the (nation, year) aggregation is partial
+    * map-side. Profit per row is computed in double with a fixed
+    * operation order, then decimal-summed (dsum) for cross-engine
+    * parity. Reference: services/api-query analytics are row-at-a-time
+    * (handler.ts); this is the set-oriented equivalent family. */
+  def k23ProductProfit(spark: SparkSession, dir: String,
+                       nameSubstr: String = "widget",
+                       costFactor: Double = 0.6): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameSubstr))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(costFactor) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+  }
+
+  def k23Sql(nameSubstr: String = "widget", costFactor: Double = 0.6): String =
+    s"""SELECT n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+      |    - $costFactor*p_retailprice*l_quantity AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%$nameSubstr%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** K24 `k24_important_stock` — TPC-H Q11 shape: per-part "stock
+    * value" held by one nation's suppliers, keeping parts above a
+    * fraction of the nation's total (the HAVING-over-global-subquery
+    * shape). Stock value is derived as the summed extended price of
+    * the nation's supplied lineitems (no partsupp in this schema).
+    * Scale: the nation's supplier set is a broadcast dim; ONE shuffle
+    * aggregates per part; the global total re-aggregates the per-part
+    * values (exact: each per-part value is an exact decimal cast to
+    * double, re-summed in decimal) and attaches as a broadcast 1-row
+    * scalar — the documented BNLJ class (b). */
+  def k24ImportantStock(spark: SparkSession, dir: String,
+                        nation: String = "NATION_3",
+                        fraction: Double = 0.003): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("stock_value"))
+    val total = vals.agg(
+      sum(col("stock_value").cast(DecimalType(18, 6))).cast("double")
+        .as("total_value"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("stock_value") > lit(fraction) * col("total_value"))
+      .select(col("l_partkey"), col("stock_value"))
+  }
+
+  def k24Sql(nation: String = "NATION_3", fraction: Double = 0.003): String =
+    s"""WITH vals AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS stock_value
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey AND n_name = '$nation'
+      |  GROUP BY 1
+      |)
+      |SELECT l_partkey, stock_value FROM vals
+      |WHERE stock_value > $fraction * (
+      |  SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,6))) AS DOUBLE)
+      |  FROM vals)""".stripMargin
+
+  /** K25 `k25_part_promotion` — TPC-H Q20 shape: suppliers from one
+    * nation who shipped a large fraction of their all-time volume of
+    * a name-prefixed part inside a window (Q20's availqty guard
+    * re-derived from lineitem: window volume vs all-time volume per
+    * (supplier, part) — this schema has no partsupp). The nested-IN
+    * chain becomes broadcast-dim filters plus a LEFT SEMI join.
+    * Scale: ONE pass over lineitem computes both volumes as
+    * conditional sums (no second scan for the window), one shuffle on
+    * (partkey, suppkey); the qualifying-supplier set is bounded by
+    * supplier cardinality, so the final semi join broadcasts it. */
+  def k25PartPromotion(spark: SparkSession, dir: String,
+                       nation: String = "NATION_3",
+                       prefix: String = "blue",
+                       from: String = "1997-01-01",
+                       to: String = "1998-01-01",
+                       frac: Double = 0.3): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(prefix)).select(col("p_partkey"))
+    val inWindow = col("l_shipdate") >= lit(from).cast("timestamp") &&
+      col("l_shipdate") < lit(to).cast("timestamp")
+    val qual = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("qty_all"),
+        dsum(when(inWindow, col("l_quantity")).otherwise(lit(0.0)))
+          .as("qty_window"))
+      .filter(col("qty_window") > lit(frac) * col("qty_all"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  def k25Sql(nation: String = "NATION_3", prefix: String = "blue",
+             from: String = "1997-01-01", to: String = "1998-01-01",
+             frac: Double = 0.3): String =
+    s"""SELECT s_suppkey, s_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey AND n_name = '$nation'
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM (
+      |    SELECT l_partkey, l_suppkey,
+      |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_all,
+      |      CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '$from'
+      |                          AND l_shipdate < TIMESTAMP '$to'
+      |                         THEN l_quantity ELSE 0.0 END
+      |        AS DECIMAL(18,6))) AS DOUBLE) AS qty_window
+      |    FROM lineitem
+      |    JOIN part ON l_partkey = p_partkey AND p_name LIKE '$prefix%'
+      |    GROUP BY 1, 2
+      |  ) WHERE qty_window > $frac * qty_all)""".stripMargin
+
+  /** K26 `k26_waiting_suppliers` — TPC-H Q21 shape: suppliers who
+    * were the SOLE late supplier on a finished multi-supplier order
+    * ("kept the order waiting"), counted per supplier. Late is
+    * derived as shipping more than `lateDays` after the order date
+    * (this schema has no commit/receipt dates). The classic
+    * double-correlated EXISTS/NOT-EXISTS is rewritten as ONE
+    * aggregation per order — n_supp > 1, exactly one distinct late
+    * supplier, whose identity is max(late supplier) (exact when the
+    * distinct count is 1) — so the whole query is: one big equi-join,
+    * one per-order aggregation that REUSES the join's orderkey
+    * partitioning (no extra exchange), one supplier-sized rollup.
+    * At 100 TB the EXISTS form would be two more self-joins of
+    * lineitem; this form touches it once. The oracle states the
+    * EXISTS form independently — the gate proves the rewrite. */
+  def k26WaitingSuppliers(spark: SparkSession, dir: String,
+                          lateDays: Int = 90,
+                          limit: Int = 100): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr(s"INTERVAL '$lateDays' DAY")
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"),
+        // Q21 counts late LINEITEM rows, not orders: a supplier with
+        // two late lines on one order counts twice (all late rows
+        // belong to late_supp when the distinct late count is 1)
+        count(when(late, lit(1))).as("late_rows"))
+    per.filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(sum(col("late_rows")).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("late_supp") === col("s_suppkey"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(limit)
+      .select(col("s_name"), col("numwait"))
+  }
+
+  def k26Sql(lateDays: Int = 90, limit: Int = 100): String =
+    s"""SELECT s_name, numwait FROM (
+      |  SELECT s_name, COUNT(*) AS numwait
+      |  FROM supplier
+      |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l1.l_shipdate > o_orderdate + INTERVAL $lateDays DAY
+      |    AND EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_suppkey <> l1.l_suppkey
+      |                      AND l3.l_shipdate > o_orderdate + INTERVAL $lateDays DAY)
+      |  GROUP BY 1
+      |) ORDER BY numwait DESC, s_name LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k23_product_profit" -> ((s, d) => k23ProductProfit(s, d)),
+    "k24_important_stock" -> ((s, d) => k24ImportantStock(s, d)),
+    "k25_part_promotion" -> ((s, d) => k25PartPromotion(s, d)),
+    "k26_waiting_suppliers" -> ((s, d) => k26WaitingSuppliers(s, d)),
+    "param_k23_product_profit" -> ((s, d) => k23ProductProfit(s, d,
+      nameSubstr = "rod", costFactor = 0.5)),
+    "param_k26_waiting_suppliers" -> ((s, d) => k26WaitingSuppliers(s, d,
+      lateDays = 180, limit = 20)),
     "k22_market_share" -> ((s, d) => k22MarketShare(s, d)),
     "k21_supplier_variety" -> ((s, d) => k21SupplierVariety(s, d)),
     "k16_returned_item_report" -> ((s, d) => k16ReturnedItemReport(s, d)),
@@ -879,6 +1097,12 @@ object Analytics {
       from = "1996-07-01", to = "1996-08-01")))
 
   val oracles: Map[String, String] = Map(
+    "k23_product_profit" -> k23Sql(),
+    "k24_important_stock" -> k24Sql(),
+    "k25_part_promotion" -> k25Sql(),
+    "k26_waiting_suppliers" -> k26Sql(),
+    "param_k23_product_profit" -> k23Sql(nameSubstr = "rod", costFactor = 0.5),
+    "param_k26_waiting_suppliers" -> k26Sql(lateDays = 180, limit = 20),
     "k22_market_share" -> k22Sql(),
     "k21_supplier_variety" -> k21Sql(),
     "k16_returned_item_report" -> k16Sql(),

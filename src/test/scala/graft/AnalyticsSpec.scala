@@ -165,4 +165,97 @@ class AnalyticsSpec extends SparkSpecBase {
       .count()
     assert(rows.map(_.getAs[Long]("numcust")).sum == want)
   }
+
+  test("k23: grouped profit total equals an ungrouped recompute") {
+    val rows = run("k23_product_profit").collect()
+    assert(rows.nonEmpty)
+    // independent plan: same join chain, NO grouping — one global sum
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(profit.cast("decimal(18,6)"))).head().getDecimal(0)
+    val got = rows.map(r => BigDecimal(r.getAs[Double]("sum_profit"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert((got - BigDecimal(want)).abs < BigDecimal("0.000001"))
+  }
+
+  test("k24: every kept part clears the fraction-of-total bar") {
+    val rows = run("k24_important_stock").collect()
+    assert(rows.nonEmpty)
+    // recompute the nation total independently (no per-part grouping)
+    val total = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double"))
+      .head().getDouble(0)
+    // per-part values sum to <= total and each clears the bar (the
+    // bar uses the per-part-rounded total, so allow 1e-3 slack)
+    assert(rows.forall(_.getAs[Double]("stock_value") > 0.003 * total - 1e-3))
+    assert(rows.map(_.getAs[Double]("stock_value")).sum <= total + 1e-3)
+  }
+
+  test("k25: every promoted supplier is from the nation and has a qualifying part") {
+    val rows = run("k25_part_promotion").collect()
+    assert(rows.nonEmpty)
+    val natKeys = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => natKeys(r.getAs[Long]("s_suppkey"))))
+    // driver recompute of the qualifying-supplier set from raw rows
+    val blue = Tables.part(spark, sf)
+      .filter(col("p_name").startsWith("blue"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .filter(r => blue(r.getLong(0)))
+    val lo = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val qual = li.groupBy(r => (r.getLong(0), r.getLong(1))).collect {
+      case ((_, supp), rs)
+          if rs.map(r => BigDecimal(r.getDouble(2))).sum * 0.3 <
+            rs.filter { r =>
+              val t = r.getAs[java.time.LocalDateTime](3)
+              !t.isBefore(lo) && t.isBefore(hi)
+            }.map(r => BigDecimal(r.getDouble(2))).sum => supp
+    }.toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == (qual & natKeys))
+  }
+
+  test("k26: top waiting supplier matches a driver recompute of Q21's rules") {
+    val rows = run("k26_waiting_suppliers").collect()
+    assert(rows.nonEmpty)
+    // recompute numwait per supplier from raw rows: sole late supplier
+    // on a finished multi-supplier order; count late LINES
+    val fOrd = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .filter(r => fOrd.contains(r.getLong(0)))
+    val byOrder = li.groupBy(_.getLong(0))
+    val numwait = scala.collection.mutable.Map.empty[Long, Long]
+    byOrder.foreach { case (ok, rs) =>
+      val cutoff = fOrd(ok).plusDays(90)
+      val lateRows =
+        rs.filter(_.getAs[java.time.LocalDateTime](2).isAfter(cutoff))
+      val lateSupps = lateRows.map(_.getLong(1)).distinct
+      if (rs.map(_.getLong(1)).distinct.length > 1 && lateSupps.length == 1)
+        numwait(lateSupps.head) =
+          numwait.getOrElse(lateSupps.head, 0L) + lateRows.length
+    }
+    val names = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = numwait.toSeq.map { case (k, v) => (names(k), v) }
+      .sortBy { case (n, v) => (-v, n) }.take(100)
+    val got = rows.map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+      .sortBy { case (n, v) => (-v, n) }
+    assert(got.toSeq == want)
+  }
 }

@@ -37,6 +37,7 @@ class RegistrySpec extends SparkSpecBase {
     "api_limit_clamp", "api_next_token", "dlq_redrive_batch",
     "k19_idle_customers", "audit_list_page",
     // (b) one-row broadcast scalar attach
+    "k24_important_stock", // nation stock total
     "corpus_mix_weights", "corpus_resample", "text_dsir_weights",
     "text_tfidf_top_terms", "text_unigram_surprisal",
     "text_perplexity_buckets",
@@ -139,6 +140,12 @@ class RegistrySpec extends SparkSpecBase {
     "k19_idle_customers" -> 2,
     "k21_supplier_variety" -> 2,
     "k22_market_share" -> 1,
+    "k23_product_profit" -> 3, // lineitem-orders SMJ + (nation,year) agg
+    "k24_important_stock" -> 2, // per-part agg + 1-row total rollup
+    "k25_part_promotion" -> 2, // (part,supp) agg + qualifying-set distinct
+    "k26_waiting_suppliers" -> 4, // SMJ + per-order agg + supplier rollup
+    "param_k23_product_profit" -> 3,
+    "param_k26_waiting_suppliers" -> 4,
     "k5_segment_rollup" -> 1,
     "k6_top_customer_per_nation" -> 2,
     "k7_priority_semi_join" -> 1,
