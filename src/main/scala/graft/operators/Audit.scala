@@ -554,7 +554,75 @@ object Audit {
       |  TRUE AS hll_within_5pct
       |FROM events GROUP BY 1""".stripMargin
 
+  /** F14 `audit_error_spikes` — the ALARM half of observability (the
+    * reference's CDK stack would hang a CloudWatch alarm off the F2
+    * counters; this is that evaluation as a query): per (tenant, hour)
+    * error rate vs the tenant's TRAILING 24-hour baseline, flagged
+    * when the hour's rate more than doubles the baseline with at
+    * least 3 errors.
+    *
+    * Exactness: the flag never touches a double — `rate > 2·baseline`
+    * is cross-multiplied to `n_err·trail_total > 2·trail_err·n_total`,
+    * all exact BIGINT window sums, so the boolean can't flake on
+    * float noise (the reported rates are rounded doubles for humans).
+    * The baseline is a ratio of trailing SUMS (not an average of
+    * ratios): window-frame float summation order differs between
+    * engines, integer sums don't.
+    *
+    * Scale: one shuffle to (tenant, date, hour), then a per-tenant
+    * ordered window over the hourly rollup — the window input is
+    * hours·tenants rows regardless of event volume, and partitioning
+    * by tenant keeps the frame scan distributed. */
+  def errorSpikes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"),
+        hour(col("ts")).as("audit_hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w = Window.partitionBy(col("tenant_id"))
+      .orderBy(col("audit_date"), col("audit_hour"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trail_total", sum(col("n_total")).over(w))
+      .withColumn("trail_err", sum(col("n_err")).over(w))
+      .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
+        col("n_total"), col("n_err"), col("trail_total"), col("trail_err"),
+        round(col("n_err").cast("double") / col("n_total"), 6).as("err_rate"),
+        round(col("trail_err").cast("double") / col("trail_total"), 6)
+          .as("baseline_rate"),
+        (col("trail_total").isNotNull &&
+          col("n_err") * col("trail_total") > col("trail_err") * col("n_total") * 2 &&
+          col("n_err") >= 3).as("is_spike"))
+  }
+
+  val errorSpikesSql: String =
+    """WITH hourly AS (
+      |  SELECT 't' || (user_id % 4) AS tenant_id,
+      |    strftime(ts, '%Y-%m-%d') AS audit_date,
+      |    CAST(hour(ts) AS INT) AS audit_hour,
+      |    COUNT(*) AS n_total,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_err
+      |  FROM events GROUP BY 1, 2, 3
+      |), trailed AS (
+      |  SELECT *,
+      |    CAST(SUM(n_total) OVER w AS BIGINT) AS trail_total,
+      |    CAST(SUM(n_err) OVER w AS BIGINT) AS trail_err
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY tenant_id ORDER BY audit_date, audit_hour
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT tenant_id, audit_date, audit_hour, n_total, n_err,
+      |  trail_total, trail_err,
+      |  ROUND(CAST(n_err AS DOUBLE) / n_total, 6) AS err_rate,
+      |  ROUND(CAST(trail_err AS DOUBLE) / trail_total, 6) AS baseline_rate,
+      |  (trail_total IS NOT NULL
+      |    AND n_err * trail_total > trail_err * n_total * 2
+      |    AND n_err >= 3) AS is_spike
+      |FROM trailed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_error_spikes" -> (errorSpikes _),
     "audit_retention_expiry" -> (retentionExpiry _),
     "reprocess_replay_set" -> (replaySet _),
     "audit_heavy_hitters_sketch" -> (heavyHittersSketch _),
@@ -570,6 +638,7 @@ object Audit {
     "audit_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "audit_error_spikes" -> errorSpikesSql,
     "audit_retention_expiry" -> retentionExpirySql,
     "reprocess_replay_set" -> replaySetSql,
     "audit_heavy_hitters_sketch" -> heavyHittersSketchSql,

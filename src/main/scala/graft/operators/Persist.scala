@@ -294,6 +294,84 @@ object Persist {
         coalesce(col("tail_ik"), col("base_ik")).as("last_ik"))
   }
 
+  /** D7 `persist_scd2` — the FULL-HISTORY twin of D2's latest-state
+    * upsert: a type-2 slowly-changing-dimension table over the same
+    * applied-write stream. D2 keeps each entity's latest row (the
+    * DynamoDB item the reference serves); D7 keeps every applied
+    * version with its validity interval — `valid_from` = the write's
+    * time, `valid_to` = the NEXT applied write's time (null while
+    * current) — so any past state is answerable by interval
+    * containment instead of a log replay (E10 is that read). This is
+    * the warehouse-side history table a DynamoDB-stream consumer
+    * would maintain next to the store.
+    *
+    * Scale: version, valid_to and the current flag all come from the
+    * SAME (entity, ts) window ordering, so Catalyst plans ONE
+    * Exchange shared by row_number and lead — appending a day's
+    * writes extends each touched entity's chain by closing one open
+    * interval, exactly the incremental shape D6 exploits. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    applied(spark, dir)
+      .withColumn("version", row_number().over(wSeq))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wSeq))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("value"), col("ik"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val scd2HistorySql: String =
+    s"""WITH $appliedSqlCte
+       |SELECT user_id, event_type,
+       |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       |  value, ik,
+       |  CAST(ts AS TIMESTAMP) AS valid_from,
+       |  CAST(LEAD(ts, 1) OVER w AS TIMESTAMP) AS valid_to,
+       |  (LEAD(ts, 1) OVER w IS NULL) AS is_current
+       |FROM applied
+       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
+
+  /** Patient-profile SCD2 — D7's discipline applied to D5's
+    * profile-update stream (signup events through the conditional-
+    * write rule, entity = patient): every profile version with its
+    * validity interval. Feeds E10's point-in-time profile read; not
+    * a registry entry itself (E10's oracle embeds the CTE). */
+  private[operators] def profileHistory(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
+      .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
+      .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
+      .withColumn("profile_version", row_number().over(wSeq))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wSeq))
+      .select(col("user_id"), col("profile_version"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
+  /** The profile-history CTE in SQL — mirrors [[profileHistory]];
+    * interval bounds are cast to microsecond TIMESTAMP here so E10's
+    * containment comparison happens at the same precision Spark
+    * loads (events.ts is parquet NANOS — see Tables.events). */
+  private[operators] val profileHistorySqlCte: String =
+    """meta_applied AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts, event_id, 'ik' || (event_id % 5) AS ik,
+      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) AS prev_ik
+      |    FROM events WHERE event_type = 'signup'
+      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
+      |), profile_hist AS (
+      |  SELECT user_id,
+      |    CAST(ROW_NUMBER() OVER w AS INT) AS profile_version,
+      |    CAST(ts AS TIMESTAMP) AS valid_from,
+      |    CAST(LEAD(ts, 1) OVER w AS TIMESTAMP) AS valid_to
+      |  FROM meta_applied
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)""".stripMargin
+
   /** D5 `persist_patient_meta` — the patient-profile META row the
     * reference's getPatient reads (services/api-query/src/handler.ts:
     * 41-57: name / birthDate / lastUpdated off the PATIENT#<id> META
@@ -358,6 +436,7 @@ object Persist {
     "persist_commit_log" -> (commitLog _),
     "persist_patient_meta" -> (patientMeta _),
     "persist_compacted_upsert" -> (compactedUpsert _),
+    "persist_scd2" -> (scd2History _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +447,6 @@ object Persist {
     "persist_patient_meta" -> patientMetaSql,
     // the incremental path must reproduce the FULL replay bit-for-bit
     "persist_compacted_upsert" -> upsertVersionSql,
+    "persist_scd2" -> scd2HistorySql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

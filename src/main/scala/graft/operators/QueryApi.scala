@@ -390,6 +390,112 @@ object QueryApi {
        |ORDER BY ts, event_id
        |LIMIT $limit""".stripMargin
 
+  /** E10 `api_profile_asof` — point-in-time profile enrichment: every
+    * observation of one (tenant, code) joined to the patient-profile
+    * VERSION that was current when the observation happened — the
+    * SCD2 read ([[Persist.profileHistory]] is D7's discipline over
+    * D5's profile-update stream). This answers "what did we know
+    * about the patient at the time" — the reference can only serve
+    * the CURRENT profile (the META item is last-state), so this is
+    * the read its DynamoDB-stream consumers would reconstruct from
+    * history; here it is one declarative join: interval containment
+    * `valid_from <= ts < valid_to` against the versioned dimension.
+    * Observations before the patient's first profile write drop out
+    * (inner join) — the store has no profile to enrich with.
+    *
+    * Scale: the containment predicate rides a SortMergeJoin whose
+    * EQUI key is the patient id — per-patient interval chains are
+    * short (profile versions), so the residual range filter scans a
+    * bounded run, never a cross product; both sides shuffle on
+    * user_id and the history window reuses that partitioning. The
+    * comparison happens at microsecond precision on both engines
+    * (see profileHistorySqlCte). */
+  def profileAsOf(spark: SparkSession, dir: String,
+                  tenant: String = "t1", code: String = "purchase"): DataFrame = {
+    val hist = Persist.profileHistory(spark, dir)
+      .withColumnRenamed("user_id", "h_user")
+    val ev = Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("event_type") === code)
+    ev.join(hist,
+        ev("user_id") === hist("h_user") &&
+          ev("ts") >= hist("valid_from") &&
+          (hist("valid_to").isNull || ev("ts") < hist("valid_to")))
+      .select(Obs.tenant.as("tenant_id"), col("event_id"),
+        col("user_id").as("patient_id"), col("ts"), col("value"),
+        col("profile_version"), col("valid_from").as("profile_since"))
+  }
+
+  def profileAsOfSql(tenant: String = "t1", code: String = "purchase"): String =
+    s"""WITH ${Persist.profileHistorySqlCte}
+       |SELECT 't' || (e.user_id % 4) AS tenant_id, e.event_id,
+       |  e.user_id AS patient_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+       |  h.profile_version, h.valid_from AS profile_since
+       |FROM events e JOIN profile_hist h ON e.user_id = h.user_id
+       |  AND CAST(e.ts AS TIMESTAMP) >= h.valid_from
+       |  AND (h.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < h.valid_to)
+       |WHERE 't' || (e.user_id % 4) = '$tenant'
+       |  AND e.event_type = '$code'""".stripMargin
+
+  /** E11 `api_patient_bundle` — the nested GraphQL read served as ONE
+    * plan: schema.graphql's patient query resolves profile + latest
+    * observation + a period's observation count through separate
+    * AppSync resolvers (N+1 round trips to the store); set-oriented
+    * they collapse into one DataFrame — the META row (E1) joined with
+    * the registry, the latest matching observation (E3's point form)
+    * and the period count, each a 1-row broadcast attached to the
+    * 1-row profile. A missing sub-resolution (no purchase yet) yields
+    * NULL fields, exactly like a null GraphQL sub-object, never a
+    * dropped row. Scale: every side is a (tenant, patient) point scan
+    * with pushed predicates; the attachments are 1-row broadcasts. */
+  def patientBundle(spark: SparkSession, dir: String,
+                    tenant: String = "t1", patient: Long = 13L,
+                    obsCode: String = "purchase",
+                    from: String = "2024-01-01 00:00:00",
+                    to: String = "2024-02-01 00:00:00"): DataFrame = {
+    val scan = Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("user_id") === patient &&
+        col("event_type") === obsCode)
+    val latest = scan
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("l"))
+      .select(col("l.ts").as("latest_obs_ts"),
+        col("l.value").as("latest_obs_value"))
+    val windowCount = scan
+      .filter(col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(to).cast("timestamp"))
+      .agg(count(lit(1)).as("n_obs_window"))
+    getPatient(spark, dir, tenant, patient)
+      .crossJoin(broadcast(latest))
+      .crossJoin(broadcast(windowCount))
+  }
+
+  def patientBundleSql(tenant: String = "t1", patient: Long = 13L,
+                       obsCode: String = "purchase",
+                       from: String = "2024-01-01 00:00:00",
+                       to: String = "2024-02-01 00:00:00"): String =
+    s"""WITH ${Persist.patientMetaSqlCte}, lat AS (
+       |  SELECT CAST(ts AS TIMESTAMP) AS latest_obs_ts,
+       |    value AS latest_obs_value
+       |  FROM events
+       |  WHERE ${tenantSqlPred(tenant)} AND user_id = $patient
+       |    AND event_type = '$obsCode'
+       |  ORDER BY ts DESC, event_id DESC LIMIT 1
+       |), cnt AS (
+       |  SELECT COUNT(*) AS n_obs_window
+       |  FROM events
+       |  WHERE ${tenantSqlPred(tenant)} AND user_id = $patient
+       |    AND event_type = '$obsCode'
+       |    AND ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$to'
+       |)
+       |SELECT m.tenant_id, m.patient_id, m.name, m.birth_date,
+       |  m.version, m.last_updated,
+       |  c.c_mktsegment AS segment, c.c_acctbal AS balance,
+       |  lat.latest_obs_ts, lat.latest_obs_value, cnt.n_obs_window
+       |FROM meta m
+       |LEFT JOIN customer c ON c.c_custkey = m.patient_id
+       |CROSS JOIN cnt
+       |LEFT JOIN lat ON TRUE
+       |WHERE m.tenant_id = '$tenant' AND m.patient_id = $patient""".stripMargin
+
   /** The pinned E8 probe batch: 13/5/77 live in t1; 42 is the
     * deliberately CROSS-tenant probe (t2) and 99999 is absent —
     * BatchGetItem semantics return no row for both. */
@@ -449,6 +555,8 @@ object QueryApi {
     "api_obs_page_after" -> ((s, d) => obsPageAfter(s, d)),
     "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
     "api_obs_by_code" -> ((s, d) => obsByCode(s, d)),
+    "api_profile_asof" -> ((s, d) => profileAsOf(s, d)),
+    "api_patient_bundle" -> ((s, d) => patientBundle(s, d)),
     // non-default instantiations — the library-call path the driver
     // oracle-checks with the SAME parameterized SQL builders
     "param_get_patient" -> ((s, d) => getPatient(s, d, tenant = "t3", patient = 11L)),
@@ -462,7 +570,12 @@ object QueryApi {
       probeCode = "view", obsCode = "signup")),
     "param_obs_by_code" -> ((s, d) => obsByCode(s, d, tenant = "t3",
       code = "view", from = "2024-01-10 00:00:00",
-      to = "2024-01-20 00:00:00", limit = 25)))
+      to = "2024-01-20 00:00:00", limit = 25)),
+    "param_profile_asof" -> ((s, d) => profileAsOf(s, d, tenant = "t0",
+      code = "click")),
+    "param_patient_bundle" -> ((s, d) => patientBundle(s, d, tenant = "t2",
+      patient = 6L, obsCode = "click",
+      from = "2024-01-05 00:00:00", to = "2024-01-15 00:00:00")))
 
   val oracles: Map[String, String] = Map(
     "api_multi_get" -> multiGetSql(),
@@ -474,6 +587,8 @@ object QueryApi {
     "api_obs_page_after" -> obsPageAfterSql(),
     "api_obs_asof_join" -> obsAsofJoinSql(),
     "api_obs_by_code" -> obsByCodeSql(),
+    "api_profile_asof" -> profileAsOfSql(),
+    "api_patient_bundle" -> patientBundleSql(),
     "param_get_patient" -> getPatientSql(tenant = "t3", patient = 11L),
     "param_obs_by_patient" -> obsByPatientSql(tenant = "t2",
       patient = 6L, code = "click",
@@ -485,5 +600,9 @@ object QueryApi {
       probeCode = "view", obsCode = "signup"),
     "param_obs_by_code" -> obsByCodeSql(tenant = "t3",
       code = "view", from = "2024-01-10 00:00:00",
-      to = "2024-01-20 00:00:00", limit = 25))
+      to = "2024-01-20 00:00:00", limit = 25),
+    "param_profile_asof" -> profileAsOfSql(tenant = "t0", code = "click"),
+    "param_patient_bundle" -> patientBundleSql(tenant = "t2",
+      patient = 6L, obsCode = "click",
+      from = "2024-01-05 00:00:00", to = "2024-01-15 00:00:00"))
 }

@@ -893,7 +893,93 @@ object Similarity {
        |SELECT qid, rank, vec_id, dot FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** H14 `sim_hybrid_rrf` — reciprocal-rank-fusion hybrid retrieval
+    * (Cormack et al. 2009, the fusion every production hybrid-search
+    * stack ships): the LEXICAL candidate list (I13's BM25 top-50 over
+    * the documents corpus) and the VECTOR candidate list (integer-
+    * quantized cosine top-50 for query vec 0 — H1's kernel) are fused
+    * by `rrf = Σ 1/(60 + rank)`, treating doc_id and vec_id as the
+    * same corpus key (the tables are parallel views of one corpus).
+    * A doc missing from one list contributes 0 from that list — the
+    * standard RRF convention — so the fusion is a FULL OUTER join of
+    * two bounded candidate sets, never a corpus-sized operation.
+    *
+    * Determinism: ranks are exact ints; each 1/(60+rank) is one IEEE
+    * division of exact inputs and the sum is a fixed two-term
+    * expression — bit-identical across engines (rounded to 6 dp for
+    * reporting). Scale: both candidate lists are distributed
+    * TakeOrdered top-50s; the fusion is a UNION + one tiny groupBy
+    * (cheaper than a full-outer join — one exchange of ≤2·depth
+    * rows), and the final top-10 is another TakeOrdered. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                terms: Seq[String] = Seq("vector", "scan", "merge"),
+                qid: Long = 0L, depth: Int = 50, k: Int = 10): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(spark, dir, terms, depth)
+      .select(col("doc_id").as("id"), col("rank").as("lex_rank"),
+        lit(null).cast("int").as("vec_rank"))
+    val emb = quantized(spark, dir)
+    val q = emb.filter(col("vec_id") === qid).select(col("qvec").as("qq"))
+    val wv = Window.orderBy(col("dot").desc, col("vec_id"))
+    val vec = emb.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
+      .orderBy(col("dot").desc, col("vec_id")).limit(depth)
+      .withColumn("vec_rank", row_number().over(wv))
+      .select(col("vec_id").as("id"), lit(null).cast("int").as("lex_rank"),
+        col("vec_rank"))
+    val wr = Window.orderBy(col("rrf").desc, col("id"))
+    lex.unionByName(vec)
+      .groupBy(col("id"))
+      .agg(max(col("lex_rank")).as("lex_rank"), max(col("vec_rank")).as("vec_rank"))
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(wr))
+      .select(col("rank"), col("id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
+  def hybridRrfSql(terms: Seq[String] = Seq("vector", "scan", "merge"),
+                   qid: Long = 0L, depth: Int = 50, k: Int = 10): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id AS l_id, lex_rank FROM (
+       |    SELECT doc_id, rank AS lex_rank
+       |    FROM (${TextAnalysis.bm25TopKSql(terms, depth)})
+       |  )
+       |), vq AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qq
+       |  FROM embeddings WHERE vec_id = $qid
+       |), c AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+       |  FROM embeddings WHERE vec_id <> $qid
+       |), vd AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qq, qvec), s -> s[1] * s[2]))
+       |      AS BIGINT) AS dot
+       |  FROM c CROSS JOIN vq
+       |), vec AS (
+       |  SELECT vec_id AS v_id, vec_rank FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS vec_rank
+       |    FROM vd
+       |  ) WHERE vec_rank <= $depth
+       |), fused AS (
+       |  SELECT COALESCE(l_id, v_id) AS id, lex_rank, vec_rank,
+       |    ROUND(
+       |      COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + lex_rank AS DOUBLE), 0.0)
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + vec_rank AS DOUBLE), 0.0),
+       |      6) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON l_id = v_id
+       |)
+       |SELECT rank, id, rrf, lex_rank, vec_rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rank FROM fused
+       |) WHERE rank <= $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "sim_rerank_pipeline" -> (rerankPipeline _),
     "sim_sq8" -> (sq8 _),
     "sim_pooled_search" -> (pooledSearch _),
@@ -909,6 +995,7 @@ object Similarity {
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
+    "sim_hybrid_rrf" -> hybridRrfSql(),
     "sim_rerank_pipeline" -> rerankPipelineSql,
     "sim_sq8" -> sq8Sql,
     "sim_pooled_search" -> pooledSearchSql,

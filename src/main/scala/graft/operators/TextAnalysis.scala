@@ -624,7 +624,106 @@ object TextAnalysis {
        |       ELSE 'tail' END AS bucket
        |FROM sl JOIN ters ON sl.lang = ters.lang""".stripMargin
 
+  /** I13 `text_bm25_topk` — BM25 ranked keyword retrieval (Robertson &
+    * Spärck Jones probabilistic relevance framework, the Okapi BM25
+    * formula): the LEXICAL half of hybrid search, whose vector half is
+    * H1 and whose fusion is H14 (`sim_hybrid_rrf`). score(d) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)) with
+    * k1=1.2, b=0.75, idf = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Cross-engine determinism (I5/I6 discipline): tf, df, len, N are
+    * exact integers; avglen is one exact-int division; the per-term
+    * score is a FIXED sequence of IEEE double ops on those, rounded
+    * to 6 dp and summed as DECIMAL(18,9) — so the total is
+    * summation-order-insensitive and the ranking hash-matches.
+    *
+    * Scale: the query-term set is small by contract, so tf-per-term
+    * rides the SAME per-doc aggregate as doc length (one conditional
+    * count per term — ONE shuffle on doc_id, no (doc, term) explode
+    * shuffle and no join-back); df and the corpus stats fold into ONE
+    * 1-row global aggregate that broadcasts; scoring is then a pure
+    * projection and top-k a distributed TakeOrdered, whose k-row
+    * output feeds the rank window exchange-free (3 exchanges total,
+    * RegistrySpec-pinned). */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("vector", "scan", "merge"),
+               k: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(nonEmptyToks).as("tok"))
+    val perDocAggs = count(lit(1)).as("len") +: terms.zipWithIndex.map {
+      case (t, i) => sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("len")).as("total_len") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    def termScore(i: Int): Column = {
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      when(col(s"tf_$i") > 0,
+        round(idf * (col(s"tf_$i") * lit(2.2)) /
+          (col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avg_len"))), 6)
+          .cast(dec))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast(dec))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("avg_len", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("score", terms.indices.map(termScore).reduce(_ + _).cast("double"))
+      .withColumn("n_terms", terms.indices
+        .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("n_terms") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+  }
+
+  def bm25TopKSql(terms: Seq[String] = Seq("vector", "scan", "merge"),
+                  k: Int = 10): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents
+       |), lens AS (
+       |  SELECT doc_id, COUNT(*) AS len FROM t GROUP BY 1
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM t
+       |  WHERE tok IN ($inList) GROUP BY 1, 2
+       |), df AS (
+       |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+       |), s AS (
+       |  -- every operand is cast to DOUBLE before the arithmetic:
+       |  -- DuckDB decimal literals would otherwise pull subexpressions
+       |  -- into DECIMAL division, which is not IEEE double division
+       |  SELECT tf.doc_id,
+       |    CAST(ROUND(
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |           / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |        * (CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE)
+       |             / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+       |      AS DECIMAL(18,9)) AS sc
+       |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(sc) AS DOUBLE) AS score, COUNT(*) AS n_terms
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT rank, doc_id, score, n_terms FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM agg
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "param_bm25_topk" -> ((s, d) =>
+      bm25TopK(s, d, terms = Seq("customer", "window"), k = 5)),
     "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_bigram_surprisal" -> (bigramSurprisal _),
     "text_bigram_lm" -> (bigramLm _),
@@ -639,6 +738,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25TopKSql(),
+    "param_bm25_topk" -> bm25TopKSql(terms = Seq("customer", "window"), k = 5),
     "text_perplexity_buckets" -> perplexityBucketsSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_bigram_lm" -> bigramLmSql,

@@ -325,6 +325,44 @@ object StreamOps {
     UpsertOut(key._1, key._2, st.version, st.lastValue, toTs(st.lastTs), st.lastIk)
   }
 
+  case class Scd2State(version: Long, lastIk: String, fromTs: Long, value: Double)
+
+  case class Scd2Out(user_id: Long, event_type: String, version: Long,
+      value: Double, ik: String, valid_from: Timestamp, valid_to: Timestamp)
+
+  /** D7 streaming — the SCD2 history twin: per entity, state is the
+    * OPEN version row; each applied write (same conditional-write rule
+    * as [[upsertFn]]) EMITS the version it closes, stamped with
+    * `valid_to` = the superseding write's time, and opens the next.
+    * Append-mode output is therefore exactly the CLOSED-interval rows
+    * of the batch `persist_scd2` (the open/current row stays in state
+    * until a later write closes it) — StreamingSpec asserts set
+    * equality with the batch history's non-current slice. This is the
+    * DynamoDB-stream consumer that maintains D7 incrementally: one
+    * state row per entity, one emitted row per superseded version. */
+  def scd2Closes(events: Dataset[Event], spark: SparkSession): Dataset[Scd2Out] = {
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(scd2Fn)
+  }
+
+  private[streaming] def scd2Fn(key: (Long, String), events: Iterator[Event],
+      state: GroupState[Scd2State]): Iterator[Scd2Out] = {
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val ik = "ik" + (e.event_id % 5)
+      if (st == null || ik != st.lastIk) {
+        if (st != null)
+          out += Scd2Out(key._1, key._2, st.version, st.value, st.lastIk,
+            toTs(st.fromTs), toTs(us(e.ts)))
+        st = Scd2State(if (st == null) 1L else st.version + 1L, ik, us(e.ts), e.value)
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
   /** L4 streaming — per-user rolling state via mapGroupsWithState
     * (update mode): latest event attributes + lifetime counters. */
   def userLatestState(events: Dataset[Event], spark: SparkSession): Dataset[UserStateOut] = {

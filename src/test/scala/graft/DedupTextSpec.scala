@@ -360,6 +360,42 @@ class DedupTextSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("I13 BM25: scores match a from-scratch driver recompute") {
+    import org.apache.spark.sql.functions._
+    val terms = Seq("vector", "scan", "merge")
+    val res = run("text_bm25_topk").collect()
+    assert(res.length == 10)
+    assert(res.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    // recompute BM25 on the driver from the raw text
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    val n = docs.size
+    val avgLen = docs.values.map(_.length.toLong).sum.toDouble / n
+    val dfm = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val scores = docs.map { case (id, toks) =>
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgLen))
+          BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+      id -> s.toDouble
+    }
+    res.foreach { r =>
+      val expect = scores(r.getAs[Long]("doc_id"))
+      assert(math.abs(r.getAs[Double]("score") - expect) < 1e-12,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("score")} vs $expect")
+    }
+    // the served top-10 really is the global top-10
+    val top = scores.toSeq.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1)
+    assert(res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq == top)
+  }
+
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
     val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
     assert(rows.length == 30)

@@ -141,6 +141,61 @@ class PipelineSpec extends SparkSpecBase {
     assert(ev.filter(col("ts") > cutoff).count() > 0)
   }
 
+  test("D7 scd2: contiguous disjoint intervals, current row equals D2 state") {
+    import org.apache.spark.sql.functions._
+    val hist = run("persist_scd2").cache()
+    // exactly one open (current) interval per entity
+    val perEntity = hist.groupBy("user_id", "event_type")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("open"),
+        count(lit(1)).as("n"), max(col("version")).as("maxv"))
+    assert(perEntity.filter(col("open") =!= 1).count() == 0)
+    // versions are dense 1..n
+    assert(perEntity.filter(col("maxv") =!= col("n")).count() == 0)
+    // interval chain: valid_to of version v = valid_from of v+1
+    val self = hist.select(col("user_id"), col("event_type"),
+      col("version"), col("valid_to"))
+      .join(hist.select(col("user_id"), col("event_type"),
+        (col("version") - 1).as("version"), col("valid_from").as("next_from")),
+        Seq("user_id", "event_type", "version"))
+    assert(self.filter(col("valid_to") =!= col("next_from")).count() == 0)
+    // the current slice IS D2's latest state
+    val cur = hist.filter(col("is_current"))
+      .select(col("user_id"), col("event_type"),
+        col("value").as("h_value"), col("ik").as("h_ik"))
+    val d2 = run("persist_upsert_version")
+    val joined = d2.join(cur, Seq("user_id", "event_type"))
+    assert(joined.count() == d2.count())
+    assert(joined.filter(col("last_value") =!= col("h_value") ||
+      col("last_ik") =!= col("h_ik")).count() == 0)
+    hist.unpersist(): Unit
+  }
+
+  test("E10 profile as-of: interval contains ts, version counts prior applied writes") {
+    import org.apache.spark.sql.functions._
+    val res = run("api_profile_asof").cache()
+    assert(res.count() > 0)
+    // tenant isolation: only t1 patients appear
+    assert(res.filter(pmod(col("patient_id"), lit(4)) =!= 1).count() == 0)
+    // every enriched row's profile interval contains the event time
+    assert(res.filter(col("ts") < col("profile_since")).count() == 0)
+    // profile_version = number of applied profile writes at/before ts:
+    // recompute independently from the raw signup stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val appliedSignups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
+      .withColumn("prev_ik", lag(col("ik"), 1).over(w))
+      .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
+      .select(col("user_id").as("patient_id"), col("ts").as("w_ts"))
+    val recounted = res.join(appliedSignups, Seq("patient_id"))
+      .filter(col("w_ts") <= col("ts"))
+      .groupBy(col("event_id"), col("profile_version"))
+      .agg(count(lit(1)).as("n_prior"))
+    assert(recounted.filter(col("profile_version") =!= col("n_prior")).count() == 0)
+    res.unpersist(): Unit
+  }
+
   test("D4 as-of snapshot: a rollback of the full replay, never ahead of it") {
     val snap = run("persist_asof_snapshot")
     val full = run("persist_upsert_version")
@@ -294,6 +349,35 @@ class PipelineSpec extends SparkSpecBase {
       val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
       assert(e3(k) == r.getAs[Long]("event_id"))
     }
+  }
+
+  test("F14 error spikes: trailing sums and flags match a driver sliding-window recount") {
+    import org.apache.spark.sql.functions._
+    val rows = run("audit_error_spikes")
+      .orderBy("tenant_id", "audit_date", "audit_hour").collect()
+    assert(rows.nonEmpty)
+    // recompute per tenant with a plain sliding window over the hours
+    rows.groupBy(_.getAs[String]("tenant_id")).foreach { case (_, trows) =>
+      val hs = trows.sortBy(r =>
+        (r.getAs[String]("audit_date"), r.getAs[Int]("audit_hour")))
+      hs.zipWithIndex.foreach { case (r, i) =>
+        val frame = hs.slice(math.max(0, i - 24), i)
+        if (frame.isEmpty) {
+          assert(r.isNullAt(r.fieldIndex("trail_total")))
+          assert(!r.getAs[Boolean]("is_spike"))
+        } else {
+          val tt = frame.map(_.getAs[Long]("n_total")).sum
+          val te = frame.map(_.getAs[Long]("n_err")).sum
+          assert(r.getAs[Long]("trail_total") == tt)
+          assert(r.getAs[Long]("trail_err") == te)
+          val spike = r.getAs[Long]("n_err") * tt >
+            te * r.getAs[Long]("n_total") * 2 && r.getAs[Long]("n_err") >= 3
+          assert(r.getAs[Boolean]("is_spike") == spike)
+        }
+      }
+    }
+    // flags are possible at all: some hour somewhere has errors
+    assert(rows.map(_.getAs[Long]("n_err")).sum > 0)
   }
 
   test("F10 retention expiry: only pre-cutoff partitions, counts match F1") {

@@ -37,11 +37,14 @@ class RegistrySpec extends SparkSpecBase {
     "api_limit_clamp", "api_next_token", "dlq_redrive_batch",
     "k19_idle_customers", "audit_list_page",
     // (b) one-row broadcast scalar attach
+    "api_patient_bundle", "param_patient_bundle", // latest-obs + count attach
     "k24_important_stock", // nation stock total
     "corpus_mix_weights", "corpus_resample", "text_dsir_weights",
     "text_tfidf_top_terms", "text_unigram_surprisal",
     "text_perplexity_buckets",
-    "text_bigram_surprisal") // vocab-size scalar attach
+    "text_bigram_surprisal", // vocab-size scalar attach
+    "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
+    "sim_hybrid_rrf") // broadcast query vector + BM25's stats scalar
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -87,6 +90,15 @@ class RegistrySpec extends SparkSpecBase {
     "api_obs_by_code" -> 0,
     "api_obs_by_patient" -> 0,
     "api_obs_page_after" -> 0,
+    "api_profile_asof" -> 1, // hist window; probe side rides the SMJ
+    "param_profile_asof" -> 1,
+    "api_patient_bundle" -> 3, // meta window + two 1-row attachments
+    "param_patient_bundle" -> 3,
+    "audit_error_spikes" -> 2, // hourly rollup + per-tenant trail window
+    "persist_scd2" -> 1, // row_number + lead share one entity window
+    "text_bm25_topk" -> 3, // per-doc agg + 1-row stats agg + fused-list rank
+    "param_bm25_topk" -> 3,
+    "sim_hybrid_rrf" -> 5, // BM25's 3 + union-groupBy fusion
     "audit_distinct_users_sketch" -> 2,
     "audit_heavy_hitters_sketch" -> 2,
     "audit_latency_quantiles" -> 1,

@@ -71,7 +71,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("H5 recall eval: per-query recall in [0,1] and consistent with raw joins") {
     val df = run("sim_recall_eval").cache()
-    assert(df.count() == 32, "8 queries x 4 methods (lsh, ivf, ivf_kmeans, pq)")
+    assert(df.count() == 40, "8 queries x 5 methods (lsh, ivf, ivf_kmeans, pq, sq8)")
     assert(df.filter(col("recall_at_k") < 0 || col("recall_at_k") > 1).count() == 0)
     assert(df.filter(col("recall_at_k") =!=
       col("hits").cast("double") / 10).count() == 0)
@@ -236,6 +236,36 @@ class SimilaritySpec extends SparkSpecBase {
     val want = code(0L).zip(code(top.getAs[Long]("vec_id")))
       .map { case (a, b) => a * b }.sum
     assert(top.getAs[Long]("dot") == want)
+  }
+
+  test("H14 hybrid RRF: fusion law holds against the component rankings") {
+    import org.apache.spark.sql.functions._
+    val res = run("sim_hybrid_rrf").collect()
+    assert(res.length == 10)
+    assert(res.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    // component lists, recomputed through the same library calls
+    val lex = graft.operators.TextAnalysis.bm25TopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    // rrf = 1/(60+lex_rank) + 1/(60+vec_rank) with missing-list terms 0
+    res.foreach { r =>
+      val lr = Option(r.getAs[Any]("lex_rank")).map(_.toString.toInt)
+      val vr = Option(r.getAs[Any]("vec_rank")).map(_.toString.toInt)
+      assert(lr.isDefined || vr.isDefined)
+      val expect = BigDecimal(
+        lr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          vr.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-12)
+      // a served lex_rank must agree with the BM25 list itself (top-10
+      // of the fused list only ever cites ranks the components served)
+      lr.foreach { x =>
+        assert(lex.get(r.getAs[Long]("id")).contains(x) || x > 10,
+          s"id ${r.getAs[Long]("id")}: lex_rank $x disagrees with BM25 top-10")
+      }
+    }
+    // fused scores are non-increasing in rank
+    val ordered = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("rrf"))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
   }
 
   test("quadratic baselines are refused when graft.allowQuadraticBaselines=false") {

@@ -394,6 +394,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want, "streaming conditional-write state diverges from batch D2")
   }
 
+  test("D7 streaming scd2 emits exactly the batch history's closed intervals") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.scd2Closes(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_scd2")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_scd2")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "event_type", "version", "value", "ik",
+        "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    // batch D7's non-current slice: every version a later write closed
+    // batch version is the window's Int; the stream state counts Long
+    val want = run("persist_scd2")
+      .filter(!col("is_current"))
+      .select(col("user_id"), col("event_type"),
+        col("version").cast("long").as("version"), col("value"), col("ik"),
+        col("valid_from"), col("valid_to"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming SCD2 closes diverge from the batch history")
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)

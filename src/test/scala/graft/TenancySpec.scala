@@ -65,6 +65,35 @@ class TenancySpec extends SparkSpecBase {
     assert(home.filter(col("user_id") === 13L).count() == 0)
   }
 
+  test("E11 bundle agrees with its component resolvers; wrong tenant is a key miss") {
+    import org.apache.spark.sql.functions.col
+    val b = QueryApi.patientBundle(spark, sf).collect()
+    assert(b.length == 1)
+    val r = b.head
+    // profile fields = getPatient's row
+    val p = QueryApi.getPatient(spark, sf).collect().head
+    for (c <- Seq("name", "birth_date", "version", "segment", "balance"))
+      assert(r.getAs[Any](c) == p.getAs[Any](c), s"bundle field $c diverges")
+    // latest purchase = E3's row for (13, purchase)
+    val latest = QueryApi.latestObservation(spark, sf)
+      .filter(col("user_id") === 13L && col("event_type") === "purchase")
+      .collect()
+    if (latest.nonEmpty) {
+      assert(r.getAs[java.sql.Timestamp]("latest_obs_ts") ==
+        latest.head.getAs[java.sql.Timestamp]("ts"))
+      assert(r.getAs[Double]("latest_obs_value") ==
+        latest.head.getAs[Double]("value"))
+    } else assert(r.isNullAt(r.fieldIndex("latest_obs_ts")))
+    // the count field matches a direct recount
+    val n = Tables.events(spark, sf)
+      .filter(col("user_id") === 13L && col("event_type") === "purchase" &&
+        col("ts") >= "2024-01-01 00:00:00" && col("ts") < "2024-02-01 00:00:00")
+      .count()
+    assert(r.getAs[Long]("n_obs_window") == n)
+    // wrong door: no row, not a leak
+    assert(QueryApi.patientBundle(spark, sf, tenant = "t2").count() == 0)
+  }
+
   test("getPatient serves the META row of the D5 profile upsert") {
     val row = QueryApi.getPatient(spark, sf, tenant = "t1", patient = 13L)
       .collect()
