@@ -262,13 +262,14 @@ object Dedup {
   }
 
   /** Same votes in DuckDB: hex-parse the token hash, 60 ones-counts,
-    * bit j set iff 2*ones_j > n. */
-  val simhashSql: String = {
+    * bit j set iff 2*ones_j > n. Exposed as a CTE block so G18's
+    * hamming join builds on the identical fingerprints. */
+  private val simhashCtes: String = {
     val ones = (0 until 60).map(j => s"SUM((th >> $j) & 1) AS o$j").mkString(",\n    ")
     val bits = (0 until 60)
       .map(j => s"(CASE WHEN 2*o$j > n THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
       .mkString(" +\n  ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    unnest(list_filter(str_split(text, ' '), x -> x <> '')[:60]) AS token
        |  FROM documents
@@ -280,11 +281,84 @@ object Dedup {
        |  SELECT doc_id, COUNT(*) AS n,
        |    $ones
        |  FROM h GROUP BY 1
+       |), sig AS (
+       |  SELECT doc_id, CAST(
+       |    $bits
+       |  AS BIGINT) AS simhash
+       |  FROM v
+       |)""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM sig"
+
+  /** G18 `dedup_simhash_hamming` — near-dup PAIRS by simhash hamming
+    * distance, the web-scale fuzzy dedup of Manku, Jain & Das Sarma
+    * 2007 ("Detecting near-duplicates for web crawling", WWW'07; the
+    * reference has no near-dup op — this is the LLM-pipeline family).
+    *
+    * Pigeonhole blocking: split the 60-bit fingerprint into
+    * `maxHamming + 1` equal bands; two fingerprints within hamming
+    * `maxHamming` MUST agree exactly on at least one band, so an
+    * equi-join on (band index, band value) captures every qualifying
+    * pair with zero false negatives, and the exact
+    * `bit_count(a XOR b) <= maxHamming` recheck discards the band
+    * collisions. Never all-pairs: candidate volume is the collision
+    * count of 15-bit keys. At 100 TB the band join is a plain hash
+    * shuffle on (band, bval); a degenerate hot band value (e.g. a
+    * glut of near-empty docs voting all-zero) is an AQE skew-join
+    * split, and the G5 aggregate exchange is computed once and
+    * reused by both join sides (ReusedExchange — asserted in spec).
+    * One pair can collide in several bands; the min-agg on
+    * (doc_a, doc_b) dedups candidates in the same shuffle that the
+    * GROUP BY needs anyway. */
+  def simhashHammingPairs(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(60 % bands == 0, s"60-bit simhash: band count $bands must divide 60")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sig = simhash(spark, dir)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(j => struct(
+        lit(j).as("band"),
+        shiftright(col("simhash"), j * width).bitwiseAND(lit(mask)).as("bval"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val lhs = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val rhs = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    lhs.join(rhs, Seq("band", "bval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Identical banding + recheck over the shared simhash CTEs. */
+  def simhashHammingSql(maxHamming: Int = 3): String = {
+    val bands = maxHamming + 1
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    s"""WITH $simhashCtes,
+       |bands AS (
+       |  SELECT doc_id, simhash, j AS band,
+       |    (simhash >> (j * $width)) & $mask AS bval
+       |  FROM sig CROSS JOIN range(0, $bands) r(j)
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
+       |  FROM bands a JOIN bands b USING (band, bval)
+       |  WHERE a.doc_id < b.doc_id
        |)
-       |SELECT doc_id, CAST(
-       |  $bits
-       |AS BIGINT) AS simhash
-       |FROM v""".stripMargin
+       |SELECT doc_a, doc_b, MIN(hd) AS hamming
+       |FROM cand
+       |WHERE hd <= $maxHamming
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** G6 `dedup_clusters` — near-duplicate clustering: connected
@@ -997,7 +1071,10 @@ object Dedup {
     "dedup_fingerprint" -> (fingerprint _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "dedup_simhash_hamming" -> ((s: SparkSession, d: String) => simhashHammingPairs(s, d)),
+    "param_simhash_hamming" -> ((s: SparkSession, d: String) =>
+      simhashHammingPairs(s, d, maxHamming = 2)))
 
   val oracles: Map[String, String] = Map(
     "dedup_line_level" -> lineLevelSql,
@@ -1008,6 +1085,8 @@ object Dedup {
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_embedding_neardup" -> embeddingNearDupSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_hamming" -> simhashHammingSql(),
+    "param_simhash_hamming" -> simhashHammingSql(maxHamming = 2),
     "dedup_clusters" -> clustersSql,
     "dedup_keep_corpus" -> keepCorpusSql,
     "dedup_decontaminate" -> decontaminateSql,

@@ -396,6 +396,32 @@ class DedupTextSpec extends SparkSpecBase {
     assert(res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq == top)
   }
 
+  test("G18 simhash-hamming: exact recheck, pigeonhole completeness, param twin") {
+    val sig = run("dedup_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def bruteforce(maxH: Int): Set[(Long, Long)] = {
+      val ids = sig.keys.toSeq.sorted
+      (for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+        if java.lang.Long.bitCount(sig(ids(i)) ^ sig(ids(j))) <= maxH
+      } yield (ids(i), ids(j))).toSet
+    }
+    for ((key, maxH) <- Seq("dedup_simhash_hamming" -> 3, "param_simhash_hamming" -> 2)) {
+      val pairs = run(key).collect()
+      // every served hamming is the true pairwise distance and within bound
+      pairs.foreach { r =>
+        val hd = java.lang.Long.bitCount(
+          sig(r.getAs[Long]("doc_a")) ^ sig(r.getAs[Long]("doc_b")))
+        assert(hd == r.getAs[Long]("hamming") && hd <= maxH, s"$key: bad pair $r")
+      }
+      // pigeonhole blocking loses nothing: banded join ≡ all-pairs scan
+      val got = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got == bruteforce(maxH), s"$key: pair set != brute force")
+    }
+    assert(run("dedup_simhash_hamming").count() > 0)
+  }
+
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
     val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
     assert(rows.length == 30)
