@@ -582,6 +582,148 @@ object Similarity {
        |  FROM d
        |) WHERE rank <= $K""".stripMargin
 
+  /** H15 `sim_ivfpq_residual` — the combined IVF-PQ index with
+    * residual encoding: FAISS's production `IndexIVFPQ` shape
+    * (Jégou et al. 2011 §IV, public), which neither H6 (IVF over raw
+    * vectors) nor H7 (PQ over the whole space) models alone. Each
+    * vector is assigned to its nearest coarse centroid and only the
+    * RESIDUAL (vector − centroid) is PQ-encoded — residuals are
+    * smaller and more isotropic than raw vectors, which is why the
+    * combination quantizes better than PQ alone. Inner-product ADC
+    * decomposes exactly: dot(q, c + r̂) = dot(q, c) + Σ_m LUT[m, code],
+    * so the served score is the centroid dot (computed once per
+    * probed cell) plus the usual per-subspace LUT sums. All integer
+    * arithmetic (long residuals, long dots), so ranks hash-match the
+    * unrolled DuckDB oracle.
+    *
+    * Scale: the search never touches raw vectors — the scan side is
+    * (vec_id, cell, 8 code ids), the probe and LUT sides are bounded
+    * broadcasts (NQueries·NProbeCells and NQueries·PqM·PqCodes rows),
+    * and only cells the query probes are scored (the inverted-file
+    * restriction rides the broadcast-hash join on `cell`). In a real
+    * deployment the assignment+encoding pass is a one-off write of
+    * the codes table (H7's note applies doubly: 64x compression AND
+    * cell-pruned scans); the residual codebook is trained on a
+    * sample. Encoding cost here is one assignment window + one
+    * broadcast argmin — the same two-pass economics as H6+H7. */
+  def ivfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val k = ivfK(spark, dir, emb)
+    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        cosineQ(vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        zip_with(col("qvec"), col("cq"), (a, b) => a - b).as("rvec"))
+    def sub(v: Column): Column = slice(v, col("m") * PqDsub + 1, lit(PqDsub))
+    // residual codebook: hash-picked residual rows, per-subspace split
+    // (bounded: PqCodes x PqM rows; cached because enc and lut
+    // broadcast different projections of it — the H7 discipline)
+    val rcb = assigned
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(PqCodes)
+      .select(col("vec_id").as("code_id"),
+        explode(typedLit((0 until PqM).toArray)).as("m"), col("rvec"))
+      .select(col("code_id"), col("m"), sub(col("rvec")).as("cvec"))
+      .withColumn("cn", vdotQuantizedNative(col("cvec"), col("cvec")))
+      .cache()
+    val enc = assigned.crossJoin(broadcast(rcb))
+      .withColumn("score",
+        col("cn") - lit(2L) * vdotQuantizedNative(sub(col("rvec")), col("cvec")))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(col("score"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.code_id").as("code_id"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("qcent_cos").desc, col("cent_id"))
+    val probes = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"), col("nsq").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qcent_cos",
+        cosineQ(vdotQuantizedNative(col("qq"), col("cq")), col("qn"), col("cn")))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= NProbeCells)
+      .select(col("qid"), col("cent_id").as("cell"),
+        vdotQuantizedNative(col("qq"), col("cq")).as("cdot"))
+    val lut = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec"))
+      .crossJoin(broadcast(rcb.drop("cn")))
+      .select(col("qid"), col("m"), col("code_id"),
+        vdotQuantizedNative(sub(col("qvec")), col("cvec")).as("pdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_dot").desc, col("vec_id"))
+    enc.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "code_id"))
+      .groupBy(col("qid"), col("vec_id"), col("cell"))
+      .agg((min(col("cdot")) + sum(col("pdot"))).as("approx_dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"), col("cell"))
+  }
+
+  val ivfPqResidualSql: String =
+    s"""WITH $qnSqlCte, cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
+       |), assigned AS (
+       |  SELECT vec_id, cell, rvec FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      list_transform(list_zip(e.qvec, c.cq), s -> s[1] - s[2]) AS rvec,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |  ) WHERE arn = 1
+       |), rcb0 AS (
+       |  SELECT vec_id AS code_id, rvec FROM assigned
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes
+       |), rcb AS (
+       |  SELECT code_id, m,
+       |    rvec[m*$PqDsub+1 : m*$PqDsub+$PqDsub] AS cvec,
+       |    CAST(list_sum(list_transform(rvec[m*$PqDsub+1 : m*$PqDsub+$PqDsub],
+       |      x -> x * x)) AS BIGINT) AS cn
+       |  FROM rcb0 CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |), enc AS (
+       |  SELECT vec_id, cell, m, code_id FROM (
+       |    SELECT a.vec_id, a.cell, c.m, c.code_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, c.m
+       |        ORDER BY c.cn - 2 * ${dotSql(
+                  s"a.rvec[c.m*$PqDsub+1 : c.m*$PqDsub+$PqDsub]", "c.cvec")},
+       |                 c.code_id) AS rn
+       |    FROM assigned a CROSS JOIN rcb c
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT qid, cell, cdot FROM (
+       |    SELECT e.vec_id AS qid, c.cent_id AS cell,
+       |      ${dotSql("e.qvec", "c.cq")} AS cdot,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS prn
+       |    FROM qnn e CROSS JOIN cents c WHERE e.vec_id < $NQueries
+       |  ) WHERE prn <= $NProbeCells
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.code_id,
+       |    ${dotSql(s"q.qvec[c.m*$PqDsub+1 : c.m*$PqDsub+$PqDsub]", "c.cvec")} AS pdot
+       |  FROM qnn q CROSS JOIN rcb c WHERE q.vec_id < $NQueries
+       |), scored AS (
+       |  SELECT p.qid, e.vec_id, e.cell,
+       |    CAST(MIN(p.cdot) + SUM(l.pdot) AS BIGINT) AS approx_dot
+       |  FROM enc e
+       |  JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.qid
+       |  JOIN lut l ON l.qid = p.qid AND l.m = e.m AND l.code_id = e.code_id
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT qid, rank, vec_id, approx_dot, cell FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY approx_dot DESC, vec_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+
   private val RerankC = 30
 
   /** H12 `sim_rerank_pipeline` — the two-stage retrieval pipeline
@@ -992,6 +1134,7 @@ object Similarity {
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_probe" -> (ivfProbe _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
+    "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_recall_eval" -> (recallEval _))
 
   val oracles: Map[String, String] = Map(
@@ -1008,5 +1151,6 @@ object Similarity {
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_probe" -> ivfProbeSql,
     "sim_ivf_kmeans" -> ivfKmeansSql,
+    "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_recall_eval" -> recallEvalSql)
 }

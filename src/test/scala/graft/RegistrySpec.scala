@@ -31,6 +31,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
     "sim_recall_eval",
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
+    "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
     "sim_sq8", // broadcast query codes, streaming corpus codes
     "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
     "dedup_embedding_neardup", "dedup_semdedup",
@@ -133,6 +134,9 @@ class RegistrySpec extends SparkSpecBase {
     "dedup_ngram_jaccard" -> 3,
     "dedup_semdedup" -> 1,
     "dedup_simhash" -> 1,
+    "dedup_simhash_hamming" -> 1, // sig agg; band sides reuse the exchange
+    "param_simhash_hamming" -> 1,
+    "sim_ivfpq_residual" -> 3, // assignment window + encode argmin + score agg
     "dedup_substring_spans" -> 3,
     "dedup_winnowing" -> 1,
     "dlq_redrive_batch" -> 0,

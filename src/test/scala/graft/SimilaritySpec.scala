@@ -132,6 +132,58 @@ class SimilaritySpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("H15 IVF-PQ residual: k per query, probed-cell containment, ADC matches driver") {
+    val df = run("sim_ivfpq_residual").cache()
+    assert(df.groupBy("qid").count().filter(col("count") =!= 10).count() == 0)
+    assert(df.filter(col("qid") === col("vec_id")).count() == 0)
+    // full driver rebuild: centroids, assignment, residuals, residual
+    // codebook, encoding, and the IP-ADC decomposition
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray)
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(d: Long, na: Long, nb: Long): Double =
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val k = math.min(256, math.max(8, math.ceil(math.sqrt(vecs.size.toDouble)).toInt))
+    val centIds = vecs.keys.toSeq.sortBy(id => md5hex(id.toString)).take(k)
+    val nsq = vecs.map { case (id, v) => id -> dot(v, v) }
+    def nearestCell(id: Long): Long =
+      centIds.minBy(c => (-cos(dot(vecs(id), vecs(c)), nsq(id), nsq(c)), c))
+    val resid = vecs.map { case (id, v) =>
+      id -> v.zip(vecs(nearestCell(id))).map { case (a, b) => a - b }
+    }
+    val rcbIds = vecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(16)
+    def sub(v: Array[Long], m: Int): Array[Long] = v.slice(m * 8, m * 8 + 8)
+    def adcScore(qid: Long, vid: Long): Long = {
+      val cd = dot(vecs(qid), vecs(nearestCell(vid)))
+      cd + (0 until 8).map { m =>
+        val best = rcbIds.minBy { cid =>
+          val c = sub(resid(cid), m)
+          (dot(c, c) - 2 * dot(sub(resid(vid), m), c), cid)
+        }
+        dot(sub(vecs(qid), m), sub(resid(best), m))
+      }.sum
+    }
+    val rows = df.filter(col("qid") === 0).collect()
+    // every returned vector sits in a cell that query 0 probes
+    val probed = centIds
+      .sortBy(c => (-cos(dot(vecs(0L), vecs(c)), nsq(0L), nsq(c)), c)).take(2).toSet
+    rows.foreach { r =>
+      assert(probed(r.getAs[Long]("cell")), s"unprobed cell in $r")
+      assert(r.getAs[Long]("cell") == nearestCell(r.getAs[Long]("vec_id")))
+    }
+    // the served score IS the decomposed centroid-dot + LUT sum
+    val top = rows.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("approx_dot") == adcScore(0L, top.getAs[Long]("vec_id")))
+    df.unpersist()
+  }
+
   test("H8 MaxSim: k ranked rows per query, no self, dominates the full dot") {
     val ms = run("sim_maxsim_multivec").collect()
     val byQ = ms.groupBy(_.getAs[Long]("qid"))
