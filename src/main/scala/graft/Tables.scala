@@ -12,8 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operators; TPC-H tables exercise the relational/scale paths.
   */
 object Tables {
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Driver-regenerated parquet sometimes carries
+    * isAdjustedToUTC=false on its timestamp columns, which Spark
+    * surfaces as TIMESTAMP_NTZ (earlier drops were UTC-adjusted or
+    * TIMESTAMP(NANOS)). Normalize every NTZ column to session-TZ
+    * TIMESTAMP at load: the session is pinned UTC (Engine.configure),
+    * so the cast is instant-preserving, and downstream plans, specs,
+    * and the DuckDB-oracle dtypes stay stable across data refreshes. */
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -40,6 +53,11 @@ object Tables {
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Name-keyed loader (same normalization as the typed loaders) —
+    * for registering temp views / generic tooling. */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else load(s, d, name)
 
   /** Modification time of a table path for cache-staleness keys,
     * resolved through Hadoop's FileSystem so it works for every

@@ -554,6 +554,48 @@ object Audit {
       |  TRUE AS hll_within_5pct
       |FROM events GROUP BY 1""".stripMargin
 
+  /** F15 raw — the mergeable sketch STORE (Druid/Pinot rollup
+    * pattern): one Datasketches HLL sketch per (tenant, date)
+    * partition, then per-tenant cardinality by UNIONING the stored
+    * sketches — the raw rows are never re-read at query time. This is
+    * the piece F9 doesn't model: F9's approx_count_distinct is a
+    * one-shot scalar; here the sketch is a stored COLUMN that
+    * re-aggregates along the partition hierarchy (day -> tenant ->
+    * fleet), which is what makes 100 TB cardinality dashboards
+    * O(partitions), not O(events). HLL union is register-wise max —
+    * commutative and order-insensitive — so the merged estimate is
+    * deterministic for a given dataset. */
+  def hllSketchStoreRaw(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perPart = ev
+      .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    val merged = perPart.groupBy(col("tenant_id"))
+      .agg(count(lit(1)).as("n_partitions"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+    val exact = ev.groupBy(Obs.tenant.as("tenant_id"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("tenant_id"))
+  }
+
+  /** F15 `audit_hll_sketch_store` — driver-checkable form (F9
+    * discipline): exact per-tenant distinct count + partition count
+    * (both hash-compared) and a BOOLEAN asserting the merged-sketch
+    * estimate lands within 5% of exact. */
+  def hllSketchStore(spark: SparkSession, dir: String): DataFrame =
+    hllSketchStoreRaw(spark, dir)
+      .select(col("tenant_id"), col("n_partitions"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
+          .as("hll_within_5pct"))
+
+  val hllSketchStoreSql: String =
+    """SELECT 't' || (user_id % 4) AS tenant_id,
+      |  COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_partitions,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY 1""".stripMargin
+
   /** F14 `audit_error_spikes` — the ALARM half of observability (the
     * reference's CDK stack would hang a CloudWatch alarm off the F2
     * counters; this is that evaluation as a query): per (tenant, hour)
@@ -629,6 +671,7 @@ object Audit {
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
     "audit_latency_quantiles" -> (latencyQuantiles _),
     "audit_distinct_users_sketch" -> (distinctUsersSketch _),
+    "audit_hll_sketch_store" -> (hllSketchStore _),
     "audit_partition_counts" -> (partitionCounts _),
     "audit_metric_counts" -> (metricCounts _),
     "dlq_redrive_pending" -> (dlqRedrivePending _),
@@ -645,6 +688,7 @@ object Audit {
     "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,
     "audit_latency_quantiles" -> latencyQuantilesSql,
     "audit_distinct_users_sketch" -> distinctUsersSketchSql,
+    "audit_hll_sketch_store" -> hllSketchStoreSql,
     "audit_partition_counts" -> partitionCountsSql,
     "audit_metric_counts" -> metricCountsSql,
     "dlq_redrive_pending" -> dlqRedrivePendingSql,

@@ -104,9 +104,131 @@ object Bucketing {
        |WHERE CAST(ts AS DATE) = DATE '$PruneDay'
        |GROUP BY 1""".stripMargin
 
+  /** Bits per z-order dimension (8 -> 16-bit z values). */
+  private val ZBits = 8
+
+  /** Z-range width per file: low 10 z-bits free within a file, i.e.
+    * 5 low bits of each dimension -> every file's rows live in a
+    * 32x32 rectangle of (user, minute-bucket) space. */
+  private val ZFileShift = 10
+
+  /** Morton interleave of two ZBits-wide dims: u takes the even bit
+    * positions, m the odd ones. Emitted as 2*ZBits shift-and-mask
+    * terms so the identical arithmetic runs in Spark codegen and in
+    * the DuckDB oracle. */
+  private def zTermsSql(u: String, m: String): String =
+    (0 until ZBits).map(i =>
+      s"((($u >> $i) & 1) << ${2 * i}) + ((($m >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** N3 `store_zorder_layout` — multi-dimensional clustering via a
+    * Z-order (Morton) curve, the layout behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`: sorting by interleaved bits of
+    * (user_id, minute-of-day) places rows so that ANY contiguous
+    * z-range — hence any file — covers a small RECTANGLE in both
+    * dimensions at once, which is what lets min/max file statistics
+    * prune scans on either column (a plain lexicographic sort prunes
+    * only its leading column). Here file assignment is the
+    * deterministic z >> 10 (so the oracle can replay it); the served
+    * result is the per-file clustering manifest — row count and
+    * min/max of BOTH dims — i.e. exactly the file-skipping index a
+    * query planner would consult. Every file's spans are provably
+    * <= 31 in each dim (low 5 z-bits per dim free within a file);
+    * BucketingSpec asserts that law.
+    *
+    * Scale: the z-value is a pure scan-side expression; the real
+    * write is repartitionByRange(z) + sortWithinPartitions(z) (one
+    * range shuffle); the manifest rollup here is one groupBy on
+    * file_id. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val withZ = Tables.events(spark, dir)
+      .withColumn("zu", pmod(col("user_id"), lit(256L)))
+      .withColumn("zm",
+        floor((hour(col("ts")) * 60 + minute(col("ts"))) / lit(6)).cast("long"))
+      .withColumn("zval", expr(zTermsSql("zu", "zm")))
+    withZ
+      .groupBy(shiftright(col("zval"), ZFileShift).as("file_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("zu")).as("u_min"), max(col("zu")).as("u_max"),
+        min(col("zm")).as("m_min"), max(col("zm")).as("m_max"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = zTermsSql("zu", "zm")
+    s"""WITH dims AS (
+       |  SELECT user_id % 256 AS zu,
+       |    (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) // 6 AS zm
+       |  FROM events
+       |), zed AS (
+       |  SELECT zu, zm, ($z) AS zval FROM dims
+       |)
+       |SELECT CAST(zval >> $ZFileShift AS BIGINT) AS file_id,
+       |  COUNT(*) AS n_events,
+       |  CAST(MIN(zu) AS BIGINT) AS u_min, CAST(MAX(zu) AS BIGINT) AS u_max,
+       |  CAST(MIN(zm) AS BIGINT) AS m_min, CAST(MAX(zm) AS BIGINT) AS m_max
+       |FROM zed GROUP BY 1""".stripMargin
+  }
+
+  /** Target rows per compacted file (size proxy: the inventory's row
+    * counts; a real table would carry byte sizes). */
+  private val CompactTarget = 500L
+
+  /** N4 `store_compaction_plan` — the small-file compaction planner
+    * behind `OPTIMIZE` / auto-compaction: the audit store's
+    * tenant/date/hour layout (F1) fragments into thousands of tiny
+    * files, and the fix is a planned rewrite that packs them into
+    * target-sized files. Files are ordered largest-first (so big
+    * files don't straddle bins) with a deterministic key tiebreak,
+    * then packed greedily by running size: bin = (cumsum - size) div
+    * target — the sequential next-fit pack compaction services
+    * actually run. Output is the work list: per output bin, how many
+    * input files and rows it merges.
+    *
+    * Scale: the plan runs over the file MANIFEST (O(partitions), not
+    * O(rows) — the same economics as F10's retention sweep), so the
+    * global ordered prefix sum is a window over metadata; the data
+    * itself moves once, during the rewrite the plan drives. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.events(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"),
+        hour(col("ts")).as("audit_hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_events").desc, col("tenant_id"), col("audit_date"),
+        col("audit_hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    inv.withColumn("csum", sum(col("n_events")).over(w))
+      .groupBy(floor((col("csum") - col("n_events")) / lit(CompactTarget))
+        .as("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_events")).as("total_rows"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH inv AS (
+       |  SELECT 't' || (user_id % 4) AS tenant_id,
+       |    strftime(ts, '%Y-%m-%d') AS audit_date,
+       |    CAST(hour(ts) AS INT) AS audit_hour,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2, 3
+       |), ordered AS (
+       |  SELECT n_events,
+       |    CAST(SUM(n_events) OVER (
+       |      ORDER BY n_events DESC, tenant_id, audit_date, audit_hour
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum
+       |  FROM inv
+       |)
+       |SELECT CAST((csum - n_events) // $CompactTarget AS BIGINT) AS bin_id,
+       |  COUNT(*) AS n_files,
+       |  CAST(SUM(n_events) AS BIGINT) AS total_rows
+       |FROM ordered GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_partition_prune" -> (partitionPrune _))
+    "store_partition_prune" -> (partitionPrune _),
+    "store_zorder_layout" -> (zorderLayout _),
+    "store_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
-    "store_partition_prune" -> partitionPruneSql)
+    "store_partition_prune" -> partitionPruneSql,
+    "store_zorder_layout" -> zorderLayoutSql,
+    "store_compaction_plan" -> compactionPlanSql)
 }

@@ -267,7 +267,39 @@ object EventStream {
       | AND c.ts <= p.ts
       | AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin
 
+  /** L9 `stream_hopping_agg` — hopping (sliding) windows: 30-minute
+    * windows advancing every 10 minutes, so every event lands in
+    * exactly size/slide = 3 overlapping windows — the moving-average
+    * shape monitoring dashboards serve (a smoother twin of L1's
+    * tumbling windows). Spark assigns windows aligned to the epoch:
+    * starts are floor(ts/slide)*slide - k*slide for k in 0..2, which
+    * is precisely the integer arithmetic the oracle replays. One
+    * shuffle on the (window, type) key; the 3x fan-out happens
+    * map-side inside the window expression, and partial aggregation
+    * reduces it before the exchange — at 100 TB the shuffle moves
+    * windows*types rows, not 3x the events. */
+  def hoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Analytics.dsum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Every event belongs to all 3 hop offsets (size divisible by
+    * slide), so the oracle can expand k=0..2 unconditionally. */
+  val hoppingAggSql: String =
+    """SELECT
+      |  make_timestamp(((epoch_us(ts) // 600000000) - k) * 600000000)
+      |    AS window_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events CROSS JOIN range(0, 3) r(k)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hopping_agg" -> (hoppingAgg _),
     "stream_interval_join_outer" -> (intervalJoinOuter _),
     "stream_session_window" -> (sessionWindowAgg _),
     "stream_enriched_rollup" -> (enrichedRollup _),
@@ -278,6 +310,7 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_hopping_agg" -> hoppingAggSql,
     "stream_interval_join_outer" -> intervalJoinOuterSql,
     "stream_session_window" -> sessionWindowAggSql,
     "stream_enriched_rollup" -> enrichedRollupSql,

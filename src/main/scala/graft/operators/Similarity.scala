@@ -582,6 +582,95 @@ object Similarity {
        |  FROM d
        |) WHERE rank <= $K""".stripMargin
 
+  private val BqBits = 60
+  private val BqCand = 30
+
+  /** 60-bit sign fingerprint of a quantized vector (bit i set iff
+    * component i >= 0, dims 0..59 — 60 bits keep the value positive
+    * in both engines, the G5/G18 convention). */
+  private def bqExpr(colName: String): Column =
+    expr(s"""aggregate(
+      zip_with(slice($colName, 1, $BqBits), sequence(0, ${BqBits - 1}),
+        (x, i) -> IF(x >= 0, shiftleft(CAST(1 AS BIGINT), i),
+                     CAST(0 AS BIGINT))),
+      CAST(0 AS BIGINT), (a, v) -> a + v)""")
+
+  private def bqSql(col: String): String =
+    s"""CAST(list_sum(list_transform(
+       |    list_zip($col[1:$BqBits], range(0, $BqBits)),
+       |    s -> CASE WHEN s[1] >= 0 THEN (CAST(1 AS BIGINT) << s[2])
+       |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
+  /** H16 `sim_binary_quantized` — 1-bit (sign) binary quantization
+    * with exact re-rank: the "binary quantization + rescore" mode
+    * production vector stores ship (sign-bit hashing per
+    * Charikar'02 with identity hyperplanes). Each 64-dim vector
+    * compresses to a 60-bit sign fingerprint; candidate generation is
+    * a hamming scan over 8-byte fingerprints (32x smaller than the
+    * float vectors), keeping the BqCand closest per query; only those
+    * are re-ranked by the exact integer cosine. All integer
+    * arithmetic — candidates and final ranks hash-match the oracle.
+    *
+    * Scale: the full pass reads (vec_id, fingerprint) only — a
+    * map-side bit_count against the broadcast probe set; the re-rank
+    * fetches raw vectors for NQueries*BqCand ids via a BROADCAST of
+    * the bounded candidate list into the corpus scan (exactly how a
+    * vector store rescores from its id->vector store). Two exchanges
+    * total (the two per-query windows). */
+  def binaryQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val fps = quantized(spark, dir)
+      .select(col("vec_id"), col("qvec"), col("nsq"), bqExpr("qvec").as("bq"))
+    val q = fps.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"),
+        col("nsq").as("qn"), col("bq").as("qbq"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))
+    val cands = fps.select(col("vec_id"), col("bq"))
+      .join(broadcast(q.select(col("qid"), col("qbq"))), col("vec_id") =!= col("qid"))
+      .withColumn("hamming", bit_count(col("bq").bitwiseXOR(col("qbq"))).cast("long"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= BqCand)
+      .select(col("qid"), col("vec_id"), col("hamming"))
+    val wC = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    fps.select(col("vec_id"), col("qvec"), col("nsq"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(q.select(col("qid"), col("qq"), col("qn"))), Seq("qid"))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("qq"), col("qvec")), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("hamming"), col("cosine"))
+  }
+
+  val binaryQuantizedSql: String =
+    s"""WITH $qnSqlCte, fp AS (
+       |  SELECT vec_id, qvec, nsq, ${bqSql("qvec")} AS bq
+       |  FROM qnn
+       |), q AS (
+       |  SELECT vec_id AS qid, qvec AS qq, nsq AS qn, bq AS qbq
+       |  FROM fp WHERE vec_id < $NQueries
+       |), h AS (
+       |  SELECT qid, vec_id,
+       |    CAST(bit_count(xor(bq, qbq)) AS BIGINT) AS hamming
+       |  FROM fp JOIN q ON vec_id <> qid
+       |), cand AS (
+       |  SELECT qid, vec_id, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                                 ORDER BY hamming, vec_id) AS hrank
+       |    FROM h
+       |  ) WHERE hrank <= $BqCand
+       |), scored AS (
+       |  SELECT c.qid, c.vec_id, c.hamming,
+       |    ${cosSql(dotSql("q.qq", "f.qvec"), "q.qn", "f.nsq")} AS cosine
+       |  FROM cand c
+       |  JOIN fp f ON f.vec_id = c.vec_id
+       |  JOIN q ON q.qid = c.qid
+       |)
+       |SELECT qid, rank, vec_id, hamming, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $K""".stripMargin
+
   /** H15 `sim_ivfpq_residual` — the combined IVF-PQ index with
     * residual encoding: FAISS's production `IndexIVFPQ` shape
     * (Jégou et al. 2011 §IV, public), which neither H6 (IVF over raw
@@ -1124,6 +1213,7 @@ object Similarity {
     "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "sim_rerank_pipeline" -> (rerankPipeline _),
     "sim_sq8" -> (sq8 _),
+    "sim_binary_quantized" -> (binaryQuantized _),
     "sim_pooled_search" -> (pooledSearch _),
     "sim_filtered_search" -> (filteredSearch _),
     "sim_range_search" -> (rangeSearch _),
@@ -1141,6 +1231,7 @@ object Similarity {
     "sim_hybrid_rrf" -> hybridRrfSql(),
     "sim_rerank_pipeline" -> rerankPipelineSql,
     "sim_sq8" -> sq8Sql,
+    "sim_binary_quantized" -> binaryQuantizedSql,
     "sim_pooled_search" -> pooledSearchSql,
     "sim_filtered_search" -> filteredSearchSql,
     "sim_range_search" -> rangeSearchSql,

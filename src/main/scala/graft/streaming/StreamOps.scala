@@ -91,6 +91,18 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** L9 streaming — hopping 30-minute windows every 10 minutes with
+    * a 10-minute watermark; append mode emits each of the 3
+    * overlapping windows an event feeds once the watermark passes
+    * that window's end. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
   /** L3 streaming — duplicate suppression keyed
     * (user, type, minute-bucket); the watermark lets Spark expire
     * per-key state instead of holding it forever. */

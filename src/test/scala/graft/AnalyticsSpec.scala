@@ -213,14 +213,14 @@ class AnalyticsSpec extends SparkSpecBase {
     val li = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
       .filter(r => blue(r.getLong(0)))
-    val lo = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
-    val hi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00").getTime
     val qual = li.groupBy(r => (r.getLong(0), r.getLong(1))).collect {
       case ((_, supp), rs)
           if rs.map(r => BigDecimal(r.getDouble(2))).sum * 0.3 <
             rs.filter { r =>
-              val t = r.getAs[java.time.LocalDateTime](3)
-              !t.isBefore(lo) && t.isBefore(hi)
+              val t = r.getAs[java.sql.Timestamp](3).getTime
+              t >= lo && t < hi
             }.map(r => BigDecimal(r.getDouble(2))).sum => supp
     }.toSet
     assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == (qual & natKeys))
@@ -234,16 +234,16 @@ class AnalyticsSpec extends SparkSpecBase {
     val fOrd = Tables.orders(spark, sf)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate").collect()
-      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+      .map(r => r.getLong(0) -> r.getAs[java.sql.Timestamp](1)).toMap
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
       .filter(r => fOrd.contains(r.getLong(0)))
     val byOrder = li.groupBy(_.getLong(0))
     val numwait = scala.collection.mutable.Map.empty[Long, Long]
     byOrder.foreach { case (ok, rs) =>
-      val cutoff = fOrd(ok).plusDays(90)
+      val cutoff = fOrd(ok).getTime + 90L * 86400000L
       val lateRows =
-        rs.filter(_.getAs[java.time.LocalDateTime](2).isAfter(cutoff))
+        rs.filter(_.getAs[java.sql.Timestamp](2).getTime > cutoff)
       val lateSupps = lateRows.map(_.getLong(1)).distinct
       if (rs.map(_.getLong(1)).distinct.length > 1 && lateSupps.length == 1)
         numwait(lateSupps.head) =

@@ -55,6 +55,44 @@ class BucketingSpec extends SparkSpecBase {
     assert(rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap == want)
   }
 
+  test("N3 z-order: every file's rows fit a 32x32 rectangle in both dims") {
+    val rows = run("store_zorder_layout").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uSpan = r.getAs[Long]("u_max") - r.getAs[Long]("u_min")
+      val mSpan = r.getAs[Long]("m_max") - r.getAs[Long]("m_min")
+      // z >> 10 fixed leaves 5 free low bits per dim: spans <= 31.
+      // This is the file-skipping law: min/max stats on EITHER dim
+      // prune most files for a point/range predicate on that dim.
+      assert(uSpan <= 31 && mSpan <= 31,
+        s"file ${r.getAs[Long]("file_id")}: spans $uSpan x $mSpan exceed 31")
+    }
+    // total rows conserved
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("N4 compaction plan: bins near target size, files and rows conserved") {
+    val inv = run("store_compaction_plan").collect()
+    val nFiles = inv.map(_.getAs[Long]("n_files")).sum
+    val nRows = inv.map(_.getAs[Long]("total_rows")).sum
+    val wantFiles = Tables.events(spark, sf)
+      .select(operators.Obs.tenant, operators.Obs.ingestDate, hour(col("ts")))
+      .distinct().count()
+    assert(nFiles == wantFiles, s"plan covers $nFiles of $wantFiles files")
+    assert(nRows == Tables.events(spark, sf).count())
+    // packing law: a bin holds the files STARTING in one
+    // target-sized cumsum interval, so its total is bounded by
+    // target + largest-file - 1 (the last file may overhang)
+    val maxFile = Tables.events(spark, sf)
+      .groupBy(operators.Obs.tenant, operators.Obs.ingestDate, hour(col("ts")))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    inv.foreach { r =>
+      assert(r.getAs[Long]("total_rows") <= 500 + maxFile - 1,
+        s"bin ${r.getAs[Long]("bin_id")} overpacked: ${r.getAs[Long]("total_rows")}")
+    }
+  }
+
   test("aggregation on the bucket key needs no exchange") {
     val agg = spark.table("events_bucketed")
       .groupBy("user_id").agg(sum("value").as("total"))

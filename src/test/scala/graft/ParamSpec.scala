@@ -18,9 +18,8 @@ class ParamSpec extends SparkSpecBase {
 
   private def ensureViews(): Unit = {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem"))
-      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
-    Tables.events(spark, sf).createOrReplaceTempView("events")
+        "orders", "lineitem", "events"))
+      Tables.byName(spark, sf, t).createOrReplaceTempView(t)
   }
 
   /** Rows sorted by their full string rendering — exact equality is

@@ -310,6 +310,31 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("F15 hll sketch store: merged day-sketches agree with exact within 5%") {
+    val rows = operators.Audit.hllSketchStoreRaw(spark, sf).collect()
+    assert(rows.length == 4, "one row per tenant")
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Number]("approx_users").longValue,
+        r.getAs[Long]("exact_users"))
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"merged hll $a vs exact $e")
+      assert(r.getAs[Long]("n_partitions") > 0)
+    }
+    // merging day sketches must not lose days: partition count equals
+    // the distinct (tenant, date) count from raw events
+    val wantParts = Tables.events(spark, sf)
+      .select(operators.Obs.tenant.as("t"), operators.Obs.ingestDate.as("d"))
+      .distinct().groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_partitions") ==
+        wantParts(r.getAs[String]("tenant_id")))
+    }
+    run("audit_hll_sketch_store").collect().foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"), s"flag false for $r")
+    }
+  }
+
   test("F3 dlq redrive: pending errors have no later event for the user") {
     val pending = run("dlq_redrive_pending")
     val ev = Tables.events(spark, sf).select(col("user_id").as("u"), col("ts").as("t2"))

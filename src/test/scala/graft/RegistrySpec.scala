@@ -33,6 +33,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
     "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
     "sim_sq8", // broadcast query codes, streaming corpus codes
+    "sim_binary_quantized", // broadcast query fingerprints, streaming corpus scan
     "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
     "dedup_embedding_neardup", "dedup_semdedup",
     "api_limit_clamp", "api_next_token", "dlq_redrive_batch",
@@ -101,6 +102,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_bm25_topk" -> 3,
     "sim_hybrid_rrf" -> 5, // BM25's 3 + union-groupBy fusion
     "audit_distinct_users_sketch" -> 2,
+    "audit_hll_sketch_store" -> 4, // day-sketch agg + tenant merge + exact twin + join
+    "store_compaction_plan" -> 3, // manifest agg + metadata-only global cumsum + bin agg
     "audit_heavy_hitters_sketch" -> 2,
     "audit_latency_quantiles" -> 1,
     "audit_list_page" -> 0,

@@ -46,6 +46,40 @@ class SimilaritySpec extends SparkSpecBase {
     ivf.unpersist(); brute.unpersist()
   }
 
+  test("H16 binary quantization: driver-recomputed fingerprints, ranked rescore, recall beats empty") {
+    val df = run("sim_binary_quantized").cache()
+    val brute = run("sim_topk_bruteforce").cache()
+    // exactly K ranked rows per query, rank follows cosine desc
+    assert(df.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("rank").as("m"))
+      .filter(col("n") =!= 10 || col("m") =!= 10).count() == 0)
+    assert(df.filter(col("qid") === col("vec_id")).count() == 0)
+    // recall vs exact top-10 (rescore from a hamming candidate set)
+    val recall = df.join(brute, Seq("qid", "vec_id"), "left_semi").count()
+      .toDouble / brute.count()
+    assert(recall >= 0.05, s"binary-quantization recall $recall too low")
+    // driver-recompute the 60-bit sign fingerprint from raw floats
+    // for a few vectors and check hamming consistency with the query
+    // fingerprints the operator used
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).take(60).zipWithIndex.map { case (x, i) =>
+          if (math.round(x.toDouble * 10000.0) >= 0L) 1L << i else 0L
+        }.sum).toMap
+    // hamming(q, v) emitted by the operator must equal the driver's
+    // bit_count(xor) for pairs where both ids < 10
+    val pairs = df.filter(col("qid") < 10 && col("vec_id") < 10)
+      .select("qid", "vec_id", "hamming").collect()
+    pairs.foreach { r =>
+      val want = java.lang.Long.bitCount(emb(r.getLong(0)) ^ emb(r.getLong(1)))
+      assert(r.getLong(2) == want.toLong,
+        s"hamming mismatch for (${r.getLong(0)},${r.getLong(1)})")
+    }
+    df.unpersist(); brute.unpersist()
+  }
+
   test("H6 ivf kmeans: dense ranks, bounded cells, probes limited to 2 cells") {
     val df = run("sim_ivf_kmeans").cache()
     // dense ranks 1..n per query, n <= K

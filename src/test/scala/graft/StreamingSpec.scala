@@ -51,6 +51,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L9 streaming hopping agg matches batch on flushed windows") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.hoppingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("s_hopping")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_hopping")
+      .filter(col("event_type") =!= "sentinel")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    val want = run("stream_hopping_agg")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("L7 native session_window streaming twin matches the batch query") {
     val ms = MemoryStream[Event]
     val q = StreamOps.sessionWindowAgg(ms.toDF().withWatermark("ts", "10 minutes"))
