@@ -98,6 +98,56 @@ object Persist {
         max(when(col("latest_rn") === 1, col("ik"))).as("last_ik"))
   }
 
+  /** D9 `persist_tombstone` — delete/tombstone semantics on top of
+    * the conditional-write replay: the write stream interleaves PUTs
+    * with DELETEs (DynamoDB DeleteItem / CDC tombstones — here every
+    * 7th event id is a delete command, deterministically), and the
+    * served read view contains an entity ONLY if its latest applied
+    * write is a put. This is the GDPR-deletion / record-expiry path
+    * the reference's single-table design would execute as
+    * DeleteItem: a tombstone doesn't erase history (version still
+    * counts every applied op, n_deletes counts the tombstones — the
+    * audit trail), it makes the CURRENT state absent; a later put
+    * resurrects the entity with its version lineage intact.
+    *
+    * Scale: identical economics to D2 — ONE shuffle on the entity
+    * key, window + agg within partitions; the tombstone filter is a
+    * HAVING on the aggregated row, not a second pass. */
+  def tombstoneState(spark: SparkSession, dir: String): DataFrame = {
+    val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    applied(spark, dir)
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(7)) === 0, "delete").otherwise("put"))
+      .withColumn("latest_rn", row_number().over(wLatest))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("version"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"),
+        max(when(col("latest_rn") === 1, col("op"))).as("last_op"),
+        max(when(col("latest_rn") === 1, col("value"))).as("last_value"),
+        max(when(col("latest_rn") === 1, col("ts"))).as("last_ts"))
+      .filter(col("last_op") === "put")
+      .drop("last_op")
+  }
+
+  val tombstoneStateSql: String =
+    s"""WITH $appliedSqlCte, ranked AS (
+       |  SELECT *,
+       |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |  FROM applied
+       |)
+       |SELECT user_id, event_type,
+       |  COUNT(*) AS version,
+       |  CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deletes,
+       |  MAX(CASE WHEN latest_rn = 1 THEN value END) AS last_value,
+       |  CAST(MAX(CASE WHEN latest_rn = 1 THEN ts END) AS TIMESTAMP) AS last_ts
+       |FROM ranked GROUP BY 1, 2
+       |HAVING MAX(CASE WHEN latest_rn = 1 THEN op END) = 'put'""".stripMargin
+
   /** Memoized bucketed-table ensure: writing the table is a Spark job,
     * and query constructors must stay plan-only on re-entry — same
     * mtime-keyed discipline as Dedup.bloomCache. The table name is
@@ -437,6 +487,7 @@ object Persist {
     "persist_patient_meta" -> (patientMeta _),
     "persist_compacted_upsert" -> (compactedUpsert _),
     "persist_scd2" -> (scd2History _),
+    "persist_tombstone" -> (tombstoneState _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +499,6 @@ object Persist {
     // the incremental path must reproduce the FULL replay bit-for-bit
     "persist_compacted_upsert" -> upsertVersionSql,
     "persist_scd2" -> scd2HistorySql,
+    "persist_tombstone" -> tombstoneStateSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

@@ -899,6 +899,7 @@ object Similarity {
       .unionAll(per(ivfKmeans(spark, dir), "ivf_kmeans"))
       .unionAll(per(pqAdc(spark, dir), "pq"))
       .unionAll(per(sq8(spark, dir), "sq8"))
+      .unionAll(per(binaryQuantized(spark, dir), "bq"))
       .withColumn("recall_at_k", col("hits").cast("double") / K)
   }
 
@@ -909,6 +910,7 @@ object Similarity {
        |ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
        |pqr AS (SELECT qid, vec_id FROM ($pqAdcSql)),
        |sqr AS (SELECT qid, vec_id FROM ($sq8Sql)),
+       |bqr AS (SELECT qid, vec_id FROM ($binaryQuantizedSql)),
        |qids AS (SELECT DISTINCT qid FROM bf),
        |hl AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
        |       JOIN lshr l ON b.qid = l.qid AND b.vec_id = l.vec_id GROUP BY 1),
@@ -919,7 +921,9 @@ object Similarity {
        |hp AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
        |       JOIN pqr p ON b.qid = p.qid AND b.vec_id = p.vec_id GROUP BY 1),
        |hs AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
-       |       JOIN sqr s ON b.qid = s.qid AND b.vec_id = s.vec_id GROUP BY 1)
+       |       JOIN sqr s ON b.qid = s.qid AND b.vec_id = s.vec_id GROUP BY 1),
+       |hb AS (SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |       JOIN bqr x ON b.qid = x.qid AND b.vec_id = x.vec_id GROUP BY 1)
        |SELECT qid, method, hits,
        |  CAST(hits AS DOUBLE) / $K AS recall_at_k
        |FROM (
@@ -937,6 +941,9 @@ object Similarity {
        |  UNION ALL
        |  SELECT q.qid, 'sq8' AS method, COALESCE(hs.hits, 0) AS hits
        |  FROM qids q LEFT JOIN hs ON q.qid = hs.qid
+       |  UNION ALL
+       |  SELECT q.qid, 'bq' AS method, COALESCE(hb.hits, 0) AS hits
+       |  FROM qids q LEFT JOIN hb ON q.qid = hb.qid
        |)""".stripMargin
 
   private val SubVecs = 4

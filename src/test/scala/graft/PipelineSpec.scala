@@ -122,6 +122,39 @@ class PipelineSpec extends SparkSpecBase {
       "synth should exercise recycled-key re-application")
   }
 
+  test("D9 tombstone: deleted entities absent, survivors carry D2's version lineage") {
+    val ts = run("persist_tombstone").cache()
+    val d2 = run("persist_upsert_version").cache()
+    // survivors are a strict subset of D2's entities (the synth rule
+    // makes some entities end on a delete)
+    assert(ts.count() < d2.count(), "no entity ended on a tombstone")
+    assert(ts.count() > 0)
+    // version lineage preserved: for surviving entities the version
+    // (count of applied ops, deletes included) equals D2's
+    val joined = ts.select(col("user_id"), col("event_type"),
+        col("version").as("v_ts"))
+      .join(d2.select(col("user_id"), col("event_type"),
+        col("version").as("v_d2")), Seq("user_id", "event_type"))
+    assert(joined.count() == ts.count(), "survivor missing from D2 state")
+    assert(joined.filter(col("v_ts") =!= col("v_d2")).count() == 0)
+    // entity absent iff its last applied op id % 7 == 0
+    val lastOps = operators.Persist.applied(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        (pmod(col("event_id"), lit(7)) === 0).as("is_del"))
+    val wrongAbsent = lastOps.filter(!col("is_del"))
+      .join(ts, Seq("user_id", "event_type"), "left_anti")
+    val wrongPresent = lastOps.filter(col("is_del"))
+      .join(ts, Seq("user_id", "event_type"), "left_semi")
+    assert(wrongAbsent.count() == 0, "live entity missing from read view")
+    assert(wrongPresent.count() == 0, "tombstoned entity visible")
+    ts.unpersist(); d2.unpersist()
+  }
+
   test("D6 compacted upsert: base + tail replay equals the full recompute exactly") {
     // the incremental path (compact at cutoff, replay only the tail
     // seeded from the stored key) must reproduce D2's full-history

@@ -213,7 +213,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_pooled_search" -> 1,
     "sim_pq_adc" -> 3,
     "sim_range_search" -> 0,
-    "sim_recall_eval" -> 24, // five index families side by side
+    "sim_recall_eval" -> 28, // six index families side by side
     "sim_rerank_pipeline" -> 4,
     "sim_topk_bruteforce" -> 1,
     "skew_salted_rollup" -> 2,

@@ -105,7 +105,8 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("H5 recall eval: per-query recall in [0,1] and consistent with raw joins") {
     val df = run("sim_recall_eval").cache()
-    assert(df.count() == 40, "8 queries x 5 methods (lsh, ivf, ivf_kmeans, pq, sq8)")
+    assert(df.count() == 48,
+      "8 queries x 6 methods (lsh, ivf, ivf_kmeans, pq, sq8, bq)")
     assert(df.filter(col("recall_at_k") < 0 || col("recall_at_k") > 1).count() == 0)
     assert(df.filter(col("recall_at_k") =!=
       col("hits").cast("double") / 10).count() == 0)
