@@ -186,7 +186,7 @@ object Analytics {
            count(lit(1)).as("n_orders"))
   }
 
-  val k5Sql: String =
+  def k5Sql: String =
     """SELECT c_mktsegment, n_name,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
       |  COUNT(*) AS n_orders
@@ -219,7 +219,7 @@ object Analytics {
         col("top.n_orders").as("n_orders"))
   }
 
-  val k6Sql: String =
+  def k6Sql: String =
     """WITH spend AS (
       |  SELECT o_custkey,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
@@ -280,7 +280,7 @@ object Analytics {
       .agg(count(lit(1)).as("custdist"))
   }
 
-  val k8Sql: String =
+  def k8Sql: String =
     """SELECT c_count, COUNT(*) AS custdist
       |FROM (
       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -341,7 +341,7 @@ object Analytics {
           .cast("double").as("running_revenue"))
   }
 
-  val k10Sql: String =
+  def k10Sql: String =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
       |  o_totalprice,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (

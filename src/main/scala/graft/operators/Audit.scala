@@ -30,7 +30,7 @@ object Audit {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
 
-  val partitionCountsSql: String =
+  def partitionCountsSql: String =
     """SELECT 't' || (user_id % 4) AS tenant_id,
       |  strftime(ts, '%Y-%m-%d') AS audit_date,
       |  CAST(hour(ts) AS INT) AS audit_hour,
@@ -54,7 +54,7 @@ object Audit {
       .filter(col("audit_date") < "2024-01-08")
       .orderBy(col("tenant_id"), col("audit_date"), col("audit_hour"))
 
-  val retentionExpirySql: String =
+  def retentionExpirySql: String =
     """SELECT 't' || (user_id % 4) AS tenant_id,
       |  strftime(ts, '%Y-%m-%d') AS audit_date,
       |  CAST(hour(ts) AS INT) AS audit_hour,
@@ -80,7 +80,7 @@ object Audit {
       .agg(count(lit(1)).as("n"),
         Analytics.dsum(col("value")).as("value_sum"))
 
-  val metricCountsSql: String =
+  def metricCountsSql: String =
     """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
       |            WHEN event_type = 'purchase' THEN 'persist'
       |            ELSE 'dlq' END AS service,
@@ -108,7 +108,7 @@ object Audit {
         "left_anti")
   }
 
-  val dlqRedrivePendingSql: String =
+  def dlqRedrivePendingSql: String =
     """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
       |FROM events e
       |WHERE event_type = 'error'
@@ -150,7 +150,7 @@ object Audit {
         col("event_id"), col("user_id"), col("ts"), col("value"))
   }
 
-  val dlqRedriveBatchSql: String =
+  def dlqRedriveBatchSql: String =
     s"""WITH reqs(request_id, req_max) AS (
        |  VALUES ('r_default', CAST(NULL AS INTEGER)), ('r_zero', 0),
        |         ('r_mid', 12), ('r_cap', 250)
@@ -200,7 +200,7 @@ object Audit {
         col("last_modified"))
   }
 
-  val auditListPageSql: String =
+  def auditListPageSql: String =
     """WITH reqs(request_id, req_limit) AS (
       |  VALUES ('r_default', CAST(NULL AS INTEGER)), ('r_cap', 600),
       |         ('r_small', 7), ('r_zero', 0)
@@ -244,7 +244,7 @@ object Audit {
       concat(lit("reproc:"), key).as("idempotency_key"))
   }
 
-  val reprocessContentTypeSql: String =
+  def reprocessContentTypeSql: String =
     """WITH keyed AS (
       |  SELECT event_id,
       |    CASE WHEN event_type IN ('click','purchase') THEN '.csv'
@@ -294,7 +294,7 @@ object Audit {
       .orderBy(col("event_id"))
   }
 
-  val replaySetSql: String =
+  def replaySetSql: String =
     s"""WITH ${Persist.appliedSqlCte}, win AS (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN event_type IN ('click','purchase') THEN '.csv'
@@ -378,7 +378,7 @@ object Audit {
         (col("cms_estimate") <= col("n_events") + bound).as("overestimate_bounded"))
   }
 
-  val heavyHittersSketchSql: String =
+  def heavyHittersSketchSql: String =
     """SELECT user_id, COUNT(*) AS n_events,
       |  TRUE AS no_underestimate,
       |  TRUE AS overestimate_bounded
@@ -402,7 +402,7 @@ object Audit {
         expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
         count(lit(1)).as("n"))
 
-  val valueQuantilesSql: String =
+  def valueQuantilesSql: String =
     """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
       |            WHEN event_type = 'purchase' THEN 'persist'
       |            ELSE 'dlq' END AS service,
@@ -456,7 +456,7 @@ object Audit {
         element_at(col("q"), 3).between(col("p99_lo"), col("p99_hi")).as("sketch_p99_in_band"))
   }
 
-  val valueQuantilesSketchSql: String =
+  def valueQuantilesSketchSql: String =
     """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
       |            WHEN event_type = 'purchase' THEN 'persist'
       |            ELSE 'dlq' END AS service,
@@ -479,7 +479,7 @@ object Audit {
     pmod(col("event_id") * 7919L + col("user_id") * 104729L, lit(5000L))
       .cast("double")
 
-  private val durationMsSql =
+  private def durationMsSql: String =
     "CAST((event_id * 7919 + user_id * 104729) % 5000 AS DOUBLE)"
 
   /** F11 `audit_latency_quantiles` — the timing half of the
@@ -509,7 +509,7 @@ object Audit {
         element_at(col("q"), 3).between(col("p99_lo"), col("p99_hi")).as("sketch_p99_in_band"))
   }
 
-  val latencyQuantilesSql: String =
+  def latencyQuantilesSql: String =
     s"""SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
       |            WHEN event_type = 'purchase' THEN 'persist'
       |            ELSE 'dlq' END AS service,
@@ -546,7 +546,7 @@ object Audit {
           greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
           .as("hll_within_5pct"))
 
-  val distinctUsersSketchSql: String =
+  def distinctUsersSketchSql: String =
     """SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
       |            WHEN event_type = 'purchase' THEN 'persist'
       |            ELSE 'dlq' END AS service,
@@ -589,7 +589,7 @@ object Audit {
           greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
           .as("hll_within_5pct"))
 
-  val hllSketchStoreSql: String =
+  def hllSketchStoreSql: String =
     """SELECT 't' || (user_id % 4) AS tenant_id,
       |  COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_partitions,
       |  COUNT(DISTINCT user_id) AS exact_users,
@@ -637,7 +637,7 @@ object Audit {
           col("n_err") >= 3).as("is_spike"))
   }
 
-  val errorSpikesSql: String =
+  def errorSpikesSql: String =
     """WITH hourly AS (
       |  SELECT 't' || (user_id % 4) AS tenant_id,
       |    strftime(ts, '%Y-%m-%d') AS audit_date,

@@ -97,7 +97,7 @@ object Bucketing {
         Analytics.dsum(col("value")).as("value_sum"))
   }
 
-  val partitionPruneSql: String =
+  def partitionPruneSql: String =
     s"""SELECT event_type, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM events
@@ -153,7 +153,7 @@ object Bucketing {
         min(col("zm")).as("m_min"), max(col("zm")).as("m_max"))
   }
 
-  val zorderLayoutSql: String = {
+  def zorderLayoutSql: String = {
     val z = zTermsSql("zu", "zm")
     s"""WITH dims AS (
        |  SELECT user_id % 256 AS zu,
@@ -203,7 +203,7 @@ object Bucketing {
       .agg(count(lit(1)).as("n_files"), sum(col("n_events")).as("total_rows"))
   }
 
-  val compactionPlanSql: String =
+  def compactionPlanSql: String =
     s"""WITH inv AS (
        |  SELECT 't' || (user_id % 4) AS tenant_id,
        |    strftime(ts, '%Y-%m-%d') AS audit_date,

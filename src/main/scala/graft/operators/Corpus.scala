@@ -62,12 +62,12 @@ object Corpus {
 
   // single line: this fragment is interpolated into another
   // stripMargin string, which would eat the leading '|' of a '||'
-  private val piiTextSql: String =
+  private def piiTextSql: String =
     "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || " +
       "'@mail-example.com' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN " +
       "' call 415-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') ELSE '' END"
 
-  val piiRedactSql: String =
+  def piiRedactSql: String =
     s"""WITH p AS (SELECT doc_id, lang, $piiTextSql AS text FROM documents)
        |SELECT doc_id, lang,
        |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
@@ -107,7 +107,7 @@ object Corpus {
           lit(ChunkTokens)), " ").as("chunk_text"))
   }
 
-  val chunkSql: String =
+  def chunkSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents
@@ -154,7 +154,7 @@ object Corpus {
       .filter(col("bucket") < col("threshold"))
   }
 
-  val sampleStratifiedSql: String = {
+  def sampleStratifiedSql: String = {
     val cases = strataThresholds
       .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
     s"""WITH s AS (
@@ -213,7 +213,7 @@ object Corpus {
           / lit(SeqLen)).cast("long").as("seq_last"))
   }
 
-  val packSql: String =
+  def packSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
@@ -250,7 +250,7 @@ object Corpus {
       .filter(col("pick_rank") <= SourceCap)
   }
 
-  val sourceCapSql: String =
+  def sourceCapSql: String =
     s"""WITH r AS (
        |  SELECT doc_id, lang, source,
        |    ROW_NUMBER() OVER (PARTITION BY source
@@ -288,7 +288,7 @@ object Corpus {
           col("n_tokens").cast("double"), 6).as("weight"))
   }
 
-  val mixWeightsSql: String = {
+  def mixWeightsSql: String = {
     val cases = targetShares
       .map { case (l, s) => s"WHEN lang = '$l' THEN $s" }.mkString(" ")
     s"""WITH d AS (
@@ -335,7 +335,7 @@ object Corpus {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
 
-  val resampleSql: String =
+  def resampleSql: String =
     s"""WITH wts AS (SELECT lang, weight FROM ($mixWeightsSql)),
        |d AS (
        |  SELECT doc_id, documents.lang AS lang, weight,
@@ -373,7 +373,7 @@ object Corpus {
           < "e6", "train").otherwise("val").as("split"))
   }
 
-  val splitLeakFreeSql: String =
+  def splitLeakFreeSql: String =
     s"""WITH cl AS (SELECT * FROM (${Dedup.clustersSql}))
        |SELECT d.doc_id,
        |  COALESCE(cl.cluster_rep, d.doc_id) AS group_id,
@@ -410,7 +410,7 @@ object Corpus {
       .select(col("doc_id"), nWords.as("n_words"), verdict.as("verdict"))
   }
 
-  val qualityFunnelSql: String =
+  def qualityFunnelSql: String =
     """SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
       |  CASE
       |    WHEN n_words < 10 THEN 'too_short'
@@ -454,7 +454,7 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
-  val shuffleShardsSql: String =
+  def shuffleShardsSql: String =
     s"""WITH h AS (
        |  SELECT doc_id, md5('shuf0:' || doc_id) AS h,
        |    CAST(('0x' || substring(md5('shuf0:' || doc_id), 1, 15)) AS BIGINT)
@@ -520,7 +520,7 @@ object Corpus {
         col("token_offset"))
   }
 
-  val tokenBudgetSql: String =
+  def tokenBudgetSql: String =
     s"""WITH tw AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
        |  FROM documents

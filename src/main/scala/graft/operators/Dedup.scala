@@ -58,7 +58,7 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  val exactSql: String =
+  def exactSql: String =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
@@ -74,7 +74,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
   }
 
-  val fingerprintSql: String =
+  def fingerprintSql: String =
     """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
       |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
@@ -117,7 +117,7 @@ object Dedup {
         col("size_b"), col("jaccard"))
   }
 
-  val ngramJaccardSql: String =
+  def ngramJaccardSql: String =
     s"""WITH ${shinglesSql(3)},
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
@@ -159,7 +159,7 @@ object Dedup {
     cand
   }
 
-  val minhashLshSql: String = {
+  def minhashLshSql: String = {
     val mins = (0 until 8).map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(",\n    ")
     val bandRows = (0 until 8).map(i => s"SELECT doc_id, $i AS band, h$i AS bh FROM sig")
       .mkString("\n  UNION ALL ")
@@ -214,7 +214,7 @@ object Dedup {
         (col("n_match").cast("double") / 8.0).as("est_jaccard"))
   }
 
-  val minhashEstimateSql: String = {
+  def minhashEstimateSql: String = {
     val mins = (0 until 8).map(i => s"MIN(md5('$i:' || shingle)) AS h$i")
       .mkString(",\n    ")
     val bandRows = (0 until 8)
@@ -264,7 +264,7 @@ object Dedup {
   /** Same votes in DuckDB: hex-parse the token hash, 60 ones-counts,
     * bit j set iff 2*ones_j > n. Exposed as a CTE block so G18's
     * hamming join builds on the identical fingerprints. */
-  private val simhashCtes: String = {
+  private def simhashCtes: String = {
     val ones = (0 until 60).map(j => s"SUM((th >> $j) & 1) AS o$j").mkString(",\n    ")
     val bits = (0 until 60)
       .map(j => s"(CASE WHEN 2*o$j > n THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
@@ -289,7 +289,7 @@ object Dedup {
        |)""".stripMargin
   }
 
-  val simhashSql: String =
+  def simhashSql: String =
     s"WITH $simhashCtes\nSELECT doc_id, simhash FROM sig"
 
   /** G18 `dedup_simhash_hamming` — near-dup PAIRS by simhash hamming
@@ -466,7 +466,7 @@ object Dedup {
     })
   }
 
-  val clustersSql: String =
+  def clustersSql: String =
     s"""WITH RECURSIVE ${shinglesSql(3)},
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
@@ -503,7 +503,7 @@ object Dedup {
         md5(col("text").cast("binary")).as("text_hash"))
   }
 
-  val keepCorpusSql: String =
+  def keepCorpusSql: String =
     s"""WITH RECURSIVE ${shinglesSql(3)},
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
@@ -552,7 +552,7 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
-  val decontaminateSql: String =
+  def decontaminateSql: String =
     s"""WITH ${shinglesSql(3)}
        |SELECT t.doc_id, b.doc_id AS bench_doc_id, COUNT(*) AS shared_ngrams
        |FROM sh t JOIN sh b
@@ -595,7 +595,7 @@ object Dedup {
         (frac >= ContamTau).as("contaminated"))
   }
 
-  val contaminationFracSql: String =
+  def contaminationFracSql: String =
     s"""WITH ${shinglesSql(3)},
        |bench AS (
        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
@@ -687,7 +687,7 @@ object Dedup {
         (nExtras <= greatest(lit(1L), floor(nExact / 10))).as("extras_bounded"))
   }
 
-  val bloomDecontaminateSql: String =
+  def bloomDecontaminateSql: String =
     s"""WITH ${shinglesSql(3)}, exact AS (
        |  SELECT DISTINCT t.doc_id
        |  FROM sh t JOIN sh b ON t.shingle = b.shingle
@@ -731,7 +731,7 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), col("bucket"))
   }
 
-  val embeddingNearDupSql: String =
+  def embeddingNearDupSql: String =
     s"""WITH ${Similarity.qnSqlCte}, b AS (
        |  SELECT vec_id, qvec, nsq, ${Similarity.bucketSql("qvec")} AS bucket
        |  FROM qnn
@@ -763,7 +763,7 @@ object Dedup {
   }
 
   /** The identical window stream in DuckDB (CTEs toksw/win0/win). */
-  private val windowHashesSqlCte: String =
+  private def windowHashesSqlCte: String =
     s"""toksw AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
        |  FROM documents
@@ -814,7 +814,7 @@ object Dedup {
         coalesce(col("mr"), lit(0L)).as("max_dup_run"))
   }
 
-  val substringSpansSql: String =
+  def substringSpansSql: String =
     s"""WITH $windowHashesSqlCte, dup AS (
        |  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
        |), isl AS (
@@ -901,7 +901,7 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), col("cell"))
   }
 
-  val semDedupSql: String =
+  def semDedupSql: String =
     s"""WITH ${Similarity.qnSqlCte}, cents AS (
        |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
        |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $SemCells
@@ -959,7 +959,7 @@ object Dedup {
       .distinct()
   }
 
-  val winnowingSql: String =
+  def winnowingSql: String =
     s"""WITH $windowHashesSqlCte, sel AS (
        |  SELECT doc_id, pos,
        |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
@@ -1024,7 +1024,7 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  val lineLevelSql: String =
+  def lineLevelSql: String =
     s"""WITH toksl AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
        |  FROM documents

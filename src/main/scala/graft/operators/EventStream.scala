@@ -28,7 +28,7 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
-  val tumblingAggSql: String =
+  def tumblingAggSql: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       |  event_type,
       |  COUNT(*) AS n_events,
@@ -54,7 +54,7 @@ object EventStream {
         count(lit(1)).as("n_events"), Analytics.dsum(col("value")).as("total_value"))
   }
 
-  val sessionizeSql: String =
+  def sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -94,7 +94,7 @@ object EventStream {
         col("ts"), col("value"))
   }
 
-  val eventDedupSql: String =
+  def eventDedupSql: String =
     """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
       |FROM (
       |  SELECT event_id, user_id, event_type, ts, value,
@@ -122,7 +122,7 @@ object EventStream {
         Analytics.dsum(col("value")).as("total_value"))
   }
 
-  val userLatestStateSql: String =
+  def userLatestStateSql: String =
     """WITH ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
       |    ORDER BY ts DESC, event_id DESC) AS rn
@@ -160,7 +160,7 @@ object EventStream {
         col("purchase_value"), col("click_id"), col("click_ts"))
   }
 
-  val intervalJoinSql: String =
+  def intervalJoinSql: String =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
       |  p.value AS purchase_value,
@@ -185,7 +185,7 @@ object EventStream {
     graft.streaming.StreamOps.enrichedRollup(
       Tables.events(spark, dir), Tables.customer(spark, dir))
 
-  val enrichedRollupSql: String =
+  def enrichedRollupSql: String =
     """SELECT c_mktsegment AS segment, event_type,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -209,7 +209,7 @@ object EventStream {
     * empirically (two events exactly 30 min apart merge into one
     * native session), and the same convention L2's lag rule uses, so
     * the two sessionizers agree everywhere. */
-  val sessionWindowAggSql: String =
+  def sessionWindowAggSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -255,7 +255,7 @@ object EventStream {
         col("purchase_value"), col("click_id"), col("click_ts"))
   }
 
-  val intervalJoinOuterSql: String =
+  def intervalJoinOuterSql: String =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
       |  p.value AS purchase_value,
@@ -288,7 +288,7 @@ object EventStream {
 
   /** Every event belongs to all 3 hop offsets (size divisible by
     * slide), so the oracle can expand k=0..2 unconditionally. */
-  val hoppingAggSql: String =
+  def hoppingAggSql: String =
     """SELECT
       |  make_timestamp(((epoch_us(ts) // 600000000) - k) * 600000000)
       |    AS window_start,

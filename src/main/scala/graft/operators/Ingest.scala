@@ -54,7 +54,7 @@ object Ingest {
       concat(lit("raw/"), Obs.tenant, lit("/"), Obs.ingestDate, lit("/"),
         col("event_id"), lit(".json")).as("raw_key"))
 
-  val envelopeSql: String =
+  def envelopeSql: String =
     """SELECT event_id,
       |  't' || (user_id % 4) AS tenant_id,
       |  'src' || (event_id % 3) AS source,
@@ -82,7 +82,7 @@ object Ingest {
         col("ts").as("first_ts"), col("user_id"), col("event_type"))
   }
 
-  val dedupIdempotencySql: String =
+  def dedupIdempotencySql: String =
     """SELECT idempotency_key, event_id AS first_event_id,
       |  CAST(ts AS TIMESTAMP) AS first_ts, user_id, event_type
       |FROM (
@@ -102,7 +102,7 @@ object Ingest {
       .agg(count(lit(1)).as("n_objects"),
         Analytics.dsum(col("value")).as("total_value"))
 
-  val partitionKeysSql: String =
+  def partitionKeysSql: String =
     """SELECT 't' || (user_id % 4) AS tenant_id,
       |  strftime(ts, '%Y-%m-%d') AS ingest_date,
       |  COUNT(*) AS n_objects,

@@ -87,7 +87,7 @@ object Multimodal {
     * at every SF), so ascii(char) == byte value; the mean is an exact
     * integer sum divided as DOUBLE then cast FLOAT — bit-identical to
     * the Scala `(s.toDouble / (hi - lo)).toFloat`. */
-  val featureStubSql: String = {
+  def featureStubSql: String = {
     val chunks = (0 until NChunks).map { c =>
       val lo = s"(n_bytes * $c) // $NChunks"
       val hi = s"(n_bytes * ${c + 1}) // $NChunks"
@@ -144,7 +144,7 @@ object Multimodal {
 
   /** Frame f covers bytes [f*16, f*16+16); docs shorter than one
     * frame produce no rows in either engine. */
-  val frameSampleSql: String =
+  def frameSampleSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, length(text) AS n,
        |    list_transform(str_split(text, ''), c -> ascii(c)) AS bytes
@@ -191,7 +191,7 @@ object Multimodal {
     }.toDF()
   }
 
-  val resizeStubSql: String =
+  def resizeStubSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, length(text) AS n,
        |    list_transform(str_split(text, ''), c -> ascii(c)) AS bytes
@@ -289,7 +289,7 @@ object Multimodal {
     }.toDF()
   }
 
-  val decodeRealSql: String =
+  def decodeRealSql: String =
     s"""WITH px AS (
        |  SELECT doc_id, unnest(range(0, $ImgW)) AS x FROM documents
        |), pxy AS (
@@ -336,7 +336,7 @@ object Multimodal {
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
   }
 
-  val imageDedupSql: String =
+  def imageDedupSql: String =
     s"""WITH px AS (
        |  SELECT doc_id, doc_id % $ImgGroups AS gid,
        |    unnest(range(0, $ImgW)) AS x

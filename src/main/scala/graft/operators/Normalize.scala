@@ -50,7 +50,7 @@ object Normalize {
   def validObsFrom(events: DataFrame): DataFrame =
     dtoFrom(events).filter(isValid).filter(fhirValid)
 
-  private val dtoSqlCte: String =
+  private def dtoSqlCte: String =
     """raw AS (
       |  SELECT event_id,
       |    concat_ws(',', user_id, event_type,
@@ -84,7 +84,7 @@ object Normalize {
       col("value").isNotNull && !isnan(col("value")) &&
       col("effective").isNotNull && length(col("ingest_hash")) >= 10
 
-  private val isValidSql: String =
+  private def isValidSql: String =
     """patient_id <> '' AND code <> '' AND unit <> ''
       |  AND value IS NOT NULL AND NOT isnan(value)
       |  AND effective IS NOT NULL AND length(ingest_hash) >= 10""".stripMargin
@@ -108,7 +108,7 @@ object Normalize {
       col("value") =!= Double.NegativeInfinity &&
       col("unit").isNotNull
 
-  private val fhirValidSql: String =
+  private def fhirValidSql: String =
     """code IS NOT NULL AND code <> ''
       |  AND patient_id IS NOT NULL AND effective IS NOT NULL
       |  AND value IS NOT NULL AND isfinite(value)
@@ -118,7 +118,7 @@ object Normalize {
   def validateDto(spark: SparkSession, dir: String): DataFrame =
     dto(spark, dir).filter(isValid)
 
-  val validateDtoSql: String =
+  def validateDtoSql: String =
     s"""WITH $dtoSqlCte
        |SELECT * FROM dto
        |WHERE $isValidSql""".stripMargin
@@ -140,7 +140,7 @@ object Normalize {
       .agg(count(lit(1)).as("n"))
   }
 
-  val rejectCountsSql: String =
+  def rejectCountsSql: String =
     s"""WITH $dtoSqlCte
        |SELECT CASE
        |    WHEN value IS NULL OR isnan(value) THEN 'dto_value_invalid'
@@ -170,7 +170,7 @@ object Normalize {
       lit("http://unitsofmeasure.org").as("ucum_system"),
       date_format(col("effective"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("effective_iso"))
 
-  val fhirMapSql: String =
+  def fhirMapSql: String =
     s"""WITH $dtoSqlCte
        |SELECT event_id,
        |  'Observation' AS resource_type,
@@ -197,7 +197,7 @@ object Normalize {
       concat(col("patient_id"), lit(":"), col("code"), lit(":"),
         date_format(col("effective"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("entity_id"))
 
-  val entityIdSql: String =
+  def entityIdSql: String =
     s"""WITH $dtoSqlCte
        |SELECT event_id,
        |  'etl.normalized.v1' AS envelope,
@@ -241,7 +241,7 @@ object Normalize {
         col("factor").isNotNull.as("converted"))
   }
 
-  val unitCanonicalSql: String =
+  def unitCanonicalSql: String =
     """WITH conv(unit, factor) AS (
       |  VALUES ('mg/dL', 1.0), ('g/L', 100.0), ('mmol/L', 18.0)
       |), obs AS (
@@ -284,7 +284,7 @@ object Normalize {
         max(when(col("rn") === 1, col("ingest_hash"))).as("latest_ingest_hash"))
   }
 
-  val endToEndSql: String =
+  def endToEndSql: String =
     s"""WITH $dtoSqlCte, valid AS (
        |  SELECT * FROM dto WHERE ($isValidSql)
        |    AND ($fhirValidSql)

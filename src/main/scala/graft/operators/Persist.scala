@@ -46,7 +46,7 @@ object Persist {
       .drop("prev_ik")
   }
 
-  private[operators] def applied(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def applied(spark: SparkSession, dir: String): DataFrame =
     appliedFrom(Tables.events(spark, dir))
 
   /** D1 `persist_key_design` — single-table key projection: PK/SK,
@@ -65,7 +65,7 @@ object Persist {
       concat(Obs.tsCanon, lit("#OBS#"), col("event_type"), lit("#"), col("event_id")).as("gsi2_sk"))
   }
 
-  val keyDesignSql: String =
+  def keyDesignSql: String =
     """SELECT event_id,
       |  'TENANT#t' || (user_id % 4) AS pk,
       |  'ENTITY#observation#' || user_id || ':' || event_type || ':'
@@ -131,7 +131,7 @@ object Persist {
       .drop("last_op")
   }
 
-  val tombstoneStateSql: String =
+  def tombstoneStateSql: String =
     s"""WITH $appliedSqlCte, ranked AS (
        |  SELECT *,
        |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
@@ -189,7 +189,7 @@ object Persist {
     * side. Every oracle that replays writes interpolates this (D2/D2b
     * here, D3, D4, and Audit's F12 replay manifest) so the rule can
     * never drift between copies. */
-  val appliedSqlCte: String =
+  def appliedSqlCte: String =
     """applied AS (
       |  SELECT * FROM (
       |    SELECT *, 'ik' || (event_id % 5) AS ik,
@@ -199,7 +199,7 @@ object Persist {
       |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
       |)""".stripMargin
 
-  val upsertVersionSql: String =
+  def upsertVersionSql: String =
     s"""WITH $appliedSqlCte, ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
       |                               ORDER BY ts DESC, event_id DESC) AS latest_rn
@@ -229,7 +229,7 @@ object Persist {
         col("ts").as("applied_at"), col("event_id"))
   }
 
-  val commitLogSql: String =
+  def commitLogSql: String =
     s"""WITH $appliedSqlCte
       |SELECT 'etl.persisted.v1' AS event_name,
       |  'observation' AS entity_type,
@@ -266,7 +266,7 @@ object Persist {
         max(when(col("latest_rn") === 1, col("ts"))).as("ts_asof"))
   }
 
-  val asofSnapshotSql: String =
+  def asofSnapshotSql: String =
     s"""WITH $appliedSqlCte, cut AS (
        |  SELECT * FROM applied
        |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
@@ -372,7 +372,7 @@ object Persist {
         col("valid_to").isNull.as("is_current"))
   }
 
-  val scd2HistorySql: String =
+  def scd2HistorySql: String =
     s"""WITH $appliedSqlCte
        |SELECT user_id, event_type,
        |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
@@ -405,7 +405,7 @@ object Persist {
     * interval bounds are cast to microsecond TIMESTAMP here so E10's
     * containment comparison happens at the same precision Spark
     * loads (events.ts is parquet NANOS — see Tables.events). */
-  private[operators] val profileHistorySqlCte: String =
+  private[operators] def profileHistorySqlCte: String =
     """meta_applied AS (
       |  SELECT * FROM (
       |    SELECT user_id, ts, event_id, 'ik' || (event_id % 5) AS ik,
@@ -456,7 +456,7 @@ object Persist {
 
   /** The META-row CTE in SQL — single source of truth shared by the
     * D5 oracle and E1's (api_get_patient) point-lookup oracle. */
-  val patientMetaSqlCte: String =
+  def patientMetaSqlCte: String =
     """meta_applied AS (
       |  SELECT * FROM (
       |    SELECT user_id, ts, event_id, 'ik' || (event_id % 5) AS ik,
@@ -474,7 +474,7 @@ object Persist {
       |  FROM meta_applied GROUP BY 1, 2
       |)""".stripMargin
 
-  val patientMetaSql: String =
+  def patientMetaSql: String =
     s"""WITH $patientMetaSqlCte
        |SELECT tenant_id, patient_id, name, birth_date, version, last_updated
        |FROM meta""".stripMargin

@@ -65,7 +65,7 @@ object Similarity {
     dot.cast("double") / (sqrt(nsqA) * sqrt(nsqB))
 
   /** Shared oracle CTE: quantized vectors + integer squared norms. */
-  private[operators] val qnSqlCte: String =
+  private[operators] def qnSqlCte: String =
     """qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
@@ -99,7 +99,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
   }
 
-  val topkBruteforceSql: String =
+  def topkBruteforceSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS qid,
        |    list_transform(embedding,
@@ -137,7 +137,7 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  val cosinePairsSql: String =
+  def cosinePairsSql: String =
     s"""WITH $qnSqlCte
        |SELECT vec_a, vec_b, cosine FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -203,7 +203,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cosine"), col("bucket"))
   }
 
-  val lshAnnSql: String =
+  def lshAnnSql: String =
     s"""WITH $qnSqlCte, b AS (
        |  SELECT vec_id, qvec, nsq, ${bucketSql("qvec")} AS bucket FROM qnn
        |), probes AS (
@@ -320,7 +320,7 @@ object Similarity {
     ivfSearch(emb, cents)
   }
 
-  val ivfProbeSql: String =
+  def ivfProbeSql: String =
     s"""WITH $qnSqlCte, cents AS (
        |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
        |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
@@ -384,7 +384,7 @@ object Similarity {
     ivfSearch(emb, cents)
   }
 
-  val ivfKmeansSql: String = {
+  def ivfKmeansSql: String = {
     // one Lloyd iteration as a CTE pair: assignment against `prev`,
     // then element-wise floor-mean rebuild
     def iter(prev: String, a: String, u: String, next: String): String =
@@ -489,7 +489,7 @@ object Similarity {
   /** The CTE chain shared by H7's and H12's oracles: ends in
     * `scored(qid, vec_id, approx_dot)` — the SQL twin of
     * [[pqApproxScores]]. */
-  private[operators] val pqScoredCtes: String =
+  private[operators] def pqScoredCtes: String =
     s"""$qnSqlCte, cb AS (
        |  SELECT vec_id AS code_id, qvec FROM qnn
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes
@@ -520,7 +520,7 @@ object Similarity {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
-  val pqAdcSql: String =
+  def pqAdcSql: String =
     s"""WITH $pqScoredCtes
        |SELECT qid, rank, vec_id, approx_dot FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -561,7 +561,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
   }
 
-  val sq8Sql: String =
+  def sq8Sql: String =
     s"""WITH am AS (
        |  SELECT MAX(list_max(list_transform(embedding,
        |    x -> ABS(CAST(x AS DOUBLE))))) AS absmax
@@ -641,7 +641,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("hamming"), col("cosine"))
   }
 
-  val binaryQuantizedSql: String =
+  def binaryQuantizedSql: String =
     s"""WITH $qnSqlCte, fp AS (
        |  SELECT vec_id, qvec, nsq, ${bqSql("qvec")} AS bq
        |  FROM qnn
@@ -753,7 +753,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"), col("cell"))
   }
 
-  val ivfPqResidualSql: String =
+  def ivfPqResidualSql: String =
     s"""WITH $qnSqlCte, cents AS (
        |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
        |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
@@ -853,7 +853,7 @@ object Similarity {
         col("approx_rank"))
   }
 
-  val rerankPipelineSql: String =
+  def rerankPipelineSql: String =
     s"""WITH $pqScoredCtes, cand AS (
        |  SELECT qid, vec_id, approx_rank FROM (
        |    SELECT qid, vec_id,
@@ -903,7 +903,7 @@ object Similarity {
       .withColumn("recall_at_k", col("hits").cast("double") / K)
   }
 
-  val recallEvalSql: String =
+  def recallEvalSql: String =
     s"""WITH bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
        |lshr AS (SELECT qid, vec_id FROM ($lshAnnSql)),
        |ivfr AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
@@ -984,7 +984,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("maxsim"))
   }
 
-  val maxsimMultivecSql: String =
+  def maxsimMultivecSql: String =
     s"""WITH $qnSqlCte, segs AS (
        |  SELECT vec_id, i AS seg_i,
        |    qvec[(i*$SubDim+1):(i*$SubDim+$SubDim)] AS seg
@@ -1028,7 +1028,7 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cosine"))
   }
 
-  val rangeSearchSql: String =
+  def rangeSearchSql: String =
     s"""WITH $qnSqlCte, q AS (
        |  SELECT vec_id AS qid, qvec AS qq, nsq AS qn
        |  FROM qnn WHERE vec_id < $NQueries
@@ -1062,7 +1062,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
   }
 
-  val filteredSearchSql: String =
+  def filteredSearchSql: String =
     s"""WITH $qnSqlCte, en AS (
        |  SELECT qnn.* FROM qnn JOIN documents ON vec_id = doc_id
        |  WHERE lang = 'en'
@@ -1108,7 +1108,7 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
   }
 
-  val pooledSearchSql: String = {
+  def pooledSearchSql: String = {
     val seg = (i: Int) => s"qvec[(${i} * $SubDim + 1):(${i} * $SubDim + $SubDim)]"
     val summed = (1 until SubVecs).foldLeft(seg(0)) { (acc, i) =>
       s"list_transform(list_zip($acc, ${seg(i)}), s -> s[1] + s[2])"

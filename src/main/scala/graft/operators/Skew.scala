@@ -66,7 +66,7 @@ object Skew {
         col("total").cast("double").as("total_value"))
   }
 
-  val saltedRollupSql: String =
+  def saltedRollupSql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin

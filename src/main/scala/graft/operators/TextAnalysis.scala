@@ -47,7 +47,7 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", predicted)
   }
 
-  val langIdSql: String = {
+  def langIdSql: String = {
     val scores = langs.map { case (l, ws) =>
       val list = ws.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(list_filter(str_split(text, ' '), x -> x <> ''), t -> t IN ($list))) AS score_$l"
@@ -95,7 +95,7 @@ object TextAnalysis {
         + wordLenScore * 0.2).as("quality"))
   }
 
-  val qualityScoreSql: String =
+  def qualityScoreSql: String =
     """SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_word_len,
       |  least(1.0::DOUBLE, n_tokens / 100.0::DOUBLE) * 0.3::DOUBLE
       |    + stopword_ratio * 0.3::DOUBLE
@@ -128,7 +128,7 @@ object TextAnalysis {
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
       length(col("text")).as("n_chars"))
 
-  val tokenCountSql: String =
+  def tokenCountSql: String =
     """SELECT doc_id,
       |  len(list_filter(str_split(text, ' '), x -> x <> '')) AS ws_tokens,
       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
@@ -147,7 +147,7 @@ object TextAnalysis {
     Tables.documents(spark, dir).select(col("doc_id"), fp.as("fingerprint"))
   }
 
-  val rollingFingerprintSql: String =
+  def rollingFingerprintSql: String =
     """SELECT doc_id,
       |  list_reduce(
       |    list_prepend(0::BIGINT,
@@ -185,7 +185,7 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"))
   }
 
-  val tfidfTopTermsSql: String =
+  def tfidfTopTermsSql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
       |  FROM documents
@@ -235,7 +235,7 @@ object TextAnalysis {
         (sum(col("surp")).cast("double") / count(lit(1))).as("surprisal"))
   }
 
-  val unigramSurprisalSql: String =
+  def unigramSurprisalSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
        |  FROM documents
@@ -285,7 +285,7 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
-  val repetitionSignalsSql: String =
+  def repetitionSignalsSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
       |  FROM documents
@@ -382,7 +382,7 @@ object TextAnalysis {
         coalesce(col("lwsum"), lit(0.0)).as("log_weight"))
   }
 
-  val dsirWeightsSql: String =
+  def dsirWeightsSql: String =
     s"""WITH toksw AS (
        |  SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') AS w
        |  FROM documents
@@ -444,7 +444,7 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
-  val bpePairStatsSql: String =
+  def bpePairStatsSql: String =
     s"""WITH t AS (
        |  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
        |  FROM documents
@@ -488,7 +488,7 @@ object TextAnalysis {
           .as("p_cond"))
   }
 
-  val bigramLmSql: String =
+  def bigramLmSql: String =
     s"""WITH toksw AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
        |  FROM documents
@@ -552,7 +552,7 @@ object TextAnalysis {
           .as("bigram_surprisal"))
   }
 
-  val bigramSurprisalSql: String =
+  def bigramSurprisalSql: String =
     """WITH toksw AS (
       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
       |  FROM documents
@@ -606,7 +606,7 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
-  val perplexityBucketsSql: String =
+  def perplexityBucketsSql: String =
     s"""WITH surp AS (
        |  SELECT * FROM ($unigramSurprisalSql)
        |), sl AS (

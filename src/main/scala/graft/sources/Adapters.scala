@@ -77,7 +77,7 @@ object Adapters {
         lit("labx-csv").as("source_system"),
         col("ingest_hash"))
 
-  val csvLabxSql: String =
+  def csvLabxSql: String =
     """WITH raw AS (
       |  SELECT event_id,
       |    concat_ws(',', user_id, event_type,
@@ -165,7 +165,7 @@ object Adapters {
       .filter(col("value").isNotNull) // non-numeric OBX-5 dropped
   }
 
-  val hl7ObxSql: String =
+  def hl7ObxSql: String =
     """WITH raw AS (
       |  SELECT event_id,
       |    'PID|1||' || user_id || '^^^MRN||DOE^JOHN' || chr(13) ||
@@ -209,7 +209,7 @@ object Adapters {
         lit("generic-json").as("source_system"))
       .filter(col("payload_k").isNotNull)
 
-  val jsonGenericSql: String =
+  def jsonGenericSql: String =
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS INT) AS payload_k,
       |  'generic-json' AS source_system
@@ -237,7 +237,7 @@ object Adapters {
         to_timestamp(substring(col("line"), 29, 14), "yyyyMMddHHmmss").as("effective"))
   }
 
-  val fixedWidthSql: String =
+  def fixedWidthSql: String =
     """WITH raw AS (
       |  SELECT event_id,
       |    lpad(CAST(user_id AS VARCHAR), 6, '0')

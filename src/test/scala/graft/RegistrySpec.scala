@@ -13,6 +13,19 @@ class RegistrySpec extends SparkSpecBase {
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("no oracle carries a failed val interpolation (lowercase 'null' token)") {
+    // a `val aSql = s"... $bCte ..."` that textually precedes bCte's
+    // declaration interpolates null at object init (Scala initializes
+    // object vals in declaration order) — the r6 persist_tombstone
+    // failure mode. All oracle SQL is built by `def`s now, but this
+    // guard makes the hazard un-reintroducible: SQL never legitimately
+    // needs a lowercase standalone `null` (use NULL)
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if "\\bnull\\b".r.findFirstIn(sql).isDefined => name
+    }
+    assert(bad.isEmpty, s"oracles with interpolated null: ${bad.toSeq.sorted}")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
