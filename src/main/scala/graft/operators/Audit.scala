@@ -64,6 +64,40 @@ object Audit {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** F10b `audit_purge_list` — the tombstone-driven per-ENTITY purge
+    * work list that completes F10's per-PARTITION retention sweep:
+    * every entity whose LATEST applied op is a D9 delete, with its
+    * lineage (version counts all applied ops, n_deletes the
+    * tombstones) and the deletion time — the GDPR sweep the
+    * reference's single-table design would execute as DeleteItem
+    * calls against the serving store and its GSIs. By construction
+    * this is the exact complement of D9's read view over the same
+    * [[Persist.opState]] (PipelineSpec asserts the two partition the
+    * entity set), so a row can never be both served and scheduled for
+    * purge. Same one-shuffle economics as D2/D9. */
+  def purgeList(spark: SparkSession, dir: String): DataFrame =
+    Persist.opState(spark, dir)
+      .filter(col("last_op") === "delete")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("n_deletes"), col("last_ts").as("deleted_at"))
+
+  def purgeListSql: String =
+    s"""WITH ${Persist.appliedSqlCte}, ranked AS (
+       |  SELECT *,
+       |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |  FROM applied
+       |)
+       |SELECT user_id, event_type,
+       |  COUNT(*) AS version,
+       |  CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deletes,
+       |  CAST(MAX(CASE WHEN latest_rn = 1 THEN ts END) AS TIMESTAMP)
+       |    AS deleted_at
+       |FROM ranked GROUP BY 1, 2
+       |HAVING MAX(CASE WHEN latest_rn = 1 THEN op END) = 'delete'""".stripMargin
+
   /** Service routing of the reference pipeline: signup/click/view hit
     * ingest, purchases persist, errors land in the DLQ. */
   private val serviceCol =
@@ -137,9 +171,12 @@ object Audit {
       .toDF("request_id", "req_max")
     val eff = greatest(lit(1), least(coalesce(col("req_max"), lit(10)), lit(100)))
     // the clamp cap (100) bounds the redrive, so take the oldest 100
-    // with a distributed TakeOrdered FIRST; the partition-less
-    // row_number window then sees <= 100 rows, not the full pending set
-    val w = Window.orderBy(col("ts"), col("event_id"))
+    // with a distributed TakeOrdered FIRST; the numbering window then
+    // sees <= 100 rows, not the full pending set. Its partition key is
+    // an explicit constant: a deliberate single-partition rank over
+    // the TakeOrdered-bounded page (never the unbounded input), which
+    // also keeps the "No Partition Defined" warning out of the logs.
+    val w = Window.partitionBy(lit(0)).orderBy(col("ts"), col("event_id"))
     val pending = dlqRedrivePending(spark, dir)
       .orderBy(col("ts"), col("event_id")).limit(100)
       .withColumn("rn", row_number().over(w))
@@ -183,7 +220,9 @@ object Audit {
       ("r_small", Option(7)), ("r_zero", Option(0)))
       .toDF("request_id", "req_limit")
     val eff = least(coalesce(col("req_limit"), lit(100)), lit(500))
-    val w = Window.orderBy(col("key"))
+    // constant partition key: rank runs over the 500-cap TakeOrdered
+    // page only — see dlqRedriveBatch for the rationale
+    val w = Window.partitionBy(lit(0)).orderBy(col("key"))
     val objs = Tables.events(spark, dir)
       .filter(Obs.tenant === "t1" && Obs.ingestDate === "2024-01-10")
       .select(
@@ -666,6 +705,7 @@ object Audit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_error_spikes" -> (errorSpikes _),
     "audit_retention_expiry" -> (retentionExpiry _),
+    "audit_purge_list" -> (purgeList _),
     "reprocess_replay_set" -> (replaySet _),
     "audit_heavy_hitters_sketch" -> (heavyHittersSketch _),
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
@@ -683,6 +723,7 @@ object Audit {
   val oracles: Map[String, String] = Map(
     "audit_error_spikes" -> errorSpikesSql,
     "audit_retention_expiry" -> retentionExpirySql,
+    "audit_purge_list" -> purgeListSql,
     "reprocess_replay_set" -> replaySetSql,
     "audit_heavy_hitters_sketch" -> heavyHittersSketchSql,
     "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,

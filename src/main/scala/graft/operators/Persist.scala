@@ -113,7 +113,15 @@ object Persist {
     * Scale: identical economics to D2 — ONE shuffle on the entity
     * key, window + agg within partitions; the tombstone filter is a
     * HAVING on the aggregated row, not a second pass. */
-  def tombstoneState(spark: SparkSession, dir: String): DataFrame = {
+  def tombstoneState(spark: SparkSession, dir: String): DataFrame =
+    opState(spark, dir).filter(col("last_op") === "put").drop("last_op")
+
+  /** Shared put/delete replay state: one row per entity with its full
+    * lineage (version counts EVERY applied op, deletes included) and
+    * the latest applied op — D9 serves the `last_op = put` slice,
+    * F10b's purge list the `delete` slice, so the two are provably a
+    * partition of the entity set (PipelineSpec asserts it). */
+  private[graft] def opState(spark: SparkSession, dir: String): DataFrame = {
     val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
     applied(spark, dir)
@@ -127,8 +135,6 @@ object Persist {
         max(when(col("latest_rn") === 1, col("op"))).as("last_op"),
         max(when(col("latest_rn") === 1, col("value"))).as("last_value"),
         max(when(col("latest_rn") === 1, col("ts"))).as("last_ts"))
-      .filter(col("last_op") === "put")
-      .drop("last_op")
   }
 
   def tombstoneStateSql: String =
@@ -420,6 +426,57 @@ object Persist {
       |    CAST(LEAD(ts, 1) OVER w AS TIMESTAMP) AS valid_to
       |  FROM meta_applied
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)""".stripMargin
+
+  /** Tombstone-aware profile history — [[profileHistory]] with D9's
+    * delete rule threaded through the profile-update stream: an
+    * applied signup whose event_id % 7 == 0 is a profile DELETE. A
+    * delete needs no special interval surgery — it is simply the next
+    * applied op, so the preceding put's `lead(ts)` closes that
+    * interval at the delete's time for free; the delete itself emits
+    * NO interval, leaving the span [delete.ts, next put.ts) with no
+    * current profile (E12 reads that gap as a NULL profile — the
+    * GDPR-deleted state). A later put resurrects the patient with the
+    * version lineage intact (profile_version numbers every applied
+    * op, deletes included). Same one-shuffle economics as D7. */
+  private[graft] def profileHistoryTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
+      .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
+      .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(7)) === 0, "delete").otherwise("put"))
+      .withColumn("profile_version", row_number().over(wSeq))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wSeq))
+      .filter(col("op") === "put")
+      .select(col("user_id"), col("profile_version"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
+  /** The tombstone-aware history in SQL — mirrors
+    * [[profileHistoryTombstoned]]; `profile_live` is the put-interval
+    * slice E12's oracle joins against. */
+  private[operators] def profileHistoryTombSqlCte: String =
+    """meta_applied AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts, event_id, 'ik' || (event_id % 5) AS ik,
+      |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) AS prev_ik
+      |    FROM events WHERE event_type = 'signup'
+      |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
+      |), profile_all_ops AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+      |    CAST(ROW_NUMBER() OVER w AS INT) AS profile_version,
+      |    CAST(ts AS TIMESTAMP) AS valid_from,
+      |    CAST(LEAD(ts, 1) OVER w AS TIMESTAMP) AS valid_to
+      |  FROM meta_applied
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), profile_live AS (
+      |  SELECT user_id, profile_version, valid_from, valid_to
+      |  FROM profile_all_ops WHERE op = 'put'
       |)""".stripMargin
 
   /** D5 `persist_patient_meta` — the patient-profile META row the

@@ -436,6 +436,49 @@ object QueryApi {
        |WHERE 't' || (e.user_id % 4) = '$tenant'
        |  AND e.event_type = '$code'""".stripMargin
 
+  /** E12 `api_profile_asof_del` — E10's point-in-time profile read
+    * made TOMBSTONE-AWARE: the history side is
+    * [[Persist.profileHistoryTombstoned]], where a D9 delete closes
+    * the open profile interval and contributes none of its own, so a
+    * probe landing in a deleted span finds NO containing interval.
+    * The join is LEFT so such probes surface with a NULL
+    * profile_version — the honest "we had deleted this patient's
+    * profile at that time" answer a GDPR audit asks for (E10's inner
+    * join would silently drop them). A later put resurrects the
+    * patient: probes after it enrich again, with lineage-preserving
+    * version numbers.
+    *
+    * Scale: identical plan shape to E10 — the containment predicate
+    * rides the user_id-equi SortMergeJoin over short per-patient
+    * chains; LEFT join changes the null-handling, not the shuffle
+    * economics. */
+  def profileAsOfDel(spark: SparkSession, dir: String,
+                     tenant: String = "t1", code: String = "purchase"): DataFrame = {
+    val hist = Persist.profileHistoryTombstoned(spark, dir)
+      .withColumnRenamed("user_id", "h_user")
+    val ev = Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("event_type") === code)
+    ev.join(hist,
+        ev("user_id") === hist("h_user") &&
+          ev("ts") >= hist("valid_from") &&
+          (hist("valid_to").isNull || ev("ts") < hist("valid_to")),
+        "left")
+      .select(Obs.tenant.as("tenant_id"), col("event_id"),
+        col("user_id").as("patient_id"), col("ts"), col("value"),
+        col("profile_version"), col("valid_from").as("profile_since"))
+  }
+
+  def profileAsOfDelSql(tenant: String = "t1", code: String = "purchase"): String =
+    s"""WITH ${Persist.profileHistoryTombSqlCte}
+       |SELECT 't' || (e.user_id % 4) AS tenant_id, e.event_id,
+       |  e.user_id AS patient_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+       |  h.profile_version, h.valid_from AS profile_since
+       |FROM events e LEFT JOIN profile_live h ON e.user_id = h.user_id
+       |  AND CAST(e.ts AS TIMESTAMP) >= h.valid_from
+       |  AND (h.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < h.valid_to)
+       |WHERE 't' || (e.user_id % 4) = '$tenant'
+       |  AND e.event_type = '$code'""".stripMargin
+
   /** E11 `api_patient_bundle` — the nested GraphQL read served as ONE
     * plan: schema.graphql's patient query resolves profile + latest
     * observation + a period's observation count through separate
@@ -556,6 +599,7 @@ object QueryApi {
     "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
     "api_obs_by_code" -> ((s, d) => obsByCode(s, d)),
     "api_profile_asof" -> ((s, d) => profileAsOf(s, d)),
+    "api_profile_asof_del" -> ((s, d) => profileAsOfDel(s, d)),
     "api_patient_bundle" -> ((s, d) => patientBundle(s, d)),
     // non-default instantiations — the library-call path the driver
     // oracle-checks with the SAME parameterized SQL builders
@@ -588,6 +632,7 @@ object QueryApi {
     "api_obs_asof_join" -> obsAsofJoinSql(),
     "api_obs_by_code" -> obsByCodeSql(),
     "api_profile_asof" -> profileAsOfSql(),
+    "api_profile_asof_del" -> profileAsOfDelSql(),
     "api_patient_bundle" -> patientBundleSql(),
     "param_get_patient" -> getPatientSql(tenant = "t3", patient = 11L),
     "param_obs_by_patient" -> obsByPatientSql(tenant = "t2",

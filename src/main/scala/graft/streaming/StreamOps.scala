@@ -87,7 +87,8 @@ object StreamOps {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Analytics.dsum(col("value")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
@@ -99,7 +100,8 @@ object StreamOps {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Analytics.dsum(col("value")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
@@ -335,6 +337,48 @@ object StreamOps {
     }
     state.update(st)
     UpsertOut(key._1, key._2, st.version, st.lastValue, toTs(st.lastTs), st.lastIk)
+  }
+
+  case class TombAgg(version: Long, nDeletes: Long, lastIk: String,
+      lastOp: String, lastTs: Long, lastValue: Double)
+
+  case class TombOut(user_id: Long, event_type: String, version: Long,
+      n_deletes: Long, last_value: Double, last_ts: Timestamp, present: Boolean)
+
+  /** D9 streaming — the tombstone twin: the DynamoDB-CDC consumer
+    * form of `persist_tombstone`. Per entity, state is the full
+    * lineage row (version over ALL applied ops, tombstone count, the
+    * stored idempotency key); each applied write folds in under the
+    * same conditional-write rule as [[upsertFn]], and the emitted row
+    * carries `present` = latest-op-is-a-put — a `present = false`
+    * emission IS the DeleteItem the serving-store consumer executes
+    * (the row leaves the store), while the STATE keeps the lineage so
+    * a later put resurrects the entity with its version history
+    * intact, exactly like the batch read view. StreamingSpec asserts
+    * the final present slice equals batch D9 and the final absent
+    * slice equals F10b's purge list. */
+  def tombstoneState(events: Dataset[Event], spark: SparkSession): Dataset[TombOut] = {
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(tombstoneFn)
+  }
+
+  private[streaming] def tombstoneFn(key: (Long, String), events: Iterator[Event],
+      state: GroupState[TombAgg]): TombOut = {
+    var st = state.getOption.getOrElse(
+      TombAgg(0L, 0L, null, null, Long.MinValue, 0.0))
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val ik = "ik" + (e.event_id % 5)
+      if (st.lastIk == null || ik != st.lastIk) {
+        val op = if (e.event_id % 7 == 0) "delete" else "put"
+        st = TombAgg(st.version + 1,
+          st.nDeletes + (if (op == "delete") 1L else 0L),
+          ik, op, us(e.ts), e.value)
+      }
+    }
+    state.update(st)
+    TombOut(key._1, key._2, st.version, st.nDeletes, st.lastValue,
+      toTs(st.lastTs), st.lastOp == "put")
   }
 
   case class Scd2State(version: Long, lastIk: String, fromTs: Long, value: Double)

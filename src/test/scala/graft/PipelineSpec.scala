@@ -229,6 +229,58 @@ class PipelineSpec extends SparkSpecBase {
     res.unpersist(): Unit
   }
 
+  test("E12 tombstoned profile read: post-delete probes carry NULL profile") {
+    import org.apache.spark.sql.functions._
+    val res = run("api_profile_asof_del").cache()
+    val live = run("api_profile_asof")
+    // LEFT join: every probe of the tenant+code slice survives, so E12
+    // is a superset of E10's inner-join row set
+    assert(res.count() >= live.count())
+    // enriched rows still obey containment
+    assert(res.filter(col("profile_version").isNotNull &&
+      col("ts") < col("profile_since")).count() == 0)
+    // the deletion witness: at least one probe has NULL profile while
+    // falling AFTER its patient's first applied profile write — the
+    // profile existed and was deleted, not merely never created
+    val firstWrite = operators.Persist.profileHistoryTombstoned(spark, sf)
+      .groupBy(col("user_id").as("patient_id"))
+      .agg(min(col("valid_from")).as("first_profile"))
+    val deletedSpanProbes = res.filter(col("profile_version").isNull)
+      .join(firstWrite, Seq("patient_id"))
+      .filter(col("ts") > col("first_profile"))
+    assert(deletedSpanProbes.count() > 0,
+      "synth produced no probe inside a deleted profile span")
+    // and no such probe is inside any live interval (re-check against
+    // the tombstoned history directly)
+    val hist = operators.Persist.profileHistoryTombstoned(spark, sf)
+      .withColumnRenamed("user_id", "patient_id")
+    val contradiction = res.filter(col("profile_version").isNull)
+      .join(hist, Seq("patient_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+    assert(contradiction.count() == 0,
+      "NULL-profile probe actually lies inside a live interval")
+    res.unpersist(): Unit
+  }
+
+  test("D9 + purge list partition the entity set; purge lineage matches D2") {
+    val served = run("persist_tombstone")
+      .select("user_id", "event_type")
+    val purged = run("audit_purge_list").cache()
+    val all = run("persist_upsert_version")
+      .select(col("user_id"), col("event_type"), col("version"))
+    // disjoint and exhaustive over the replayed entity set
+    assert(purged.join(served, Seq("user_id", "event_type"), "left_semi").count() == 0)
+    assert(served.count() + purged.count() == all.count())
+    assert(purged.count() > 0, "synth produced no tombstoned entity")
+    // purge rows carry D2's version lineage (count of ALL applied ops)
+    val j = purged.join(all.withColumnRenamed("version", "v_d2"),
+      Seq("user_id", "event_type"))
+    assert(j.count() == purged.count())
+    assert(j.filter(col("version") =!= col("v_d2")).count() == 0)
+    purged.unpersist(): Unit
+  }
+
   test("D4 as-of snapshot: a rollback of the full replay, never ahead of it") {
     val snap = run("persist_asof_snapshot")
     val full = run("persist_upsert_version")

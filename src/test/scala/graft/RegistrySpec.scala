@@ -106,7 +106,10 @@ class RegistrySpec extends SparkSpecBase {
     "api_obs_by_patient" -> 0,
     "api_obs_page_after" -> 0,
     "api_profile_asof" -> 1, // hist window; probe side rides the SMJ
+    "api_profile_asof_del" -> 1, // same shape, LEFT join
     "param_profile_asof" -> 1,
+    "persist_tombstone" -> 1, // applied window + agg share the entity exchange
+    "audit_purge_list" -> 1, // the complement slice of the same opState
     "api_patient_bundle" -> 3, // meta window + two 1-row attachments
     "param_patient_bundle" -> 3,
     "audit_error_spikes" -> 2, // hourly rollup + per-tenant trail window

@@ -43,10 +43,10 @@ class StreamingSpec extends SparkSpecBase {
     runStream(q, ms)
     val got = spark.table("s_tumbling")
       .filter(col("event_type") =!= "sentinel")
-      .select("window_start", "event_type", "n_events")
+      .select("window_start", "event_type", "n_events", "value_sum")
       .collect().map(_.toSeq).toSet
     val want = run("stream_tumbling_agg")
-      .select("window_start", "event_type", "n_events")
+      .select("window_start", "event_type", "n_events", "value_sum")
       .collect().map(_.toSeq).toSet
     assert(got == want)
   }
@@ -59,10 +59,10 @@ class StreamingSpec extends SparkSpecBase {
     runStream(q, ms)
     val got = spark.table("s_hopping")
       .filter(col("event_type") =!= "sentinel")
-      .select("window_start", "event_type", "n_events")
+      .select("window_start", "event_type", "n_events", "value_sum")
       .collect().map(_.toSeq).toSet
     val want = run("stream_hopping_agg")
-      .select("window_start", "event_type", "n_events")
+      .select("window_start", "event_type", "n_events", "value_sum")
       .collect().map(_.toSeq).toSet
     assert(got == want)
   }
@@ -430,6 +430,43 @@ class StreamingSpec extends SparkSpecBase {
         col("valid_from"), col("valid_to"))
       .collect().map(_.toSeq).toSet
     assert(got == want, "streaming SCD2 closes diverge from the batch history")
+  }
+
+  test("D9 streaming tombstone twin: present slice = batch view, absent slice = purge list") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tombstoneState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_tomb")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // update mode: one row per touched key per trigger; highest
+    // version = the final stored lineage
+    val fin = spark.table("s_tomb")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("version"), col("n_deletes"), col("last_ts"),
+        col("last_value"), col("present"))).as("s"))
+      .cache()
+    val got = fin.filter(col("s.present"))
+      .select(col("user_id"), col("event_type"), col("s.version"),
+        col("s.n_deletes"), col("s.last_value"), col("s.last_ts"))
+      .collect().map(_.toSeq).toSet
+    val want = run("persist_tombstone")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("n_deletes"), col("last_value"), col("last_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming tombstone read view diverges from batch D9")
+    // the final present=false emissions are the DeleteItem work list:
+    // exactly F10b's purge manifest, with the same lineage counters
+    val gotDel = fin.filter(!col("s.present"))
+      .select(col("user_id"), col("event_type"), col("s.version"),
+        col("s.n_deletes"), col("s.last_ts"))
+      .collect().map(_.toSeq).toSet
+    val wantDel = run("audit_purge_list")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("n_deletes"), col("deleted_at"))
+      .collect().map(_.toSeq).toSet
+    assert(gotDel == wantDel, "streaming delete emissions diverge from the purge list")
+    fin.unpersist()
   }
 
   test("L4 streaming user state converges to the batch rollup") {
