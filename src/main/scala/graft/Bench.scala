@@ -13,35 +13,54 @@ object Bench {
     // noop sink: materializes every row and column (count() would let
     // Catalyst prune computed columns away and under-measure).
     //
-    // Median of 3 runs per query: a single run under varying machine
-    // load showed 17x swings on unchanged code between rounds (r2/r3
-    // driver artifacts) — too noisy to gate regressions. The first
-    // run is reported separately so cold-cache cost stays visible
-    // without polluting the steady-state number.
+    // Median of 3 runs per query, reps INTERLEAVED round-robin: the
+    // full query list runs once per rep, not 3x back-to-back per
+    // query. Back-to-back reps let one co-tenant load burst hit all
+    // three samples of the same query — exactly how BENCH_r06's four
+    // slowest medians kept ambient-load pollution (the burst was
+    // shorter than a full 164-query pass but longer than 3 reps of
+    // one query). Round-robin spacing puts ~minutes between a query's
+    // samples, so a burst lands in at most one of them and the median
+    // filters it. The first rep is reported separately so cold-cache
+    // cost stays visible without polluting the steady-state number.
     val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    // canary: one fixed cheap query timed at the top of every rep; its
+    // spread across reps is a recorded measure of ambient machine load
+    // DURING the run (a quiet run shows a flat canary), so a polluted
+    // artifact is distinguishable from a real regression.
+    val canaryFn = SparkEntry.queries("q1_pricing_summary")
+    val canary = scala.collection.mutable.ListBuffer.empty[Double]
+    for (_ <- 1 to Reps) {
+      val c0 = System.nanoTime()
+      canaryFn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      canary += (System.nanoTime() - c0) / 1e9
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           if (!failed.contains(name)) failed += name
         }
-        (System.nanoTime() - t0) / 1e9
+        samples(name) :+= (System.nanoTime() - t0) / 1e9
       }
-      val median = times.sorted.apply(times.length / 2)
-      name -> (median, times.head)
-    }.toMap
+    }
     // a crashing query usually "finishes" fast — marking it in the
     // JSON keeps a failure from masquerading as a fast pass.
+    val results = samples.map { case (name, ts) =>
+      name -> (ts.sorted.apply(ts.length / 2), ts.head)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val firsts = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cn = canary.map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"canary_q1":$cn,"failed":$fl,"sf":"$sfDir"}""")
     // compact summary LAST: the driver's artifact keeps the tail of
     // stdout, and the full JSON above can exceed that window — r05's
     // artifact preserved only first-run numbers because `queries`
@@ -50,7 +69,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"summary":"medians","total_median_sec":$total,"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"summary":"medians","total_median_sec":$total,"n_queries":${results.size},"slowest":$slowest,"canary_q1":$cn,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
