@@ -28,6 +28,15 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps may arrive as µs isAdjustedToUTC=false;
+      // with NTZ inference OFF the scan reads them directly as
+      // session-TZ TIMESTAMP (UTC session → instant-preserving), so ts
+      // predicates push into the parquet scan and row-group stats
+      // still prune. Tables.load's per-column NTZ cast stays as a
+      // belt-and-braces fallback for externally built sessions, but a
+      // Cast-wrapped column defeats pushdown — this conf is the real
+      // path.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -66,6 +75,8 @@ object Engine {
     // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
     // reader rejects; read as raw nanos and convert in Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // keep ts predicates pushdown-able on NTZ-written data (see builder)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
