@@ -63,6 +63,52 @@ object Analytics {
       |WHERE l_shipdate <= TIMESTAMP '$shipdateMax'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** K1b `q1_incremental` — INCREMENTAL maintenance of the Q1
+    * pricing-summary materialized view, D6's base-⊕-tail mechanic
+    * applied to an additive aggregate: history up to a compaction
+    * cutoff folds into per-group PARTIAL states (decimal sums +
+    * counts — the mergeable form), the tail aggregates separately,
+    * and the served view is the merge of the two partial sets. All
+    * sums stay DECIMAL until after the final merge (decimal addition
+    * is exact and associative, so two-stage summation is bit-equal to
+    * one-stage; doubles would drift with the regrouping), and the
+    * averages are recomputed from merged sums — never averaged
+    * averages. The ORACLE is q1's full-scan SQL verbatim: the driver
+    * hash-proves merge(partial(base), partial(tail)) ≡ recompute.
+    * At 100 TB the base partials are a stored G-row table (G = group
+    * cardinality, here 6), so the nightly refresh costs one tail scan
+    * plus a G-row merge — cost tracks the increment, not the
+    * history. */
+  def q1Incremental(spark: SparkSession, dir: String,
+                    shipdateMax: String = "1999-09-02",
+                    cutoff: String = "1995-06-01"): DataFrame = {
+    val dec = DecimalType(18, 6)
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("p_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("p_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)).as("p_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(dec)).as("p_charge"),
+        sum(col("l_discount").cast(dec)).as("p_disc"),
+        count(lit(1)).as("p_n"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(shipdateMax).cast("timestamp"))
+    val base = partials(li.filter(col("l_shipdate") <= lit(cutoff).cast("timestamp")))
+    val tail = partials(li.filter(col("l_shipdate") > lit(cutoff).cast("timestamp")))
+    base.unionByName(tail)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_base")).cast("double").as("sum_base_price"),
+        sum(col("p_disc_price")).cast("double").as("sum_disc_price"),
+        sum(col("p_charge")).cast("double").as("sum_charge"),
+        (sum(col("p_qty")).cast("double") / sum(col("p_n"))).as("avg_qty"),
+        (sum(col("p_base")).cast("double") / sum(col("p_n"))).as("avg_price"),
+        (sum(col("p_disc")).cast("double") / sum(col("p_n"))).as("avg_disc"),
+        sum(col("p_n")).as("count_order"))
+  }
+
   /** K2 `q3_shipping_priority` — TPC-H Q3-style 3-way join + top-k.
     * Scale: customer is a dim -> broadcast; orders join lineitem
     * shuffles once on orderkey; top-k via ordered LIMIT (Spark
@@ -1079,6 +1125,7 @@ object Analytics {
     "k8_order_count_histogram" -> (k8OrderCountHistogram _),
     "k9_large_volume_orders" -> ((s, d) => k9LargeVolumeOrders(s, d)),
     "q1_pricing_summary" -> ((s, d) => q1PricingSummary(s, d)),
+    "q1_incremental" -> ((s, d) => q1Incremental(s, d)),
     "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
     "q5_join_chain" -> ((s, d) => q5JoinChain(s, d)),
     "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
@@ -1119,6 +1166,8 @@ object Analytics {
     "k8_order_count_histogram" -> k8Sql,
     "k9_large_volume_orders" -> k9Sql(),
     "q1_pricing_summary" -> q1Sql(),
+    // incremental maintenance must reproduce the full recompute bit-for-bit
+    "q1_incremental" -> q1Sql(),
     "q3_shipping_priority" -> q3Sql(),
     "q5_join_chain" -> q5Sql(),
     "q6_forecast_revenue" -> q6Sql(),

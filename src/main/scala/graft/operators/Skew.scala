@@ -71,9 +71,129 @@ object Skew {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** The service-routing dimension of the reference pipeline (the
+    * same mapping Audit.serviceCol encodes), as a literal 5-row dim —
+    * the canonical "small side you would broadcast, except the
+    * engine/table you inherited can't" salted-join fixture. */
+  private val ServiceDim = Seq(
+    ("signup", "ingest"), ("click", "ingest"), ("view", "ingest"),
+    ("purchase", "persist"), ("error", "dlq"))
+
+  /** N5 `skew_salted_join` — the salted JOIN served end-to-end:
+    * events (big side, 5 hot keys across the whole table — the
+    * low-cardinality key shape that melts one reducer per key) joined
+    * to the service dim through [[saltedJoin]] with a MERGE hint, so
+    * the plan is a genuine SortMergeJoin on (event_type, __salt): a
+    * hot key spreads over n=16 reducers instead of one. This is the
+    * fallback for when broadcasting is impossible (pre-stats plans,
+    * oversized "small" sides, engines without BHJ) — AQE splits
+    * skewed SMJ partitions only AFTER a stage materializes; salting
+    * fixes the key layout in the plan itself. Result is rolled up per
+    * service (decimal-routed sum), hash-equal to the unsalted join
+    * the oracle computes. */
+  def saltedJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+    val dim = ServiceDim.toDF("event_type", "service").hint("merge")
+    saltedJoin(ev, dim, "event_type", 16)
+      .groupBy(col("service"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("total_value"))
+  }
+
+  def saltedJoinRollupSql: String =
+    """WITH dim(event_type, service) AS (
+      |  VALUES ('signup','ingest'), ('click','ingest'), ('view','ingest'),
+      |         ('purchase','persist'), ('error','dlq')
+      |)
+      |SELECT service, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1""".stripMargin
+
+  /** Bounded alert/maintenance windows — an API-contract request set
+    * (like F6/F7's reqs): id, [start, end). Deliberately includes a
+    * midnight-crossing window, a multi-day window, an empty window,
+    * a one-second window, and two OVERLAPPING windows (an event can
+    * match both w6 and w7). */
+  private val Windows = Seq(
+    ("w1", "2024-01-03 06:30:00", "2024-01-03 11:15:00"),
+    ("w2", "2024-01-07 22:00:00", "2024-01-08 03:45:00"),
+    ("w3", "2024-01-12 00:00:00", "2024-01-12 00:00:00"),
+    ("w4", "2024-01-15 10:00:00", "2024-01-17 10:00:00"),
+    ("w5", "2024-01-20 13:05:00", "2024-01-20 13:05:01"),
+    ("w6", "2024-01-25 00:00:00", "2024-02-05 00:00:00"),
+    ("w7", "2024-01-26 12:00:00", "2024-01-27 12:00:00"))
+
+  /** N6 `range_bin_join` — point-in-interval join with NO equi key,
+    * executed as an EQUI join via interval binning: each window
+    * explodes into the 1-hour buckets it covers (`sequence` +
+    * `explode`, map-side), each event carries its single bucket
+    * (`date_trunc`), the join key is the bucket, and the original
+    * range predicate stays as a residual filter. The naive plan for
+    * this query is a BroadcastNestedLoopJoin that compares EVERY
+    * event to EVERY window — fine at 7 windows, fatal when the
+    * interval side scales (IP-range tables, session windows, outage
+    * calendars); the binned form is what Databricks' range-join hint
+    * and Flink's interval join do under the hood, and it scales as
+    * events × 1 bucket each, windows × covered-buckets each, both
+    * hash-partitioned. An event matching two overlapping windows
+    * appears once per window (bucket equality is exact — an
+    * (event, window) pair shares exactly one bucket, so binning
+    * introduces no duplicates); RegistrySpec proves the plan has no
+    * BNLJ, SkewSpec proves row equality with the naive form. */
+  def rangeBinJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = Windows.toDF("window_id", "w_start_s", "w_end_s")
+      .select(col("window_id"),
+        col("w_start_s").cast("timestamp").as("w_start"),
+        col("w_end_s").cast("timestamp").as("w_end"))
+      // covered hour buckets; sequence is inclusive so the bucket of
+      // (w_end - 1µs) is the last — an exactly-on-the-hour exclusive
+      // end contributes no extra bucket, and an empty window (start =
+      // end) explodes to one bucket the residual filter then empties
+      .withColumn("bucket", explode(sequence(
+        date_trunc("hour", col("w_start")),
+        date_trunc("hour", greatest(col("w_start"),
+          col("w_end") - expr("INTERVAL 1 MICROSECOND"))),
+        expr("INTERVAL 1 HOUR"))))
+    Tables.events(spark, dir)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .join(win, Seq("bucket"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("window_id"), col("event_id"), col("user_id"),
+        col("ts"), col("value"))
+  }
+
+  def rangeBinJoinSql: String = {
+    val values = Windows.map { case (id, s, e) =>
+      s"('$id', TIMESTAMP '$s', TIMESTAMP '$e')"
+    }.mkString(", ")
+    s"""WITH win(window_id, w_start, w_end) AS (VALUES $values)
+       |SELECT window_id, event_id, user_id,
+       |  CAST(ts AS TIMESTAMP) AS ts, value
+       |FROM events e JOIN win w
+       |  ON CAST(e.ts AS TIMESTAMP) >= w.w_start
+       | AND CAST(e.ts AS TIMESTAMP) <  w.w_end""".stripMargin
+  }
+
+  /** Exposed for SkewSpec's naive-form equality check. */
+  private[graft] def windowsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Windows.toDF("window_id", "w_start_s", "w_end_s")
+      .select(col("window_id"),
+        col("w_start_s").cast("timestamp").as("w_start"),
+        col("w_end_s").cast("timestamp").as("w_end"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "skew_salted_rollup" -> (saltedRollup _))
+    "skew_salted_rollup" -> (saltedRollup _),
+    "skew_salted_join" -> (saltedJoinRollup _),
+    "range_bin_join" -> (rangeBinJoin _))
 
   val oracles: Map[String, String] = Map(
-    "skew_salted_rollup" -> saltedRollupSql)
+    "skew_salted_rollup" -> saltedRollupSql,
+    "skew_salted_join" -> saltedJoinRollupSql,
+    "range_bin_join" -> rangeBinJoinSql)
 }

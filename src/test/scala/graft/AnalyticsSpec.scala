@@ -13,6 +13,21 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(total == expected)
   }
 
+  test("K1b incremental q1: merged partials equal the full recompute, both segments contribute") {
+    val inc = run("q1_incremental")
+    val full = run("q1_pricing_summary")
+    assert(inc.count() == full.count())
+    // exact equality incl. the decimal-routed doubles: two-stage
+    // decimal summation must be bit-equal to one-stage
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    // the cutoff genuinely splits the data — the merge is exercised,
+    // not degenerate
+    val li = Tables.lineitem(spark, sf)
+    val cut = lit("1995-06-01").cast("timestamp")
+    assert(li.filter(col("l_shipdate") <= cut).count() > 0)
+    assert(li.filter(col("l_shipdate") > cut).count() > 0)
+  }
+
   test("k6 plan: per-nation winner is an aggregate, not a 25-key window") {
     val df = run("k6_top_customer_per_nation")
     val p = executedPlan(df).toString

@@ -214,7 +214,10 @@ class RegistrySpec extends SparkSpecBase {
     "persist_upsert_bucketed" -> 0,
     "persist_upsert_version" -> 1,
     "pipeline_end_to_end" -> 1,
+    "q1_incremental" -> 3, // base partials + tail partials + merge
     "q1_pricing_summary" -> 1,
+    "range_bin_join" -> 0, // bucket-equi BHJ against the exploded windows
+    "skew_salted_join" -> 3, // both SMJ sides on (key, salt) + rollup
     "q3_shipping_priority" -> 1,
     "q5_join_chain" -> 1,
     "q6_forecast_revenue" -> 1,

@@ -39,6 +39,38 @@ class SkewSpec extends SparkSpecBase {
       "phase-1 shuffle must be keyed by (key, __salt)")
   }
 
+  test("N5 served salted join: plan is a salted SortMergeJoin, result matches") {
+    val df = run("skew_salted_join")
+    val nodes = flattenPlan(executedPlan(df))
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "MERGE hint must keep the join a SortMergeJoin")
+    assert(smj.exists(_.leftKeys.map(_.toString).exists(_.contains("__salt"))),
+      "SMJ keys must include the salt")
+    // every event routes to exactly one service: totals conserve
+    assert(df.agg(sum("n")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("N6 range bin join equals the naive non-equi join, incl. overlap multi-match") {
+    val binned = run("range_bin_join").cache()
+    val naive = Tables.events(spark, sf)
+      .crossJoin(broadcast(operators.Skew.windowsDf(spark)))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("window_id", "event_id", "user_id", "ts", "value")
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    // the overlapping windows really produce multi-matches: some event
+    // appears under both w6 and w7
+    val multi = binned.groupBy("event_id").agg(countDistinct("window_id").as("nw"))
+      .filter(col("nw") >= 2)
+    assert(multi.count() > 0, "no event matched two overlapping windows")
+    // the empty window yields nothing
+    assert(binned.filter(col("window_id") === "w3").count() == 0)
+    binned.unpersist(): Unit
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = skewed.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
