@@ -176,7 +176,8 @@ object Audit {
     // an explicit constant: a deliberate single-partition rank over
     // the TakeOrdered-bounded page (never the unbounded input), which
     // also keeps the "No Partition Defined" warning out of the logs.
-    val w = Window.partitionBy(lit(0)).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(Obs.onePart(col("event_id")))
+      .orderBy(col("ts"), col("event_id"))
     val pending = dlqRedrivePending(spark, dir)
       .orderBy(col("ts"), col("event_id")).limit(100)
       .withColumn("rn", row_number().over(w))
@@ -222,7 +223,7 @@ object Audit {
     val eff = least(coalesce(col("req_limit"), lit(100)), lit(500))
     // constant partition key: rank runs over the 500-cap TakeOrdered
     // page only — see dlqRedriveBatch for the rationale
-    val w = Window.partitionBy(lit(0)).orderBy(col("key"))
+    val w = Window.partitionBy(Obs.onePart(col("key"))).orderBy(col("key"))
     val objs = Tables.events(spark, dir)
       .filter(Obs.tenant === "t1" && Obs.ingestDate === "2024-01-10")
       .select(

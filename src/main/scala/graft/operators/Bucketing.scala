@@ -194,6 +194,7 @@ object Bucketing {
         hour(col("ts")).as("audit_hour"))
       .agg(count(lit(1)).as("n_events"))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Obs.onePart(col("tenant_id"))) // manifest rows, metadata-only
       .orderBy(col("n_events").desc, col("tenant_id"), col("audit_date"),
         col("audit_hour"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -193,7 +193,9 @@ object Corpus {
       .withColumn("block", floor(col("doc_id") / lit(PackBlock)).cast("long"))
     val blockTotals = docs.groupBy(col("block"))
       .agg(sum(col("n_tokens")).as("block_total"))
-    val wBlocks = Window.orderBy(col("block"))
+    // metadata-scale global scan: n/PackBlock block-total rows through
+    // one deliberate partition (constant key), never the documents
+    val wBlocks = Window.partitionBy(Obs.onePart(col("block"))).orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val blockOffsets = blockTotals
       .select(col("block"),
@@ -504,7 +506,8 @@ object Corpus {
         least(floor(col("quality") * QBuckets).cast("int"), lit(QBuckets - 1)))
     val bucketTotals = base.groupBy(col("qb"))
       .agg(sum(col("n_tokens")).as("b_total"))
-    val wBuckets = Window.orderBy(col("qb").desc)
+    val wBuckets = Window.partitionBy(Obs.onePart(col("qb")))
+      .orderBy(col("qb").desc) // QBuckets rows
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketOffsets = bucketTotals
       .select(col("qb"),

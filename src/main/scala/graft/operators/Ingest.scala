@@ -25,6 +25,16 @@ object Obs {
     * Spark and DuckDB (raw double-to-string does not: 1e7 formats
     * differently per engine). */
   def valueCanon: Column = col("value").cast(DecimalType(18, 2)).cast("string")
+
+  /** Deliberate single-partition window key for ranking a BOUNDED set
+    * (a TakeOrdered page, a metadata manifest): always 0, but NOT
+    * foldable — a literal partition key is stripped by the optimizer
+    * (EliminateWindowPartitions), reverting the window to
+    * partition-less and re-triggering the "No Partition Defined"
+    * warning this exists to retire. Evaluates per-row as pmod(hash, 1)
+    * = 0; the input is bounded by construction wherever this is used,
+    * so one partition is the design, not an accident. */
+  def onePart(c: Column): Column = pmod(hash(c), lit(1))
 }
 
 /** Ingest/envelope semantics (reference: services/ingest/handler.ts).

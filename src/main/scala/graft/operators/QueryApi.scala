@@ -252,9 +252,12 @@ object QueryApi {
     val eff = least(lit(100),
       greatest(lit(1), coalesce(nullif(col("req_limit"), lit(0)), lit(25))))
     // the clamp cap (100) bounds every page, so take the top-100 with
-    // a distributed TakeOrdered FIRST; the partition-less row_number
-    // window then only ever sees <= 100 rows, never the full scan
-    val w = Window.orderBy(col("ts"), col("event_id"))
+    // a distributed TakeOrdered FIRST; the numbering window then only
+    // ever sees <= 100 rows, never the full scan — its constant
+    // partition key says so explicitly (single-partition by design,
+    // bounded by the preceding TakeOrdered)
+    val w = Window.partitionBy(Obs.onePart(col("event_id")))
+      .orderBy(col("ts"), col("event_id"))
     val page = Tables.events(spark, dir)
       .filter(tenantPred(tenant) && col("user_id") === patient)
       .select(col("event_id"), col("ts"), col("value"))

@@ -1157,7 +1157,10 @@ object Similarity {
         lit(null).cast("int").as("vec_rank"))
     val emb = quantized(spark, dir)
     val q = emb.filter(col("vec_id") === qid).select(col("qvec").as("qq"))
-    val wv = Window.orderBy(col("dot").desc, col("vec_id"))
+    // constant partition key: ranks run over TakeOrdered-bounded sets
+    // (depth rows / k rows), single-partition by design
+    val wv = Window.partitionBy(Obs.onePart(col("vec_id")))
+      .orderBy(col("dot").desc, col("vec_id"))
     val vec = emb.filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
@@ -1165,7 +1168,8 @@ object Similarity {
       .withColumn("vec_rank", row_number().over(wv))
       .select(col("vec_id").as("id"), lit(null).cast("int").as("lex_rank"),
         col("vec_rank"))
-    val wr = Window.orderBy(col("rrf").desc, col("id"))
+    val wr = Window.partitionBy(Obs.onePart(col("id")))
+      .orderBy(col("rrf").desc, col("id"))
     lex.unionByName(vec)
       .groupBy(col("id"))
       .agg(max(col("lex_rank")).as("lex_rank"), max(col("vec_rank")).as("vec_rank"))

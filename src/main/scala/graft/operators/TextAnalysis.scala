@@ -440,6 +440,7 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(BpeTopK)
     top.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(Obs.onePart(col("pair"))) // BpeTopK rows by construction
           .orderBy(col("cnt").desc, col("pair"))))
       .select(col("rank"), col("pair"), col("cnt"))
   }
@@ -670,6 +671,7 @@ object TextAnalysis {
         .otherwise(lit(java.math.BigDecimal.ZERO).cast(dec))
     }
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Obs.onePart(col("doc_id"))) // k rows (TakeOrdered below)
       .orderBy(col("score").desc, col("doc_id"))
     perDoc.crossJoin(broadcast(stats))
       .withColumn("avg_len", col("total_len").cast("double") / col("n_docs"))
