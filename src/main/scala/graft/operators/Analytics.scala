@@ -83,8 +83,15 @@ object Analytics {
                     shipdateMax: String = "1999-09-02",
                     cutoff: String = "1995-06-01"): DataFrame = {
     val dec = DecimalType(18, 6)
-    def partials(df: DataFrame): DataFrame = df
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
+    // ONE scan: the segment flag (base vs tail of the cutoff) is just
+    // another grouping key for the partial pass, so the partial table
+    // is built exactly as a stored-base + daily-tail pipeline would
+    // see it (one partial row per group per segment) without paying a
+    // second lineitem read here
+    val partials = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(shipdateMax).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        (col("l_shipdate") <= lit(cutoff).cast("timestamp")).as("seg_base"))
       .agg(
         sum(col("l_quantity").cast(dec)).as("p_qty"),
         sum(col("l_extendedprice").cast(dec)).as("p_base"),
@@ -92,11 +99,7 @@ object Analytics {
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(dec)).as("p_charge"),
         sum(col("l_discount").cast(dec)).as("p_disc"),
         count(lit(1)).as("p_n"))
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit(shipdateMax).cast("timestamp"))
-    val base = partials(li.filter(col("l_shipdate") <= lit(cutoff).cast("timestamp")))
-    val tail = partials(li.filter(col("l_shipdate") > lit(cutoff).cast("timestamp")))
-    base.unionByName(tail)
+    partials
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("p_qty")).cast("double").as("sum_qty"),
