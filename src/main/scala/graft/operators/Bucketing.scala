@@ -169,6 +169,59 @@ object Bucketing {
        |FROM zed GROUP BY 1""".stripMargin
   }
 
+  /** The N3b predicate box: a band in each z dimension. */
+  private val SkipULo = 4L; private val SkipUHi = 9L
+  private val SkipMLo = 60L; private val SkipMHi = 90L
+
+  /** N3b `store_skipping_read` — the manifest CONSULT that makes N3's
+    * layout pay off: a two-dimensional predicate box
+    * (user ∈ [4,9], minute-bucket ∈ [60,90] — non-empty at every SF) first prunes the
+    * z-order manifest to the files whose min/max RECTANGLE intersects
+    * the box, and only rows of surviving files are read (modeled as a
+    * broadcast semi-join on file_id — on a real table the planner
+    * simply never opens the skipped files), with the original
+    * predicate kept as the residual filter for the false-positive
+    * corners of partially-overlapping rectangles. Because every
+    * z-file spans ≤ 31 cells in EACH dim (N3's rectangle law), a
+    * box predicate on EITHER dimension prunes — the property a
+    * lexicographic sort only gives its leading column. The ORACLE is
+    * the plain full-scan filter: hash equality proves the manifest
+    * never skips a file it needed (pruning soundness); BucketingSpec
+    * additionally asserts the consult really skips files
+    * (effectiveness). */
+  def skippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val files = zorderLayout(spark, dir)
+      .filter(col("u_max") >= SkipULo && col("u_min") <= SkipUHi &&
+        col("m_max") >= SkipMLo && col("m_min") <= SkipMHi)
+      .select(col("file_id"))
+    Tables.events(spark, dir)
+      .withColumn("zu", pmod(col("user_id"), lit(256L)))
+      .withColumn("zm",
+        floor((hour(col("ts")) * 60 + minute(col("ts"))) / lit(6)).cast("long"))
+      .withColumn("zval", expr(zTermsSql("zu", "zm")))
+      .withColumn("file_id", shiftright(col("zval"), ZFileShift))
+      .join(broadcast(files), Seq("file_id"))
+      .filter(col("zu").between(SkipULo, SkipUHi) &&
+        col("zm").between(SkipMLo, SkipMHi))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("zu"), col("zm"))
+  }
+
+  /** Exposed for BucketingSpec's effectiveness assertion. */
+  private[graft] def skippingFiles(spark: SparkSession, dir: String): DataFrame =
+    zorderLayout(spark, dir)
+      .filter(col("u_max") >= SkipULo && col("u_min") <= SkipUHi &&
+        col("m_max") >= SkipMLo && col("m_min") <= SkipMHi)
+
+  def skippingReadSql: String =
+    s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |  user_id % 256 AS zu,
+       |  (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) // 6 AS zm
+       |FROM events
+       |WHERE user_id % 256 BETWEEN $SkipULo AND $SkipUHi
+       |  AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) // 6
+       |      BETWEEN $SkipMLo AND $SkipMHi""".stripMargin
+
   /** Target rows per compacted file (size proxy: the inventory's row
     * counts; a real table would carry byte sizes). */
   private val CompactTarget = 500L
@@ -226,10 +279,12 @@ object Bucketing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_partition_prune" -> (partitionPrune _),
     "store_zorder_layout" -> (zorderLayout _),
+    "store_skipping_read" -> (skippingRead _),
     "store_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
     "store_partition_prune" -> partitionPruneSql,
     "store_zorder_layout" -> zorderLayoutSql,
+    "store_skipping_read" -> skippingReadSql,
     "store_compaction_plan" -> compactionPlanSql)
 }

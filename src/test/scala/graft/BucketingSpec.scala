@@ -93,6 +93,28 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("N3b skipping read: consult really skips files, result matches the full-scan filter") {
+    val res = run("store_skipping_read").cache()
+    assert(res.count() > 0)
+    // effectiveness: the predicate box selects a strict subset of the
+    // manifest — the consult skips files (the oracle separately proves
+    // soundness: no needed file was skipped)
+    val allFiles = run("store_zorder_layout").count()
+    val kept = operators.Bucketing.skippingFiles(spark, sf).count()
+    assert(kept > 0 && kept < allFiles,
+      s"consult kept $kept of $allFiles files — no skipping happened")
+    // soundness recheck in-engine: identical rows to the naive filter
+    val naive = Tables.events(spark, sf)
+      .withColumn("zu", pmod(col("user_id"), lit(256L)))
+      .withColumn("zm",
+        floor((hour(col("ts")) * 60 + minute(col("ts"))) / lit(6)).cast("long"))
+      .filter(col("zu").between(4, 9) && col("zm").between(60, 90))
+      .select("event_id", "user_id", "ts", "value", "zu", "zm")
+    assert(res.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(res).count() == 0)
+    res.unpersist(): Unit
+  }
+
   test("aggregation on the bucket key needs no exchange") {
     val agg = spark.table("events_bucketed")
       .groupBy("user_id").agg(sum("value").as("total"))

@@ -217,6 +217,7 @@ class RegistrySpec extends SparkSpecBase {
     "q1_incremental" -> 3, // base partials + tail partials + merge
     "q1_pricing_summary" -> 1,
     "range_bin_join" -> 0, // bucket-equi BHJ against the exploded windows
+    "store_skipping_read" -> 1, // manifest rollup; file consult broadcasts
     "skew_salted_join" -> 3, // both SMJ sides on (key, salt) + rollup
     "q3_shipping_priority" -> 1,
     "q5_join_chain" -> 1,
