@@ -562,6 +562,78 @@ object Audit {
       |  TRUE AS sketch_p99_in_band
       |FROM events GROUP BY 1""".stripMargin
 
+  /** F16 `audit_exp_histogram` — per-service latency quantiles served
+    * from a MERGEABLE exponential histogram (an OpenTelemetry
+    * scale-0 exponential histogram / coarse DDSketch): bucket k holds
+    * durations in [2^(k-1), 2^k), computed as the BIT LENGTH of the
+    * integer millisecond value (`length(bin(ms))`) — pure integer
+    * arithmetic that replays bit-identically in DuckDB, where a
+    * log-gamma mapping would hash-drift at bucket boundaries. The
+    * histogram is the mergeable store (counts add across days/shards/
+    * tenants, F15's discipline applied to latency); the served
+    * quantile estimate is the lower bound of the bucket where the
+    * cumulative count crosses ceil(p·n), with integer rank arithmetic
+    * ((n·95+99) div 100) on both engines. Relative error is bounded
+    * by the bucket base (2x worst case at scale 0 — a production
+    * deployment raises the scale; the mechanics are identical), and
+    * F11's exact/GK pair stays the precision tier beside it.
+    * Scale: one shuffle on (service, bucket), then a service-keyed
+    * window over ≤14 bucket rows — sketch-sized state, never row
+    * state; the raw durations are never shuffled. */
+  def expHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val dur = ((col("event_id") * 7919 + col("user_id") * 104729) % 5000)
+    val bucket = when(dur === 0, lit(0))
+      .otherwise(length(bin(dur.cast("long")))).cast("int")
+    val hist = Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_bucket"))
+    val wCum = Window.partitionBy(col("service")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("service"))
+    def rank(pct: Int) = expr(s"(total * $pct + 99) div 100") // integer ceil(p*n)
+    def estAt(pct: Int) = min(when(col("cum") >= rank(pct),
+      when(col("bucket") === 0, 0L)
+        .otherwise(expr("shiftleft(1L, bucket - 1)"))))
+    hist
+      .withColumn("cum", sum(col("n_bucket")).over(wCum))
+      .withColumn("total", sum(col("n_bucket")).over(wAll))
+      .groupBy(col("service"))
+      .agg(max(col("total")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        estAt(50).as("p50_est"), estAt(95).as("p95_est"),
+        estAt(99).as("p99_est"))
+  }
+
+  def expHistogramSql: String =
+    s"""WITH d AS (
+       |  SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+       |              WHEN event_type = 'purchase' THEN 'persist'
+       |              ELSE 'dlq' END AS service,
+       |    CAST((event_id * 7919 + user_id * 104729) % 5000 AS BIGINT) AS dur
+       |  FROM events
+       |), h AS (
+       |  SELECT service,
+       |    CASE WHEN dur = 0 THEN 0 ELSE length(bin(dur)) END AS bucket,
+       |    COUNT(*) AS n_bucket
+       |  FROM d GROUP BY 1, 2
+       |), c AS (
+       |  SELECT service, bucket, n_bucket,
+       |    SUM(n_bucket) OVER (PARTITION BY service ORDER BY bucket) AS cum,
+       |    SUM(n_bucket) OVER (PARTITION BY service) AS total
+       |  FROM h
+       |)
+       |SELECT service, CAST(MAX(total) AS BIGINT) AS n,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN
+       |    CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END END) AS BIGINT)
+       |    AS p50_est,
+       |  CAST(MIN(CASE WHEN cum >= (total * 95 + 99) // 100 THEN
+       |    CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END END) AS BIGINT)
+       |    AS p95_est,
+       |  CAST(MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN
+       |    CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END END) AS BIGINT)
+       |    AS p99_est
+       |FROM c GROUP BY service""".stripMargin
+
   /** F9 raw sketch output — HyperLogLog++ distinct users per service
     * next to the exact count. Exact distinct shuffles every key; the
     * sketch is constant-size and mergeable — the scale path for
@@ -711,6 +783,7 @@ object Audit {
     "audit_heavy_hitters_sketch" -> (heavyHittersSketch _),
     "audit_value_quantiles_sketch" -> (valueQuantilesSketch _),
     "audit_latency_quantiles" -> (latencyQuantiles _),
+    "audit_exp_histogram" -> (expHistogram _),
     "audit_distinct_users_sketch" -> (distinctUsersSketch _),
     "audit_hll_sketch_store" -> (hllSketchStore _),
     "audit_partition_counts" -> (partitionCounts _),
@@ -729,6 +802,7 @@ object Audit {
     "audit_heavy_hitters_sketch" -> heavyHittersSketchSql,
     "audit_value_quantiles_sketch" -> valueQuantilesSketchSql,
     "audit_latency_quantiles" -> latencyQuantilesSql,
+    "audit_exp_histogram" -> expHistogramSql,
     "audit_distinct_users_sketch" -> distinctUsersSketchSql,
     "audit_hll_sketch_store" -> hllSketchStoreSql,
     "audit_partition_counts" -> partitionCountsSql,

@@ -395,6 +395,27 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("F16 exponential histogram: estimates bracket the exact quantiles by the bucket law") {
+    val exact = run("audit_latency_quantiles").collect()
+      .map(r => r.getAs[String]("service") -> r).toMap
+    val rows = run("audit_exp_histogram").collect()
+    assert(rows.length == 3, "one row per service")
+    rows.foreach { r =>
+      val e = exact(r.getAs[String]("service"))
+      assert(r.getAs[Long]("n") == e.getAs[Long]("n"))
+      // scale-0 bucket law: the exact quantile lies in the estimate's
+      // bucket [est, 2*est) (or both are 0) — percentile_disc and the
+      // histogram walk share the ceil(p*n) rank convention
+      Seq(("p50_est", "p50_ms"), ("p95_est", "p95_ms"), ("p99_est", "p99_ms"))
+        .foreach { case (est, ex) =>
+          val (ev, hv) = (e.getAs[Double](ex), r.getAs[Long](est))
+          if (hv == 0L) assert(ev == 0.0, s"$est=0 but exact $ex=$ev")
+          else assert(hv <= ev && ev < 2 * hv,
+            s"${r.getAs[String]("service")} $est=$hv does not bracket exact $ex=$ev")
+        }
+    }
+  }
+
   test("F15 hll sketch store: merged day-sketches agree with exact within 5%") {
     val rows = operators.Audit.hllSketchStoreRaw(spark, sf).collect()
     assert(rows.length == 4, "one row per tenant")

@@ -121,6 +121,7 @@ class RegistrySpec extends SparkSpecBase {
     "audit_hll_sketch_store" -> 4, // day-sketch agg + tenant merge + exact twin + join
     "store_compaction_plan" -> 3, // manifest agg + metadata-only global cumsum + bin agg
     "audit_heavy_hitters_sketch" -> 2,
+    "audit_exp_histogram" -> 2, // (service,bucket) agg + service window
     "audit_latency_quantiles" -> 1,
     "audit_list_page" -> 0,
     "audit_metric_counts" -> 1,
