@@ -310,6 +310,59 @@ object Corpus {
        |FROM byLang CROSS JOIN tot""".stripMargin
   }
 
+  /** Sampling temperature of the M12 mix (T5/mT5 use α ≈ 0.3). */
+  private val MixAlpha = 0.3
+
+  /** M12 `corpus_temperature_mix` — temperature-scaled language
+    * sampling (Raffel et al. T5 / Xue et al. mT5, public): sample
+    * language l with q_l ∝ p_l^α instead of its natural share p_l, so
+    * low-resource languages are upsampled (α→0 is uniform, α=1 is
+    * natural) without hand-tuning the per-language targets M6 needs.
+    * Serves p, q, and the effective upsampling factor q/p per
+    * language. Cross-engine: p divides exact integers; p^α and the
+    * normalization are IEEE doubles rounded to 6 dp (the I6/M6
+    * discipline). Scale: one groupBy to #langs rows, then two 1-row
+    * broadcast attachments — the corpus is scanned once. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(nonEmptyToks).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = byLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    val withP = byLang.crossJoin(broadcast(total))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("pw", pow(col("p"), MixAlpha))
+    val z = withP.agg(sum(col("pw")).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("natural_share"),
+        round(col("pw") / col("z"), 6).as("temperature_share"),
+        round(col("pw") / col("z") / col("p"), 6).as("upsample_factor"))
+  }
+
+  def temperatureMixSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks
+       |  FROM documents
+       |), byLang AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM byLang),
+       |p AS (
+       |  SELECT lang, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p,
+       |    POW(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), $MixAlpha)
+       |      AS pw
+       |  FROM byLang CROSS JOIN tot
+       |), zt AS (SELECT SUM(pw) AS z FROM p)
+       |SELECT lang, n_docs, n_tokens,
+       |  ROUND(p, 6) AS natural_share,
+       |  ROUND(pw / z, 6) AS temperature_share,
+       |  ROUND(pw / z / p, 6) AS upsample_factor
+       |FROM p CROSS JOIN zt""".stripMargin
+
   // ---------------------------------------------------------------- M7
   /** M7 `corpus_resample` — materialize the M6 mix: every doc is
     * emitted floor(weight) times, plus one more with probability
@@ -554,7 +607,8 @@ object Corpus {
     "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_pack" -> (pack _),
     "corpus_source_cap" -> (sourceCap _),
-    "corpus_mix_weights" -> (mixWeights _))
+    "corpus_mix_weights" -> (mixWeights _),
+    "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "corpus_token_budget" -> tokenBudgetSql,
@@ -564,6 +618,7 @@ object Corpus {
     "corpus_resample" -> resampleSql,
     "corpus_source_cap" -> sourceCapSql,
     "corpus_mix_weights" -> mixWeightsSql,
+    "corpus_temperature_mix" -> temperatureMixSql,
     "corpus_pii_redact" -> piiRedactSql,
     "corpus_chunk" -> chunkSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,

@@ -584,6 +584,106 @@ object TextAnalysis {
       |CROSS JOIN voc
       |GROUP BY doc_id""".stripMargin
 
+  /** Backoff discount of the stupid-backoff scorer (Brants et al.
+    * 2007 use 0.4 uniformly — "stupid" because it never normalizes). */
+  private val BackoffAlpha = 0.4
+
+  /** I14 `text_stupid_backoff` — stupid-backoff LM scoring (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale scheme that made KN smoothing optional at Google
+    * scale): score a doc's bigrams against the PRUNED I10 model;
+    * where the bigram survives pruning S = c(w1w2)/c(w1), otherwise
+    * back off to the discounted unigram S = 0.4 · c(w2)/N. No
+    * normalization (scores, not probabilities) — which is exactly
+    * what makes it embarrassingly parallel: every term is a count
+    * ratio, no per-context renormalization pass. Doc score = mean of
+    * -ln S over its bigrams (I6's round-6dp-then-decimal-sum
+    * discipline), plus the backoff rate — the fraction of bigrams
+    * that fell through to the unigram, a model-coverage diagnostic.
+    * Scale: pruned-model and unigram joins are keyed and AQE-sized
+    * (never a broadcast of the unbounded model); the 1-row corpus
+    * total broadcasts. */
+  def stupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docBigr = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val model = bigramLm(spark, dir)
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_ctx"))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(nonEmptyToks).as("token"))
+    val uni = toks.groupBy(col("token").as("w2")).agg(count(lit(1)).as("c_uni"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val s = when(col("c_bigram").isNotNull,
+        col("c_bigram").cast("double") / col("c_ctx").cast("double"))
+      .otherwise(lit(BackoffAlpha) * col("c_uni").cast("double") /
+        col("n_total").cast("double"))
+    docBigr
+      .join(model, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("surp", round(-log(s), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bigram").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        (sum(col("surp")).cast("double") / count(lit(1)))
+          .as("backoff_score"))
+  }
+
+  def stupidBackoffSql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), db AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)),
+       |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |  FROM toksw WHERE len(w) >= 2
+       |), dbf AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM db
+       |), pairs AS (
+       |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+       |    SELECT unnest(list_transform(range(1, len(w)),
+       |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |    FROM toksw WHERE len(w) >= 2
+       |  )
+       |), ctx AS (
+       |  SELECT w1, COUNT(*) AS c_ctx FROM pairs GROUP BY 1
+       |), model AS (
+       |  SELECT w1, w2, COUNT(*) AS c_bigram FROM pairs GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $LmMinCount
+       |), uni AS (
+       |  SELECT token AS w2, COUNT(*) AS c_uni FROM (
+       |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |    FROM documents
+       |  ) GROUP BY 1
+       |), tot AS (
+       |  SELECT COUNT(*) AS n_total FROM (
+       |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |    FROM documents
+       |  )
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN c_bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_backoff,
+       |  CAST(SUM(CAST(ROUND(-ln(
+       |      CASE WHEN c_bigram IS NOT NULL
+       |           THEN CAST(c_bigram AS DOUBLE) / CAST(c_ctx AS DOUBLE)
+       |           ELSE $BackoffAlpha * CAST(c_uni AS DOUBLE)
+       |                / CAST(n_total AS DOUBLE) END), 6)
+       |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS backoff_score
+       |FROM dbf
+       |LEFT JOIN model USING (w1, w2)
+       |LEFT JOIN ctx USING (w1)
+       |JOIN uni USING (w2)
+       |CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+
   /** I11 `text_perplexity_buckets` — CCNet-style perplexity
     * partitioning (Wenzek et al. 2020, public): per LANGUAGE, split
     * documents into head/middle/tail terciles of the I6 LM surprisal
@@ -728,6 +828,7 @@ object TextAnalysis {
       bm25TopK(s, d, terms = Seq("customer", "window"), k = 5)),
     "text_perplexity_buckets" -> (perplexityBuckets _),
     "text_bigram_surprisal" -> (bigramSurprisal _),
+    "text_stupid_backoff" -> (stupidBackoff _),
     "text_bigram_lm" -> (bigramLm _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_bpe_pair_stats" -> (bpePairStats _),
@@ -744,6 +845,7 @@ object TextAnalysis {
     "param_bm25_topk" -> bm25TopKSql(terms = Seq("customer", "window"), k = 5),
     "text_perplexity_buckets" -> perplexityBucketsSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
+    "text_stupid_backoff" -> stupidBackoffSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_bpe_pair_stats" -> bpePairStatsSql,

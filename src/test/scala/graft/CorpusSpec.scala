@@ -100,6 +100,23 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("M12 temperature mix: shares renormalize, low-resource langs upsample") {
+    val rows = run("corpus_temperature_mix").collect()
+    val qSum = rows.map(_.getAs[Double]("temperature_share")).sum
+    assert(math.abs(qSum - 1.0) < 1e-4, s"temperature shares sum to $qSum")
+    // alpha < 1 flattens the distribution: every lang below the
+    // natural-share mean gains (factor > 1), the largest lang loses
+    val top = rows.maxBy(_.getAs[Double]("natural_share"))
+    assert(top.getAs[Double]("upsample_factor") < 1.0,
+      s"largest lang ${top.getAs[String]("lang")} should downsample")
+    rows.filter(_.getAs[Double]("natural_share") <
+        rows.map(_.getAs[Double]("natural_share")).min * 1.0001)
+      .foreach { r =>
+        assert(r.getAs[Double]("upsample_factor") > 1.0,
+          s"smallest lang ${r.getAs[String]("lang")} should upsample")
+      }
+  }
+
   test("M7 resample: copy counts bracket the weight, per-lang mean approaches it") {
     val df = run("corpus_resample").cache()
     val w = run("corpus_mix_weights")

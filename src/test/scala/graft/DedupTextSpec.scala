@@ -360,6 +360,23 @@ class DedupTextSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("I14 stupid backoff: both score paths exercised, scores positive and finite") {
+    val df = run("text_stupid_backoff").cache()
+    // same scored set as I12: docs with >= 2 tokens
+    assert(df.count() == run("text_bigram_surprisal").count())
+    // the pruned model makes backoff real: some bigrams fall through
+    // to the unigram, and some hit the model — both paths live
+    assert(df.agg(sum("n_backoff")).head().getLong(0) > 0, "no backoff happened")
+    assert(df.filter(col("n_backoff") < col("n_bigrams")).count() > 0,
+      "no bigram ever hit the pruned model")
+    assert(df.filter(col("n_backoff") > col("n_bigrams")).count() == 0)
+    // S in (0, 1] always (count ratios and a discounted unigram) ->
+    // -ln S >= 0, finite
+    assert(df.filter(col("backoff_score") < 0.0 ||
+      col("backoff_score").isNull || isnan(col("backoff_score"))).count() == 0)
+    df.unpersist()
+  }
+
   test("I13 BM25: scores match a from-scratch driver recompute") {
     import org.apache.spark.sql.functions._
     val terms = Seq("vector", "scan", "merge")

@@ -54,7 +54,9 @@ class RegistrySpec extends SparkSpecBase {
     // (b) one-row broadcast scalar attach
     "api_patient_bundle", "param_patient_bundle", // latest-obs + count attach
     "k24_important_stock", // nation stock total
-    "corpus_mix_weights", "corpus_resample", "text_dsir_weights",
+    "corpus_mix_weights", "corpus_resample", "corpus_temperature_mix",
+    "text_stupid_backoff", // corpus-total scalar attach
+    "text_dsir_weights",
     "text_tfidf_top_terms", "text_unigram_surprisal",
     "text_perplexity_buckets",
     "text_bigram_surprisal", // vocab-size scalar attach
@@ -139,7 +141,9 @@ class RegistrySpec extends SparkSpecBase {
     "corpus_shuffle_shards" -> 1,
     "corpus_source_cap" -> 1,
     "corpus_split_leakfree" -> 2,
+    "corpus_temperature_mix" -> 4, // lang agg + total + z + attach
     "corpus_token_budget" -> 3,
+    "text_stupid_backoff" -> 5, // I12's joins + the unigram table
     "dedup_bloom_decontaminate" -> 3,
     "dedup_clusters" -> 0,
     "dedup_contamination_frac" -> 3,
