@@ -288,6 +288,79 @@ object Persist {
        |FROM ranked
        |GROUP BY user_id, event_type""".stripMargin
 
+  /** The second cutoff for D10's snapshot diff (T1 = [[SnapshotTs]]). */
+  private val SnapshotTs2 = "2024-01-12 00:00:00" // close enough to T1 that noops survive at sf0.001
+
+  /** D10 `persist_changefeed` — CHANGEFEED DERIVATION by snapshot
+    * diff: the insert/update/noop feed between the entity states as
+    * of T1 and T2, computed as a full outer join of the two D4
+    * snapshots. This is the producing side of the CDC loop whose
+    * consuming side the streaming twins model (D2/D7/D9 fold a
+    * DynamoDB-stream feed into state): a warehouse that only holds
+    * snapshots can still emit the per-entity change stream a
+    * downstream consumer needs — insert (absent at T1), update
+    * (version advanced), noop (no applied write in the window;
+    * emitted with its unchanged version so the feed is also a full
+    * T2 inventory — filter on change_type for the delta). Deletes
+    * cannot appear in this pair of D4 snapshots (applied history only
+    * grows); the D9 path handles those.
+    *
+    * Scale: both snapshots replay the SAME applied stream (one
+    * shuffle, shared subtree) and the diff joins on the entity key —
+    * co-partitioned with the snapshots, so the whole feed is one
+    * exchange's worth of data movement. */
+  def changefeed(spark: SparkSession, dir: String): DataFrame = {
+    def snapAt(cut: String): DataFrame = {
+      val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      applied(spark, dir)
+        .filter(col("ts") <= lit(cut).cast("timestamp"))
+        .withColumn("latest_rn", row_number().over(wLatest))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("version"),
+          max(when(col("latest_rn") === 1, col("value"))).as("value"))
+    }
+    val t1 = snapAt(SnapshotTs)
+      .select(col("user_id"), col("event_type"),
+        col("version").as("v1"), col("value").as("value_t1"))
+    val t2 = snapAt(SnapshotTs2)
+      .select(col("user_id"), col("event_type"),
+        col("version").as("v2"), col("value").as("value_t2"))
+    t1.join(t2, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(col("v1").isNull, "insert")
+          .when(col("v2") > col("v1"), "update")
+          .otherwise("noop").as("change_type"),
+        col("v1"), col("v2"), col("value_t1"), col("value_t2"))
+  }
+
+  def changefeedSql: String =
+    s"""WITH $appliedSqlCte, s1 AS (
+       |  SELECT user_id, event_type, COUNT(*) AS v1,
+       |    MAX(CASE WHEN latest_rn = 1 THEN value END) AS value_t1
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                                 ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |    FROM applied WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
+       |  ) GROUP BY 1, 2
+       |), s2 AS (
+       |  SELECT user_id, event_type, COUNT(*) AS v2,
+       |    MAX(CASE WHEN latest_rn = 1 THEN value END) AS value_t2
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                                 ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |    FROM applied WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs2'
+       |  ) GROUP BY 1, 2
+       |)
+       |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       |  COALESCE(s1.event_type, s2.event_type) AS event_type,
+       |  CASE WHEN s1.user_id IS NULL THEN 'insert'
+       |       WHEN s2.v2 > s1.v1 THEN 'update'
+       |       ELSE 'noop' END AS change_type,
+       |  v1, v2, value_t1, value_t2
+       |FROM s1 FULL OUTER JOIN s2
+       |  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type""".stripMargin
+
   /** D6 `persist_compacted_upsert` — INCREMENTAL maintenance of the
     * D2 upsert state: fold all history up to a compaction cutoff into
     * a per-entity BASE segment (version so far + latest attributes +
@@ -545,6 +618,7 @@ object Persist {
     "persist_compacted_upsert" -> (compactedUpsert _),
     "persist_scd2" -> (scd2History _),
     "persist_tombstone" -> (tombstoneState _),
+    "persist_changefeed" -> (changefeed _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -557,5 +631,6 @@ object Persist {
     "persist_compacted_upsert" -> upsertVersionSql,
     "persist_scd2" -> scd2HistorySql,
     "persist_tombstone" -> tombstoneStateSql,
+    "persist_changefeed" -> changefeedSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

@@ -620,6 +620,8 @@ object QueryApi {
       to = "2024-01-20 00:00:00", limit = 25)),
     "param_profile_asof" -> ((s, d) => profileAsOf(s, d, tenant = "t0",
       code = "click")),
+    "param_profile_asof_del" -> ((s, d) => profileAsOfDel(s, d, tenant = "t2",
+      code = "view")),
     "param_patient_bundle" -> ((s, d) => patientBundle(s, d, tenant = "t2",
       patient = 6L, obsCode = "click",
       from = "2024-01-05 00:00:00", to = "2024-01-15 00:00:00")))
@@ -650,6 +652,7 @@ object QueryApi {
       code = "view", from = "2024-01-10 00:00:00",
       to = "2024-01-20 00:00:00", limit = 25),
     "param_profile_asof" -> profileAsOfSql(tenant = "t0", code = "click"),
+    "param_profile_asof_del" -> profileAsOfDelSql(tenant = "t2", code = "view"),
     "param_patient_bundle" -> patientBundleSql(tenant = "t2",
       patient = 6L, obsCode = "click",
       from = "2024-01-05 00:00:00", to = "2024-01-15 00:00:00"))

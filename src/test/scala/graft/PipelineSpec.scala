@@ -281,6 +281,28 @@ class PipelineSpec extends SparkSpecBase {
     purged.unpersist(): Unit
   }
 
+  test("D10 changefeed: diff laws hold and the feed inventories the T2 snapshot") {
+    val feed = run("persist_changefeed").cache()
+    // the feed is a full T2 inventory (no deletes possible in a
+    // grow-only applied history)
+    val t2Entities = operators.Persist.applied(spark, sf)
+      .filter(col("ts") <= lit("2024-01-12 00:00:00").cast("timestamp"))
+      .select("user_id", "event_type").distinct().count()
+    assert(feed.count() == t2Entities)
+    // all three change types occur in the synth window
+    val types = feed.select("change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("insert", "update", "noop"), s"got $types")
+    // per-type laws
+    assert(feed.filter(col("change_type") === "insert" &&
+      (col("v1").isNotNull || col("v2") < 1)).count() == 0)
+    assert(feed.filter(col("change_type") === "update" &&
+      col("v2") <= col("v1")).count() == 0)
+    assert(feed.filter(col("change_type") === "noop" &&
+      (col("v2") =!= col("v1") || col("value_t2") =!= col("value_t1"))).count() == 0)
+    feed.unpersist(): Unit
+  }
+
   test("D4 as-of snapshot: a rollback of the full replay, never ahead of it") {
     val snap = run("persist_asof_snapshot")
     val full = run("persist_upsert_version")

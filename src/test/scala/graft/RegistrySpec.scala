@@ -212,7 +212,9 @@ class RegistrySpec extends SparkSpecBase {
     "param_q3_shipping_priority" -> 1,
     "param_q6_forecast_revenue" -> 1,
     "persist_asof_snapshot" -> 1,
+    "persist_changefeed" -> 3, // two snapshot replays + entity-key diff join
     "persist_commit_log" -> 1,
+    "param_profile_asof_del" -> 1,
     "persist_compacted_upsert" -> 3,
     "persist_key_design" -> 0,
     "persist_patient_meta" -> 1,
