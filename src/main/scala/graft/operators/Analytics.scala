@@ -112,6 +112,58 @@ object Analytics {
         sum(col("p_n")).as("count_order"))
   }
 
+  /** K27 `q1_rollup` — multi-level subtotals via ROLLUP: per
+    * (returnflag, linestatus) revenue plus per-flag subtotals and the
+    * grand total in ONE pass — Spark expands the grouping sets
+    * map-side (each input row feeds its 3 levels before the exchange,
+    * so the shuffle still carries only groups × levels, not data),
+    * which is how BI-style subtotal reports avoid re-aggregating at
+    * 100 TB. GROUPING() flags disambiguate a real NULL key from a
+    * subtotal row — identical semantics in the DuckDB oracle. */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+
+  def q1RollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** K28 `q1_pivot` — the revenue matrix returnflag × linestatus via
+    * relational PIVOT: one row per flag, one column per status. The
+    * pivot VALUES are pinned (F, O — the contract every pivot needs
+    * at scale: discovering them would cost a distinct scan), so the
+    * plan is a single groupBy with conditional aggregates — the same
+    * shuffle economics as the plain q1 rollup, just a transposed
+    * shape. */
+  def q1Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .select(col("l_returnflag"),
+        col("F").as("revenue_f"), col("O").as("revenue_o"))
+
+  def q1PivotSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END)
+      |    AS DOUBLE) AS revenue_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END)
+      |    AS DOUBLE) AS revenue_o
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** K2 `q3_shipping_priority` — TPC-H Q3-style 3-way join + top-k.
     * Scale: customer is a dim -> broadcast; orders join lineitem
     * shuffles once on orderkey; top-k via ordered LIMIT (Spark
@@ -1129,6 +1181,8 @@ object Analytics {
     "k9_large_volume_orders" -> ((s, d) => k9LargeVolumeOrders(s, d)),
     "q1_pricing_summary" -> ((s, d) => q1PricingSummary(s, d)),
     "q1_incremental" -> ((s, d) => q1Incremental(s, d)),
+    "q1_rollup" -> (q1Rollup _),
+    "q1_pivot" -> (q1Pivot _),
     "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
     "q5_join_chain" -> ((s, d) => q5JoinChain(s, d)),
     "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
@@ -1171,6 +1225,8 @@ object Analytics {
     "q1_pricing_summary" -> q1Sql(),
     // incremental maintenance must reproduce the full recompute bit-for-bit
     "q1_incremental" -> q1Sql(),
+    "q1_rollup" -> q1RollupSql,
+    "q1_pivot" -> q1PivotSql,
     "q3_shipping_priority" -> q3Sql(),
     "q5_join_chain" -> q5Sql(),
     "q6_forecast_revenue" -> q6Sql(),

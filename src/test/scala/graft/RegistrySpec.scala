@@ -223,6 +223,8 @@ class RegistrySpec extends SparkSpecBase {
     "pipeline_end_to_end" -> 1,
     "q1_incremental" -> 3, // base partials + tail partials + merge
     "q1_pricing_summary" -> 1,
+    "q1_rollup" -> 1, // grouping-set expansion is map-side
+    "q1_pivot" -> 2, // pivot = two-phase agg (pre-agg on both keys, then pivot)
     "range_bin_join" -> 0, // bucket-equi BHJ against the exploded windows
     "store_skipping_read" -> 1, // manifest rollup; file consult broadcasts
     "skew_salted_join" -> 3, // both SMJ sides on (key, salt) + rollup
