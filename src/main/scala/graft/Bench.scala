@@ -28,15 +28,25 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    // canary: one fixed cheap query timed at the top of every rep; its
-    // spread across reps is a recorded measure of ambient machine load
-    // DURING the run (a quiet run shows a flat canary), so a polluted
-    // artifact is distinguishable from a real regression.
-    val canaryFn = SparkEntry.queries("q1_pricing_summary")
+    // canary: one fixed cheap NON-REGISTRY plan (the warmup rollup)
+    // timed at the top of every rep; its spread across reps is a
+    // recorded measure of ambient machine load DURING the run (a
+    // quiet run shows a flat canary), so a polluted artifact is
+    // distinguishable from a real regression. Deliberately not a
+    // registry query: re-running one would warm its plan and falsify
+    // its first_run entry. Guarded like every measured query — a
+    // broken canary must not take down the whole artifact.
+    def canaryFn(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.mode("overwrite").format("noop").save()
     val canary = scala.collection.mutable.ListBuffer.empty[Double]
     for (_ <- 1 to Reps) {
       val c0 = System.nanoTime()
-      canaryFn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try canaryFn()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary: $e")
+        if (!failed.contains("canary")) failed += "canary"
+      }
       canary += (System.nanoTime() - c0) / 1e9
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -60,7 +70,7 @@ object Bench {
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cn = canary.map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"canary_q1":$cn,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"canary":$cn,"failed":$fl,"sf":"$sfDir"}""")
     // compact summary LAST: the driver's artifact keeps the tail of
     // stdout, and the full JSON above can exceed that window — r05's
     // artifact preserved only first-run numbers because `queries`
@@ -69,7 +79,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"summary":"medians","total_median_sec":$total,"n_queries":${results.size},"slowest":$slowest,"canary_q1":$cn,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"summary":"medians","total_median_sec":$total,"n_queries":${results.size},"slowest":$slowest,"canary":$cn,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,13 +82,7 @@ object Audit {
         col("n_deletes"), col("last_ts").as("deleted_at"))
 
   def purgeListSql: String =
-    s"""WITH ${Persist.appliedSqlCte}, ranked AS (
-       |  SELECT *,
-       |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
-       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-       |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
-       |  FROM applied
-       |)
+    s"""WITH ${Persist.appliedSqlCte}, ${Persist.opStateRankedSqlCte}
        |SELECT user_id, event_type,
        |  COUNT(*) AS version,
        |  CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
@@ -581,9 +575,11 @@ object Audit {
     * window over ≤14 bucket rows — sketch-sized state, never row
     * state; the raw durations are never shuffled. */
   def expHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val dur = ((col("event_id") * 7919 + col("user_id") * 104729) % 5000)
+    // the SAME synthetic duration F11 quantiles (shared val — the
+    // bracket-law spec compares the two operators)
+    val dur = durationMs.cast("long")
     val bucket = when(dur === 0, lit(0))
-      .otherwise(length(bin(dur.cast("long")))).cast("int")
+      .otherwise(length(bin(dur))).cast("int")
     val hist = Tables.events(spark, dir)
       .groupBy(serviceCol.as("service"), bucket.as("bucket"))
       .agg(count(lit(1)).as("n_bucket"))

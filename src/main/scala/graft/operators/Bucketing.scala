@@ -190,10 +190,7 @@ object Bucketing {
     * additionally asserts the consult really skips files
     * (effectiveness). */
   def skippingRead(spark: SparkSession, dir: String): DataFrame = {
-    val files = zorderLayout(spark, dir)
-      .filter(col("u_max") >= SkipULo && col("u_min") <= SkipUHi &&
-        col("m_max") >= SkipMLo && col("m_min") <= SkipMHi)
-      .select(col("file_id"))
+    val files = skippingFiles(spark, dir).select(col("file_id"))
     Tables.events(spark, dir)
       .withColumn("zu", pmod(col("user_id"), lit(256L)))
       .withColumn("zm",

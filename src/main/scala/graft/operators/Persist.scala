@@ -137,14 +137,21 @@ object Persist {
         max(when(col("latest_rn") === 1, col("ts"))).as("last_ts"))
   }
 
+  /** The ranked-op CTE in SQL — the oracle-side twin of [[opState]],
+    * shared by the D9 and F10b oracles so the delete rule and the
+    * latest-op window can never drift between them (assumes the
+    * `applied` CTE is in scope). */
+  def opStateRankedSqlCte: String =
+    """ranked AS (
+      |  SELECT *,
+      |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
+      |  FROM applied
+      |)""".stripMargin
+
   def tombstoneStateSql: String =
-    s"""WITH $appliedSqlCte, ranked AS (
-       |  SELECT *,
-       |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
-       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-       |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
-       |  FROM applied
-       |)
+    s"""WITH $appliedSqlCte, $opStateRankedSqlCte
        |SELECT user_id, event_type,
        |  COUNT(*) AS version,
        |  CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
@@ -259,37 +266,51 @@ object Persist {
     * set. The cutoff comparison is done at microsecond precision on
     * BOTH engines (events.ts is parquet NANOS; Spark truncates at
     * load, the oracle casts) so boundary events agree. */
-  def asofSnapshot(spark: SparkSession, dir: String): DataFrame = {
+  /** The cutoff replay itself — ONE definition of "entity state as of
+    * an instant" (version, latest value/ts), shared by D4's snapshot
+    * and both sides of D10's diff so the replay rule cannot drift
+    * between the snapshot an operator serves and the snapshots the
+    * feed claims to compare. */
+  private def snapshotReplay(spark: SparkSession, dir: String, cut: String): DataFrame = {
     val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
     applied(spark, dir)
-      .filter(col("ts") <= lit(SnapshotTs).cast("timestamp"))
+      .filter(col("ts") <= lit(cut).cast("timestamp"))
       .withColumn("latest_rn", row_number().over(wLatest))
       .groupBy(col("user_id"), col("event_type"))
       .agg(
-        count(lit(1)).as("version_asof"),
-        max(when(col("latest_rn") === 1, col("value"))).as("value_asof"),
-        max(when(col("latest_rn") === 1, col("ts"))).as("ts_asof"))
+        count(lit(1)).as("version"),
+        max(when(col("latest_rn") === 1, col("value"))).as("value"),
+        max(when(col("latest_rn") === 1, col("ts"))).as("ts"))
   }
 
+  /** The same replay as a SQL derived table (assumes `applied` is in
+    * scope); `v`/`val` output names are parameterized so the D10
+    * oracle can instantiate it twice in one statement. */
+  private def snapshotReplaySql(cut: String, vCol: String, valCol: String): String =
+    s"""SELECT user_id, event_type, COUNT(*) AS $vCol,
+       |    MAX(CASE WHEN latest_rn = 1 THEN value END) AS $valCol,
+       |    CAST(MAX(CASE WHEN latest_rn = 1 THEN ts END) AS TIMESTAMP) AS ts
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                                 ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |    FROM applied WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$cut'
+       |  ) GROUP BY 1, 2""".stripMargin
+
+  def asofSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotReplay(spark, dir, SnapshotTs)
+      .select(col("user_id"), col("event_type"),
+        col("version").as("version_asof"),
+        col("value").as("value_asof"),
+        col("ts").as("ts_asof"))
+
   def asofSnapshotSql: String =
-    s"""WITH $appliedSqlCte, cut AS (
-       |  SELECT * FROM applied
-       |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
-       |), ranked AS (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-       |                               ORDER BY ts DESC, event_id DESC) AS latest_rn
-       |  FROM cut
-       |)
-       |SELECT user_id, event_type,
-       |  COUNT(*) AS version_asof,
-       |  MAX(CASE WHEN latest_rn = 1 THEN value END) AS value_asof,
-       |  CAST(MAX(CASE WHEN latest_rn = 1 THEN ts END) AS TIMESTAMP) AS ts_asof
-       |FROM ranked
-       |GROUP BY user_id, event_type""".stripMargin
+    s"""WITH $appliedSqlCte
+       |SELECT user_id, event_type, version_asof, value_asof, ts AS ts_asof
+       |FROM (${snapshotReplaySql(SnapshotTs, "version_asof", "value_asof")})""".stripMargin
 
   /** The second cutoff for D10's snapshot diff (T1 = [[SnapshotTs]]). */
-  private val SnapshotTs2 = "2024-01-12 00:00:00" // close enough to T1 that noops survive at sf0.001
+  private[graft] val SnapshotTs2 = "2024-01-12 00:00:00" // close enough to T1 that noops survive at sf0.001
 
   /** D10 `persist_changefeed` — CHANGEFEED DERIVATION by snapshot
     * diff: the insert/update/noop feed between the entity states as
@@ -310,20 +331,10 @@ object Persist {
     * co-partitioned with the snapshots, so the whole feed is one
     * exchange's worth of data movement. */
   def changefeed(spark: SparkSession, dir: String): DataFrame = {
-    def snapAt(cut: String): DataFrame = {
-      val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      applied(spark, dir)
-        .filter(col("ts") <= lit(cut).cast("timestamp"))
-        .withColumn("latest_rn", row_number().over(wLatest))
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("version"),
-          max(when(col("latest_rn") === 1, col("value"))).as("value"))
-    }
-    val t1 = snapAt(SnapshotTs)
+    val t1 = snapshotReplay(spark, dir, SnapshotTs)
       .select(col("user_id"), col("event_type"),
         col("version").as("v1"), col("value").as("value_t1"))
-    val t2 = snapAt(SnapshotTs2)
+    val t2 = snapshotReplay(spark, dir, SnapshotTs2)
       .select(col("user_id"), col("event_type"),
         col("version").as("v2"), col("value").as("value_t2"))
     t1.join(t2, Seq("user_id", "event_type"), "full_outer")
@@ -336,21 +347,9 @@ object Persist {
 
   def changefeedSql: String =
     s"""WITH $appliedSqlCte, s1 AS (
-       |  SELECT user_id, event_type, COUNT(*) AS v1,
-       |    MAX(CASE WHEN latest_rn = 1 THEN value END) AS value_t1
-       |  FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-       |                                 ORDER BY ts DESC, event_id DESC) AS latest_rn
-       |    FROM applied WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
-       |  ) GROUP BY 1, 2
+       |${snapshotReplaySql(SnapshotTs, "v1", "value_t1")}
        |), s2 AS (
-       |  SELECT user_id, event_type, COUNT(*) AS v2,
-       |    MAX(CASE WHEN latest_rn = 1 THEN value END) AS value_t2
-       |  FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-       |                                 ORDER BY ts DESC, event_id DESC) AS latest_rn
-       |    FROM applied WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs2'
-       |  ) GROUP BY 1, 2
+       |${snapshotReplaySql(SnapshotTs2, "v2", "value_t2")}
        |)
        |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
        |  COALESCE(s1.event_type, s2.event_type) AS event_type,

@@ -617,7 +617,8 @@ object TextAnalysis {
     val toks = Tables.documents(spark, dir)
       .select(explode(nonEmptyToks).as("token"))
     val uni = toks.groupBy(col("token").as("w2")).agg(count(lit(1)).as("c_uni"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // total from the unigram table (#vocab rows), not a second corpus scan
+    val total = uni.agg(sum(col("c_uni")).as("n_total"))
     val s = when(col("c_bigram").isNotNull,
         col("c_bigram").cast("double") / col("c_ctx").cast("double"))
       .otherwise(lit(BackoffAlpha) * col("c_uni").cast("double") /
@@ -663,10 +664,7 @@ object TextAnalysis {
        |    FROM documents
        |  ) GROUP BY 1
        |), tot AS (
-       |  SELECT COUNT(*) AS n_total FROM (
-       |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
-       |    FROM documents
-       |  )
+       |  SELECT CAST(SUM(c_uni) AS BIGINT) AS n_total FROM uni
        |)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
        |  CAST(SUM(CASE WHEN c_bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT)

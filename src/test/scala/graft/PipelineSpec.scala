@@ -286,7 +286,7 @@ class PipelineSpec extends SparkSpecBase {
     // the feed is a full T2 inventory (no deletes possible in a
     // grow-only applied history)
     val t2Entities = operators.Persist.applied(spark, sf)
-      .filter(col("ts") <= lit("2024-01-12 00:00:00").cast("timestamp"))
+      .filter(col("ts") <= lit(operators.Persist.SnapshotTs2).cast("timestamp"))
       .select("user_id", "event_type").distinct().count()
     assert(feed.count() == t2Entities)
     // all three change types occur in the synth window
