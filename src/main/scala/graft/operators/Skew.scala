@@ -143,9 +143,10 @@ object Skew {
     * (event, window) pair shares exactly one bucket, so binning
     * introduces no duplicates); RegistrySpec proves the plan has no
     * BNLJ, SkewSpec proves row equality with the naive form. */
-  def rangeBinJoin(spark: SparkSession, dir: String): DataFrame = {
+  def rangeBinJoin(spark: SparkSession, dir: String,
+                   windows: Seq[(String, String, String)] = Windows): DataFrame = {
     import spark.implicits._
-    val win = Windows.toDF("window_id", "w_start_s", "w_end_s")
+    val win = windows.toDF("window_id", "w_start_s", "w_end_s")
       .select(col("window_id"),
         col("w_start_s").cast("timestamp").as("w_start"),
         col("w_end_s").cast("timestamp").as("w_end"))
@@ -166,8 +167,8 @@ object Skew {
         col("ts"), col("value"))
   }
 
-  def rangeBinJoinSql: String = {
-    val values = Windows.map { case (id, s, e) =>
+  def rangeBinJoinSql(windows: Seq[(String, String, String)] = Windows): String = {
+    val values = windows.map { case (id, s, e) =>
       s"('$id', TIMESTAMP '$s', TIMESTAMP '$e')"
     }.mkString(", ")
     s"""WITH win(window_id, w_start, w_end) AS (VALUES $values)
@@ -187,13 +188,22 @@ object Skew {
         col("w_end_s").cast("timestamp").as("w_end"))
   }
 
+  /** Non-default N6 instantiation for the param_ family: sub-hour and
+    * cross-day windows over a different week. */
+  private val Windows2 = Seq(
+    ("v1", "2024-01-05 09:10:00", "2024-01-05 09:40:00"),
+    ("v2", "2024-01-06 23:30:00", "2024-01-07 00:30:00"),
+    ("v3", "2024-01-09 00:00:00", "2024-01-10 00:00:00"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_rollup" -> (saltedRollup _),
     "skew_salted_join" -> (saltedJoinRollup _),
-    "range_bin_join" -> (rangeBinJoin _))
+    "range_bin_join" -> ((s, d) => rangeBinJoin(s, d)),
+    "param_range_bin_join" -> ((s, d) => rangeBinJoin(s, d, Windows2)))
 
   val oracles: Map[String, String] = Map(
     "skew_salted_rollup" -> saltedRollupSql,
     "skew_salted_join" -> saltedJoinRollupSql,
-    "range_bin_join" -> rangeBinJoinSql)
+    "range_bin_join" -> rangeBinJoinSql(),
+    "param_range_bin_join" -> rangeBinJoinSql(Windows2))
 }

@@ -115,6 +115,24 @@ class BucketingSpec extends SparkSpecBase {
     res.unpersist(): Unit
   }
 
+  test("ts predicates push into the parquet scan (NTZ read as session-TZ TIMESTAMP)") {
+    // regression pin for the r7 ADVICE fix: with
+    // spark.sql.parquet.inferTimestampNTZ.enabled=false the scan
+    // yields TimestampType directly, so ts filters reach PushedFilters
+    // (a per-column Cast after load would block pushdown and row-group
+    // skipping on every time-ranged query)
+    val df = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"))
+    val scan = flattenPlan(executedPlan(df)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "scan must read ts as TIMESTAMP")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"ts predicate not pushed: $pushed")
+  }
+
   test("aggregation on the bucket key needs no exchange") {
     val agg = spark.table("events_bucketed")
       .groupBy("user_id").agg(sum("value").as("total"))

@@ -226,6 +226,7 @@ class RegistrySpec extends SparkSpecBase {
     "q1_rollup" -> 1, // grouping-set expansion is map-side
     "q1_pivot" -> 2, // pivot = two-phase agg (pre-agg on both keys, then pivot)
     "range_bin_join" -> 0, // bucket-equi BHJ against the exploded windows
+    "param_range_bin_join" -> 0,
     "store_skipping_read" -> 1, // manifest rollup; file consult broadcasts
     "skew_salted_join" -> 3, // both SMJ sides on (key, salt) + rollup
     "q3_shipping_priority" -> 1,
