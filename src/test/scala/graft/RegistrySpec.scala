@@ -223,7 +223,7 @@ class RegistrySpec extends SparkSpecBase {
     "pipeline_end_to_end" -> 1,
     "q1_incremental" -> 3, // base partials + tail partials + merge
     "q1_pricing_summary" -> 1,
-    "q1_rollup" -> 1, // grouping-set expansion is map-side
+    "q1_rollup" -> 2, // q1-shaped partial agg + 6-row rollup
     "q1_pivot" -> 2, // pivot = two-phase agg (pre-agg on both keys, then pivot)
     "range_bin_join" -> 0, // bucket-equi BHJ against the exploded windows
     "param_range_bin_join" -> 0,
