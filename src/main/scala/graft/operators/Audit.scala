@@ -771,8 +771,149 @@ object Audit {
       |    AND n_err >= 3) AS is_spike
       |FROM trailed""".stripMargin
 
+  /** F17's EWMA memory (hours) and integer lag weights 2^(Memory-k):
+    * α = 1/2 truncated at [[EwmaMemory]] lags, numerator and
+    * denominator carried SEPARATELY as integers. */
+  private val EwmaMemory = 8
+  private val EwmaMinHourEvents = 20L
+
+  /** F17 `audit_ewma_alarm` — latency-regression alarm against an
+    * EXPONENTIALLY-weighted baseline (the EWMA control chart /
+    * CloudWatch anomaly-band shape, complementing F14's flat
+    * trailing-window error-rate alarm): per (service, hour), flag
+    * hours whose mean latency more than doubles the EWMA of the
+    * previous [[EwmaMemory]] hours, with recent hours weighted
+    * 2x over each step older (α = 1/2).
+    *
+    * Exactness discipline (same as F14 — the flag never touches a
+    * double): the EWMA is kept as an integer numerator/denominator
+    * pair — Σ dur_sum(h-k)·2^(M-k) over Σ n(h-k)·2^(M-k), all exact
+    * BIGINT lag sums — and `hour_mean > 2·ewma_mean` is
+    * cross-multiplied to `dur_sum·den > 2·num·n`. The dyadic weights
+    * are why α = 1/2: every term is an integer, so no float ever
+    * enters the comparison (the served _ms columns are rounded
+    * doubles for humans). Headroom: dur_sum ≤ 5000·n, so at 100×
+    * this SF the largest cross product stays ~2^55 — int64-safe.
+    *
+    * Scale: one shuffle to the (service, date, hour) rollup, then a
+    * per-service ordered window over hours·services rows regardless
+    * of event volume — the F14 shape, with lag() terms instead of a
+    * frame sum so each hour carries its own decay. */
+  def ewmaAlarm(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("dur", durationMs.cast("long"))
+      .groupBy(serviceCol.as("service"), Obs.ingestDate.as("audit_date"),
+        hour(col("ts")).as("audit_hour"))
+      .agg(count(lit(1)).as("n"), sum(col("dur")).as("dur_sum"))
+    val w = Window.partitionBy(col("service"))
+      .orderBy(col("audit_date"), col("audit_hour"))
+    def decayed(c: String) = (1 to EwmaMemory).map(k =>
+      coalesce(lag(col(c), k).over(w), lit(0L)) *
+        lit(1L << (EwmaMemory - k))).reduce(_ + _)
+    hourly
+      .withColumn("ewma_num", decayed("dur_sum"))
+      .withColumn("ewma_den", decayed("n"))
+      .select(col("service"), col("audit_date"), col("audit_hour"),
+        col("n"), col("dur_sum"), col("ewma_num"), col("ewma_den"),
+        round(col("dur_sum").cast("double") / col("n"), 6).as("hour_mean_ms"),
+        when(col("ewma_den") > 0,
+          round(col("ewma_num").cast("double") / col("ewma_den"), 6))
+          .as("ewma_ms"),
+        (col("ewma_den") > 0 && col("n") >= EwmaMinHourEvents &&
+          col("dur_sum") * col("ewma_den") > col("ewma_num") * col("n") * 2)
+          .as("is_regression"))
+  }
+
+  def ewmaAlarmSql: String = {
+    def decayedSql(c: String) = (1 to EwmaMemory).map(k =>
+      s"COALESCE(LAG($c, $k) OVER w, 0) * ${1L << (EwmaMemory - k)}")
+      .mkString(" + ")
+    s"""WITH hourly AS (
+       |  SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+       |              WHEN event_type = 'purchase' THEN 'persist'
+       |              ELSE 'dlq' END AS service,
+       |    strftime(ts, '%Y-%m-%d') AS audit_date,
+       |    CAST(hour(ts) AS INT) AS audit_hour,
+       |    COUNT(*) AS n,
+       |    CAST(SUM($durationMsSql) AS BIGINT) AS dur_sum
+       |  FROM events GROUP BY 1, 2, 3
+       |), trailed AS (
+       |  SELECT *,
+       |    CAST(${decayedSql("dur_sum")} AS BIGINT) AS ewma_num,
+       |    CAST(${decayedSql("n")} AS BIGINT) AS ewma_den
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY service ORDER BY audit_date, audit_hour)
+       |)
+       |SELECT service, audit_date, audit_hour, n, dur_sum, ewma_num, ewma_den,
+       |  ROUND(CAST(dur_sum AS DOUBLE) / n, 6) AS hour_mean_ms,
+       |  CASE WHEN ewma_den > 0
+       |       THEN ROUND(CAST(ewma_num AS DOUBLE) / ewma_den, 6) END AS ewma_ms,
+       |  (ewma_den > 0 AND n >= $EwmaMinHourEvents
+       |    AND dur_sum * ewma_den > ewma_num * n * 2) AS is_regression
+       |FROM trailed""".stripMargin
+  }
+
+  /** F18 `audit_slo_burn` — SLO error-budget BURN-RATE alerting
+    * (Google SRE workbook's multiwindow multi-burn-rate alerts —
+    * public): per (tenant, hour), the 1-hour and trailing-6-hour
+    * burn rates of a 99%-success SLO, and the paired alert that
+    * requires BOTH windows hot. Complements F14 (rate-vs-own-
+    * baseline) and F17 (EWMA regression): this one alarms against a
+    * FIXED contract, the form an SLO dashboard serves.
+    *
+    * Exactness (the F14/F17 discipline): burn > k·budget is
+    * cross-multiplied to pure BIGINT — 1h: `n_err·1000 > 144·n`
+    * (14.4x of 1%), 6h: `err6·100 > 6·n6` — so the alert booleans
+    * never touch a float; the served burn-rate columns are rounded
+    * doubles for humans. Scale: one shuffle to the hourly rollup,
+    * then a per-tenant 6-row frame window over hours×tenants rows. */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"),
+        hour(col("ts")).as("audit_hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w6 = Window.partitionBy(col("tenant_id"))
+      .orderBy(col("audit_date"), col("audit_hour"))
+      .rowsBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("err6", sum(col("n_err")).over(w6))
+      .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
+        col("n"), col("n_err"), col("n6"), col("err6"),
+        round(col("n_err").cast("double") * 100 / col("n"), 4).as("burn_1h"),
+        round(col("err6").cast("double") * 100 / col("n6"), 4).as("burn_6h"),
+        (col("n_err") * 1000L > col("n") * 144L &&
+          col("err6") * 100L > col("n6") * 6L).as("slo_alert"))
+  }
+
+  def sloBurnSql: String =
+    """WITH hourly AS (
+      |  SELECT 't' || (user_id % 4) AS tenant_id,
+      |    strftime(ts, '%Y-%m-%d') AS audit_date,
+      |    CAST(hour(ts) AS INT) AS audit_hour,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_err
+      |  FROM events GROUP BY 1, 2, 3
+      |), trailed AS (
+      |  SELECT *,
+      |    CAST(SUM(n) OVER w AS BIGINT) AS n6,
+      |    CAST(SUM(n_err) OVER w AS BIGINT) AS err6
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY tenant_id ORDER BY audit_date, audit_hour
+      |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT tenant_id, audit_date, audit_hour, n, n_err, n6, err6,
+      |  ROUND(CAST(n_err AS DOUBLE) * 100 / n, 4) AS burn_1h,
+      |  ROUND(CAST(err6 AS DOUBLE) * 100 / n6, 4) AS burn_6h,
+      |  (n_err * 1000 > n * 144 AND err6 * 100 > n6 * 6) AS slo_alert
+      |FROM trailed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_error_spikes" -> (errorSpikes _),
+    "audit_ewma_alarm" -> (ewmaAlarm _),
+    "audit_slo_burn" -> (sloBurn _),
     "audit_retention_expiry" -> (retentionExpiry _),
     "audit_purge_list" -> (purgeList _),
     "reprocess_replay_set" -> (replaySet _),
@@ -792,6 +933,8 @@ object Audit {
 
   val oracles: Map[String, String] = Map(
     "audit_error_spikes" -> errorSpikesSql,
+    "audit_ewma_alarm" -> ewmaAlarmSql,
+    "audit_slo_burn" -> sloBurnSql,
     "audit_retention_expiry" -> retentionExpirySql,
     "audit_purge_list" -> purgeListSql,
     "reprocess_replay_set" -> replaySetSql,

@@ -273,13 +273,82 @@ object Bucketing {
        |  CAST(SUM(n_events) AS BIGINT) AS total_rows
        |FROM ordered GROUP BY 1""".stripMargin
 
+  /** The profiled lineitem columns: (name, numeric-projection SQL/Col
+    * or None for non-numeric — strings keep ndv/null stats only;
+    * l_shipdate ranges as epoch micros, exact in a double). */
+  private val StatCols: Seq[(String, Option[String])] = Seq(
+    "l_orderkey" -> Some("l_orderkey"), "l_partkey" -> Some("l_partkey"),
+    "l_suppkey" -> Some("l_suppkey"), "l_linenumber" -> Some("l_linenumber"),
+    "l_quantity" -> Some("l_quantity"),
+    "l_extendedprice" -> Some("l_extendedprice"),
+    "l_discount" -> Some("l_discount"), "l_tax" -> Some("l_tax"),
+    "l_returnflag" -> None, "l_linestatus" -> None,
+    "l_shipdate" -> Some("EPOCH")) // sentinel: epoch-micros projection
+
+  /** N7 `store_column_stats` — the table-stats collection pass behind
+    * ANALYZE TABLE / CBO and the N3 skipping manifest: per column,
+    * value range (numeric columns; timestamps as epoch micros — exact
+    * in a double), null count, and NDV. Two-tier NDV discipline (the
+    * F8/F9/F11 pattern): the hash-compared answer is the EXACT
+    * distinct count, and the HLL++ sketch estimate — the one-pass
+    * mergeable form a 100 TB ANALYZE actually runs — is served as an
+    * in-band boolean the oracle pins TRUE (HLL rsd 5%, band ±15% =
+    * 3σ).
+    * Scale: one single-column aggregate branch per profiled column —
+    * each branch's parquet scan reads ONLY its column (pruned
+    * ReadSchema), partial-aggregates map-side, and exchanges one row
+    * per partition; branches run as independent stages. That beats
+    * the one-scan Expand plan (which multiplies every row by the
+    * column count through a single shuffle) and is how per-column
+    * stats jobs stay selective when only stale columns need
+    * re-profiling. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    StatCols.map { case (name, proj) =>
+      val c = col(name)
+      val num = proj.map {
+        case "EPOCH" => unix_micros(c).cast("double")
+        case p => col(p).cast("double")
+      }
+      li.agg(
+        num.map(min).getOrElse(lit(null).cast("double")).as("min_v"),
+        num.map(max).getOrElse(lit(null).cast("double")).as("max_v"),
+        (count(lit(1)) - count(c)).as("n_nulls"),
+        countDistinct(c).as("ndv"),
+        approx_count_distinct(c).as("ndv_est"))
+        .select(lit(name).as("column_name"), col("min_v"), col("max_v"),
+          col("n_nulls"), col("ndv"),
+          (abs(col("ndv_est") - col("ndv")) <= col("ndv") * 0.15 + 1)
+            .as("ndv_sketch_in_band"))
+    }.reduce(_.unionAll(_))
+  }
+
+  def columnStatsSql: String =
+    StatCols.map { case (name, proj) =>
+      val (minE, maxE) = proj match {
+        case Some("EPOCH") =>
+          (s"CAST(epoch_us(MIN($name)) AS DOUBLE)",
+            s"CAST(epoch_us(MAX($name)) AS DOUBLE)")
+        case Some(p) =>
+          (s"CAST(MIN($p) AS DOUBLE)", s"CAST(MAX($p) AS DOUBLE)")
+        case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      s"""SELECT '$name' AS column_name, $minE AS min_v, $maxE AS max_v,
+         |  COUNT(*) - COUNT($name) AS n_nulls,
+         |  COUNT(DISTINCT $name) AS ndv,
+         |  TRUE AS ndv_sketch_in_band
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_column_stats" -> (columnStats _),
     "store_partition_prune" -> (partitionPrune _),
     "store_zorder_layout" -> (zorderLayout _),
     "store_skipping_read" -> (skippingRead _),
     "store_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
+    "store_column_stats" -> columnStatsSql,
     "store_partition_prune" -> partitionPruneSql,
     "store_zorder_layout" -> zorderLayoutSql,
     "store_skipping_read" -> skippingReadSql,

@@ -117,7 +117,10 @@ object Dedup {
         col("size_b"), col("jaccard"))
   }
 
-  def ngramJaccardSql: String =
+  /** The G3 oracle, threshold-parameterized: G19 reuses it at its own
+    * (stricter) threshold because prefix filtering is sound+complete —
+    * its answer IS the naive all-pairs answer. */
+  private def jaccardPairsSqlAt(minJ: Double): String =
     s"""WITH ${shinglesSql(3)},
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
@@ -129,7 +132,81 @@ object Dedup {
        |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
        |           JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05""".stripMargin
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $minJ""".stripMargin
+
+  def ngramJaccardSql: String = jaccardPairsSqlAt(0.05)
+
+  /** G19's Jaccard threshold — the near-dup regime where prefix
+    * filtering has real pruning power (prefix length ~ (1-t)·|S|). */
+  private val ApssT = 0.5
+
+  /** Candidate pairs from the prefix-filter join — separated from the
+    * verification step so the spec can assert the candidate volume
+    * stays far below the all-pairs bound. */
+  private[graft] def apssCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(spark, dir, 3)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(
+        wDoc.orderBy(col("df").asc, col("shingle").asc)))
+    // prefix = first |S| - ceil(t·|S|) + 1 shingles in rarest-first order
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(ApssT) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // size filter: J >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
+          col("b.n") >= col("a.n") * ApssT &&
+          col("a.n") >= col("b.n") * ApssT)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** G19 `dedup_apss_prefix` — EXACT all-pairs near-dup join by
+    * prefix filtering (the All-Pairs/PPJoin family — Bayardo et al.
+    * WWW'07, Xiao et al. WWW'08, both public): every pair with
+    * word-trigram Jaccard >= [[ApssT]], WITHOUT G3's conf-gated
+    * all-shingle join. Shingles are ordered by ascending global
+    * document frequency (rarest first, shingle text as tie-break); a
+    * doc with |S| shingles joins only on its first
+    * |S| - ceil(t·|S|) + 1 shingles in that order (its PREFIX).
+    * Prefix-filtering theorem: two sets with J >= t must share at
+    * least one prefix shingle — so keying the candidate join on
+    * prefixes is SOUND (no missed pairs), and because a prefix holds
+    * a doc's rarest shingles, the hot stop-shingle buckets that make
+    * the naive join blow up never enter the join. Candidates then get
+    * EXACT verification (array_intersect over the full shingle sets,
+    * bounded at 58/doc by the 60-token cap), so the served answer
+    * equals the naive all-pairs answer — which is exactly what the
+    * oracle runs. This is the ungated scale path for exact near-dup
+    * pairs; G3 stays as the low-threshold gated baseline.
+    * Scale: df and prefix ranks are keyed aggs/windows (doc-bounded
+    * partitions), the candidate join is an equi-join on rare
+    * shingles, and verification touches candidate pairs only.
+    * DedupTextSpec pins equality with the gated baseline at the same
+    * threshold AND that candidate volume ≪ n·(n-1)/2. */
+  def apssPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir, 3)
+    val docs = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("n"))
+    apssCandidates(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+        col("n").as("size_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shset").as("sb"),
+        col("n").as("size_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= ApssT)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
+        col("size_b"), col("jaccard"))
+  }
+
+  def apssPrefixSql: String = jaccardPairsSqlAt(ApssT)
 
   /** G4 `dedup_minhash_lsh` — MinHash signatures (8 hash functions as
     * md5-string minima — portable across engines) banded 8x1; LSH
@@ -1070,6 +1147,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprint _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_apss_prefix" -> (apssPrefix _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_hamming" -> ((s: SparkSession, d: String) => simhashHammingPairs(s, d)),
@@ -1094,5 +1172,6 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_apss_prefix" -> apssPrefixSql,
     "dedup_minhash_lsh" -> minhashLshSql)
 }

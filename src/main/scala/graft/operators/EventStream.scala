@@ -298,7 +298,90 @@ object EventStream {
       |FROM events CROSS JOIN range(0, 3) r(k)
       |GROUP BY 1, 2""".stripMargin
 
+  /** L10's allowed lateness (the `withWatermark` delay a streaming
+    * deployment would configure). */
+  private val AllowedLatenessMin = 10
+
+  /** L10 `stream_watermark_audit` — WATERMARK / late-data accounting:
+    * the batch replay of Structured Streaming's event-time watermark
+    * semantics, classifying every event against the watermark its
+    * stream had reached when the event ARRIVED. Arrival order is the
+    * synthetic stream's append sequence (event_id); per tenant shard
+    * (the Kinesis/Kafka-partition analogue), the watermark before an
+    * event = max event time seen so far minus [[AllowedLatenessMin]]
+    * minutes. An event is `on_time` if it advances (or ties) the
+    * shard clock, `late_accepted` if it is older than the clock but
+    * within the allowed lateness, and `dropped` if it arrived behind
+    * the watermark — exactly the rows a `withWatermark(10 min)`
+    * stateful query would discard. Served as the per-(tenant, hour)
+    * accounting a pipeline SLO dashboard needs: how much data the
+    * streaming answer silently missed vs this batch replay.
+    *
+    * The testdata stream is written in event-time order, so arrival =
+    * event time + a deterministic per-event transport delay of 0–30
+    * minutes (the F11 durationMs trick: identity-derived, identical
+    * across engines and SFs) — the out-of-orderness a real collector
+    * sees, exercising all three classes.
+    *
+    * Scale: ONE window pass ordered by arrival within the tenant
+    * shard — watermark tracking is inherently sequential PER SHARD
+    * (that is its streaming semantics), and the partition key here is
+    * the same shard key the stream is partitioned by; the rollup
+    * shares the shuffle. Timestamp comparisons are exact µs. */
+  def watermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val arrivalUs = unix_micros(col("ts")) +
+      pmod(col("event_id") * 7919L + col("user_id") * 104729L, lit(1800L)) *
+        1000000L
+    val wArr = Window.partitionBy(Obs.tenant)
+      .orderBy(arrivalUs, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateness = expr(s"INTERVAL $AllowedLatenessMin MINUTES")
+    Tables.events(spark, dir)
+      .withColumn("prev_max_ts", max(col("ts")).over(wArr))
+      .withColumn("status",
+        when(col("prev_max_ts").isNull || col("ts") >= col("prev_max_ts"),
+          "on_time")
+          .when(col("ts") >= col("prev_max_ts") - lateness, "late_accepted")
+          .otherwise("dropped"))
+      .groupBy(Obs.tenant.as("tenant_id"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("status") === "on_time", 1L).otherwise(0L)).as("n_on_time"),
+        sum(when(col("status") === "late_accepted", 1L).otherwise(0L))
+          .as("n_late_accepted"),
+        sum(when(col("status") === "dropped", 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  def watermarkAuditSql: String =
+    s"""WITH seq AS (
+       |  SELECT 't' || (user_id % 4) AS tenant_id, ts,
+       |    MAX(ts) OVER (PARTITION BY user_id % 4
+       |                  ORDER BY epoch_us(ts)
+       |                    + ((event_id * 7919 + user_id * 104729) % 1800)
+       |                      * 1000000, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_max_ts
+       |  FROM events
+       |), st AS (
+       |  SELECT tenant_id, ts,
+       |    CASE WHEN prev_max_ts IS NULL OR ts >= prev_max_ts THEN 'on_time'
+       |         WHEN ts >= prev_max_ts - INTERVAL $AllowedLatenessMin MINUTE
+       |           THEN 'late_accepted'
+       |         ELSE 'dropped' END AS status
+       |  FROM seq
+       |)
+       |SELECT tenant_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN status = 'on_time' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_on_time,
+       |  CAST(SUM(CASE WHEN status = 'late_accepted' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_late_accepted,
+       |  CAST(SUM(CASE WHEN status = 'dropped' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM st GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_watermark_audit" -> (watermarkAudit _),
     "stream_hopping_agg" -> (hoppingAgg _),
     "stream_interval_join_outer" -> (intervalJoinOuter _),
     "stream_session_window" -> (sessionWindowAgg _),
@@ -310,6 +393,7 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_watermark_audit" -> watermarkAuditSql,
     "stream_hopping_agg" -> hoppingAggSql,
     "stream_interval_join_outer" -> intervalJoinOuterSql,
     "stream_session_window" -> sessionWindowAggSql,

@@ -360,6 +360,89 @@ object Persist {
        |FROM s1 FULL OUTER JOIN s2
        |  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type""".stripMargin
 
+  /** D11 `persist_conflict_check` — OPTIMISTIC-CONCURRENCY conflict
+    * detection, the commit-protocol check a snapshot-isolated table
+    * format (Delta/Iceberg-style, and the reference's conditional
+    * writes generalized from one row to a transaction) runs at commit
+    * time: a commit attempt that read the table at its start must
+    * RETRY if some other attempt COMMITTED a write to one of its keys
+    * while it was in flight. Attempts here are (writer, day) batches
+    * of applied writes: start = the attempt's first write ts, commit
+    * = its last; write set = the event_types it touched. Attempt X
+    * conflicts with Y iff they share a key, Y committed inside X's
+    * in-flight window (start_X <= commit_Y), and Y commits BEFORE X
+    * in the deterministic commit order (commit ts, writer id as
+    * tie-break) — the standard non-recursive conflict-candidate set
+    * of first-committer-wins OCC. Output per attempt: its window,
+    * write-set size, conflict count and the first conflicting writer.
+    *
+    * Scale: this is a METADATA-plane query (N4's economics) — the
+    * attempt and key tables are O(commits), not O(rows); the raw
+    * write stream collapses once per grouping. The candidate join is
+    * keyed (txn_date, key): concurrency per key per day is writer-
+    * bounded, so no all-pairs blowup; day-scoped attempts mean
+    * conflicts can't span join keys. */
+  def conflictCheck(spark: SparkSession, dir: String): DataFrame = {
+    val a = applied(spark, dir).select(
+      col("user_id").as("writer_id"), Obs.ingestDate.as("txn_date"),
+      col("event_type"), col("ts"))
+    val attempts = a.groupBy(col("writer_id"), col("txn_date"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("commit_ts"),
+        countDistinct(col("event_type")).as("n_keys"))
+    val keyed = a.select(col("writer_id"), col("txn_date"), col("event_type"))
+      .distinct()
+      .join(attempts.drop("n_keys"), Seq("writer_id", "txn_date"))
+    val x = keyed.select(col("writer_id").as("xw"), col("txn_date"),
+      col("event_type"), col("start_ts").as("xs"), col("commit_ts").as("xc"))
+    val y = keyed.select(col("writer_id").as("yw"), col("txn_date"),
+      col("event_type"), col("commit_ts").as("yc"))
+    val conflicts = x.join(y, Seq("txn_date", "event_type"))
+      .filter(col("yw") =!= col("xw") && col("yc") >= col("xs") &&
+        (col("yc") < col("xc") ||
+          (col("yc") === col("xc") && col("yw") < col("xw"))))
+      .groupBy(col("xw").as("writer_id"), col("txn_date"))
+      .agg(countDistinct(col("yw")).as("conf"),
+        min(col("yw")).as("first_conflict_writer"))
+    attempts.join(conflicts, Seq("writer_id", "txn_date"), "left")
+      .select(col("writer_id"), col("txn_date"), col("start_ts"),
+        col("commit_ts"), col("n_keys"),
+        coalesce(col("conf"), lit(0L)).as("n_conflicts"),
+        (coalesce(col("conf"), lit(0L)) > 0).as("must_retry"),
+        col("first_conflict_writer"))
+  }
+
+  def conflictCheckSql: String =
+    s"""WITH $appliedSqlCte, att AS (
+       |  SELECT user_id AS writer_id, strftime(ts, '%Y-%m-%d') AS txn_date,
+       |    CAST(MIN(ts) AS TIMESTAMP) AS start_ts,
+       |    CAST(MAX(ts) AS TIMESTAMP) AS commit_ts,
+       |    COUNT(DISTINCT event_type) AS n_keys
+       |  FROM applied GROUP BY 1, 2
+       |), ak AS (
+       |  SELECT DISTINCT user_id AS writer_id,
+       |    strftime(ts, '%Y-%m-%d') AS txn_date, event_type
+       |  FROM applied
+       |), keyed AS (
+       |  SELECT ak.writer_id, ak.txn_date, ak.event_type, start_ts, commit_ts
+       |  FROM ak JOIN att USING (writer_id, txn_date)
+       |), conf AS (
+       |  SELECT x.writer_id, x.txn_date,
+       |    COUNT(DISTINCT y.writer_id) AS n_conflicts,
+       |    MIN(y.writer_id) AS first_conflict_writer
+       |  FROM keyed x JOIN keyed y
+       |    ON x.txn_date = y.txn_date AND x.event_type = y.event_type
+       |    AND y.writer_id <> x.writer_id
+       |    AND y.commit_ts >= x.start_ts
+       |    AND (y.commit_ts < x.commit_ts
+       |         OR (y.commit_ts = x.commit_ts AND y.writer_id < x.writer_id))
+       |  GROUP BY 1, 2
+       |)
+       |SELECT att.writer_id, att.txn_date, start_ts, commit_ts, n_keys,
+       |  COALESCE(n_conflicts, 0) AS n_conflicts,
+       |  COALESCE(n_conflicts, 0) > 0 AS must_retry,
+       |  first_conflict_writer
+       |FROM att LEFT JOIN conf USING (writer_id, txn_date)""".stripMargin
+
   /** D6 `persist_compacted_upsert` — INCREMENTAL maintenance of the
     * D2 upsert state: fold all history up to a compaction cutoff into
     * a per-entity BASE segment (version so far + latest attributes +
@@ -618,6 +701,7 @@ object Persist {
     "persist_scd2" -> (scd2History _),
     "persist_tombstone" -> (tombstoneState _),
     "persist_changefeed" -> (changefeed _),
+    "persist_conflict_check" -> (conflictCheck _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -631,5 +715,6 @@ object Persist {
     "persist_scd2" -> scd2HistorySql,
     "persist_tombstone" -> tombstoneStateSql,
     "persist_changefeed" -> changefeedSql,
+    "persist_conflict_check" -> conflictCheckSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

@@ -820,7 +820,180 @@ object TextAnalysis {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** Number of BPE merges I15 trains (unrolled — each is one
+    * distributed pass over the weighted vocab). */
+  private val BpeTrainMerges = 3
+
+  /** Symbol separator / merge joiner for I15's string-encoded symbol
+    * sequences. Each symbol is wrapped `SEPsymSEP`, so a word's
+    * representation is `SEPcSEPSEPaSEP…`: the pair
+    * pattern `SEPs1SEPSEPs2SEP` can never match inside a
+    * symbol (symbols contain no SEP), and back-to-back
+    * occurrences don't share characters, so one left-to-right
+    * `replace` applies the merge with the exact non-overlapping
+    * left-to-right semantics BPE specifies — identically in Spark
+    * (UTF8String.replace) and DuckDB (replace). Tokens are restricted
+    * to ^[a-z0-9]+$ so corpus text can never contain the control
+    * chars. Built with chr(1)/chr(2) on BOTH engines — no literal
+    * control bytes in SQL. */
+  private def pairCountsOf(rep: DataFrame): DataFrame =
+    rep.select(col("freq"),
+      split(trim(col("repr"), "\u0001"),
+        java.util.regex.Pattern.quote("\u0001\u0001")).as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
+        .as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** I15 `text_bpe_train` — BPE tokenizer TRAINING (Sennrich et al.
+    * 2016, the word-dictionary algorithm — public): [[BpeTrainMerges]]
+    * actual merge iterations, not just I9's first-merge statistics.
+    * The corpus collapses once to the weighted vocab (distinct
+    * token, frequency); each iteration counts adjacent symbol pairs
+    * over that vocab (explode keyed by pair, partial-agg'd, weights =
+    * word freq), picks the argmax merge with a deterministic
+    * (count desc, pair asc) tie-break via a 1-row TakeOrdered, and
+    * applies it to every word through a broadcast of that single row
+    * — so per iteration the cluster does one vocab-sized pass and
+    * never re-touches the corpus. Symbol sequences ride as delimited
+    * strings (see [[pairCountsOf]]) so the merge is ONE string
+    * replace with provably identical semantics in both engines.
+    * Output: the learned merge table (rank, left, right, count) —
+    * the artifact a tokenizer ships. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(nonEmptyToks).as("t"))
+      .filter(col("t").rlike("^[a-z0-9]+$"))
+      .groupBy(col("t").as("token")).agg(count(lit(1)).as("freq"))
+    val rep0 = wf.withColumn("repr", expr(
+      "array_join(transform(sequence(1, length(token)), " +
+        "i -> concat(chr(1), substr(token, i, 1), chr(1))), '')"))
+    val (_, merges) = (1 to BpeTrainMerges)
+      .foldLeft((rep0, Seq.empty[DataFrame])) { case ((rep, acc), k) =>
+        val best = pairCountsOf(rep)
+          .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+        val next = rep.crossJoin(broadcast(
+            best.select(col("s1").as("m1"), col("s2").as("m2"))))
+          .withColumn("repr", expr(
+            "replace(repr, concat(chr(1), m1, chr(1), chr(1), m2, chr(1)), " +
+              "concat(chr(1), m1, chr(2), m2, chr(1)))"))
+          .drop("m1", "m2")
+        val row = best.select(lit(k).as("merge_rank"),
+          expr("replace(s1, chr(2), '+')").as("left_sym"),
+          expr("replace(s2, chr(2), '+')").as("right_sym"),
+          col("cnt").as("pair_count"))
+        (next, acc :+ row)
+      }
+    merges.reduce(_.unionAll(_))
+  }
+
+  def bpeTrainSql: String = {
+    def pcSql(rep: String) =
+      s"""SELECT p[1] AS s1, p[2] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> [syms[i], syms[i+1]])) AS p
+         |    FROM (SELECT freq, str_split(trim(repr, chr(1)),
+         |                   chr(1) || chr(1)) AS syms FROM $rep)
+         |    WHERE len(syms) >= 2
+         |  ) GROUP BY 1, 2""".stripMargin
+    val iters = (1 to BpeTrainMerges).map { k =>
+      s"""pc$k AS (
+         |${pcSql(s"rep${k - 1}")}
+         |), b$k AS (
+         |  SELECT s1, s2, cnt FROM pc$k ORDER BY cnt DESC, s1, s2 LIMIT 1
+         |), rep$k AS (
+         |  SELECT token, freq,
+         |    replace(repr, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
+         |      chr(1) || b.s1 || chr(2) || b.s2 || chr(1)) AS repr
+         |  FROM rep${k - 1}, b$k b
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (1 to BpeTrainMerges).map(k =>
+      s"""SELECT $k AS merge_rank, replace(s1, chr(2), '+') AS left_sym,
+         |  replace(s2, chr(2), '+') AS right_sym, cnt AS pair_count
+         |FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT t AS token, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+       |    FROM documents
+       |  ) WHERE regexp_matches(t, '^[a-z0-9]+$$') GROUP BY 1
+       |), rep0 AS (
+       |  SELECT token, freq,
+       |    array_to_string(list_transform(range(1, length(token) + 1),
+       |      i -> chr(1) || substring(token, i, 1) || chr(1)), '') AS repr
+       |  FROM wf
+       |), $iters
+       |$out""".stripMargin
+  }
+
+  /** I16 `text_entropy` — Shannon-entropy quality signals (the
+    * entropy/compressibility family of pre-training filters — CCNet/
+    * MassiveText-style heuristics, public): per doc, character-level
+    * and word-level entropy H = ln(n) − (Σ c·ln c)/n from exact
+    * count distributions, plus a diversity band. Gibberish and
+    * key-mash light up as char-entropy outliers; template/boilerplate
+    * text as low word-entropy. Cross-engine determinism: each c·ln c
+    * term is rounded to 6 dp and summed as DECIMAL(18,9) — the I6
+    * recipe, summation-order-insensitive; counts and n divide/ln as
+    * exact integers. Scale: both unit streams are keyed BY DOCUMENT
+    * (explode → (doc, unit) groupBy, partial-agg'd, linear in corpus
+    * size), and the char/word stat join is doc-keyed — no cross-doc
+    * state anywhere. */
+  def entropyStats(spark: SparkSession, dir: String): DataFrame = {
+    def entropyOf(unit: DataFrame, u: String, nName: String, hName: String) =
+      unit.groupBy(col("doc_id"), col(u)).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(nName),
+          sum(round(col("c") * log(col("c")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("clnc"))
+        .select(col("doc_id"), col(nName),
+          round(log(col(nName)) - col("clnc").cast("double") / col(nName), 6)
+            .as(hName))
+    val chars = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+        .as("ch"))
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(nonEmptyToks).as("w"))
+    entropyOf(chars, "ch", "n_chars_seen", "char_entropy")
+      .join(entropyOf(words, "w", "n_tokens", "word_entropy"), "doc_id")
+      .withColumn("diversity_band",
+        when(col("word_entropy") < 3.0, "low")
+          .when(col("word_entropy") < 4.0, "mid").otherwise("high"))
+  }
+
+  def entropyStatsSql: String = {
+    def eSql(cc: String, nName: String, hName: String) =
+      s"""SELECT doc_id, CAST(SUM(c) AS BIGINT) AS $nName,
+         |    ROUND(ln(SUM(c)) - CAST(SUM(CAST(ROUND(c * ln(c), 6)
+         |        AS DECIMAL(18,9))) AS DOUBLE) / SUM(c), 6) AS $hName
+         |  FROM $cc GROUP BY 1""".stripMargin
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+       |    i -> substring(text, i, 1))) AS ch
+       |  FROM documents
+       |), cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+       |ce AS (
+       |${eSql("cc", "n_chars_seen", "char_entropy")}
+       |), tk AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents
+       |), wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |we AS (
+       |${eSql("wc", "n_tokens", "word_entropy")}
+       |)
+       |SELECT ce.doc_id, n_chars_seen, char_entropy, n_tokens, word_entropy,
+       |  CASE WHEN word_entropy < 3.0 THEN 'low'
+       |       WHEN word_entropy < 4.0 THEN 'mid' ELSE 'high' END AS diversity_band
+       |FROM ce JOIN we ON ce.doc_id = we.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (bpeTrain _),
+    "text_entropy" -> (entropyStats _),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "param_bm25_topk" -> ((s, d) =>
       bm25TopK(s, d, terms = Seq("customer", "window"), k = 5)),
@@ -839,6 +1012,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
+    "text_entropy" -> entropyStatsSql,
     "text_bm25_topk" -> bm25TopKSql(),
     "param_bm25_topk" -> bm25TopKSql(terms = Seq("customer", "window"), k = 5),
     "text_perplexity_buckets" -> perplexityBucketsSql,

@@ -93,6 +93,32 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("N7 column stats: ranges/ndv match direct recomputes, scans are column-pruned") {
+    val stats = run("store_column_stats").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(stats.size == 11)
+    // spot-check against direct single-column recomputes
+    val li = Tables.lineitem(spark, sf)
+    assert(stats("l_returnflag").getAs[Long]("ndv") ==
+      li.select("l_returnflag").distinct().count())
+    val qty = li.agg(min("l_quantity"), max("l_quantity")).collect()(0)
+    assert(stats("l_quantity").getAs[Double]("min_v") == qty.getDouble(0))
+    assert(stats("l_quantity").getAs[Double]("max_v") == qty.getDouble(1))
+    stats.values.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Boolean]("ndv_sketch_in_band"))
+      if (!r.isNullAt(r.fieldIndex("min_v")))
+        assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+    // the scale claim: every branch's parquet scan reads ONLY its
+    // column — no branch drags the full row through the stats agg
+    val scans = flattenPlan(executedPlan(run("store_column_stats"))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema
+    }
+    assert(scans.nonEmpty && scans.forall(_.size <= 1),
+      s"stats branches must scan single columns, got ${scans.map(_.size).toSeq}")
+  }
+
   test("N3b skipping read: consult really skips files, result matches the full-scan filter") {
     val res = run("store_skipping_read").cache()
     assert(res.count() > 0)

@@ -28,6 +28,25 @@ class DedupTextSpec extends SparkSpecBase {
     assert(missed == 0)
   }
 
+  test("G19 apss: equals the naive all-pairs answer at t=0.5, candidates pruned") {
+    // soundness+completeness: the prefix-filter join must reproduce
+    // EXACTLY the naive answer restricted to its threshold
+    val naive = run("dedup_ngram_jaccard").filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+      .collect().map(_.toSeq).toSet
+    val apss = run("dedup_apss_prefix")
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+      .collect().map(_.toSeq).toSet
+    assert(apss == naive,
+      s"apss != naive: extra=${(apss diff naive).take(3)} missing=${(naive diff apss).take(3)}")
+    // pruning power: candidate volume must be far below n·(n-1)/2 —
+    // the whole point of keying the join on rare prefix shingles
+    val n = Tables.documents(spark, sf).count()
+    val cand = operators.Dedup.apssCandidates(spark, sf).count()
+    assert(cand * 10 < n * (n - 1) / 2,
+      s"apss candidates $cand not <10% of all-pairs ${n * (n - 1) / 2}")
+  }
+
   test("G6 clusters: every near-dup edge joins one component, reps are minima") {
     val labels = run("dedup_clusters").cache()
     assert(labels.filter(col("cluster_rep") > col("doc_id")).count() == 0)
@@ -437,6 +456,65 @@ class DedupTextSpec extends SparkSpecBase {
       assert(got == bruteforce(maxH), s"$key: pair set != brute force")
     }
     assert(run("dedup_simhash_hamming").count() > 0)
+  }
+
+  test("I15 BPE train: merges equal a driver reference BPE over the word dict") {
+    // reference implementation: textbook BPE on the collected
+    // (token, freq) dict — symbol lists, no string encoding
+    val wf = Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), " "), c => c =!= "")).as("t"))
+      .filter(col("t").rlike("^[a-z0-9]+$"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+    var dict = wf
+    val expect = (1 to 3).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      dict = dict.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) { // left-to-right non-overlapping merge
+          if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best._1) {
+            out += syms(i) + "+" + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (best._1._1, best._1._2, best._2)
+    }
+    val got = run("text_bpe_train").collect().sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got == expect, s"learned merges $got != reference $expect")
+  }
+
+  test("I16 entropy: matches a driver recount with the same rounding recipe") {
+    val rows = run("text_entropy").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h(units: Seq[String]): (Long, Double) = {
+      val counts = units.groupBy(identity).map(_._2.size.toLong)
+      val n = counts.sum
+      // the I6 recipe: per-term 6dp round, exact decimal sum
+      val clnc = counts.map(c => BigDecimal(
+        math.rint(c * math.log(c.toDouble) * 1e6) / 1e6)).sum
+      (n, math.rint((math.log(n.toDouble) - clnc.toDouble / n) * 1e6) / 1e6)
+    }
+    rows.take(50).foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val (nc, ce) = h(text.map(_.toString))
+      val (nw, we) = h(text.split(" ").filter(_.nonEmpty).toSeq)
+      assert(r.getAs[Long]("n_chars_seen") == nc)
+      assert(r.getAs[Long]("n_tokens") == nw)
+      assert(math.abs(r.getAs[Double]("char_entropy") - ce) < 1e-9)
+      assert(math.abs(r.getAs[Double]("word_entropy") - we) < 1e-9)
+      val band = if (we < 3.0) "low" else if (we < 4.0) "mid" else "high"
+      assert(r.getAs[String]("diversity_band") == band)
+    }
   }
 
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {

@@ -533,6 +533,139 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_err")).sum > 0)
   }
 
+  test("F18 slo burn: windows and alerts match a driver recount, both windows required") {
+    val rows = run("audit_slo_burn")
+      .orderBy("tenant_id", "audit_date", "audit_hour").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("tenant_id")).foreach { case (_, trows) =>
+      val hs = trows.sortBy(r =>
+        (r.getAs[String]("audit_date"), r.getAs[Int]("audit_hour")))
+      hs.zipWithIndex.foreach { case (r, i) =>
+        val frame = hs.slice(math.max(0, i - 5), i + 1)
+        val n6 = frame.map(_.getAs[Long]("n")).sum
+        val e6 = frame.map(_.getAs[Long]("n_err")).sum
+        assert(r.getAs[Long]("n6") == n6 && r.getAs[Long]("err6") == e6)
+        val alert = r.getAs[Long]("n_err") * 1000 > r.getAs[Long]("n") * 144 &&
+          e6 * 100 > n6 * 6
+        assert(r.getAs[Boolean]("slo_alert") == alert)
+      }
+    }
+    // the multiwindow AND is doing work: some hour is 1h-hot but
+    // 6h-cold (or vice versa) and therefore NOT alerted
+    val oneWindowOnly = rows.count { r =>
+      val fast = r.getAs[Long]("n_err") * 1000 > r.getAs[Long]("n") * 144
+      val slow = r.getAs[Long]("err6") * 100 > r.getAs[Long]("n6") * 6
+      fast != slow
+    }
+    assert(oneWindowOnly > 0, "fixture never separates the two windows")
+  }
+
+  test("L10 watermark audit: classification matches a driver stream replay") {
+    val rows = run("stream_watermark_audit").collect()
+    assert(rows.map(_.getAs[Long]("n_total")).sum ==
+      Tables.events(spark, sf).count())
+    // driver replay: walk each tenant shard in arrival (event_id)
+    // order tracking max event time, classify, roll up per hour
+    // microsecond precision: getTime is ms-truncated, the engines
+    // compare at µs — classify in µs to match
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map { r =>
+        val t = us(r.getTimestamp(2))
+        // arrival = event time + deterministic 0-30 min transport delay
+        val arr = t + Math.floorMod(
+          r.getLong(0) * 7919L + r.getLong(1) * 104729L, 1800L) * 1000000L
+        (arr, r.getLong(0), "t" + (r.getLong(1) % 4), t)
+      }
+      .sortBy(e => (e._1, e._2)).map(e => (e._2, e._3, e._4))
+    val acc = scala.collection.mutable.Map
+      .empty[(String, Long), (Long, Long, Long)] // (on_time, late, dropped)
+    val clock = scala.collection.mutable.Map.empty[String, Long]
+    evs.foreach { case (_, ten, t) =>
+      val prev = clock.get(ten)
+      val st =
+        if (prev.forall(t >= _)) 0
+        else if (t >= prev.get - 10 * 60 * 1000000L) 1
+        else 2
+      clock(ten) = math.max(prev.getOrElse(Long.MinValue), t)
+      val hour = t - Math.floorMod(t, 3600L * 1000000L)
+      val k = (ten, hour)
+      val (a, b, c) = acc.getOrElse(k, (0L, 0L, 0L))
+      acc(k) = (a + (if (st == 0) 1 else 0), b + (if (st == 1) 1 else 0),
+        c + (if (st == 2) 1 else 0))
+    }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("tenant_id"),
+        us(r.getAs[java.sql.Timestamp]("window_start")))
+      val (a, b, c) = acc(k)
+      assert(r.getAs[Long]("n_on_time") == a, s"$k on_time")
+      assert(r.getAs[Long]("n_late_accepted") == b, s"$k late")
+      assert(r.getAs[Long]("n_dropped") == c, s"$k dropped")
+    }
+    // the fixture exercises all three classes
+    assert(rows.map(_.getAs[Long]("n_late_accepted")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
+
+  test("D11 conflict check: retry set matches a driver OCC recount") {
+    import org.apache.spark.sql.functions.date_format
+    val rows = run("persist_conflict_check").collect()
+    assert(rows.nonEmpty && rows.exists(_.getAs[Boolean]("must_retry")))
+    assert(rows.exists(!_.getAs[Boolean]("must_retry")))
+    // driver recount: rebuild attempts and the first-committer-wins
+    // conflict-candidate sets from the applied write stream
+    val writes = operators.Persist.applied(spark, sf)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    val attempts = writes.groupBy(w => (w._1, w._2)).map { case ((w, d), ws) =>
+      (w, d, ws.map(_._4).min, ws.map(_._4).max, ws.map(_._3).toSet)
+    }.toSeq
+    rows.foreach { r =>
+      val (w, d) = (r.getAs[Long]("writer_id"), r.getAs[String]("txn_date"))
+      val Some((_, _, xs, xc, xkeys)) =
+        attempts.find(a => a._1 == w && a._2 == d)
+      assert(r.getAs[java.sql.Timestamp]("start_ts").getTime == xs)
+      assert(r.getAs[java.sql.Timestamp]("commit_ts").getTime == xc)
+      assert(r.getAs[Long]("n_keys") == xkeys.size)
+      val conflicters = attempts.filter { case (yw, yd, _, yc, ykeys) =>
+        yd == d && yw != w && ykeys.exists(xkeys) && yc >= xs &&
+          (yc < xc || (yc == xc && yw < w))
+      }.map(_._1)
+      assert(r.getAs[Long]("n_conflicts") == conflicters.size)
+      assert(r.getAs[Boolean]("must_retry") == conflicters.nonEmpty)
+      if (conflicters.nonEmpty)
+        assert(r.getAs[Long]("first_conflict_writer") == conflicters.min)
+      else assert(r.isNullAt(r.fieldIndex("first_conflict_writer")))
+    }
+  }
+
+  test("F17 ewma alarm: decayed sums and flags match a driver recount") {
+    val rows = run("audit_ewma_alarm")
+      .orderBy("service", "audit_date", "audit_hour").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("service")).foreach { case (_, srows) =>
+      val hs = srows.sortBy(r =>
+        (r.getAs[String]("audit_date"), r.getAs[Int]("audit_hour")))
+      hs.zipWithIndex.foreach { case (r, i) =>
+        // integer-weighted EWMA: lag k carries weight 2^(8-k), k=1..8
+        val (num, den) = (1 to 8).foldLeft((0L, 0L)) { case ((a, b), k) =>
+          if (i - k < 0) (a, b)
+          else (a + hs(i - k).getAs[Long]("dur_sum") * (1L << (8 - k)),
+            b + hs(i - k).getAs[Long]("n") * (1L << (8 - k)))
+        }
+        assert(r.getAs[Long]("ewma_num") == num)
+        assert(r.getAs[Long]("ewma_den") == den)
+        val reg = den > 0 && r.getAs[Long]("n") >= 20 &&
+          r.getAs[Long]("dur_sum") * den > num * r.getAs[Long]("n") * 2
+        assert(r.getAs[Boolean]("is_regression") == reg)
+      }
+    }
+  }
+
   test("F10 retention expiry: only pre-cutoff partitions, counts match F1") {
     val rows = run("audit_retention_expiry").collect()
     assert(rows.nonEmpty)

@@ -60,6 +60,7 @@ class RegistrySpec extends SparkSpecBase {
     "text_tfidf_top_terms", "text_unigram_surprisal",
     "text_perplexity_buckets",
     "text_bigram_surprisal", // vocab-size scalar attach
+    "text_bpe_train", // 1-row argmax-merge broadcast per unrolled iteration
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
     "sim_hybrid_rrf") // broadcast query vector + BM25's stats scalar
 
@@ -122,6 +123,7 @@ class RegistrySpec extends SparkSpecBase {
     "audit_distinct_users_sketch" -> 2,
     "audit_hll_sketch_store" -> 4, // day-sketch agg + tenant merge + exact twin + join
     "store_compaction_plan" -> 3, // manifest agg + metadata-only global cumsum + bin agg
+    "store_column_stats" -> 22, // 2 per profiled column (exact-NDV partial+final); branches exchange 1-row partials only
     "audit_heavy_hitters_sketch" -> 2,
     "audit_exp_histogram" -> 2, // (service,bucket) agg + service window
     "audit_latency_quantiles" -> 1,
@@ -144,6 +146,7 @@ class RegistrySpec extends SparkSpecBase {
     "corpus_temperature_mix" -> 4, // lang agg + total + z + attach
     "corpus_token_budget" -> 3,
     "text_stupid_backoff" -> 5, // I12's joins + the unigram table
+    "dedup_apss_prefix" -> 6, // df agg + prefix window + candidate join + verify joins, all keyed
     "dedup_bloom_decontaminate" -> 3,
     "dedup_clusters" -> 0,
     "dedup_contamination_frac" -> 3,
@@ -212,6 +215,7 @@ class RegistrySpec extends SparkSpecBase {
     "param_q3_shipping_priority" -> 1,
     "param_q6_forecast_revenue" -> 1,
     "persist_asof_snapshot" -> 1,
+    "persist_conflict_check" -> 8, // attempts/write-set aggs + (date,key) candidate join + retry-set agg — all over O(commits) metadata rows, never event rows
     "persist_changefeed" -> 3, // two snapshot replays + entity-key diff join
     "persist_commit_log" -> 1,
     "param_profile_asof_del" -> 1,
@@ -257,6 +261,8 @@ class RegistrySpec extends SparkSpecBase {
     "stream_tumbling_agg" -> 1,
     "stream_user_latest_state" -> 1,
     "text_bigram_lm" -> 2,
+    "text_bpe_train" -> 5, // corpus→vocab agg + one vocab-keyed pair agg per unrolled merge (merge picks are 1-row TakeOrdered broadcasts)
+    "text_entropy" -> 4, // (doc,unit) agg + doc agg, for chars and for words; the final join reuses the doc partitioning
     "text_bigram_surprisal" -> 5,
     "text_bpe_pair_stats" -> 1,
     "text_dsir_weights" -> 5,
