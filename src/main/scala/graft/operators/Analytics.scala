@@ -1164,7 +1164,86 @@ object Analytics {
       |  GROUP BY 1
       |) ORDER BY numwait DESC, s_name LIMIT $limit""".stripMargin
 
+  /** K29 `k29_rfm_segmentation` — RFM (recency / frequency /
+    * monetary) customer segmentation, the classic retention-analytics
+    * scoring: per customer, last order date, order count, exact-
+    * decimal spend, each scored into quartiles and concatenated into
+    * the RFM segment label. Quartile assignment deliberately does NOT
+    * use a global ntile() — that is a single-partition sort over
+    * every customer. Instead the three quartile BOUNDARIES come from
+    * one percentile_disc aggregate (a 1-row broadcast) and each
+    * customer classifies itself by comparison: score = 1 + Σ
+    * (metric > q_k) — identical quartiles wherever ntile's even-split
+    * tie behavior doesn't bisect equal values, and fully distributed
+    * (broadcast + map, no global sort). Recency quantiles run on
+    * epoch micros (exact in BIGINT); monetary through the dsum
+    * decimal discipline. Scale: one shuffle to the per-customer
+    * rollup; the threshold agg reads that rollup; classification is
+    * map-side. */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("recency"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+      .withColumn("r_us", unix_micros(col("recency")))
+    def pd(c: String, p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+    val th = base.agg(
+      pd("r_us", 0.25).as("r25"), pd("r_us", 0.5).as("r50"),
+      pd("r_us", 0.75).as("r75"),
+      pd("frequency", 0.25).as("f25"), pd("frequency", 0.5).as("f50"),
+      pd("frequency", 0.75).as("f75"),
+      pd("monetary", 0.25).as("m25"), pd("monetary", 0.5).as("m50"),
+      pd("monetary", 0.75).as("m75"))
+    def score(c: Column, q1: Column, q2: Column, q3: Column) =
+      lit(1) + (c > q1).cast("int") + (c > q2).cast("int") +
+        (c > q3).cast("int")
+    base.crossJoin(broadcast(th))
+      .withColumn("r_score", score(col("r_us"), col("r25"), col("r50"), col("r75")))
+      .withColumn("f_score", score(col("frequency"), col("f25"), col("f50"), col("f75")))
+      .withColumn("m_score", score(col("monetary"), col("m25"), col("m50"), col("m75")))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), lit("-"), col("f_score"), lit("-"),
+          col("m_score")).as("segment"))
+  }
+
+  def rfmSegmentationSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS recency, COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary,
+      |    epoch_us(MAX(o_orderdate)) AS r_us
+      |  FROM orders GROUP BY 1
+      |), th AS (
+      |  SELECT
+      |    quantile_disc(r_us, 0.25) AS r25, quantile_disc(r_us, 0.5) AS r50,
+      |    quantile_disc(r_us, 0.75) AS r75,
+      |    quantile_disc(frequency, 0.25) AS f25,
+      |    quantile_disc(frequency, 0.5) AS f50,
+      |    quantile_disc(frequency, 0.75) AS f75,
+      |    quantile_disc(monetary, 0.25) AS m25,
+      |    quantile_disc(monetary, 0.5) AS m50,
+      |    quantile_disc(monetary, 0.75) AS m75
+      |  FROM base
+      |), scored AS (
+      |  SELECT o_custkey, CAST(recency AS TIMESTAMP) AS recency, frequency,
+      |    monetary,
+      |    1 + CAST(r_us > r25 AS INT) + CAST(r_us > r50 AS INT)
+      |      + CAST(r_us > r75 AS INT) AS r_score,
+      |    1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT)
+      |      + CAST(frequency > f75 AS INT) AS f_score,
+      |    1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT)
+      |      + CAST(monetary > m75 AS INT) AS m_score
+      |  FROM base, th
+      |)
+      |SELECT o_custkey, recency, frequency, monetary, r_score, f_score,
+      |  m_score,
+      |  r_score || '-' || f_score || '-' || m_score AS segment
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k29_rfm_segmentation" -> (rfmSegmentation _),
     "k23_product_profit" -> ((s, d) => k23ProductProfit(s, d)),
     "k24_important_stock" -> ((s, d) => k24ImportantStock(s, d)),
     "k25_part_promotion" -> ((s, d) => k25PartPromotion(s, d)),
@@ -1210,6 +1289,7 @@ object Analytics {
       from = "1996-07-01", to = "1996-08-01")))
 
   val oracles: Map[String, String] = Map(
+    "k29_rfm_segmentation" -> rfmSegmentationSql,
     "k23_product_profit" -> k23Sql(),
     "k24_important_stock" -> k24Sql(),
     "k25_part_promotion" -> k25Sql(),

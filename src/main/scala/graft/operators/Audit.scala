@@ -799,7 +799,8 @@ object Audit {
     * per-service ordered window over hours·services rows regardless
     * of event volume — the F14 shape, with lag() terms instead of a
     * frame sum so each hour carries its own decay. */
-  def ewmaAlarm(spark: SparkSession, dir: String): DataFrame = {
+  def ewmaAlarm(spark: SparkSession, dir: String,
+      memory: Int = EwmaMemory): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .withColumn("dur", durationMs.cast("long"))
       .groupBy(serviceCol.as("service"), Obs.ingestDate.as("audit_date"),
@@ -807,9 +808,9 @@ object Audit {
       .agg(count(lit(1)).as("n"), sum(col("dur")).as("dur_sum"))
     val w = Window.partitionBy(col("service"))
       .orderBy(col("audit_date"), col("audit_hour"))
-    def decayed(c: String) = (1 to EwmaMemory).map(k =>
+    def decayed(c: String) = (1 to memory).map(k =>
       coalesce(lag(col(c), k).over(w), lit(0L)) *
-        lit(1L << (EwmaMemory - k))).reduce(_ + _)
+        lit(1L << (memory - k))).reduce(_ + _)
     hourly
       .withColumn("ewma_num", decayed("dur_sum"))
       .withColumn("ewma_den", decayed("n"))
@@ -824,9 +825,9 @@ object Audit {
           .as("is_regression"))
   }
 
-  def ewmaAlarmSql: String = {
-    def decayedSql(c: String) = (1 to EwmaMemory).map(k =>
-      s"COALESCE(LAG($c, $k) OVER w, 0) * ${1L << (EwmaMemory - k)}")
+  def ewmaAlarmSql(memory: Int = EwmaMemory): String = {
+    def decayedSql(c: String) = (1 to memory).map(k =>
+      s"COALESCE(LAG($c, $k) OVER w, 0) * ${1L << (memory - k)}")
       .mkString(" + ")
     s"""WITH hourly AS (
        |  SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
@@ -867,7 +868,12 @@ object Audit {
     * never touch a float; the served burn-rate columns are rounded
     * doubles for humans. Scale: one shuffle to the hourly rollup,
     * then a per-tenant 6-row frame window over hours×tenants rows. */
-  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+  /** budgetPer10k: error budget in 1/10000ths of traffic — 100 = the
+    * default 99% SLO, 10 = a 99.9% SLO. burn > 14.4·budget clears the
+    * .4 as `err·50000 > n·72·budget`; burn6 > 6·budget as
+    * `err6·5000 > n6·3·budget` — still pure BIGINT at any SF. */
+  def sloBurn(spark: SparkSession, dir: String,
+      budgetPer10k: Long = 100L): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .groupBy(Obs.tenant.as("tenant_id"), Obs.ingestDate.as("audit_date"),
         hour(col("ts")).as("audit_hour"))
@@ -881,14 +887,17 @@ object Audit {
       .withColumn("err6", sum(col("n_err")).over(w6))
       .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
         col("n"), col("n_err"), col("n6"), col("err6"),
-        round(col("n_err").cast("double") * 100 / col("n"), 4).as("burn_1h"),
-        round(col("err6").cast("double") * 100 / col("n6"), 4).as("burn_6h"),
-        (col("n_err") * 1000L > col("n") * 144L &&
-          col("err6") * 100L > col("n6") * 6L).as("slo_alert"))
+        round(col("n_err").cast("double") * 10000 /
+          (col("n") * budgetPer10k), 4).as("burn_1h"),
+        round(col("err6").cast("double") * 10000 /
+          (col("n6") * budgetPer10k), 4).as("burn_6h"),
+        (col("n_err") * 50000L > col("n") * (72L * budgetPer10k) &&
+          col("err6") * 5000L > col("n6") * (3L * budgetPer10k))
+          .as("slo_alert"))
   }
 
-  def sloBurnSql: String =
-    """WITH hourly AS (
+  def sloBurnSql(budgetPer10k: Long = 100L): String =
+    s"""WITH hourly AS (
       |  SELECT 't' || (user_id % 4) AS tenant_id,
       |    strftime(ts, '%Y-%m-%d') AS audit_date,
       |    CAST(hour(ts) AS INT) AS audit_hour,
@@ -905,15 +914,22 @@ object Audit {
       |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
       |)
       |SELECT tenant_id, audit_date, audit_hour, n, n_err, n6, err6,
-      |  ROUND(CAST(n_err AS DOUBLE) * 100 / n, 4) AS burn_1h,
-      |  ROUND(CAST(err6 AS DOUBLE) * 100 / n6, 4) AS burn_6h,
-      |  (n_err * 1000 > n * 144 AND err6 * 100 > n6 * 6) AS slo_alert
+      |  ROUND(CAST(n_err AS DOUBLE) * 10000 / (n * $budgetPer10k), 4)
+      |    AS burn_1h,
+      |  ROUND(CAST(err6 AS DOUBLE) * 10000 / (n6 * $budgetPer10k), 4)
+      |    AS burn_6h,
+      |  (n_err * 50000 > n * ${72L * budgetPer10k}
+      |    AND err6 * 5000 > n6 * ${3L * budgetPer10k}) AS slo_alert
       |FROM trailed""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_error_spikes" -> (errorSpikes _),
-    "audit_ewma_alarm" -> (ewmaAlarm _),
-    "audit_slo_burn" -> (sloBurn _),
+    "audit_ewma_alarm" -> ((s: SparkSession, d: String) => ewmaAlarm(s, d)),
+    "param_ewma_alarm" -> ((s: SparkSession, d: String) =>
+      ewmaAlarm(s, d, memory = 4)),
+    "audit_slo_burn" -> ((s: SparkSession, d: String) => sloBurn(s, d)),
+    "param_slo_burn" -> ((s: SparkSession, d: String) =>
+      sloBurn(s, d, budgetPer10k = 10L)),
     "audit_retention_expiry" -> (retentionExpiry _),
     "audit_purge_list" -> (purgeList _),
     "reprocess_replay_set" -> (replaySet _),
@@ -933,8 +949,10 @@ object Audit {
 
   val oracles: Map[String, String] = Map(
     "audit_error_spikes" -> errorSpikesSql,
-    "audit_ewma_alarm" -> ewmaAlarmSql,
-    "audit_slo_burn" -> sloBurnSql,
+    "audit_ewma_alarm" -> ewmaAlarmSql(),
+    "param_ewma_alarm" -> ewmaAlarmSql(memory = 4),
+    "audit_slo_burn" -> sloBurnSql(),
+    "param_slo_burn" -> sloBurnSql(budgetPer10k = 10L),
     "audit_retention_expiry" -> retentionExpirySql,
     "audit_purge_list" -> purgeListSql,
     "reprocess_replay_set" -> replaySetSql,

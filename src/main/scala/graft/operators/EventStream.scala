@@ -328,14 +328,15 @@ object EventStream {
     * (that is its streaming semantics), and the partition key here is
     * the same shard key the stream is partitioned by; the rollup
     * shares the shuffle. Timestamp comparisons are exact µs. */
-  def watermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+  def watermarkAudit(spark: SparkSession, dir: String,
+      latenessMin: Int = AllowedLatenessMin): DataFrame = {
     val arrivalUs = unix_micros(col("ts")) +
       pmod(col("event_id") * 7919L + col("user_id") * 104729L, lit(1800L)) *
         1000000L
     val wArr = Window.partitionBy(Obs.tenant)
       .orderBy(arrivalUs, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val lateness = expr(s"INTERVAL $AllowedLatenessMin MINUTES")
+    val lateness = expr(s"INTERVAL $latenessMin MINUTES")
     Tables.events(spark, dir)
       .withColumn("prev_max_ts", max(col("ts")).over(wArr))
       .withColumn("status",
@@ -352,7 +353,7 @@ object EventStream {
         sum(when(col("status") === "dropped", 1L).otherwise(0L)).as("n_dropped"))
   }
 
-  def watermarkAuditSql: String =
+  def watermarkAuditSql(latenessMin: Int = AllowedLatenessMin): String =
     s"""WITH seq AS (
        |  SELECT 't' || (user_id % 4) AS tenant_id, ts,
        |    MAX(ts) OVER (PARTITION BY user_id % 4
@@ -365,7 +366,7 @@ object EventStream {
        |), st AS (
        |  SELECT tenant_id, ts,
        |    CASE WHEN prev_max_ts IS NULL OR ts >= prev_max_ts THEN 'on_time'
-       |         WHEN ts >= prev_max_ts - INTERVAL $AllowedLatenessMin MINUTE
+       |         WHEN ts >= prev_max_ts - INTERVAL $latenessMin MINUTE
        |           THEN 'late_accepted'
        |         ELSE 'dropped' END AS status
        |  FROM seq
@@ -381,7 +382,10 @@ object EventStream {
        |FROM st GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_watermark_audit" -> (watermarkAudit _),
+    "stream_watermark_audit" -> ((s: SparkSession, d: String) =>
+      watermarkAudit(s, d)),
+    "param_watermark_audit" -> ((s: SparkSession, d: String) =>
+      watermarkAudit(s, d, latenessMin = 5)),
     "stream_hopping_agg" -> (hoppingAgg _),
     "stream_interval_join_outer" -> (intervalJoinOuter _),
     "stream_session_window" -> (sessionWindowAgg _),
@@ -393,7 +397,8 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
-    "stream_watermark_audit" -> watermarkAuditSql,
+    "stream_watermark_audit" -> watermarkAuditSql(),
+    "param_watermark_audit" -> watermarkAuditSql(latenessMin = 5),
     "stream_hopping_agg" -> hoppingAggSql,
     "stream_interval_join_outer" -> intervalJoinOuterSql,
     "stream_session_window" -> sessionWindowAggSql,

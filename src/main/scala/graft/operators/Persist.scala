@@ -366,46 +366,58 @@ object Persist {
     * writes generalized from one row to a transaction) runs at commit
     * time: a commit attempt that read the table at its start must
     * RETRY if some other attempt COMMITTED a write to one of its keys
-    * while it was in flight. Attempts here are (writer, day) batches
-    * of applied writes: start = the attempt's first write ts, commit
-    * = its last; write set = the event_types it touched. Attempt X
-    * conflicts with Y iff they share a key, Y committed inside X's
-    * in-flight window (start_X <= commit_Y), and Y commits BEFORE X
-    * in the deterministic commit order (commit ts, writer id as
-    * tie-break) — the standard non-recursive conflict-candidate set
-    * of first-committer-wins OCC. Output per attempt: its window,
+    * while it was in flight. Attempts here are per-writer MICRO-BATCH
+    * commits — writer = the tenant's ingest service, one attempt per
+    * (tenant, hour): start = the attempt's first applied write ts,
+    * commit = its last; write set = the event_types it touched (the
+    * single-table design's partition keys). Attempt X conflicts with
+    * Y iff they share a key, Y committed inside X's in-flight window
+    * (start_X <= commit_Y), and Y commits BEFORE X in the
+    * deterministic commit order (commit ts, writer as tie-break) —
+    * the standard non-recursive conflict-candidate set of
+    * first-committer-wins OCC. Output per attempt: its window,
     * write-set size, conflict count and the first conflicting writer.
     *
-    * Scale: this is a METADATA-plane query (N4's economics) — the
-    * attempt and key tables are O(commits), not O(rows); the raw
-    * write stream collapses once per grouping. The candidate join is
-    * keyed (txn_date, key): concurrency per key per day is writer-
-    * bounded, so no all-pairs blowup; day-scoped attempts mean
-    * conflicts can't span join keys. */
+    * Scale: a METADATA-plane query (N4's economics) — the attempt
+    * and key tables are O(commits), not O(rows); the raw write
+    * stream collapses once per grouping. Hour-scoped attempt windows
+    * mean a conflicting commit shares the HOUR, so the candidate
+    * join is keyed (date, hour, key) and fan-in per key is bounded
+    * by concurrent WRITERS (tenants), never by row volume — the
+    * realistic commit-protocol cardinality (a table has a handful of
+    * concurrent committers, each batching many rows). */
   def conflictCheck(spark: SparkSession, dir: String): DataFrame = {
-    val a = applied(spark, dir).select(
-      col("user_id").as("writer_id"), Obs.ingestDate.as("txn_date"),
-      col("event_type"), col("ts"))
-    val attempts = a.groupBy(col("writer_id"), col("txn_date"))
-      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("commit_ts"),
-        countDistinct(col("event_type")).as("n_keys"))
-    val keyed = a.select(col("writer_id"), col("txn_date"), col("event_type"))
-      .distinct()
-      .join(attempts.drop("n_keys"), Seq("writer_id", "txn_date"))
+    // ONE pass over the applied stream: per-(attempt, key) rollup;
+    // the attempt table re-aggregates THAT (O(commits) rows), so the
+    // 600k-row window subtree executes once, not once per branch
+    val byKey = applied(spark, dir).select(
+        Obs.tenant.as("writer_id"), Obs.ingestDate.as("txn_date"),
+        hour(col("ts")).as("txn_hour"), col("event_type"), col("ts"))
+      .groupBy(col("writer_id"), col("txn_date"), col("txn_hour"),
+        col("event_type"))
+      .agg(min(col("ts")).as("k_min"), max(col("ts")).as("k_max"))
+    val attempts = byKey
+      .groupBy(col("writer_id"), col("txn_date"), col("txn_hour"))
+      .agg(min(col("k_min")).as("start_ts"), max(col("k_max")).as("commit_ts"),
+        count(lit(1)).as("n_keys"))
+    val keyed = byKey.select(col("writer_id"), col("txn_date"),
+        col("txn_hour"), col("event_type"))
+      .join(attempts.drop("n_keys"), Seq("writer_id", "txn_date", "txn_hour"))
     val x = keyed.select(col("writer_id").as("xw"), col("txn_date"),
-      col("event_type"), col("start_ts").as("xs"), col("commit_ts").as("xc"))
+      col("txn_hour"), col("event_type"), col("start_ts").as("xs"),
+      col("commit_ts").as("xc"))
     val y = keyed.select(col("writer_id").as("yw"), col("txn_date"),
-      col("event_type"), col("commit_ts").as("yc"))
-    val conflicts = x.join(y, Seq("txn_date", "event_type"))
+      col("txn_hour"), col("event_type"), col("commit_ts").as("yc"))
+    val conflicts = x.join(y, Seq("txn_date", "txn_hour", "event_type"))
       .filter(col("yw") =!= col("xw") && col("yc") >= col("xs") &&
         (col("yc") < col("xc") ||
           (col("yc") === col("xc") && col("yw") < col("xw"))))
-      .groupBy(col("xw").as("writer_id"), col("txn_date"))
+      .groupBy(col("xw").as("writer_id"), col("txn_date"), col("txn_hour"))
       .agg(countDistinct(col("yw")).as("conf"),
         min(col("yw")).as("first_conflict_writer"))
-    attempts.join(conflicts, Seq("writer_id", "txn_date"), "left")
-      .select(col("writer_id"), col("txn_date"), col("start_ts"),
-        col("commit_ts"), col("n_keys"),
+    attempts.join(conflicts, Seq("writer_id", "txn_date", "txn_hour"), "left")
+      .select(col("writer_id"), col("txn_date"), col("txn_hour"),
+        col("start_ts"), col("commit_ts"), col("n_keys"),
         coalesce(col("conf"), lit(0L)).as("n_conflicts"),
         (coalesce(col("conf"), lit(0L)) > 0).as("must_retry"),
         col("first_conflict_writer"))
@@ -413,35 +425,41 @@ object Persist {
 
   def conflictCheckSql: String =
     s"""WITH $appliedSqlCte, att AS (
-       |  SELECT user_id AS writer_id, strftime(ts, '%Y-%m-%d') AS txn_date,
+       |  SELECT 't' || (user_id % 4) AS writer_id,
+       |    strftime(ts, '%Y-%m-%d') AS txn_date,
+       |    CAST(hour(ts) AS INT) AS txn_hour,
        |    CAST(MIN(ts) AS TIMESTAMP) AS start_ts,
        |    CAST(MAX(ts) AS TIMESTAMP) AS commit_ts,
        |    COUNT(DISTINCT event_type) AS n_keys
-       |  FROM applied GROUP BY 1, 2
+       |  FROM applied GROUP BY 1, 2, 3
        |), ak AS (
-       |  SELECT DISTINCT user_id AS writer_id,
-       |    strftime(ts, '%Y-%m-%d') AS txn_date, event_type
+       |  SELECT DISTINCT 't' || (user_id % 4) AS writer_id,
+       |    strftime(ts, '%Y-%m-%d') AS txn_date,
+       |    CAST(hour(ts) AS INT) AS txn_hour, event_type
        |  FROM applied
        |), keyed AS (
-       |  SELECT ak.writer_id, ak.txn_date, ak.event_type, start_ts, commit_ts
-       |  FROM ak JOIN att USING (writer_id, txn_date)
+       |  SELECT ak.writer_id, ak.txn_date, ak.txn_hour, ak.event_type,
+       |    start_ts, commit_ts
+       |  FROM ak JOIN att USING (writer_id, txn_date, txn_hour)
        |), conf AS (
-       |  SELECT x.writer_id, x.txn_date,
+       |  SELECT x.writer_id, x.txn_date, x.txn_hour,
        |    COUNT(DISTINCT y.writer_id) AS n_conflicts,
        |    MIN(y.writer_id) AS first_conflict_writer
        |  FROM keyed x JOIN keyed y
-       |    ON x.txn_date = y.txn_date AND x.event_type = y.event_type
+       |    ON x.txn_date = y.txn_date AND x.txn_hour = y.txn_hour
+       |    AND x.event_type = y.event_type
        |    AND y.writer_id <> x.writer_id
        |    AND y.commit_ts >= x.start_ts
        |    AND (y.commit_ts < x.commit_ts
        |         OR (y.commit_ts = x.commit_ts AND y.writer_id < x.writer_id))
-       |  GROUP BY 1, 2
+       |  GROUP BY 1, 2, 3
        |)
-       |SELECT att.writer_id, att.txn_date, start_ts, commit_ts, n_keys,
+       |SELECT att.writer_id, att.txn_date, att.txn_hour, start_ts, commit_ts,
+       |  n_keys,
        |  COALESCE(n_conflicts, 0) AS n_conflicts,
        |  COALESCE(n_conflicts, 0) > 0 AS must_retry,
        |  first_conflict_writer
-       |FROM att LEFT JOIN conf USING (writer_id, txn_date)""".stripMargin
+       |FROM att LEFT JOIN conf USING (writer_id, txn_date, txn_hour)""".stripMargin
 
   /** D6 `persist_compacted_upsert` — INCREMENTAL maintenance of the
     * D2 upsert state: fold all history up to a compaction cutoff into

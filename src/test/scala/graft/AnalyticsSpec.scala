@@ -273,4 +273,31 @@ class AnalyticsSpec extends SparkSpecBase {
       .sortBy { case (n, v) => (-v, n) }
     assert(got.toSeq == want)
   }
+
+  test("K29 RFM: every customer scored, quartile laws hold") {
+    val rows = run("k29_rfm_segmentation").collect()
+    assert(rows.length ==
+      Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    // scores in 1..4, segment echoes them
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Int](c); assert(s >= 1 && s <= 4, s"$c=$s")
+      }
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Int]("r_score")}-${r.getAs[Int]("f_score")}-${r.getAs[Int]("m_score")}")
+    }
+    // quartile law: boundaries split the population into four parts,
+    // each at most half the total (ties can inflate a bucket, but a
+    // monetary quartile can never swallow most of the population)
+    val byM = rows.groupBy(_.getAs[Int]("m_score")).view.mapValues(_.length)
+    assert(byM.keySet == Set(1, 2, 3, 4), s"m_score buckets ${byM.keySet}")
+    assert(byM.values.max <= rows.length / 2)
+    // monotonicity: a higher-m_score customer never spends less than
+    // a lower-score one
+    val maxBy = (1 to 4).map(s =>
+      rows.filter(_.getAs[Int]("m_score") == s).map(_.getAs[Double]("monetary")))
+    for (s <- 1 to 3 if maxBy(s - 1).nonEmpty && maxBy(s).nonEmpty)
+      assert(maxBy(s - 1).max <= maxBy(s).min,
+        s"m_score $s max ${maxBy(s - 1).max} > ${s + 1} min ${maxBy(s).min}")
+  }
 }

@@ -47,6 +47,28 @@ class DedupTextSpec extends SparkSpecBase {
       s"apss candidates $cand not <10% of all-pairs ${n * (n - 1) / 2}")
   }
 
+  test("G20 lsh recall: ratios re-derive from the component pair sets") {
+    val rows = run("dedup_lsh_recall").collect()
+    assert(rows.nonEmpty)
+    val truth = run("dedup_apss_prefix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val cand = run("dedup_minhash_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val high = r.getAs[String]("jaccard_band").startsWith("high")
+      val inBand = truth.filter(t => (t._3 >= 0.75) == high)
+      val hits = inBand.count(t => cand((t._1, t._2)))
+      assert(r.getAs[Long]("n_truth") == inBand.length)
+      assert(r.getAs[Long]("n_hit") == hits)
+      assert(math.abs(r.getAs[Double]("recall") -
+        hits.toDouble / inBand.length) < 1e-12)
+      // b=8, r=1 banding: per-pair miss probability is (1-J)^8 <= 0.4%
+      // at J >= 0.5 — realized recall must be near-total
+      assert(r.getAs[Double]("recall") >= 0.9,
+        s"${r.getAs[String]("jaccard_band")}: recall ${r.getAs[Double]("recall")}")
+    }
+  }
+
   test("G6 clusters: every near-dup edge joins one component, reps are minima") {
     val labels = run("dedup_clusters").cache()
     assert(labels.filter(col("cluster_rep") > col("doc_id")).count() == 0)

@@ -614,31 +614,35 @@ class PipelineSpec extends SparkSpecBase {
     val rows = run("persist_conflict_check").collect()
     assert(rows.nonEmpty && rows.exists(_.getAs[Boolean]("must_retry")))
     assert(rows.exists(!_.getAs[Boolean]("must_retry")))
-    // driver recount: rebuild attempts and the first-committer-wins
-    // conflict-candidate sets from the applied write stream
+    // driver recount: rebuild (tenant, hour) attempts and the
+    // first-committer-wins conflict-candidate sets from the applied
+    // write stream
     val writes = operators.Persist.applied(spark, sf)
-      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"),
+      .select(concat(lit("t"), pmod(col("user_id"), lit(4))),
+        date_format(col("ts"), "yyyy-MM-dd"), hour(col("ts")),
         col("event_type"), col("ts")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getTimestamp(3).getTime))
-    val attempts = writes.groupBy(w => (w._1, w._2)).map { case ((w, d), ws) =>
-      (w, d, ws.map(_._4).min, ws.map(_._4).max, ws.map(_._3).toSet)
-    }.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getTimestamp(4).getTime * 1000 +
+          r.getTimestamp(4).getNanos / 1000 % 1000))
+    val attempts = writes.groupBy(w => (w._1, w._2, w._3))
+      .map { case ((w, d, h), ws) =>
+        (w, d, h, ws.map(_._5).min, ws.map(_._5).max, ws.map(_._4).toSet)
+      }.toSeq
     rows.foreach { r =>
-      val (w, d) = (r.getAs[Long]("writer_id"), r.getAs[String]("txn_date"))
-      val Some((_, _, xs, xc, xkeys)) =
-        attempts.find(a => a._1 == w && a._2 == d)
-      assert(r.getAs[java.sql.Timestamp]("start_ts").getTime == xs)
-      assert(r.getAs[java.sql.Timestamp]("commit_ts").getTime == xc)
+      val (w, d, h) = (r.getAs[String]("writer_id"),
+        r.getAs[String]("txn_date"), r.getAs[Int]("txn_hour"))
+      val Some((_, _, _, xs, xc, xkeys)) =
+        attempts.find(a => a._1 == w && a._2 == d && a._3 == h)
       assert(r.getAs[Long]("n_keys") == xkeys.size)
-      val conflicters = attempts.filter { case (yw, yd, _, yc, ykeys) =>
-        yd == d && yw != w && ykeys.exists(xkeys) && yc >= xs &&
+      val conflicters = attempts.filter { case (yw, yd, yh, _, yc, ykeys) =>
+        yd == d && yh == h && yw != w && ykeys.exists(xkeys) && yc >= xs &&
           (yc < xc || (yc == xc && yw < w))
       }.map(_._1)
-      assert(r.getAs[Long]("n_conflicts") == conflicters.size)
+      assert(r.getAs[Long]("n_conflicts") == conflicters.size,
+        s"($w,$d,$h): expected ${conflicters.size}")
       assert(r.getAs[Boolean]("must_retry") == conflicters.nonEmpty)
       if (conflicters.nonEmpty)
-        assert(r.getAs[Long]("first_conflict_writer") == conflicters.min)
+        assert(r.getAs[String]("first_conflict_writer") == conflicters.min)
       else assert(r.isNullAt(r.fieldIndex("first_conflict_writer")))
     }
   }

@@ -54,6 +54,7 @@ class RegistrySpec extends SparkSpecBase {
     // (b) one-row broadcast scalar attach
     "api_patient_bundle", "param_patient_bundle", // latest-obs + count attach
     "k24_important_stock", // nation stock total
+    "k29_rfm_segmentation", // 1-row quartile-threshold attach
     "corpus_mix_weights", "corpus_resample", "corpus_temperature_mix",
     "text_stupid_backoff", // corpus-total scalar attach
     "text_dsir_weights",
@@ -147,6 +148,9 @@ class RegistrySpec extends SparkSpecBase {
     "corpus_token_budget" -> 3,
     "text_stupid_backoff" -> 5, // I12's joins + the unigram table
     "dedup_apss_prefix" -> 6, // df agg + prefix window + candidate join + verify joins, all keyed
+    "param_apss_prefix" -> 6,
+    "dedup_lsh_recall" -> 5, // truth/candidate pair-set join + band rollup (APSS state is cached)
+    "k29_rfm_segmentation" -> 3, // customer rollup + 1-row quartile agg + threshold attach
     "dedup_bloom_decontaminate" -> 3,
     "dedup_clusters" -> 0,
     "dedup_contamination_frac" -> 3,
@@ -215,7 +219,7 @@ class RegistrySpec extends SparkSpecBase {
     "param_q3_shipping_priority" -> 1,
     "param_q6_forecast_revenue" -> 1,
     "persist_asof_snapshot" -> 1,
-    "persist_conflict_check" -> 8, // attempts/write-set aggs + (date,key) candidate join + retry-set agg — all over O(commits) metadata rows, never event rows
+    "persist_conflict_check" -> 10, // per-(attempt,key) rollup + attempts re-agg + (date,hour,key) candidate join + retry-set agg — all over O(commits) metadata rows, never event rows
     "persist_changefeed" -> 3, // two snapshot replays + entity-key diff join
     "persist_commit_log" -> 1,
     "param_profile_asof_del" -> 1,
