@@ -1242,7 +1242,54 @@ object Analytics {
       |  r_score || '-' || f_score || '-' || m_score AS segment
       |FROM scored""".stripMargin
 
+  /** K30 `k30_copurchase_pairs` — market-basket co-occurrence: pairs
+    * of parts appearing together in the same order, with order-count
+    * support, thresholded and served as a deterministic top-k — the
+    * "frequently bought together" primitive behind recommendation
+    * candidate generation. Pair generation deliberately avoids the
+    * self-join form (distinct → join → realign costs three exchanges):
+    * ONE shuffle groups each order's distinct parts into a sorted
+    * array, and the pairs expand MAP-SIDE from that array via nested
+    * `transform` + `flatten` (i < j by construction, so no dedup
+    * pass), bounded by the basket size — TPC-H orders hold ≤ 7 lines,
+    * so ≤ 21 pairs per order and the expansion is O(n), never O(n²).
+    * The pair rollup is the second (and last) shuffle; the serve is a
+    * distributed TakeOrdered on the fully-tiebroken (support desc,
+    * part_a, part_b) order, so the LIMIT is deterministic under any
+    * partitioning. At 100 TB: both shuffles move ≤ 21 rows per order
+    * with partial aggregation on the pair side; no basket-size blowup
+    * risk because the per-key state is the sorted part array, capped
+    * by the schema's basket bound. */
+  def k30CopurchasePairs(spark: SparkSession, dir: String,
+                         minSupport: Int = 2, limit: Int = 100): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(limit)
+
+  def k30Sql(minSupport: Int = 2, limit: Int = 100): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  COUNT(*) AS n_orders
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= $minSupport
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k30_copurchase_pairs" -> ((s, d) => k30CopurchasePairs(s, d)),
+    "param_k30_copurchase_pairs" -> ((s, d) => k30CopurchasePairs(s, d,
+      minSupport = 3, limit = 20)),
     "k29_rfm_segmentation" -> (rfmSegmentation _),
     "k23_product_profit" -> ((s, d) => k23ProductProfit(s, d)),
     "k24_important_stock" -> ((s, d) => k24ImportantStock(s, d)),
@@ -1289,6 +1336,8 @@ object Analytics {
       from = "1996-07-01", to = "1996-08-01")))
 
   val oracles: Map[String, String] = Map(
+    "k30_copurchase_pairs" -> k30Sql(),
+    "param_k30_copurchase_pairs" -> k30Sql(minSupport = 3, limit = 20),
     "k29_rfm_segmentation" -> rfmSegmentationSql,
     "k23_product_profit" -> k23Sql(),
     "k24_important_stock" -> k24Sql(),

@@ -381,7 +381,134 @@ object EventStream {
        |    AS n_dropped
        |FROM st GROUP BY 1, 2""".stripMargin
 
+  /** L11 `events_funnel` — ORDERED multi-stage conversion funnel
+    * (view → click → purchase by default): a user converts at stage
+    * i only with an event of that stage's type STRICTLY AFTER their
+    * stage-(i-1) conversion time, greedily anchored at the earliest
+    * qualifying event per stage (the standard funnel semantics —
+    * Amplitude/GA "in this order" mode); an optional conversion
+    * horizon additionally requires each stage within `horizonMin`
+    * minutes of the previous anchor (the "converted within a day"
+    * report). Per tenant, the report is the distinct-user count
+    * surviving each stage.
+    *
+    * Implementation: one chained full-partition window per stage over
+    * the SAME user_id partitioning — stage i's anchor column is
+    * min(ts WHERE type=stageᵢ AND ts > anchor₍ᵢ₋₁₎) OVER (PARTITION BY
+    * user). Identically-partitioned stacked Window operators run off
+    * ONE exchange (Spark inserts a single hash partitioning for the
+    * whole chain), so the funnel costs one shuffle regardless of
+    * stage count, then the tiny per-tenant rollup. At 100 TB the
+    * window state per user is the partition's events — bounded by
+    * per-user activity, the same bound sessionization (L2) already
+    * carries; no cross-user state exists. */
+  def funnel(spark: SparkSession, dir: String,
+             stages: Seq[String] = Seq("view", "click", "purchase"),
+             horizonMin: Option[Int] = None): DataFrame = {
+    require(stages.nonEmpty)
+    val w = Window.partitionBy(col("user_id"))
+    var df = Tables.events(spark, dir)
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else {
+          val base = col("event_type") === st &&
+            col(s"t${i - 1}").isNotNull && col("ts") > col(s"t${i - 1}")
+          horizonMin.fold(base)(h =>
+            base && col("ts") <= col(s"t${i - 1}") + expr(s"INTERVAL $h MINUTES"))
+        }
+      df = df.withColumn(s"t$i", min(when(cond, col("ts"))).over(w))
+    }
+    val stageCounts = stages.zipWithIndex.map { case (st, i) =>
+      countDistinct(when(col(s"t$i").isNotNull, col("user_id")))
+        .as(s"n_s${i}_$st")
+    }
+    val aggs = countDistinct(col("user_id")).as("n_users") +: stageCounts
+    df.groupBy(Obs.tenant.as("tenant_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def funnelSql(stages: Seq[String] = Seq("view", "click", "purchase"),
+                horizonMin: Option[Int] = None): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      val src = if (i == 0) "events" else s"s${i - 1}"
+      val hor = horizonMin
+        .map(h => s" AND ts <= t${i - 1} + INTERVAL $h MINUTE").getOrElse("")
+      val cond =
+        if (i == 0) s"event_type = '$st'"
+        else s"event_type = '$st' AND t${i - 1} IS NOT NULL AND ts > t${i - 1}$hor"
+      s"""s$i AS (
+         |  SELECT *, MIN(CASE WHEN $cond THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t$i
+         |  FROM $src
+         |)""".stripMargin
+    }
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      s"  COUNT(DISTINCT CASE WHEN t$i IS NOT NULL THEN user_id END) AS n_s${i}_$st"
+    }
+    s"""WITH ${ctes.mkString(", ")}
+       |SELECT 't' || (user_id % 4) AS tenant_id,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |${counts.mkString(",\n")}
+       |FROM s${stages.size - 1} GROUP BY 1""".stripMargin
+  }
+
+  /** L12 `events_cohort_retention` — signup-week cohort retention
+    * matrix: users are grouped into cohorts by the week of their
+    * first `signup` event; each cohort row counts the distinct users
+    * active (ANY event) k whole weeks after their cohort week — the
+    * classic retention triangle behind growth dashboards. Offsets are
+    * exact integer arithmetic on µs epochs of week-truncated
+    * timestamps (both engines truncate to the ISO Monday in UTC, and
+    * week starts differ by exact multiples of 604800 s in UTC, so the
+    * division is exact); pre-signup activity (negative offsets —
+    * possible when a user's first event is not their signup) is
+    * excluded as not-yet-cohorted, the dashboard convention.
+    *
+    * Scale: the cohort derivation is one user-keyed partial-agg
+    * shuffle; the activity join is user-keyed equi (the cohort side
+    * is one row per user — NOT broadcastable at 100 TB, so it stays a
+    * co-partitioned shuffle join); the distinct-user rollup shuffles
+    * on the tiny (cohort_week, offset) key with the distinct expand
+    * keyed by user first. Three shuffles, all linear. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("c_user"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    // `div` (not `/`): Spark's / on BIGINT yields DOUBLE; div is the
+    // integer division DuckDB's // performs, and the difference is an
+    // exact multiple of a week in UTC so trunc == floor here
+    val weekUs = 7L * 86400L * 1000000L
+    ev.join(cohort, col("user_id") === col("c_user"))
+      .withColumn("offset_weeks",
+        expr(s"(unix_micros(date_trunc('week', ts)) - " +
+          s"unix_micros(cohort_week)) div $weekUs"))
+      .filter(col("offset_weeks") >= 0)
+      .groupBy(col("cohort_week"), col("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  def cohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id AS c_user,
+      |    date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), activity AS (
+      |  SELECT user_id, cohort_week,
+      |    (epoch_us(date_trunc('week', ts)) - epoch_us(cohort_week))
+      |      // 604800000000 AS offset_weeks
+      |  FROM events JOIN cohort ON user_id = c_user
+      |)
+      |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, offset_weeks,
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM activity WHERE offset_weeks >= 0
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "param_events_funnel" -> ((s: SparkSession, d: String) =>
+      funnel(s, d, horizonMin = Some(1440))),
+    "events_cohort_retention" -> (cohortRetention _),
     "stream_watermark_audit" -> ((s: SparkSession, d: String) =>
       watermarkAudit(s, d)),
     "param_watermark_audit" -> ((s: SparkSession, d: String) =>
@@ -397,6 +524,9 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> funnelSql(),
+    "param_events_funnel" -> funnelSql(horizonMin = Some(1440)),
+    "events_cohort_retention" -> cohortRetentionSql,
     "stream_watermark_audit" -> watermarkAuditSql(),
     "param_watermark_audit" -> watermarkAuditSql(latenessMin = 5),
     "stream_hopping_agg" -> hoppingAggSql,

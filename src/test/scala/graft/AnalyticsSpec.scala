@@ -300,4 +300,34 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(maxBy(s - 1).max <= maxBy(s).min,
         s"m_score $s max ${maxBy(s - 1).max} > ${s + 1} min ${maxBy(s).min}")
   }
+
+  test("K30 co-purchase: top-k pairs match a driver market-basket recount") {
+    val rows = run("k30_copurchase_pairs").collect()
+    assert(rows.nonEmpty)
+    // driver recount: per-order distinct baskets, all i<j pairs
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toIndexedSeq)
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size) {
+        val k = (ps(i), ps(j)); counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val want = counts.toSeq.filter(_._2 >= 2)
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(100)
+    val got = rows.toSeq.map(r => ((r.getAs[Long]("part_a"),
+      r.getAs[Long]("part_b")), r.getAs[Long]("n_orders")))
+    assert(got == want)
+    // the ordering tiebreak makes the LIMIT deterministic: the last
+    // kept row must strictly dominate (or tie-then-precede) the first
+    // excluded one under (support desc, part_a, part_b)
+    val all = counts.toSeq.filter(_._2 >= 2)
+      .sortBy { case ((a, b), c) => (-c, a, b) }
+    if (all.size > 100)
+      assert(Ordering.Tuple3[Long, Long, Long].lt(
+        (-want.last._2, want.last._1._1, want.last._1._2),
+        (-all(100)._2, all(100)._1._1, all(100)._1._2)))
+  }
 }

@@ -724,4 +724,92 @@ class PipelineSpec extends SparkSpecBase {
     // cells cover all survivors; at most 16 distinct cells
     assert(surv.map(_.getAs[Long]("cell")).distinct.length <= 16)
   }
+
+  /** Driver replay of the L11 funnel: per user, greedily anchor each
+    * stage at the earliest qualifying event strictly after the
+    * previous anchor (µs precision), optionally within the horizon. */
+  private def funnelReplay(stages: Seq[String], horizonMin: Option[Int])
+      : Map[(String, Int), Long] = {
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), us(r.getTimestamp(2))))
+      .groupBy(_._1)
+    val out = scala.collection.mutable.Map.empty[(String, Int), Long]
+    byUser.foreach { case (user, evs) =>
+      val ten = "t" + (user % 4)
+      out((ten, -1)) = out.getOrElse((ten, -1), 0L) + 1L // n_users
+      var anchor = Option.empty[Long]
+      var alive = true
+      stages.zipWithIndex.foreach { case (st, i) =>
+        if (alive) {
+          val cand = evs.filter(e => e._2 == st &&
+            anchor.forall(a => e._3 > a &&
+              horizonMin.forall(h => e._3 <= a + h * 60L * 1000000L)))
+          if (cand.isEmpty) alive = false
+          else {
+            anchor = Some(cand.map(_._3).min)
+            out((ten, i)) = out.getOrElse((ten, i), 0L) + 1L
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("L11 funnel: per-tenant stage survivors match a driver replay") {
+    val stages = Seq("view", "click", "purchase")
+    for ((name, hor) <- Seq("events_funnel" -> None,
+        "param_events_funnel" -> Some(1440))) {
+      val want = funnelReplay(stages, hor)
+      val rows = run(name).collect()
+      rows.foreach { r =>
+        val ten = r.getAs[String]("tenant_id")
+        assert(r.getAs[Long]("n_users") == want((ten, -1)), s"$name $ten users")
+        stages.zipWithIndex.foreach { case (st, i) =>
+          assert(r.getAs[Long](s"n_s${i}_$st") ==
+            want.getOrElse((ten, i), 0L), s"$name $ten stage $st")
+        }
+      }
+      // monotone: each stage retains no more users than the previous
+      rows.foreach { r =>
+        val ns = r.getAs[Long]("n_users") +:
+          stages.indices.map(i => r.getAs[Long](s"n_s${i}_${stages(i)}"))
+        assert(ns == ns.sorted.reverse, s"$name non-monotone: $ns")
+      }
+    }
+  }
+
+  test("L12 cohort retention: matrix matches a driver recount") {
+    val rows = run("events_cohort_retention").collect()
+    assert(rows.nonEmpty)
+    def weekStart(usec: Long): Long = {
+      val day = Math.floorDiv(usec, 86400L * 1000000L)
+      (day - Math.floorMod(day + 3, 7)) * 86400L * 1000000L // Monday UTC
+    }
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), us(r.getTimestamp(2))))
+    val cohort = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> weekStart(es.map(_._3).min) }
+    val want = evs.flatMap { case (u, _, t) =>
+      cohort.get(u).map { cw =>
+        (cw, (weekStart(t) - cw) / (604800L * 1000000L), u)
+      }
+    }.filter(_._2 >= 0).distinct
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.length.toLong).toMap
+    val got = rows.map { r =>
+      (us(r.getAs[java.sql.Timestamp]("cohort_week")),
+        r.getAs[Long]("offset_weeks")) -> r.getAs[Long]("n_active")
+    }.toMap
+    assert(got == want)
+    // offset 0 serves every cohorted user (the signup itself is
+    // activity in week 0), and retention exists beyond week 0
+    val sizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong)
+    sizes.foreach { case (cw, n) => assert(got((cw, 0L)) == n) }
+    assert(rows.exists(_.getAs[Long]("offset_weeks") > 0))
+  }
 }

@@ -151,6 +151,9 @@ class RegistrySpec extends SparkSpecBase {
     "param_apss_prefix" -> 6,
     "dedup_lsh_recall" -> 5, // truth/candidate pair-set join + band rollup (APSS state is cached)
     "k29_rfm_segmentation" -> 3, // customer rollup + 1-row quartile agg + threshold attach
+    "events_funnel" -> 3, // user-key window + distinct expand + tenant rollup
+    "param_events_funnel" -> 3,
+    "events_cohort_retention" -> 3, // cohort agg + user-key join + distinct rollup
     "dedup_bloom_decontaminate" -> 3,
     "dedup_clusters" -> 0,
     "dedup_contamination_frac" -> 3,
