@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -922,7 +923,216 @@ object Audit {
       |    AND err6 * 5000 > n6 * ${3L * budgetPer10k}) AS slo_alert
       |FROM trailed""".stripMargin
 
+  // ===== F19 audit_constraint_check =====
+
+  /** F19 `audit_constraint_check` — declarative data-quality
+    * constraint suite (the Deequ/Great-Expectations shape): a fixed
+    * set of completeness / uniqueness / range / referential-integrity
+    * checks evaluated in bulk, served as one row per constraint with
+    * its measured metric, threshold, and pass verdict — the
+    * "verification report" a pipeline runs before publishing a
+    * dataset. Metrics are exact ratios of BIGINT counts (cross-engine
+    * deterministic division); `passed` is metric ≥ threshold.
+    *
+    * Scale: ONE aggregate pass per profiled table computes every
+    * per-table metric map-side (counts and conditional counts fold
+    * into partial aggs; the uniqueness check rides the same pass as
+    * approx-free countDistinct over the key); the referential check
+    * is a LEFT SEMI equi-join on the key — co-partitioned shuffle,
+    * never broadcast of the parent at 100 TB; the three 1-row
+    * metric tables then cross-attach (broadcast scalar class) and
+    * explode into the report rows. No full-table state leaves the
+    * executors — only 1-row aggregates. */
+  def constraintCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("o_n"),
+      count(col("o_custkey")).as("o_nck"),
+      countDistinct(col("o_orderkey")).as("o_nok"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("o_npos"),
+      sum(when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("o_nfresh"))
+    val l = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("l_n"),
+      sum(when(col("l_discount").between(0.0, 0.1), 1L).otherwise(0L))
+        .as("l_ndisc"),
+      sum(when(col("l_quantity").between(1.0, 50.0), 1L).otherwise(0L))
+        .as("l_nqty"))
+    val ri = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("ri_n"))
+    def c(id: String, num: Column, den: Column, threshold: Double = 1.0) =
+      struct(lit(id).as("constraint_id"),
+        (num.cast("double") / den).as("metric"),
+        lit(threshold).as("threshold"))
+    o.crossJoin(broadcast(l)).crossJoin(broadcast(ri))
+      .select(explode(array(
+        c("orders_custkey_complete", col("o_nck"), col("o_n")),
+        c("orders_orderkey_unique", col("o_nok"), col("o_n")),
+        c("orders_totalprice_positive", col("o_npos"), col("o_n")),
+        // deliberately failing freshness bar: most of the archive is
+        // older than the window, so the report exercises passed=false
+        c("orders_orderdate_fresh", col("o_nfresh"), col("o_n"), 0.9),
+        c("lineitem_discount_in_range", col("l_ndisc"), col("l_n")),
+        c("lineitem_quantity_in_range", col("l_nqty"), col("l_n")),
+        c("lineitem_orderkey_ref_integrity", col("ri_n"), col("l_n")),
+        struct(lit("lineitem_nonempty").as("constraint_id"),
+          col("l_n").cast("double").as("metric"), lit(1.0).as("threshold"))
+      )).as("r"))
+      .select(col("r.constraint_id"), col("r.metric"), col("r.threshold"),
+        (col("r.metric") >= col("r.threshold")).as("passed"))
+  }
+
+  def constraintCheckSql: String =
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n, COUNT(o_custkey) AS nck,
+      |    COUNT(DISTINCT o_orderkey) AS nok,
+      |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS npos,
+      |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS nfresh
+      |  FROM orders
+      |), l AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ndisc,
+      |    CAST(SUM(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nqty
+      |  FROM lineitem
+      |), ri AS (
+      |  SELECT COUNT(*) AS n FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+      |), rep AS (
+      |  SELECT 'orders_custkey_complete' AS constraint_id,
+      |    CAST(nck AS DOUBLE) / n AS metric,
+      |    CAST(1.0 AS DOUBLE) AS threshold FROM o
+      |  UNION ALL SELECT 'orders_orderkey_unique',
+      |    CAST(nok AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM o
+      |  UNION ALL SELECT 'orders_totalprice_positive',
+      |    CAST(npos AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM o
+      |  UNION ALL SELECT 'orders_orderdate_fresh',
+      |    CAST(nfresh AS DOUBLE) / n, CAST(0.9 AS DOUBLE) FROM o
+      |  UNION ALL SELECT 'lineitem_discount_in_range',
+      |    CAST(ndisc AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM l
+      |  UNION ALL SELECT 'lineitem_quantity_in_range',
+      |    CAST(nqty AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM l
+      |  UNION ALL SELECT 'lineitem_orderkey_ref_integrity',
+      |    CAST(ri.n AS DOUBLE) / l.n, CAST(1.0 AS DOUBLE) FROM ri, l
+      |  UNION ALL SELECT 'lineitem_nonempty', CAST(n AS DOUBLE),
+      |    CAST(1.0 AS DOUBLE) FROM l
+      |)
+      |SELECT constraint_id, metric, threshold,
+      |  metric >= threshold AS passed
+      |FROM rep""".stripMargin
+
+  // ===== F20 audit_psi_drift =====
+
+  /** F20 `audit_psi_drift` — Population-Stability-Index drift monitor
+    * (the standard ML-ops distribution-shift check): per event type,
+    * the `value` distribution of the CURRENT period is compared
+    * against the REFERENCE period via PSI = Σ_b (p_c − p_r)·ln(p_c/
+    * p_r) over reference-decile bins. Bin edges are the reference
+    * period's per-type `bins`-quantiles (percentile_disc — the same
+    * discrete-quantile equivalence K29 relies on), broadcast as a
+    * types-row table; every event classifies itself by comparison
+    * (bucket = 1 + Σ value > edge_k, the K29 trick — map-side, no
+    * sort). Laplace smoothing (+1 per bucket, +bins per total) keeps
+    * both probabilities nonzero so ln is total. Cross-engine
+    * determinism: counts are exact BIGINTs, probabilities exact
+    * double divisions, and each PSI term is rounded to 6 dp and
+    * summed as DECIMAL(18,9) — the I6 entropy recipe, order-
+    * insensitive. PSI ≥ 0 always (each term is (x−y)·ln(x/y) ≥ 0);
+    * bands at the conventional 0.1 / 0.25 cutoffs.
+    *
+    * Scale: one events pass for the edges (reference rows only, tiny
+    * grouped agg), one events pass for the bucket counts (partial-
+    * agg'd to types×bins rows), then windows/rollups over those
+    * types×bins rows only. Nothing wider than the bin table ever
+    * shuffles. */
+  def psiDrift(spark: SparkSession, dir: String,
+               splitDate: String = "2024-01-16", bins: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("is_ref", col("ts") < lit(splitDate).cast("timestamp"))
+    val edges = (1 until bins).map { k =>
+      expr(s"percentile_disc(${k.toDouble / bins}) WITHIN GROUP (ORDER BY value)")
+        .as(s"d$k")
+    }
+    val th = ev.filter(col("is_ref"))
+      .groupBy(col("event_type").as("th_type"))
+      .agg(edges.head, edges.tail: _*)
+    val bucket = (1 until bins).foldLeft(lit(1)) { (acc, k) =>
+      acc + (col("value") > col(s"d$k")).cast("int")
+    }
+    val wt = Window.partitionBy(col("event_type"))
+    ev.join(broadcast(th), col("event_type") === col("th_type"))
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_c"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_c"))
+      .withColumn("n_ref", sum(col("ref_c")).over(wt))
+      .withColumn("n_cur", sum(col("cur_c")).over(wt))
+      .withColumn("pr",
+        (col("ref_c") + 1).cast("double") / (col("n_ref") + bins))
+      .withColumn("pc",
+        (col("cur_c") + 1).cast("double") / (col("n_cur") + bins))
+      .withColumn("term",
+        round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("term")).cast("double").as("psi"))
+      .withColumn("drift_band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
+  }
+
+  def psiDriftSql(splitDate: String = "2024-01-16", bins: Int = 10): String = {
+    val edgeDefs = (1 until bins).map(k =>
+      s"quantile_disc(value, ${k.toDouble / bins}) AS d$k").mkString(", ")
+    val bucketExpr = (1 until bins)
+      .map(k => s"CAST(value > d$k AS INT)").mkString("1 + ", " + ", "")
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |    ts < TIMESTAMP '$splitDate' AS is_ref
+       |  FROM events
+       |), th AS (
+       |  SELECT event_type AS th_type, $edgeDefs
+       |  FROM ev WHERE is_ref GROUP BY 1
+       |), counts AS (
+       |  SELECT event_type, $bucketExpr AS bucket,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_c,
+       |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_c
+       |  FROM ev JOIN th ON event_type = th_type
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT *,
+       |    CAST(SUM(ref_c) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cur_c) OVER (PARTITION BY event_type) AS BIGINT) AS n_cur
+       |  FROM counts
+       |), terms AS (
+       |  SELECT event_type, n_ref, n_cur,
+       |    CAST(ROUND((pc - pr) * ln(pc / pr), 6) AS DECIMAL(18,9)) AS term
+       |  FROM (
+       |    SELECT *,
+       |      CAST(ref_c + 1 AS DOUBLE) / (n_ref + $bins) AS pr,
+       |      CAST(cur_c + 1 AS DOUBLE) / (n_cur + $bins) AS pc
+       |    FROM tot
+       |  )
+       |), agg AS (
+       |  SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+       |    CAST(SUM(term) AS DOUBLE) AS psi
+       |  FROM terms GROUP BY 1
+       |)
+       |SELECT event_type, n_ref, n_cur, psi,
+       |  CASE WHEN psi < 0.1 THEN 'stable'
+       |       WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END AS drift_band
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_constraint_check" -> (constraintCheck _),
+    "audit_psi_drift" -> ((s: SparkSession, d: String) => psiDrift(s, d)),
+    "param_psi_drift" -> ((s: SparkSession, d: String) =>
+      psiDrift(s, d, splitDate = "2024-01-11", bins = 4)),
     "audit_error_spikes" -> (errorSpikes _),
     "audit_ewma_alarm" -> ((s: SparkSession, d: String) => ewmaAlarm(s, d)),
     "param_ewma_alarm" -> ((s: SparkSession, d: String) =>
@@ -948,6 +1158,9 @@ object Audit {
     "audit_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "audit_constraint_check" -> constraintCheckSql,
+    "audit_psi_drift" -> psiDriftSql(),
+    "param_psi_drift" -> psiDriftSql(splitDate = "2024-01-11", bins = 4),
     "audit_error_spikes" -> errorSpikesSql,
     "audit_ewma_alarm" -> ewmaAlarmSql(),
     "param_ewma_alarm" -> ewmaAlarmSql(memory = 4),

@@ -863,7 +863,15 @@ object TextAnalysis {
     * replace with provably identical semantics in both engines.
     * Output: the learned merge table (rank, left, right, count) —
     * the artifact a tokenizer ships. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrained(spark, dir)._2.reduce(_.unionAll(_))
+
+  /** The training fold itself: returns (trained word dictionary after
+    * [[BpeTrainMerges]] merges — token, freq, repr — and the per-merge
+    * rows). Shared by I15 (serves the merges) and I18 (encodes the
+    * corpus against the trained dictionary). */
+  private def bpeTrained(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val wf = Tables.documents(spark, dir)
       .select(explode(nonEmptyToks).as("t"))
       .filter(col("t").rlike("^[a-z0-9]+$"))
@@ -871,7 +879,7 @@ object TextAnalysis {
     val rep0 = wf.withColumn("repr", expr(
       "array_join(transform(sequence(1, length(token)), " +
         "i -> concat(chr(1), substr(token, i, 1), chr(1))), '')"))
-    val (_, merges) = (1 to BpeTrainMerges)
+    (1 to BpeTrainMerges)
       .foldLeft((rep0, Seq.empty[DataFrame])) { case ((rep, acc), k) =>
         val best = pairCountsOf(rep)
           .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
@@ -887,10 +895,21 @@ object TextAnalysis {
           col("cnt").as("pair_count"))
         (next, acc :+ row)
       }
-    merges.reduce(_.unionAll(_))
   }
 
   def bpeTrainSql: String = {
+    val out = (1 to BpeTrainMerges).map(k =>
+      s"""SELECT $k AS merge_rank, replace(s1, chr(2), '+') AS left_sym,
+         |  replace(s2, chr(2), '+') AS right_sym, cnt AS pair_count
+         |FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH $bpeSqlCtes
+       |$out""".stripMargin
+  }
+
+  /** The training replay as SQL CTEs (wf → rep0 → … → rep[[BpeTrainMerges]]),
+    * shared by the I15 oracle (serves b1..bN) and the I18 oracle
+    * (encodes against rep[[BpeTrainMerges]]). */
+  private def bpeSqlCtes: String = {
     def pcSql(rep: String) =
       s"""SELECT p[1] AS s1, p[2] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
          |  FROM (
@@ -912,11 +931,7 @@ object TextAnalysis {
          |  FROM rep${k - 1}, b$k b
          |)""".stripMargin
     }.mkString(", ")
-    val out = (1 to BpeTrainMerges).map(k =>
-      s"""SELECT $k AS merge_rank, replace(s1, chr(2), '+') AS left_sym,
-         |  replace(s2, chr(2), '+') AS right_sym, cnt AS pair_count
-         |FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT t AS token, COUNT(*) AS freq FROM (
        |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
        |    FROM documents
@@ -926,8 +941,7 @@ object TextAnalysis {
        |    array_to_string(list_transform(range(1, length(token) + 1),
        |      i -> chr(1) || substring(token, i, 1) || chr(1)), '') AS repr
        |  FROM wf
-       |), $iters
-       |$out""".stripMargin
+       |), $iters""".stripMargin
   }
 
   /** I16 `text_entropy` — Shannon-entropy quality signals (the
@@ -991,8 +1005,148 @@ object TextAnalysis {
        |FROM ce JOIN we ON ce.doc_id = we.doc_id""".stripMargin
   }
 
+  /** Minimum bigram count for I17 — PMI is unstable on rare pairs
+    * (a single co-occurrence of two rare words maxes the score), so
+    * collocation extraction conventionally floors the pair count. */
+  private val PmiMinCount = 5
+
+  /** I17 `text_pmi_collocations` — collocation extraction by
+    * pointwise mutual information (Church & Hanks 1990):
+    * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from the
+    * bigram space (c_xy / N_bigrams) and the unigram marginals from
+    * the token space (c_x / N_tokens) — the standard mixed-space
+    * estimator. Pairs with c_xy < [[PmiMinCount]] are floored out
+    * (rare-pair PMI is noise), and the serve is a deterministic
+    * top-k on the fully-tiebroken (pmi desc, w1, w2) order.
+    * Cross-engine determinism: counts are exact BIGINTs; the PMI
+    * argument is computed with EXPLICIT double casts in a fixed
+    * association order so both engines evaluate the identical IEEE
+    * expression, then rounded to 6 dp.
+    *
+    * Scale: bigram and unigram counts are linear partial-agg
+    * shuffles (I10's shape); the two marginal attachments are
+    * equi-joins on the word key (vocab-sized sides — NOT broadcast:
+    * web-scale vocab with hapax mass outgrows a broadcast table);
+    * the corpus totals ride one 1-row broadcast attach; the final
+    * top-k is a distributed TakeOrdered. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Int = PmiMinCount, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_uni"))
+    val bigr = toks
+      .select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val totals = uni.agg(sum(col("c_uni")).as("n_tok"))
+      .crossJoin(bigr.groupBy().agg(count(lit(1)).as("n_big")))
+    bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c_uni").as("c_w1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c_uni").as("c_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("c_pair").cast("double") * col("n_tok").cast("double") *
+          col("n_tok").cast("double")) /
+          (col("n_big").cast("double") * col("c_w1").cast("double") *
+            col("c_w2").cast("double"))), 6))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(minCount: Int = PmiMinCount, k: Int = 50): String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), uni AS (
+       |  SELECT t, COUNT(*) AS c_uni FROM (
+       |    SELECT unnest(w) AS t FROM toksw
+       |  ) GROUP BY 1
+       |), bigr AS (
+       |  SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+       |    SELECT unnest(list_transform(range(1, len(w)),
+       |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |    FROM toksw WHERE len(w) >= 2
+       |  )
+       |), totals AS (
+       |  SELECT (SELECT CAST(SUM(c_uni) AS BIGINT) FROM uni) AS n_tok,
+       |    (SELECT COUNT(*) FROM bigr) AS n_big
+       |), pairs AS (
+       |  SELECT w1, w2, COUNT(*) AS c_pair FROM bigr GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $minCount
+       |)
+       |SELECT w1, w2, c_pair, c_w1, c_w2,
+       |  ROUND(ln((CAST(c_pair AS DOUBLE) * CAST(n_tok AS DOUBLE)
+       |      * CAST(n_tok AS DOUBLE))
+       |    / (CAST(n_big AS DOUBLE) * CAST(c_w1 AS DOUBLE)
+       |      * CAST(c_w2 AS DOUBLE))), 6) AS pmi
+       |FROM (
+       |  SELECT p.w1, p.w2, p.c_pair,
+       |    u1.c_uni AS c_w1, u2.c_uni AS c_w2, n_tok, n_big
+       |  FROM pairs p
+       |  JOIN uni u1 ON p.w1 = u1.t
+       |  JOIN uni u2 ON p.w2 = u2.t
+       |  CROSS JOIN totals
+       |)
+       |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** I18 `text_bpe_encode` — APPLY the trained tokenizer (the encode
+    * half of I15, which learns the merges): every document's
+    * whitespace tokens are encoded with the [[BpeTrainMerges]]-merge
+    * BPE dictionary and served as per-doc token accounting
+    * (whitespace tokens vs BPE symbols) — the "how many tokens is my
+    * corpus under this tokenizer" pass every training-data budget
+    * starts from. Because the dictionary is trained on THIS corpus's
+    * word types, encoding is a dictionary LOOKUP, not a re-merge:
+    * the trained word table already holds each type's final symbol
+    * sequence, and symbols-per-word = count of chr(1)-wrapped
+    * segments = (len(repr) − len(repr without chr(1))) / 2.
+    * Out-of-dictionary tokens (non-[a-z0-9], excluded from training)
+    * count 1 each — the byte-fallback convention. Scale: the encode
+    * join is token-keyed equi against the vocab-sized dictionary
+    * (word TYPES, not occurrences), then a doc-keyed rollup — both
+    * linear, partial-agg'd; the 3-iteration training cost is the
+    * same bounded metadata pass I15 pays. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeTrained(spark, dir)._1
+      .select(col("token").as("t"),
+        expr("(length(repr) - length(replace(repr, chr(1), ''))) div 2")
+          .as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(nonEmptyToks).as("t"))
+      .join(dict, Seq("t"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_bpe_tokens"))
+  }
+
+  def bpeEncodeSql: String =
+    s"""WITH $bpeSqlCtes, toks AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '),
+       |    x -> x <> '')) AS t
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN r.token IS NULL THEN 1
+       |         ELSE (length(repr) - length(replace(repr, chr(1), ''))) // 2
+       |    END AS n_sym
+       |  FROM toks LEFT JOIN rep$BpeTrainMerges r ON t = r.token
+       |)
+       |SELECT doc_id, COUNT(*) AS n_ws_tokens,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM enc GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _),
+    "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
+    "param_pmi_collocations" -> ((s, d) =>
+      pmiCollocations(s, d, minCount = 10, k = 20)),
     "text_entropy" -> (entropyStats _),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "param_bm25_topk" -> ((s, d) =>
@@ -1013,6 +1167,9 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_encode" -> bpeEncodeSql,
+    "text_pmi_collocations" -> pmiCollocationsSql(),
+    "param_pmi_collocations" -> pmiCollocationsSql(minCount = 10, k = 20),
     "text_entropy" -> entropyStatsSql,
     "text_bm25_topk" -> bm25TopKSql(),
     "param_bm25_topk" -> bm25TopKSql(terms = Seq("customer", "window"), k = 5),

@@ -480,6 +480,80 @@ class DedupTextSpec extends SparkSpecBase {
     assert(run("dedup_simhash_hamming").count() > 0)
   }
 
+  test("I17 PMI: scores match a driver recount over exact counts") {
+    val rows = run("text_pmi_collocations").collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach { ws =>
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); big(k) = big.getOrElse(k, 0L) + 1
+      }
+    }
+    val nTok = uni.values.sum.toDouble
+    val nBig = big.values.sum.toDouble
+    val want = big.toSeq.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      val pmi = BigDecimal(math.log(
+        (c.toDouble * nTok * nTok) / (nBig * uni(w1) * uni(w2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (w1, w2, c, pmi)
+    }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(50)
+    val got = rows.toSeq.map(r => (r.getAs[String]("w1"),
+      r.getAs[String]("w2"), r.getAs[Long]("c_pair"), r.getAs[Double]("pmi")))
+    assert(got == want)
+  }
+
+  test("I18 BPE encode: per-doc symbol counts match a driver re-encode") {
+    val rows = run("text_bpe_encode").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // learn the merges exactly as the I15 spec replays them, then
+    // encode every doc on the driver
+    val merges = run("text_bpe_train").collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    def encode(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + "+" + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nBpe = ws.map { w =>
+          if (w.matches("^[a-z0-9]+$")) encode(w) else 1
+        }.sum
+        r.getLong(0) -> (ws.length.toLong, nBpe.toLong)
+      }.toMap
+    rows.foreach { r =>
+      val (nWs, nBpe) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_ws_tokens") == nWs)
+      assert(r.getAs[Long]("n_bpe_tokens") == nBpe,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // merges really fire: some doc compresses below its character count
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).map(w =>
+          if (w.matches("^[a-z0-9]+$")) w.length else 1).sum.toLong).toMap
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_bpe_tokens") < chars(r.getAs[Long]("doc_id"))))
+  }
+
   test("I15 BPE train: merges equal a driver reference BPE over the word dict") {
     // reference implementation: textbook BPE on the collected
     // (token, freq) dict — symbol lists, no string encoding

@@ -725,6 +725,82 @@ class PipelineSpec extends SparkSpecBase {
     assert(surv.map(_.getAs[Long]("cell")).distinct.length <= 16)
   }
 
+  test("F19 constraint check: metrics match driver recounts, fail path exercised") {
+    val rows = run("audit_constraint_check").collect()
+    assert(rows.length == 8)
+    val byId = rows.map(r => r.getAs[String]("constraint_id") -> r).toMap
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate")).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_discount"), col("l_quantity")).collect()
+    val on = o.length.toDouble
+    val ln = li.length.toDouble
+    val fresh = java.time.Instant.parse("1996-01-01T00:00:00Z").toEpochMilli
+    val want = Map(
+      "orders_custkey_complete" -> o.count(!_.isNullAt(1)) / on,
+      "orders_orderkey_unique" -> o.map(_.getLong(0)).distinct.length / on,
+      "orders_totalprice_positive" -> o.count(_.getDouble(2) > 0) / on,
+      "orders_orderdate_fresh" ->
+        o.count(_.getTimestamp(3).getTime >= fresh) / on,
+      "lineitem_discount_in_range" ->
+        li.count(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 0.1) / ln,
+      "lineitem_quantity_in_range" ->
+        li.count(r => r.getDouble(2) >= 1.0 && r.getDouble(2) <= 50.0) / ln,
+      "lineitem_orderkey_ref_integrity" -> {
+        val keys = o.map(_.getLong(0)).toSet
+        li.count(r => keys(r.getLong(0))) / ln
+      },
+      "lineitem_nonempty" -> ln)
+    want.foreach { case (id, m) =>
+      assert(byId(id).getAs[Double]("metric") == m, s"$id metric")
+      assert(byId(id).getAs[Boolean]("passed") ==
+        (m >= byId(id).getAs[Double]("threshold")), s"$id verdict")
+    }
+    // the suite exercises BOTH verdicts: the archive is mostly older
+    // than the freshness window, everything else is clean
+    assert(!byId("orders_orderdate_fresh").getAs[Boolean]("passed"))
+    assert(rows.count(_.getAs[Boolean]("passed")) == 7)
+  }
+
+  test("F20 PSI drift: per-type PSI matches a driver recount, bands lawful") {
+    val rows = run("audit_psi_drift").collect()
+    assert(rows.length == 5)
+    val bins = 10
+    val split = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getTimestamp(2).getTime < split))
+      .groupBy(_._1)
+    rows.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      val es = byType(t)
+      val ref = es.filter(_._3).map(_._2).sorted
+      val cur = es.filter(!_._3).map(_._2)
+      assert(row.getAs[Long]("n_ref") == ref.length, s"$t n_ref")
+      assert(row.getAs[Long]("n_cur") == cur.length, s"$t n_cur")
+      // percentile_disc: smallest value with cumulative fraction >= p
+      val edges = (1 until bins).map(k =>
+        ref(math.ceil(k.toDouble / bins * ref.length).toInt - 1))
+      def bucket(v: Double) = 1 + edges.count(v > _)
+      val refC = Array.fill(bins + 1)(0L); ref.foreach(v => refC(bucket(v)) += 1)
+      val curC = Array.fill(bins + 1)(0L); cur.foreach(v => curC(bucket(v)) += 1)
+      var psi = BigDecimal(0)
+      for (b <- 1 to bins if refC(b) + curC(b) > 0) {
+        val pr = (refC(b) + 1).toDouble / (ref.length + bins)
+        val pc = (curC(b) + 1).toDouble / (cur.length + bins)
+        psi += BigDecimal((pc - pr) * math.log(pc / pr))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      assert(row.getAs[Double]("psi") == psi.toDouble, s"$t psi")
+      assert(row.getAs[Double]("psi") >= 0.0, s"$t psi nonneg")
+      val p = row.getAs[Double]("psi")
+      val band = if (p < 0.1) "stable" else if (p < 0.25) "moderate"
+        else "shifted"
+      assert(row.getAs[String]("drift_band") == band, s"$t band")
+    }
+  }
+
   /** Driver replay of the L11 funnel: per user, greedily anchor each
     * stage at the earliest qualifying event strictly after the
     * previous anchor (µs precision), optionally within the horizon. */

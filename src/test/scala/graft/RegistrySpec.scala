@@ -54,6 +54,7 @@ class RegistrySpec extends SparkSpecBase {
     // (b) one-row broadcast scalar attach
     "api_patient_bundle", "param_patient_bundle", // latest-obs + count attach
     "k24_important_stock", // nation stock total
+    "audit_constraint_check", // three 1-row metric tables cross-attach
     "k29_rfm_segmentation", // 1-row quartile-threshold attach
     "corpus_mix_weights", "corpus_resample", "corpus_temperature_mix",
     "text_stupid_backoff", // corpus-total scalar attach
@@ -62,6 +63,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_perplexity_buckets",
     "text_bigram_surprisal", // vocab-size scalar attach
     "text_bpe_train", // 1-row argmax-merge broadcast per unrolled iteration
+    "text_bpe_encode", // same training fold inside; encode join is equi
+    "text_pmi_collocations", "param_pmi_collocations", // 1-row corpus-totals attach
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
     "sim_hybrid_rrf") // broadcast query vector + BM25's stats scalar
 
@@ -192,6 +195,9 @@ class RegistrySpec extends SparkSpecBase {
     "k22_market_share" -> 1,
     "k23_product_profit" -> 3, // lineitem-orders SMJ + (nation,year) agg
     "k24_important_stock" -> 2, // per-part agg + 1-row total rollup
+    "audit_constraint_check" -> 4, // orders agg (distinct expand) + lineitem agg + RI semi join + attach
+    "audit_psi_drift" -> 3, // ref-edge agg + bucket counts + type window/rollup
+    "param_psi_drift" -> 3,
     "k25_part_promotion" -> 2, // (part,supp) agg + qualifying-set distinct
     "k26_waiting_suppliers" -> 4, // SMJ + per-order agg + supplier rollup
     "param_k23_product_profit" -> 3,
@@ -269,6 +275,9 @@ class RegistrySpec extends SparkSpecBase {
     "stream_user_latest_state" -> 1,
     "text_bigram_lm" -> 2,
     "text_bpe_train" -> 5, // corpus→vocab agg + one vocab-keyed pair agg per unrolled merge (merge picks are 1-row TakeOrdered broadcasts)
+    "text_bpe_encode" -> 17, // the training fold re-expands per consumer (vocab-sized metadata shuffles, never corpus rows) + token-keyed encode join + doc rollup
+    "text_pmi_collocations" -> 6, // unigram agg + bigram agg + two word-key marginal joins + totals + TakeOrdered
+    "param_pmi_collocations" -> 6,
     "text_entropy" -> 4, // (doc,unit) agg + doc agg, for chars and for words; the final join reuses the doc partitioning
     "text_bigram_surprisal" -> 5,
     "text_bpe_pair_stats" -> 1,
