@@ -1286,8 +1286,104 @@ object Analytics {
       |HAVING COUNT(*) >= $minSupport
       |ORDER BY n_orders DESC, part_a, part_b LIMIT $limit""".stripMargin
 
+  /** K31 `k31_association_rules` — association rules over K30's
+    * co-purchase pairs: for every pair with support ≥ s, BOTH
+    * directed rules a→b with confidence = c_ab / c_a (fraction of
+    * a's orders that also hold b) and lift = c_ab·N / (c_a·c_b)
+    * (independence ratio — the same mixed-count estimator family as
+    * I17's PMI, in ratio rather than log form), filtered to
+    * confidence ≥ minConf and served as a deterministic top-k by
+    * (lift desc, antecedent, consequent). Confidence and lift are
+    * exact ratios of BIGINT counts with explicit double casts in one
+    * fixed association order, rounded 6dp.
+    * Scale: pair counts reuse K30's two-shuffle map-side expansion;
+    * the per-part order counts are one more linear partial agg; the
+    * marginal attachments are part-keyed equi joins (part-dimension
+    * sized); the order total is a 1-row broadcast attach; serve is
+    * TakeOrdered. */
+  def k31AssociationRules(spark: SparkSession, dir: String,
+                          minSupport: Int = 2, minConf: Double = 0.05,
+                          limit: Int = 100): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairCounts = items
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minSupport)
+    val partCounts = items
+      .select(explode(col("parts")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("c_part"))
+    val nOrders = items.agg(count(lit(1)).as("n_orders"))
+    // both directions: a→b and b→a
+    val directed = pairCounts
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("c_pair"))
+      .unionAll(pairCounts.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("c_pair")))
+    directed
+      .join(partCounts.select(col("part").as("antecedent"),
+        col("c_part").as("c_ante")), "antecedent")
+      .join(partCounts.select(col("part").as("consequent"),
+        col("c_part").as("c_cons")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("confidence",
+        round(col("c_pair").cast("double") / col("c_ante").cast("double"), 6))
+      .withColumn("lift", round(
+        (col("c_pair").cast("double") * col("n_orders").cast("double")) /
+          (col("c_ante").cast("double") * col("c_cons").cast("double")), 6))
+      .filter(col("confidence") >= minConf)
+      .select(col("antecedent"), col("consequent"), col("c_pair"),
+        col("c_ante"), col("c_cons"), col("confidence"), col("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(limit)
+  }
+
+  def k31Sql(minSupport: Int = 2, minConf: Double = 0.05,
+             limit: Int = 100): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pc AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    COUNT(*) AS c_pair
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport
+       |), parts AS (
+       |  SELECT l_partkey AS part, COUNT(*) AS c_part FROM items GROUP BY 1
+       |), tot AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+       |), directed AS (
+       |  SELECT part_a AS antecedent, part_b AS consequent, c_pair FROM pc
+       |  UNION ALL
+       |  SELECT part_b, part_a, c_pair FROM pc
+       |)
+       |SELECT antecedent, consequent, c_pair, c_ante, c_cons, confidence, lift
+       |FROM (
+       |  SELECT d.antecedent, d.consequent, d.c_pair,
+       |    pa.c_part AS c_ante, pcs.c_part AS c_cons,
+       |    ROUND(CAST(d.c_pair AS DOUBLE) / CAST(pa.c_part AS DOUBLE), 6)
+       |      AS confidence,
+       |    ROUND((CAST(d.c_pair AS DOUBLE) * CAST(n_orders AS DOUBLE))
+       |      / (CAST(pa.c_part AS DOUBLE) * CAST(pcs.c_part AS DOUBLE)), 6)
+       |      AS lift
+       |  FROM directed d
+       |  JOIN parts pa ON d.antecedent = pa.part
+       |  JOIN parts pcs ON d.consequent = pcs.part
+       |  CROSS JOIN tot
+       |)
+       |WHERE confidence >= $minConf
+       |ORDER BY lift DESC, antecedent, consequent LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k30_copurchase_pairs" -> ((s, d) => k30CopurchasePairs(s, d)),
+    "k31_association_rules" -> ((s, d) => k31AssociationRules(s, d)),
+    "param_k31_association_rules" -> ((s, d) => k31AssociationRules(s, d,
+      minSupport = 3, minConf = 0.1, limit = 30)),
     "param_k30_copurchase_pairs" -> ((s, d) => k30CopurchasePairs(s, d,
       minSupport = 3, limit = 20)),
     "k29_rfm_segmentation" -> (rfmSegmentation _),
@@ -1337,6 +1433,9 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "k30_copurchase_pairs" -> k30Sql(),
+    "k31_association_rules" -> k31Sql(),
+    "param_k31_association_rules" -> k31Sql(
+      minSupport = 3, minConf = 0.1, limit = 30),
     "param_k30_copurchase_pairs" -> k30Sql(minSupport = 3, limit = 20),
     "k29_rfm_segmentation" -> rfmSegmentationSql,
     "k23_product_profit" -> k23Sql(),

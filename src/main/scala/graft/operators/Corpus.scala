@@ -596,7 +596,71 @@ object Corpus {
        |  token_offset
        |FROM o WHERE token_offset < $TokenBudget""".stripMargin
 
+  /** M13 `corpus_length_buckets` — LENGTH-BUCKETED batch packing
+    * accounting (the dynamic-batching layout trainers use to cut
+    * padding waste): documents group into power-of-two token-length
+    * buckets (cap = 2^ceil(log2 n), floored at a minimum batch
+    * length), and each bucket reports its document count, true token
+    * mass, padded-token overhead (docs padded to the bucket cap) and
+    * waste fraction — next to the NAIVE baseline every bucket row
+    * carries (pad everything to the global max), which is the number
+    * this layout exists to beat. Bucket assignment is the F16
+    * integer bit-length trick (2^ceil(log2 n) = 1 << bitlen(n-1)) —
+    * no float log, so bucket boundaries can never hash-drift.
+    * Scale: one linear doc pass partial-aggs into O(log maxLen)
+    * bucket rows; the naive baseline is a 1-row broadcast attach.
+    * Waste fractions are exact BIGINT ratios with explicit double
+    * casts, round-6dp. */
+  def lengthBuckets(spark: SparkSession, dir: String,
+                    minCap: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(nonEmptyToks).cast("long").as("n_tokens"))
+    val bucketed = toks.withColumn("bucket_cap",
+      when(col("n_tokens") <= minCap, minCap.toLong)
+        .otherwise(expr("shiftleft(1L, length(bin(n_tokens - 1)))")))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val naive = toks.agg(max(col("n_tokens")).as("max_tokens"),
+      count(lit(1)).as("total_docs"), sum(col("n_tokens")).as("total_tokens"))
+    bucketed.crossJoin(broadcast(naive))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        (col("bucket_cap") * col("n_docs") - col("sum_tokens"))
+          .as("padded_tokens"),
+        round((col("bucket_cap") * col("n_docs") - col("sum_tokens"))
+          .cast("double") / (col("bucket_cap") * col("n_docs")).cast("double"),
+          6).as("waste_frac"),
+        round((col("max_tokens") * col("total_docs") - col("total_tokens"))
+          .cast("double") /
+          (col("max_tokens") * col("total_docs")).cast("double"), 6)
+          .as("naive_waste_frac"))
+  }
+
+  def lengthBucketsSql(minCap: Int = 16): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(list_filter(str_split(text, ' '),
+       |    x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT CASE WHEN n_tokens <= $minCap THEN $minCap
+       |              ELSE 1::BIGINT << length(bin(n_tokens - 1)) END
+       |           AS bucket_cap,
+       |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM t GROUP BY 1
+       |), naive AS (
+       |  SELECT CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       |    COUNT(*) AS total_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM t
+       |)
+       |SELECT bucket_cap, n_docs, sum_tokens,
+       |  bucket_cap * n_docs - sum_tokens AS padded_tokens,
+       |  ROUND(CAST(bucket_cap * n_docs - sum_tokens AS DOUBLE)
+       |    / CAST(bucket_cap * n_docs AS DOUBLE), 6) AS waste_frac,
+       |  ROUND(CAST(max_tokens * total_docs - total_tokens AS DOUBLE)
+       |    / CAST(max_tokens * total_docs AS DOUBLE), 6) AS naive_waste_frac
+       |FROM b CROSS JOIN naive""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "corpus_token_budget" -> (tokenBudget _),
     "corpus_quality_funnel" -> (qualityFunnel _),
     "corpus_shuffle_shards" -> (shuffleShards _),
@@ -611,6 +675,7 @@ object Corpus {
     "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_length_buckets" -> lengthBucketsSql(),
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_quality_funnel" -> qualityFunnelSql,
     "corpus_shuffle_shards" -> shuffleShardsSql,

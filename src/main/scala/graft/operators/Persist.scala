@@ -360,6 +360,39 @@ object Persist {
        |FROM s1 FULL OUTER JOIN s2
        |  ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type""".stripMargin
 
+  /** D12 `persist_cdc_apply` — CONSUME the changefeed: apply D10's
+    * compacted change records (noops dropped — what a real CDC
+    * stream ships) onto the stored T1 snapshot and serve the
+    * reconstructed T2 state. The ORACLE is the full T2 replay
+    * (D4's rule at [[SnapshotTs2]]): the driver hash-proves
+    * apply(snapshot(T1), changes(T1→T2]) ≡ replay(T2) — the
+    * incremental-view-maintenance law D6/K1b pin for aggregates,
+    * here for keyed state. The merge is a full-outer equi-join on
+    * the entity key: changed/inserted keys take the feed's (v2,
+    * value_t2), untouched keys keep the base row. At 100 TB the
+    * base is a stored table and the feed is the (tiny) day's
+    * changes — the nightly merge costs one co-partitioned join on
+    * the entity key, never a second history replay; ts is not part
+    * of the served state because CDC records carry values, not
+    * commit stamps. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = snapshotReplay(spark, dir, SnapshotTs)
+      .select(col("user_id"), col("event_type"),
+        col("version").as("v1"), col("value").as("value_t1"))
+    val delta = changefeed(spark, dir)
+      .filter(col("change_type") =!= "noop")
+      .select(col("user_id"), col("event_type"), col("v2"), col("value_t2"))
+    base.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("v2"), col("v1")).as("version_asof"),
+        coalesce(col("value_t2"), col("value_t1")).as("value_asof"))
+  }
+
+  def cdcApplySql: String =
+    s"""WITH $appliedSqlCte
+       |SELECT user_id, event_type, version_asof, value_asof
+       |FROM (${snapshotReplaySql(SnapshotTs2, "version_asof", "value_asof")})""".stripMargin
+
   /** D11 `persist_conflict_check` — OPTIMISTIC-CONCURRENCY conflict
     * detection, the commit-protocol check a snapshot-isolated table
     * format (Delta/Iceberg-style, and the reference's conditional
@@ -719,6 +752,7 @@ object Persist {
     "persist_scd2" -> (scd2History _),
     "persist_tombstone" -> (tombstoneState _),
     "persist_changefeed" -> (changefeed _),
+    "persist_cdc_apply" -> (cdcApply _),
     "persist_conflict_check" -> (conflictCheck _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
@@ -733,6 +767,7 @@ object Persist {
     "persist_scd2" -> scd2HistorySql,
     "persist_tombstone" -> tombstoneStateSql,
     "persist_changefeed" -> changefeedSql,
+    "persist_cdc_apply" -> cdcApplySql,
     "persist_conflict_check" -> conflictCheckSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

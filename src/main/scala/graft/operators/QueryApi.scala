@@ -591,12 +591,132 @@ object QueryApi {
        |) WHERE rn = 1""".stripMargin
   }
 
+  /** E13 `api_obs_gapfill` — gap-filled daily observation series with
+    * forward fill (LOCF): for one tenant's patients and one code,
+    * serve one row per patient per day of the window — the last
+    * observed value that day where one exists, otherwise the value
+    * carried forward from the most recent prior day (NULL before the
+    * first observation) — the series shape a charting/trends API
+    * returns (the reference's observationsByPatient consumers
+    * interpolate exactly this way client-side). Day-last selection
+    * is the deterministic (ts, event_id) row_number rule; the date
+    * spine is generated per patient with sequence/explode (map-side,
+    * no calendar table join); the fill is last(value, ignoreNulls)
+    * over the patient partition ordered by day with an unbounded-
+    * preceding frame — both engines' IGNORE NULLS window semantics.
+    * Scale: the code+tenant+range predicate prunes at the scan; one
+    * (patient, day) rollup + one patient-partition window; the spine
+    * is days × patients of ONE tenant-code slice, output-sized. */
+  def obsGapfill(spark: SparkSession, dir: String,
+                 tenant: String = "t1", code: String = "purchase",
+                 from: String = "2024-01-05 00:00:00",
+                 to: String = "2024-01-20 00:00:00"): DataFrame = {
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("event_type") === code &&
+        col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(to).cast("timestamp"))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_value"))
+    val spine = daily.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(expr(
+        s"sequence(timestamp'$from', timestamp'$to' - interval 1 day, " +
+          "interval 1 day)")).as("day"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(lit(tenant).as("tenant_id"), col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(wFill)
+          .as("value_filled"),
+        col("day_value").isNotNull.as("is_observed"))
+  }
+
+  def obsGapfillSql(tenant: String = "t1", code: String = "purchase",
+                    from: String = "2024-01-05 00:00:00",
+                    to: String = "2024-01-20 00:00:00"): String =
+    s"""WITH daily AS (
+       |  SELECT user_id, day, value AS day_value FROM (
+       |    SELECT user_id, value, date_trunc('day', ts) AS day,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+       |                         ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events
+       |    WHERE ${tenantSqlPred(tenant)} AND event_type = '$code'
+       |      AND ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$to'
+       |  ) WHERE rn = 1
+       |), spine AS (
+       |  SELECT user_id, unnest(generate_series(TIMESTAMP '$from',
+       |    TIMESTAMP '$to' - INTERVAL 1 DAY, INTERVAL 1 DAY)) AS day
+       |  FROM (SELECT DISTINCT user_id FROM daily)
+       |)
+       |SELECT '$tenant' AS tenant_id, s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+       |  last_value(day_value IGNORE NULLS) OVER (
+       |    PARTITION BY s.user_id ORDER BY s.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       |  day_value IS NOT NULL AS is_observed
+       |FROM spine s LEFT JOIN daily d
+       |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin
+
+  /** E14 `api_obs_ohlc` — downsampled observation series (the
+    * OHLC/candlestick decimation every charting backend serves when
+    * the raw series is too dense): per patient of one tenant-code
+    * slice, epoch-aligned buckets of `bucketHours` hours carrying
+    * open (first value), high, low, close (last value) and the
+    * sample count. First/last selection is the deterministic
+    * struct-min/max trick — MIN/MAX of (ts, event_id, value) orders
+    * lexicographically on the unique (ts, event_id) chain in BOTH
+    * engines, so open/close need no second window pass and the whole
+    * operator is ONE partial-agg'd groupBy. Scale: predicate prunes
+    * at the scan; one shuffle on the (patient, bucket) key; map-side
+    * partials reduce each bucket to a constant-size accumulator
+    * before the exchange. */
+  def obsOhlc(spark: SparkSession, dir: String,
+              tenant: String = "t1", code: String = "click",
+              bucketHours: Int = 168): DataFrame = {
+    val bucketUs = bucketHours * 3600L * 1000000L
+    Tables.events(spark, dir)
+      .filter(tenantPred(tenant) && col("event_type") === code)
+      .groupBy(col("user_id"),
+        timestamp_micros(expr(s"(unix_micros(ts) div $bucketUs) * $bucketUs")
+          .cast("long")).as("bucket_start"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  def obsOhlcSql(tenant: String = "t1", code: String = "click",
+                 bucketHours: Int = 168): String = {
+    val bucketUs = bucketHours * 3600L * 1000000L
+    s"""SELECT user_id,
+       |  make_timestamp((epoch_us(ts) // $bucketUs) * $bucketUs)
+       |    AS bucket_start,
+       |  MIN({'ts': ts, 'e': event_id, 'v': value})['v'] AS open,
+       |  MAX({'ts': ts, 'e': event_id, 'v': value})['v'] AS close,
+       |  MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n_obs
+       |FROM events
+       |WHERE ${tenantSqlPred(tenant)} AND event_type = '$code'
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "api_multi_get" -> ((s, d) => multiGet(s, d)),
     "api_next_token" -> ((s, d) => nextToken(s, d)),
     "api_limit_clamp" -> ((s, d) => limitClamp(s, d)),
     "api_get_patient" -> ((s, d) => getPatient(s, d)),
     "api_obs_by_patient" -> ((s, d) => obsByPatient(s, d)),
+    "api_obs_gapfill" -> ((s, d) => obsGapfill(s, d)),
+    "api_obs_ohlc" -> ((s, d) => obsOhlc(s, d)),
+    "param_obs_ohlc" -> ((s, d) => obsOhlc(s, d,
+      tenant = "t3", code = "view", bucketHours = 24)),
+    "param_obs_gapfill" -> ((s, d) => obsGapfill(s, d,
+      tenant = "t2", code = "view", from = "2024-01-08 00:00:00",
+      to = "2024-01-28 00:00:00")),
     "api_latest_observation" -> ((s, d) => latestObservation(s, d)),
     "api_obs_page_after" -> ((s, d) => obsPageAfter(s, d)),
     "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
@@ -632,6 +752,12 @@ object QueryApi {
     "api_limit_clamp" -> limitClampSql(),
     "api_get_patient" -> getPatientSql(),
     "api_obs_by_patient" -> obsByPatientSql(),
+    "api_obs_gapfill" -> obsGapfillSql(),
+    "api_obs_ohlc" -> obsOhlcSql(),
+    "param_obs_ohlc" -> obsOhlcSql(tenant = "t3", code = "view",
+      bucketHours = 24),
+    "param_obs_gapfill" -> obsGapfillSql(tenant = "t2", code = "view",
+      from = "2024-01-08 00:00:00", to = "2024-01-28 00:00:00"),
     "api_latest_observation" -> latestObservationSql(),
     "api_obs_page_after" -> obsPageAfterSql(),
     "api_obs_asof_join" -> obsAsofJoinSql(),

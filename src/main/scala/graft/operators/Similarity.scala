@@ -946,6 +946,78 @@ object Similarity {
        |  FROM qids q LEFT JOIN hb ON q.qid = hb.qid
        |)""".stripMargin
 
+  /** H17 `sim_mrl_eval` — Matryoshka truncation evaluation
+    * (Kusupati et al. 2022, MRL — public): recall@K of brute-force
+    * search over PREFIX-TRUNCATED embeddings (first d/2, d/4 dims)
+    * against the full-dimension ground truth — the dimension-vs-
+    * recall curve that decides how far an MRL-trained embedding can
+    * be cut for the memory/latency win. Truncation is an array
+    * slice of the already-quantized vectors (no re-quantization, so
+    * the truncated dot is exactly the full dot restricted to the
+    * prefix); scoring/ranking reuses H1's integer-dot + deterministic
+    * tie-break, so even the recall numbers hash cross-engine.
+    * Scale: per fraction, one corpus pass against the broadcast
+    * truncated queries (H1's shape, on shorter vectors — the scan is
+    * proportionally cheaper); the ground-truth subtree is cached and
+    * reused by every fraction's hit join. */
+  def mrlEval(spark: SparkSession, dir: String,
+              fracs: Seq[Int] = Seq(2, 4)): DataFrame = {
+    val emb = quantized(spark, dir)
+    // cached: feeds qids + one hit-join per fraction (H5's discipline)
+    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id")).cache()
+    val qids = bf.select(col("qid")).distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    val per = fracs.map { f =>
+      val t = emb.select(col("vec_id"),
+        expr(s"slice(qvec, 1, size(qvec) div $f)").as("tvec"))
+      val q = t.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("tvec").as("qt"))
+      val topk = t.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("dot", vdotQuantizedNative(col("qt"), col("tvec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("vec_id"))
+      val hits = bf.join(topk, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(s"d/$f").as("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }
+    per.reduce(_.unionAll(_))
+      .withColumn("recall_at_k", col("hits").cast("double") / K)
+  }
+
+  def mrlEvalSql(fracs: Seq[Int] = Seq(2, 4)): String = {
+    val perF = fracs.map { f =>
+      s"""t$f AS (
+         |  SELECT vec_id, qvec[1:len(qvec)//$f] AS tvec FROM qnn
+         |), k$f AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${dotSql("q.qt", "e.tvec")} DESC, e.vec_id) AS rank
+         |    FROM (SELECT vec_id AS qid, tvec AS qt FROM t$f
+         |          WHERE vec_id < $NQueries) q
+         |    JOIN t$f e ON e.vec_id <> q.qid
+         |  ) WHERE rank <= $K
+         |), h$f AS (
+         |  SELECT b.qid, COUNT(*) AS hits FROM bf b
+         |  JOIN k$f t ON b.qid = t.qid AND b.vec_id = t.vec_id GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = fracs.map { f =>
+      s"""  SELECT q.qid, 'd/$f' AS method, COALESCE(h$f.hits, 0) AS hits
+         |  FROM qids q LEFT JOIN h$f ON q.qid = h$f.qid""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $qnSqlCte, bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
+       |qids AS (SELECT DISTINCT qid FROM bf), $perF
+       |SELECT qid, method, hits,
+       |  CAST(hits AS DOUBLE) / $K AS recall_at_k
+       |FROM (
+       |$unions
+       |)""".stripMargin
+  }
+
   private val SubVecs = 4
   private val SubDim = 16
 
@@ -1236,7 +1308,8 @@ object Similarity {
     "sim_ivf_probe" -> (ivfProbe _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
-    "sim_recall_eval" -> (recallEval _))
+    "sim_recall_eval" -> (recallEval _),
+    "sim_mrl_eval" -> ((s, d) => mrlEval(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_hybrid_rrf" -> hybridRrfSql(),
@@ -1254,5 +1327,6 @@ object Similarity {
     "sim_ivf_probe" -> ivfProbeSql,
     "sim_ivf_kmeans" -> ivfKmeansSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
-    "sim_recall_eval" -> recallEvalSql)
+    "sim_recall_eval" -> recallEvalSql,
+    "sim_mrl_eval" -> mrlEvalSql())
 }

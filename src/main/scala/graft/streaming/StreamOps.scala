@@ -339,6 +339,41 @@ object StreamOps {
     UpsertOut(key._1, key._2, st.version, st.lastValue, toTs(st.lastTs), st.lastIk)
   }
 
+case class FunnelAgg(anchors: Seq[Long])
+
+  case class FunnelOut(user_id: Long, stages_completed: Int)
+
+  /** L11 streaming — the funnel twin: per user, state is the greedy
+    * first-touch anchor chain (one event-time µs per completed
+    * stage). Because the batch funnel's stage-i anchor is the
+    * EARLIEST qualifying event strictly after anchor i−1, forward
+    * processing in (event time, id) order sets each anchor exactly
+    * once at that same event — so the incremental rule is just "if
+    * the next stage's type arrives after the last anchor, append" —
+    * and the emitted stages_completed is monotone per user, making
+    * the final update-mode row the batch answer. State is O(stages)
+    * per user, the funnel-as-a-live-dashboard form. */
+  def funnelState(events: Dataset[Event], spark: SparkSession,
+      stages: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(funnelFn(stages) _)
+  }
+
+  private[streaming] def funnelFn(stages: Seq[String])(key: Long,
+      events: Iterator[Event], state: GroupState[FunnelAgg]): FunnelOut = {
+    var anchors = state.getOption.map(_.anchors).getOrElse(Seq.empty)
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val i = anchors.length
+      if (i < stages.length && e.event_type == stages(i) &&
+          (anchors.isEmpty || us(e.ts) > anchors.last))
+        anchors = anchors :+ us(e.ts)
+    }
+    state.update(FunnelAgg(anchors))
+    FunnelOut(key, anchors.length)
+  }
+
   case class TombAgg(version: Long, nDeletes: Long, lastIk: String,
       lastOp: String, lastTs: Long, lastValue: Double)
 

@@ -330,4 +330,40 @@ class AnalyticsSpec extends SparkSpecBase {
         (-want.last._2, want.last._1._1, want.last._1._2),
         (-all(100)._2, all(100)._1._1, all(100)._1._2)))
   }
+  test("K31 association rules: confidence/lift match a driver recount") {
+    val rows = run("k31_association_rules").collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toIndexedSeq).toSeq
+    val nOrders = baskets.size.toDouble
+    val partC = scala.collection.mutable.Map.empty[Long, Long]
+    val pairC = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { ps =>
+      ps.foreach(p => partC(p) = partC.getOrElse(p, 0L) + 1)
+      for (i <- ps.indices; j <- i + 1 until ps.size) {
+        val k = (ps(i), ps(j)); pairC(k) = pairC.getOrElse(k, 0L) + 1
+      }
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = pairC.toSeq.filter(_._2 >= 2)
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .map { case (a, b, c) =>
+        (a, b, c, partC(a), partC(b), r6(c.toDouble / partC(a)),
+          r6(c.toDouble * nOrders / (partC(a).toDouble * partC(b))))
+      }
+      .filter(_._6 >= 0.05)
+      .sortBy { case (a, b, _, _, _, _, lift) => (-lift, a, b) }.take(100)
+    val got = rows.toSeq.map(r => (r.getAs[Long]("antecedent"),
+      r.getAs[Long]("consequent"), r.getAs[Long]("c_pair"),
+      r.getAs[Long]("c_ante"), r.getAs[Long]("c_cons"),
+      r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(got == want)
+    // both directions of an asymmetric pair disagree on confidence
+    // somewhere (c_a != c_b), proving the direction split is real
+    assert(got.exists(g => got.exists(h =>
+      h._1 == g._2 && h._2 == g._1 && h._6 != g._6)))
+  }
 }

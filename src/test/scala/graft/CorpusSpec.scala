@@ -228,4 +228,29 @@ class CorpusSpec extends SparkSpecBase {
     val b = run("corpus_shuffle_shards").collect()
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
   }
+
+  test("M13 length buckets: caps are tight powers of two, waste beats naive") {
+    val rows = run("corpus_length_buckets").collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ").count(_.nonEmpty).toLong)
+    def cap(n: Long) = if (n <= 16) 16L
+      else { var c = 16L; while (c < n) c <<= 1; c }
+    val want = toks.groupBy(cap).view
+      .mapValues(ns => (ns.length.toLong, ns.sum)).toMap
+    assert(rows.length == want.size)
+    var padded = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("bucket_cap")
+      val (n, s) = want(c)
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("sum_tokens") == s)
+      assert(r.getAs[Long]("padded_tokens") == c * n - s)
+      padded += c * n - s
+    }
+    // bucketing must strictly beat pad-to-global-max on this corpus
+    val naive = toks.max * toks.length - toks.sum
+    assert(padded < naive)
+    assert(rows.forall(r =>
+      r.getAs[Double]("waste_frac") < r.getAs[Double]("naive_waste_frac")))
+  }
 }

@@ -801,6 +801,88 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("D12 CDC apply: reconstructed T2 state equals the direct T2 replay") {
+    // hash-equality with the direct T2 replay is the driver oracle
+    // (cdcApplySql IS D4's rule at T2); here assert the merge
+    // actually exercised all three change classes
+    val applied = run("persist_cdc_apply")
+    val feed = run("persist_changefeed").collect()
+    assert(feed.exists(_.getAs[String]("change_type") == "insert"))
+    assert(feed.exists(_.getAs[String]("change_type") == "update"))
+    assert(feed.exists(_.getAs[String]("change_type") == "noop"))
+    val rows = applied.collect()
+    assert(rows.length == feed.length) // T2 keyspace == feed keyspace (append-only)
+    // spot law: for an updated key, served version equals the feed's v2
+    val upd = feed.filter(_.getAs[String]("change_type") == "update")
+    val byKey = rows.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[String]("event_type")) -> r).toMap
+    upd.foreach { f =>
+      val r = byKey((f.getAs[Long]("user_id"), f.getAs[String]("event_type")))
+      assert(r.getAs[Long]("version_asof") == f.getAs[Long]("v2"))
+      assert(r.getAs[Double]("value_asof") == f.getAs[Double]("value_t2"))
+    }
+  }
+
+  test("E13 gapfill: spine complete, LOCF law holds, all three states fire") {
+    val rows = run("api_obs_gapfill").collect()
+    val nDays = 15L
+    val users = rows.map(_.getAs[Long]("user_id")).distinct
+    assert(rows.length == users.length * nDays, "full spine per patient")
+    users.foreach { u =>
+      val series = rows.filter(_.getAs[Long]("user_id") == u)
+        .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      var lastSeen: Option[Double] = None
+      series.foreach { r =>
+        if (r.getAs[Boolean]("is_observed"))
+          lastSeen = Some(r.getAs[Double]("value_filled"))
+        else if (lastSeen.isEmpty) assert(r.isNullAt(r.fieldIndex("value_filled")))
+        else assert(r.getAs[Double]("value_filled") == lastSeen.get,
+          s"user $u carried value drift")
+      }
+      assert(series.exists(_.getAs[Boolean]("is_observed")),
+        s"user $u has no anchor observation")
+    }
+    // the fixture exercises observed, carried-forward, and leading-null
+    assert(rows.exists(_.getAs[Boolean]("is_observed")))
+    assert(rows.exists(r => !r.getAs[Boolean]("is_observed") &&
+      !r.isNullAt(r.fieldIndex("value_filled"))))
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("value_filled"))))
+  }
+
+  test("E14 OHLC: bucket laws hold and match a driver recompute") {
+    val rows = run("api_obs_ohlc").collect()
+    assert(rows.nonEmpty)
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val bucketUs = 168L * 3600L * 1000000L
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .filter(_.getLong(0) % 4 == 1)
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)),
+        r.getDouble(3)))
+    val want = evs.groupBy(e => (e._1, e._3 / bucketUs * bucketUs))
+      .map { case (k, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        k -> (sorted.head._4, sorted.last._4, es.map(_._4).max,
+          es.map(_._4).min, es.length.toLong)
+      }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"),
+        us(r.getAs[java.sql.Timestamp]("bucket_start")))
+      val (o, c, h, l, n) = want(k)
+      assert(r.getAs[Double]("open") == o && r.getAs[Double]("close") == c)
+      assert(r.getAs[Double]("high") == h && r.getAs[Double]("low") == l)
+      assert(r.getAs[Long]("n_obs") == n)
+      assert(h >= math.max(o, c) && l <= math.min(o, c))
+    }
+    // the decimation is real: some bucket holds >1 obs with open != close
+    assert(rows.exists(r => r.getAs[Long]("n_obs") > 1 &&
+      r.getAs[Double]("open") != r.getAs[Double]("close")))
+  }
+
   /** Driver replay of the L11 funnel: per user, greedily anchor each
     * stage at the earliest qualifying event strictly after the
     * previous anchor (µs precision), optionally within the horizon. */

@@ -42,7 +42,7 @@ class RegistrySpec extends SparkSpecBase {
     // (a) broadcast query/request side, streaming corpus side
     "sim_topk_bruteforce", "sim_cosine_pairs", "sim_range_search",
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
-    "sim_recall_eval",
+    "sim_recall_eval", "sim_mrl_eval",
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
     "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
     "sim_sq8", // broadcast query codes, streaming corpus codes
@@ -54,9 +54,11 @@ class RegistrySpec extends SparkSpecBase {
     // (b) one-row broadcast scalar attach
     "api_patient_bundle", "param_patient_bundle", // latest-obs + count attach
     "k24_important_stock", // nation stock total
+    "k31_association_rules", "param_k31_association_rules", // 1-row order-total attach
     "audit_constraint_check", // three 1-row metric tables cross-attach
     "k29_rfm_segmentation", // 1-row quartile-threshold attach
     "corpus_mix_weights", "corpus_resample", "corpus_temperature_mix",
+    "corpus_length_buckets", // 1-row naive-baseline attach
     "text_stupid_backoff", // corpus-total scalar attach
     "text_dsir_weights",
     "text_tfidf_top_terms", "text_unigram_surprisal",
@@ -196,6 +198,12 @@ class RegistrySpec extends SparkSpecBase {
     "k23_product_profit" -> 3, // lineitem-orders SMJ + (nation,year) agg
     "k24_important_stock" -> 2, // per-part agg + 1-row total rollup
     "audit_constraint_check" -> 4, // orders agg (distinct expand) + lineitem agg + RI semi join + attach
+    "persist_cdc_apply" -> 4, // T1 replay + changefeed's two replays + entity-key merge join
+    "api_obs_gapfill" -> 3, // (patient,day) rollup + patient spine + fill window
+    "param_obs_gapfill" -> 3,
+    "sim_mrl_eval" -> 14, // ground-truth topk + per-fraction truncated topk/hit joins (500-row metadata shuffles)
+    "k31_association_rules" -> 10, // K30's pair agg re-expanded per direction + part marginals + rollups
+    "param_k31_association_rules" -> 10,
     "audit_psi_drift" -> 3, // ref-edge agg + bucket counts + type window/rollup
     "param_psi_drift" -> 3,
     "k25_part_promotion" -> 2, // (part,supp) agg + qualifying-set distinct

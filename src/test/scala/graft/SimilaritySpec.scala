@@ -364,4 +364,40 @@ class SimilaritySpec extends SparkSpecBase {
     // default-on: constructing the plan works again
     assert(run("sim_cosine_pairs").columns.contains("cosine"))
   }
+  test("H17 MRL eval: truncated recall matches a driver recompute, degrades with dims") {
+    val rows = run("sim_mrl_eval").collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray)
+      .toMap
+    val dim = vecs.values.head.length
+    def topk(slice: Int): Map[Long, Set[Long]] =
+      (0L until 8L).map { qid =>
+        val q = vecs(qid).take(slice)
+        qid -> vecs.toSeq.filter(_._1 != qid)
+          .map { case (id, v) =>
+            (id, v.take(slice).zip(q).map { case (a, b) => a * b }.sum)
+          }
+          .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+      }.toMap
+    val full = topk(dim)
+    for (f <- Seq(2, 4)) {
+      val trunc = topk(dim / f)
+      rows.filter(_.getAs[String]("method") == s"d/$f").foreach { r =>
+        val qid = r.getAs[Long]("qid")
+        val want = (full(qid) & trunc(qid)).size.toLong
+        assert(r.getAs[Long]("hits") == want, s"d/$f qid $qid")
+        assert(r.getAs[Double]("recall_at_k") == want.toDouble / 10)
+      }
+    }
+    // the eval sees real degradation: mean recall at d/4 is below d/2
+    def mean(m: String) = {
+      val v = rows.filter(_.getAs[String]("method") == m)
+        .map(_.getAs[Double]("recall_at_k"))
+      v.sum / v.length
+    }
+    assert(mean("d/4") <= mean("d/2"), "deeper truncation cannot help on average")
+    assert(mean("d/2") < 1.0, "fixture must exercise recall loss")
+  }
 }

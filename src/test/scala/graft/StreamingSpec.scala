@@ -490,4 +490,26 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(got == want)
   }
+
+  test("L11 streaming funnel state matches the batch funnel per tenant") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.funnelState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_funnel")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // stages_completed is monotone per user: the max update is final
+    val finalPerUser = spark.table("s_funnel")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id").agg(max("stages_completed").as("sc"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("sc")))
+    val gotCounts = finalPerUser.groupBy(t => "t" + (t._1 % 4))
+      .map { case (ten, us) =>
+        ten -> (0 to 3).map(i => us.count(_._2 >= i).toLong) }
+    run("events_funnel").collect().foreach { r =>
+      val ten = r.getAs[String]("tenant_id")
+      val want = Seq(r.getAs[Long]("n_users"), r.getAs[Long]("n_s0_view"),
+        r.getAs[Long]("n_s1_click"), r.getAs[Long]("n_s2_purchase"))
+      assert(gotCounts(ten) == want, s"tenant $ten")
+    }
+  }
 }
