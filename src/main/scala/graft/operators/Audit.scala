@@ -1128,8 +1128,75 @@ object Audit {
        |FROM agg""".stripMargin
   }
 
+  /** F21 `audit_mad_outliers` — robust anomaly detection on hourly
+    * service volume via Median-Absolute-Deviation (the
+    * median/MAD robust-z detector — outliers can't drag the baseline
+    * the way they drag F14-style means): per service, an hour is an
+    * outlier when |n − median| > 3·MAD, where MAD = median of the
+    * absolute deviations. With integer event counts BOTH statistics
+    * are integers (percentile_disc picks real data points), so the
+    * entire decision is exact integer arithmetic — the F14/F17
+    * discipline, no float ever enters. Degenerate MAD = 0 (over half
+    * the hours identical) flags every deviating hour, the documented
+    * behavior of the estimator. Scale: one (service, hour) rollup of
+    * the raw stream, then two tiny grouped percentile aggs over
+    * hours×services rows broadcast back — nothing wider than the
+    * hourly table shuffles twice. */
+  def madOutliers(spark: SparkSession, dir: String,
+                  k: Int = 3): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    // both medians computed from ONE sorted per-service count array
+    // carried by a service-partition window (hours-per-service is the
+    // retention window — sketch-sized metadata, ~10⁴ rows/service at
+    // years of history), so the raw stream is scanned ONCE and the
+    // whole operator is two shuffles: the hourly rollup and the
+    // service window. percentile_disc(0.5) = element ceil(n/2) of the
+    // sorted array — the same discrete pick as DuckDB's quantile_disc,
+    // exact integers throughout (MAD needs a second, dependent median,
+    // which is why this is an array pick and not two grouped
+    // percentile aggs re-scanning the input).
+    val wSvc = Window.partitionBy(col("service"))
+    hourly
+      .withColumn("ns", sort_array(collect_list(col("n")).over(wSvc)))
+      .withColumn("med",
+        expr("element_at(ns, cast((size(ns) + 1) / 2 AS INT))"))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(ns, x -> abs(x - med))), " +
+          "cast((size(ns) + 1) / 2 AS INT))"))
+      .select(col("service"), col("hour"), col("n"), col("med"), col("mad"),
+        (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_outlier"))
+  }
+
+  def madOutliersSql(k: Int = 3): String =
+    s"""WITH hourly AS (
+       |  SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+       |              WHEN event_type = 'purchase' THEN 'persist'
+       |              ELSE 'dlq' END AS service,
+       |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), med AS (
+       |  SELECT service AS m_service, quantile_disc(n, 0.5) AS med
+       |  FROM hourly GROUP BY 1
+       |), dev AS (
+       |  SELECT hourly.*, med, abs(n - med) AS abs_dev
+       |  FROM hourly JOIN med ON service = m_service
+       |), mad AS (
+       |  SELECT service AS d_service, quantile_disc(abs_dev, 0.5) AS mad
+       |  FROM dev GROUP BY 1
+       |)
+       |SELECT service, hour, n, med, mad,
+       |  abs_dev > $k * mad AS is_outlier
+       |FROM dev JOIN mad ON service = d_service""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_constraint_check" -> (constraintCheck _),
+    "audit_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
+    "param_mad_outliers" -> ((s: SparkSession, d: String) =>
+      madOutliers(s, d, k = 2)),
     "audit_psi_drift" -> ((s: SparkSession, d: String) => psiDrift(s, d)),
     "param_psi_drift" -> ((s: SparkSession, d: String) =>
       psiDrift(s, d, splitDate = "2024-01-11", bins = 4)),
@@ -1159,6 +1226,8 @@ object Audit {
 
   val oracles: Map[String, String] = Map(
     "audit_constraint_check" -> constraintCheckSql,
+    "audit_mad_outliers" -> madOutliersSql(),
+    "param_mad_outliers" -> madOutliersSql(k = 2),
     "audit_psi_drift" -> psiDriftSql(),
     "param_psi_drift" -> psiDriftSql(splitDate = "2024-01-11", bins = 4),
     "audit_error_spikes" -> errorSpikesSql,

@@ -1205,7 +1205,46 @@ object Dedup {
        |  COALESCE(ka.clean_text, '') AS clean_text
        |FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin
 
+  /** G22 `dedup_novelty_fraction` — incremental n-gram novelty (the
+    * dataset-curation signal behind "is this document adding
+    * anything": RefinedWeb/FineWeb-style corpus audits): per doc, the
+    * fraction of its distinct trigram shingles whose FIRST occurrence
+    * (min doc_id over the corpus — the deterministic stand-in for
+    * ingest order) is this document. Early docs score ~1, late
+    * near-duplicates ~0; the corpus-wide novelty curve is the
+    * diminishing-returns estimate data collection planning reads.
+    * Scale: exactly the G8 shape — one shingle-keyed partial-agg
+    * (min doc) + one shingle-keyed join back + a doc-keyed rollup,
+    * all linear; no pairwise anything. Docs shorter than the shingle
+    * width have no shingles and are absent, documented. */
+  def noveltyFraction(spark: SparkSession, dir: String,
+                      n: Int = 3): DataFrame = {
+    val sh = shingles(spark, dir, n)
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  def noveltyFractionSql(n: Int = 3): String =
+    s"""WITH ${shinglesSql(n)},
+       |first AS (
+       |  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+       |)
+       |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  ROUND(CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+       |FROM sh JOIN first ON sh.shingle = first.shingle
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_novelty_fraction" -> ((s, d) => noveltyFraction(s, d)),
     "dedup_line_level" -> (lineLevel _),
     "dedup_contamination_frac" -> (contaminationFrac _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
@@ -1231,6 +1270,7 @@ object Dedup {
       simhashHammingPairs(s, d, maxHamming = 2)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_novelty_fraction" -> noveltyFractionSql(),
     "dedup_line_level" -> lineLevelSql,
     "dedup_contamination_frac" -> contaminationFracSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,

@@ -504,8 +504,69 @@ object EventStream {
       |FROM activity WHERE offset_weeks >= 0
       |GROUP BY 1, 2""".stripMargin
 
+  /** L13 `events_session_paths` — clickstream path mining: the top-k
+    * most common session-opening event-type sequences (first
+    * `pathLen` events of each 30-minute-gap session, L2's boundary
+    * rule verbatim) — the "what do users actually do" report behind
+    * navigation analysis. Path assembly is deterministic in both
+    * engines: Spark sorts the collected (ts, event_id, type) structs
+    * lexicographically (unique chain) and slices; DuckDB uses
+    * ordered array_agg — same sequence. Serve is a TakeOrdered on
+    * (n_sessions desc, path).
+    * Scale: the session numbering shares L2's single user-key
+    * shuffle; the per-session collect is bounded by session length
+    * TIMES truncated to `pathLen` immediately; the path rollup
+    * shuffles path-keyed counts with map-side partials. */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   pathLen: Int = 5, limit: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs).cast("int"))
+      .withColumn("session_num", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .select(array_join(expr(
+        s"slice(transform(array_sort(evs), x -> x.event_type), 1, $pathLen)"),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(limit)
+  }
+
+  def sessionPathsSql(pathLen: Int = 5, limit: Int = 20): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS BIGINT) AS session_num
+       |  FROM flagged
+       |), paths AS (
+       |  SELECT array_to_string(
+       |    (array_agg(event_type ORDER BY ts, event_id))[1:$pathLen], '>')
+       |      AS path
+       |  FROM numbered GROUP BY user_id, session_num
+       |)
+       |SELECT path, COUNT(*) AS n_sessions
+       |FROM paths GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "events_session_paths" -> ((s: SparkSession, d: String) =>
+      sessionPaths(s, d)),
+    "param_session_paths" -> ((s: SparkSession, d: String) =>
+      sessionPaths(s, d, pathLen = 3, limit = 10)),
     "param_events_funnel" -> ((s: SparkSession, d: String) =>
       funnel(s, d, horizonMin = Some(1440))),
     "events_cohort_retention" -> (cohortRetention _),
@@ -525,6 +586,8 @@ object EventStream {
 
   val oracles: Map[String, String] = Map(
     "events_funnel" -> funnelSql(),
+    "events_session_paths" -> sessionPathsSql(),
+    "param_session_paths" -> sessionPathsSql(pathLen = 3, limit = 10),
     "param_events_funnel" -> funnelSql(horizonMin = Some(1440)),
     "events_cohort_retention" -> cohortRetentionSql,
     "stream_watermark_audit" -> watermarkAuditSql(),

@@ -621,4 +621,34 @@ class DedupTextSpec extends SparkSpecBase {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
     assert(rows.forall(_.getAs[String]("pair").length == 2))
   }
+
+  test("G22 novelty fraction: matches a driver recount, earliest doc fully novel") {
+    val rows = run("dedup_novelty_fraction").collect()
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split(" ").filter(_.nonEmpty).take(60)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    sh.sortBy(_._1).foreach { case (d, ss) =>
+      ss.foreach(s => if (!firstDoc.contains(s)) firstDoc(s) = d) }
+    val want = sh.filter(_._2.nonEmpty).map { case (d, ss) =>
+      d -> (ss.size.toLong, ss.count(firstDoc(_) == d).toLong) }.toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, nov) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_shingles") == n, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_novel") == nov, s"doc ${r.getAs[Long]("doc_id")}")
+      val frac = BigDecimal(nov.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("novelty_frac") == frac)
+    }
+    // the earliest doc owns all its shingles; repetition exists later
+    val minDoc = want.keys.min
+    assert(rows.find(_.getAs[Long]("doc_id") == minDoc).get
+      .getAs[Double]("novelty_frac") == 1.0)
+    assert(rows.exists(_.getAs[Double]("novelty_frac") < 1.0))
+  }
 }

@@ -883,6 +883,76 @@ class PipelineSpec extends SparkSpecBase {
       r.getAs[Double]("open") != r.getAs[Double]("close")))
   }
 
+  test("F21 MAD outliers: integer median/MAD law matches a driver recount") {
+    val rows = run("audit_mad_outliers").collect()
+    assert(rows.nonEmpty)
+    def service(t: String) =
+      if (Set("signup", "click", "view")(t)) "ingest"
+      else if (t == "purchase") "persist" else "dlq"
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (service(r.getString(0)),
+        us(r.getTimestamp(1)) / 3600000000L * 3600000000L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // percentile_disc(0.5): smallest value with cum fraction >= 0.5
+    def medOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val byService = hourly.groupBy(_._1._1)
+    val meds = byService.view.mapValues(m => medOf(m.values.toSeq)).toMap
+    val mads = byService.map { case (sv, m) =>
+      sv -> medOf(m.values.map(n => math.abs(n - meds(sv))).toSeq)
+    }
+    rows.foreach { r =>
+      val sv = r.getAs[String]("service")
+      val h = us(r.getAs[java.sql.Timestamp]("hour"))
+      val n = hourly((sv, h))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("med") == meds(sv), s"$sv med")
+      assert(r.getAs[Long]("mad") == mads(sv), s"$sv mad")
+      assert(r.getAs[Boolean]("is_outlier") ==
+        (math.abs(n - meds(sv)) > 3 * mads(sv)), s"$sv $h verdict")
+    }
+    assert(rows.length == hourly.size)
+    assert(rows.exists(_.getAs[Boolean]("is_outlier")))
+    assert(rows.exists(!_.getAs[Boolean]("is_outlier")))
+  }
+
+  test("L13 session paths: top-k matches a driver session replay") {
+    val rows = run("events_session_paths").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val paths = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)),
+        r.getString(3)))
+      .groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        val sessions = scala.collection.mutable.ListBuffer
+          .empty[scala.collection.mutable.ListBuffer[String]]
+        var prev = Long.MinValue
+        sorted.foreach { e =>
+          if (prev == Long.MinValue || e._3 - prev > 1800000000L)
+            sessions += scala.collection.mutable.ListBuffer.empty[String]
+          sessions.last += e._4
+          prev = e._3
+        }
+        sessions.map(_.take(5).mkString(">"))
+      }
+    val want = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = rows.toSeq.map(r =>
+      (r.getAs[String]("path"), r.getAs[Long]("n_sessions")))
+    assert(got == want)
+    // the mining is real: multi-step paths rank in the top-k
+    assert(got.exists(_._1.contains(">")))
+  }
+
   /** Driver replay of the L11 funnel: per user, greedily anchor each
     * stage at the earliest qualifying event strictly after the
     * previous anchor (µs precision), optionally within the horizon. */

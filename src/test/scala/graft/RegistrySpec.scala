@@ -198,6 +198,11 @@ class RegistrySpec extends SparkSpecBase {
     "k23_product_profit" -> 3, // lineitem-orders SMJ + (nation,year) agg
     "k24_important_stock" -> 2, // per-part agg + 1-row total rollup
     "audit_constraint_check" -> 4, // orders agg (distinct expand) + lineitem agg + RI semi join + attach
+    "audit_mad_outliers" -> 2, // hourly rollup + service window (one events scan)
+    "param_mad_outliers" -> 2,
+    "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
+    "param_session_paths" -> 2,
+    "dedup_novelty_fraction" -> 3, // shingle first-doc agg + shingle join-back + doc rollup
     "persist_cdc_apply" -> 4, // T1 replay + changefeed's two replays + entity-key merge join
     "api_obs_gapfill" -> 3, // (patient,day) rollup + patient spine + fill window
     "param_obs_gapfill" -> 3,
