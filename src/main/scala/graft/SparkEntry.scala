@@ -32,7 +32,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Corpus.queries ++
       operators.Skew.queries ++
-      operators.Bucketing.queries
+      operators.Bucketing.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are rows-only ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Corpus.oracles ++
       operators.Skew.oracles ++
-      operators.Bucketing.oracles
+      operators.Bucketing.oracles ++
+      operators.Graph.oracles
 }

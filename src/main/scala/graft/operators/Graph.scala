@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the co-purchase graph (SURVEY §2 O-family).
+  *
+  * The reference's analytics surface stops at relational shapes; a
+  * training-data/analytics engine at 100 TB also needs the classic
+  * iterative graph primitives — rank propagation (recommendation
+  * seeds), triangle counting (community density), and multi-hop
+  * reachability (related-item expansion). Nodes are parts; edges
+  * connect parts bought together in at least `minSupport` orders
+  * (K30's map-side pair expansion builds them in two shuffles).
+  *
+  * Every operator here is fixed-point/integer arithmetic end-to-end:
+  * ranks are BIGINT fixed-point (SCALE = 1e9) with floor division,
+  * so five PageRank iterations produce bit-identical BIGINTs in any
+  * engine — the DuckDB oracle replays the same recurrence as five
+  * unrolled CTEs (aggregates are not allowed in a recursive CTE term,
+  * and fixed-depth unrolling is exactly what the driver can verify).
+  *
+  * Scale design: the directed edge list is materialized once per call
+  * with degrees attached (adjacency), so each Pregel-style iteration
+  * is ONE rank-by-src equi join + ONE groupBy(dst) partial agg — the
+  * textbook Spark PageRank layout where a real deployment would
+  * `repartition(src)` + cache the adjacency and reuse its
+  * partitioning across all iterations. Triangle counting uses
+  * degree-based edge orientation (each wedge built at its
+  * lowest-(deg,id) corner), which bounds intermediate wedges by
+  * O(m^1.5) regardless of hub skew — the standard MapReduce triangle
+  * trick. BFS expands a frontier level-by-level with anti-joins
+  * against the visited set; at 100 TB both sides stay keyed on the
+  * node id.
+  */
+object Graph {
+
+  private val Scale = 1000000000L // 1e9 fixed-point unit
+
+  /** Canonical undirected co-purchase edges (src < dst), thresholded
+    * on order co-occurrence support. Two shuffles total: the per-order
+    * distinct-part array, then the pair rollup (pairs expand map-side
+    * from the sorted array — K30's expansion, O(basket²) ≤ 21/order). */
+  private[operators] def canonicalEdges(spark: SparkSession, dir: String,
+                                        minSupport: Int): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS src, y AS dst))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+      .select(col("src"), col("dst"))
+
+  private val pairsSqlCte: String =
+    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= %d)""".stripMargin
+
+  /** Both directions of the canonical edge list. */
+  private def directedEdges(spark: SparkSession, dir: String,
+                            minSupport: Int): DataFrame = {
+    val e = canonicalEdges(spark, dir, minSupport)
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val edgesSqlCte: String =
+    """edges AS (SELECT src, dst FROM pairs
+      |  UNION ALL SELECT dst, src FROM pairs)""".stripMargin
+
+  /** O1 `graph_pagerank` — damped PageRank over the co-purchase
+    * graph in BIGINT fixed-point (SCALE = 1e9, d = 0.85), the
+    * "importance seed" for recommendation candidates. Unnormalized
+    * convention: r0 = SCALE per node, r' = 0.15·SCALE +
+    * (85 · Σ_u floor(r_u / deg_u)) div 100 — every operation is
+    * integer, so the result is engine-exact with no float-sum order
+    * sensitivity (deg ≥ 1 for every node by construction, so there
+    * are no dangling-mass corrections). Serve = deterministic top-k
+    * on (rank desc, part).
+    *
+    * Scale: adjacency (src, dst, deg_src) is built once; each of the
+    * `iters` rounds is one src-keyed equi join against the (node,
+    * rank) table (co-partitioned if adjacency is hash-partitioned by
+    * src once) plus one dst-keyed partial agg. The rank table is one
+    * row per node — never broadcast at 100 TB, always a keyed
+    * shuffle. Intermediate sums stay far below 2^63: total mass is
+    * ≈ N·SCALE and the ×85 blowup adds two decimal digits. */
+  def pagerank(spark: SparkSession, dir: String, minSupport: Int = 1,
+               iters: Int = 5, limit: Int = 100): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+    val adj = e.join(deg, e("src") === deg("node")).select(
+      col("src"), col("dst"), col("d"))
+    var ranks = deg.select(col("node"), lit(Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      // all-integer recurrence: Column./ on longs would route through
+      // double (inexact past 2^53 and float-truncation vs floor), so
+      // the ÷100 stays a SQL `div`
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div d")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("rank"))
+    }
+    ranks.select(col("node").as("part"), col("rank").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("part"))
+      .limit(limit)
+  }
+
+  def pagerankSql(minSupport: Int = 1, iters: Int = 5,
+                  limit: Int = 100): String = {
+    val base =
+      s"""WITH ${pairsSqlCte.format(minSupport)},
+         |$edgesSqlCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+         |adj AS (SELECT e.src, e.dst, d.d FROM edges e
+         |        JOIN deg d ON e.src = d.node),
+         |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM deg)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT a.dst AS node,
+         |  CAST(${15L * Scale / 100} + (85 * SUM(r.rank // a.d)) // 100
+         |       AS BIGINT) AS rank
+         |  FROM adj a JOIN r${i - 1} r ON a.src = r.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT node AS part, rank AS rank_fp FROM r$iters
+       |ORDER BY rank_fp DESC, part LIMIT $limit""".stripMargin
+  }
+
+  /** O2 `graph_triangles` — per-node triangle participation counts
+    * (local clustering signal: how densely a part's co-purchase
+    * neighborhood interlocks), served as a deterministic top-k.
+    *
+    * The Spark side uses DEGREE-ORDERED ORIENTATION: each undirected
+    * edge points from its lower-(deg, id) endpoint to the higher one,
+    * every wedge is generated only at its lowest corner, and a
+    * triangle closes when the (v, w) wedge arms are themselves an
+    * oriented edge. Wedge count is bounded by Σ C(outdeg, 2) =
+    * O(m^1.5) — a hub of degree 10⁶ contributes no wedges from its
+    * own corner because orientation points INTO it; this is what
+    * makes triangle counting survive power-law skew at 100 TB. The
+    * closure join is a plain two-column equi join. The oracle states
+    * the naive a<b<c three-way self-join — hash equality proves the
+    * oriented algorithm counts exactly the same triangles. */
+  def triangles(spark: SparkSession, dir: String, minSupport: Int = 1,
+                limit: Int = 100): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+    // canonical edges with both endpoint degrees attached
+    val canon = canonicalEdges(spark, dir, minSupport)
+      .join(deg.select(col("node"), col("d").as("da")), col("src") === col("node"))
+      .drop("node")
+      .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
+      .drop("node")
+    // orient: u -> v iff (deg_u, u) < (deg_v, v)
+    val oriented = canon.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("src") < col("dst")),
+        struct(col("src").as("u"), col("dst").as("v"),
+          col("da").as("du"), col("db").as("dv")))
+        .otherwise(
+          struct(col("dst").as("u"), col("src").as("v"),
+            col("db").as("du"), col("da").as("dv")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+    // wedges at the lowest corner: (u; v, w) with (deg_v, v) < (deg_w, w)
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val y = oriented.select(col("u").as("u2"), col("v").as("v2"),
+      col("dv").as("dv2"))
+    val wedges = x.join(y, col("u") === col("u2") &&
+        (col("dv1") < col("dv2") ||
+          (col("dv1") === col("dv2") && col("v1") < col("v2"))))
+      .select(col("u"), col("v1"), col("v2"))
+    // close: the (v1, v2) arm must be an oriented edge itself
+    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    val tris = wedges.join(closing,
+      col("v1") === col("cu") && col("v2") === col("cv"))
+      .select(col("u"), col("v1").as("v"), col("v2").as("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(limit)
+  }
+
+  def trianglesSql(minSupport: Int = 1, limit: Int = 100): String =
+    s"""WITH ${pairsSqlCte.format(minSupport)},
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.src = e1.dst
+       |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT a AS part FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT part, COUNT(*) AS n_triangles FROM corners GROUP BY 1
+       |ORDER BY n_triangles DESC, part LIMIT $limit""".stripMargin
+
+  /** O3 `graph_bfs` — multi-hop reachability (min-hop BFS) from a
+    * seed set (all parts of one brand) over the co-purchase graph:
+    * the "related items within k hops" expansion behind candidate
+    * retrieval, served as the per-level rollup (hops, n_nodes,
+    * sum_part — the checksum pins WHICH nodes each level holds, not
+    * just how many).
+    *
+    * Level-synchronous frontier expansion: visited and frontier are
+    * node-keyed; each hop is one frontier⋈edges equi join, a
+    * distinct, and an anti join against visited — all on the node
+    * key, no broadcast of anything unbounded. Hop count is a fixed
+    * small constant (the oracle unrolls the same levels), so the
+    * loop is `maxHops` stages, not a convergence test. */
+  def bfs(spark: SparkSession, dir: String, brand: String = "Brand#1",
+          minSupport: Int = 1, maxHops: Int = 3): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("node"))
+      .join(nodes, "node") // seed must exist in the graph
+      .select(col("node"), lit(0).as("hops"))
+    var visited = seeds
+    var frontier = seeds.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+      frontier = next
+      visited = visited.union(next.select(col("node"), lit(h).as("hops")))
+    }
+    visited.groupBy(col("hops"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_part"))
+      .orderBy(col("hops"))
+  }
+
+  def bfsSql(brand: String = "Brand#1", minSupport: Int = 1,
+             maxHops: Int = 3): String = {
+    val base =
+      s"""WITH ${pairsSqlCte.format(minSupport)},
+         |$edgesSqlCte,
+         |gnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |h0 AS (SELECT p.p_partkey AS node, 0 AS hops FROM part p
+         |       JOIN gnodes g ON g.node = p.p_partkey
+         |       WHERE p.p_brand = '$brand'),
+         |v0 AS (SELECT node, hops FROM h0)""".stripMargin
+    val steps = (1 to maxHops).map { i =>
+      s"""h$i AS (SELECT DISTINCT e.dst AS node, $i AS hops
+         |  FROM edges e JOIN h${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS (SELECT node, hops FROM v${i - 1}
+         |        UNION ALL SELECT node, hops FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT hops, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_part
+       |FROM v$maxHops GROUP BY 1 ORDER BY hops""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) => pagerank(s, d)),
+    "graph_triangles" -> ((s, d) => triangles(s, d)),
+    "graph_bfs" -> ((s, d) => bfs(s, d)),
+    "param_graph_pagerank" -> ((s, d) => pagerank(s, d,
+      minSupport = 2, iters = 3, limit = 40)),
+    "param_graph_triangles" -> ((s, d) => triangles(s, d,
+      minSupport = 2, limit = 50)),
+    "param_graph_bfs" -> ((s, d) => bfs(s, d,
+      brand = "Brand#7", minSupport = 2, maxHops = 4)))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql(),
+    "graph_triangles" -> trianglesSql(),
+    "graph_bfs" -> bfsSql(),
+    "param_graph_pagerank" -> pagerankSql(
+      minSupport = 2, iters = 3, limit = 40),
+    "param_graph_triangles" -> trianglesSql(minSupport = 2, limit = 50),
+    "param_graph_bfs" -> bfsSql(
+      brand = "Brand#7", minSupport = 2, maxHops = 4))
+}

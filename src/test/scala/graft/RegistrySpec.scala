@@ -202,6 +202,16 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    // O-family: iterative graph algorithms pay one join + one agg
+    // exchange PER ITERATION by nature (Pregel supersteps); the edge
+    // build adds K30's two. Budgets pin today's per-iteration cost so
+    // an extra shuffle inside the loop multiplies and fails loudly.
+    "graph_pagerank" -> 9, // edges(2) + deg/adj + 5×(rank agg; join rides adj exchange) + TakeOrdered
+    "param_graph_pagerank" -> 7, // 3 iterations
+    "graph_triangles" -> 4, // edges(2) + deg attach + corner-explode rollup (wedge/closure joins broadcast at this SF)
+    "param_graph_triangles" -> 4,
+    "graph_bfs" -> 8, // edges(2) + seeds∩nodes + 3×(frontier distinct + anti-join) rides
+    "param_graph_bfs" -> 9, // 4 hops
     "dedup_novelty_fraction" -> 3, // shingle first-doc agg + shingle join-back + doc rollup
     "persist_cdc_apply" -> 4, // T1 replay + changefeed's two replays + entity-key merge join
     "api_obs_gapfill" -> 3, // (patient,day) rollup + patient spine + fill window
