@@ -340,7 +340,65 @@ object Bucketing {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** N9 `store_equidepth_hist` — equi-depth (equi-height) histogram
+    * over `l_extendedprice`, the CBO statistic behind selectivity
+    * estimation (Spark's own ANALYZE … COMPUTE STATISTICS FOR
+    * COLUMNS builds exactly this shape) and the complement of N7's
+    * min/max/NDV pass. Build is the standard two-level compression:
+    * (1) values collapse to bounded integer DOLLAR bins
+    * (floor(price) — domain-bounded metadata, ~100k bins max no
+    * matter how many rows), one linear partial-agg pass; (2) an
+    * ordered prefix sum over the BIN table (metadata-scale, windowed
+    * over [[Obs.onePart]]'s non-foldable constant key) assigns each
+    * bin the bucket of its first row: bucket = ((cum − cnt) · k) div
+    * total — all-integer, so bucket boundaries cannot float-drift
+    * between engines. Served per bucket: row count, bin count, and
+    * the [lo, hi] dollar bounds — rows-per-bucket is equal up to
+    * bin granularity (heavy bins are never split, the textbook
+    * compressed-histogram property; the spec asserts the ±max-bin
+    * balance bound). The oracle replays the same two levels with a
+    * plain window cumsum. */
+  def equidepthHist(spark: SparkSession, dir: String,
+                    buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice")).cast("long").as("dollar"))
+      .agg(count(lit(1)).as("cnt"))
+    // materialize the constant partition key ONCE: two inline
+    // onePart(...) calls become two distinct _w0 projections and the
+    // planner exchanges between the windows; one shared attribute
+    // lets both windows (cumsum + grand total) stack on one exchange
+    bins.withColumn("pk", Obs.onePart(col("dollar")))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("pk")).orderBy(col("dollar"))))
+      .withColumn("total", sum(col("cnt"))
+        .over(Window.partitionBy(col("pk"))))
+      .withColumn("bucket",
+        expr(s"((cum - cnt) * $buckets) div total"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_bins"),
+        min(col("dollar")).as("lo_dollar"), max(col("dollar")).as("hi_dollar"))
+      .orderBy(col("bucket"))
+  }
+
+  def equidepthHistSql(buckets: Int = 16): String =
+    s"""WITH bins AS (
+       |  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS dollar,
+       |         COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |cums AS (
+       |  SELECT dollar, cnt,
+       |    SUM(cnt) OVER (ORDER BY dollar) AS cum,
+       |    SUM(cnt) OVER () AS total
+       |  FROM bins)
+       |SELECT CAST(((cum - cnt) * $buckets) // total AS BIGINT) AS bucket,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_bins,
+       |  MIN(dollar) AS lo_dollar, MAX(dollar) AS hi_dollar
+       |FROM cums GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_equidepth_hist" -> ((s, d) => equidepthHist(s, d)),
+    "param_equidepth_hist" -> ((s, d) => equidepthHist(s, d, buckets = 4)),
     "store_column_stats" -> (columnStats _),
     "store_partition_prune" -> (partitionPrune _),
     "store_zorder_layout" -> (zorderLayout _),
@@ -348,6 +406,8 @@ object Bucketing {
     "store_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
+    "store_equidepth_hist" -> equidepthHistSql(),
+    "param_equidepth_hist" -> equidepthHistSql(buckets = 4),
     "store_column_stats" -> columnStatsSql,
     "store_partition_prune" -> partitionPruneSql,
     "store_zorder_layout" -> zorderLayoutSql,

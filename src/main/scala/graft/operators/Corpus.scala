@@ -659,7 +659,45 @@ object Corpus {
        |    / CAST(max_tokens * total_docs AS DOUBLE), 6) AS naive_waste_frac
        |FROM b CROSS JOIN naive""".stripMargin
 
+  /** M14 `corpus_weighted_sample` — weighted sampling WITHOUT
+    * replacement by length (Efraimidis–Spirakis A-ES): every doc
+    * draws a deterministic uniform u from an md5 hex prefix (no RNG
+    * state — same corpus, same sample, any partitioning/retry), and
+    * the k docs with the smallest exponential race keys
+    * −ln(u) / weight are the sample; weight = n_chars, so the
+    * selection is length-proportional without replacement — the
+    * curriculum/eval-set sampler that a naive `ORDER BY random()`
+    * cannot make reproducible. The key is rounded to 9dp in BOTH
+    * engines before ranking (|key| < 1 here, so a last-ulp libm-ln
+    * difference is ~1e-17 — far below the rounding grain;
+    * `(md5_u64 + 1) / 16^15` is one IEEE division, exact in both).
+    * Scale: pure scan-project + distributed TakeOrdered top-k; no
+    * shuffle, no global sort, no RNG state to coordinate across
+    * 1000 executors. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = 500): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0) // 16^15
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(-log(u) / col("n_chars"), 9).as("race_key"))
+      .orderBy(col("race_key"), col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSampleSql(k: Int = 500): String =
+    s"""SELECT doc_id, n_chars,
+       |  ROUND(-LN((CAST(('0x' || substring(md5('ws:' || doc_id), 1, 15))
+       |                  AS BIGINT) + 1) / 1152921504606846976.0)
+       |        / n_chars, 9) AS race_key
+       |FROM documents
+       |ORDER BY race_key, doc_id LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_weighted_sample" -> ((s, d) => weightedSample(s, d)),
+    "param_weighted_sample" -> ((s, d) => weightedSample(s, d, k = 50)),
     "corpus_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "corpus_token_budget" -> (tokenBudget _),
     "corpus_quality_funnel" -> (qualityFunnel _),
@@ -675,6 +713,8 @@ object Corpus {
     "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_weighted_sample" -> weightedSampleSql(),
+    "param_weighted_sample" -> weightedSampleSql(k = 50),
     "corpus_length_buckets" -> lengthBucketsSql(),
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_quality_funnel" -> qualityFunnelSql,

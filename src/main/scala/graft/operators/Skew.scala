@@ -195,15 +195,110 @@ object Skew {
     ("v2", "2024-01-06 23:30:00", "2024-01-07 00:30:00"),
     ("v3", "2024-01-09 00:00:00", "2024-01-10 00:00:00"))
 
+  /** Memoized bloom bytes for [[bloomJoinRevenue]] — building the
+    * filter is a Spark job, and the DataFrame constructor must stay
+    * plan-only (Dedup.bloomCache discipline: explaining a query must
+    * not launch jobs). */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** N8 `join_bloom_prefilter` — Bloom-filter semi-join reduction
+    * (the "runtime row filter" / sideways-information-passing
+    * mechanic, done explicitly): the selective side of a join
+    * (orders filtered to one priority + one year, ~2% of rows)
+    * builds a bounded Bloom filter over its join key
+    * (`BloomFilterAggregate`, the same sketch Spark's own
+    * InjectRuntimeFilter plants), and the BIG side (lineitem) drops
+    * non-matching rows AT THE SCAN — before paying the shuffle —
+    * via `might_contain` on the key. The filter is a fixed-size
+    * byte array (1 MiB here) REGARDLESS of data volume, so at
+    * 100 TB it rides the task broadcast exactly like Spark's
+    * runtime filters; the 98% of lineitem that can't join never
+    * enters the exchange. The join afterwards removes the bloom's
+    * false positives, so the served rollup (revenue per order
+    * month) is hash-identical to the plain join the oracle states —
+    * equality IS the transparency proof. SkewSpec pins the
+    * reduction itself (prefiltered scan ≪ full scan) and in-engine
+    * equality with the un-bloomed join. */
+  private def filteredOrders(spark: SparkSession, dir: String,
+                             priority: String, from: String,
+                             to: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === priority &&
+        col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+
+  /** The bloom-prefiltered big side — `might_contain(bloom(build
+    * keys), l_orderkey)` applied right at the lineitem scan.
+    * `private[graft]` so SkewSpec can measure the reduction the
+    * filter buys BEFORE the join. */
+  private[graft] def prefilteredLineitem(spark: SparkSession, dir: String,
+                                         priority: String = "1-URGENT",
+                                         from: String = "1995-01-01",
+                                         to: String = "1996-01-01"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val mtime = graft.Tables.mtime(spark, s"$dir/orders.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:$priority:$from:$to:$mtime"
+    val bloomBytes = bloomCache.computeIfAbsent(key, _ => {
+      val agg = GraftSqlBridge.column(
+        BloomFilterAggregate(GraftSqlBridge.expression(col("o_orderkey")),
+          CatLit(1000000L), CatLit(8L * 1024 * 1024), 0, 0)
+          .toAggregateExpression())
+      filteredOrders(spark, dir, priority, from, to)
+        .agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    })
+    require(bloomBytes != null, "filtered build side is empty")
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      CatLit.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.expression(col("l_orderkey"))))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(mightContain)
+  }
+
+  def bloomJoinRevenue(spark: SparkSession, dir: String,
+                       priority: String = "1-URGENT",
+                       from: String = "1995-01-01",
+                       to: String = "1996-01-01"): DataFrame =
+    prefilteredLineitem(spark, dir, priority, from, to)
+      .join(filteredOrders(spark, dir, priority, from, to),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        Analytics.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+
+  def bloomJoinRevenueSql(priority: String = "1-URGENT",
+                          from: String = "1995-01-01",
+                          to: String = "1996-01-01"): String =
+    s"""SELECT date_trunc('month', o_orderdate) AS order_month,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_orderpriority = '$priority'
+       |  AND o.o_orderdate >= TIMESTAMP '$from 00:00:00'
+       |  AND o.o_orderdate <  TIMESTAMP '$to 00:00:00'
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_rollup" -> (saltedRollup _),
     "skew_salted_join" -> (saltedJoinRollup _),
     "range_bin_join" -> ((s, d) => rangeBinJoin(s, d)),
-    "param_range_bin_join" -> ((s, d) => rangeBinJoin(s, d, Windows2)))
+    "param_range_bin_join" -> ((s, d) => rangeBinJoin(s, d, Windows2)),
+    "join_bloom_prefilter" -> ((s, d) => bloomJoinRevenue(s, d)),
+    "param_join_bloom_prefilter" -> ((s, d) => bloomJoinRevenue(s, d,
+      priority = "2-HIGH", from = "1996-06-01", to = "1997-06-01")))
 
   val oracles: Map[String, String] = Map(
     "skew_salted_rollup" -> saltedRollupSql,
     "skew_salted_join" -> saltedJoinRollupSql,
     "range_bin_join" -> rangeBinJoinSql(),
-    "param_range_bin_join" -> rangeBinJoinSql(Windows2))
+    "param_range_bin_join" -> rangeBinJoinSql(Windows2),
+    "join_bloom_prefilter" -> bloomJoinRevenueSql(),
+    "param_join_bloom_prefilter" -> bloomJoinRevenueSql(
+      priority = "2-HIGH", from = "1996-06-01", to = "1997-06-01"))
 }

@@ -159,6 +159,29 @@ class BucketingSpec extends SparkSpecBase {
       s"ts predicate not pushed: $pushed")
   }
 
+  test("N9 equi-depth histogram: conservation, contiguity, and balance bound") {
+    val rows = run("store_equidepth_hist").collect()
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val maxBin = li.groupBy(floor(col("l_extendedprice")).cast("long"))
+      .count().agg(max("count")).head().getLong(0)
+    // conservation: every row lands in exactly one bucket
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    // contiguity: bucket ranges are ordered and non-overlapping
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_dollar") <= b.getAs[Long]("lo_dollar"))
+      case _ =>
+    }
+    // compressed equi-depth balance: a bucket overshoots the ideal
+    // depth only by (at most) the largest unsplittable bin
+    val ideal = total / 16.0
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") <= ideal + maxBin,
+        s"bucket ${r.getAs[Long]("bucket")} exceeds depth+maxBin")
+    }
+  }
+
   test("aggregation on the bucket key needs no exchange") {
     val agg = spark.table("events_bucketed")
       .groupBy("user_id").agg(sum("value").as("total"))

@@ -253,4 +253,29 @@ class CorpusSpec extends SparkSpecBase {
     assert(rows.forall(r =>
       r.getAs[Double]("waste_frac") < r.getAs[Double]("naive_waste_frac")))
   }
+
+  test("M14 weighted sample equals the A-ES race replayed on the driver") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(docId: Long, w: Long): BigDecimal = {
+      val hex = md.digest(s"ws:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 1152921504606846976.0
+      BigDecimal(-math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(50).map(_._1).toSeq
+    val got = operators.Corpus.weightedSample(spark, sf, k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    // length bias: weight = n_chars, so long docs win the race more
+    // often — the sample's mean length must exceed the corpus mean
+    val byId = docs.toMap
+    val sampleMean = expected.map(byId).sum.toDouble / expected.size
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"no length bias: sample $sampleMean vs corpus $corpusMean")
+  }
 }

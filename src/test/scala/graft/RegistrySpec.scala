@@ -202,6 +202,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "store_equidepth_hist" -> 4, // bin agg + stacked cumsum/total windows + bucket agg + ordered serve
+    "param_equidepth_hist" -> 4,
     // O-family: iterative graph algorithms pay one join + one agg
     // exchange PER ITERATION by nature (Pregel supersteps); the edge
     // build adds K30's two. Budgets pin today's per-iteration cost so

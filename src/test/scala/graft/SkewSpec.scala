@@ -71,6 +71,35 @@ class SkewSpec extends SparkSpecBase {
     binned.unpersist(): Unit
   }
 
+  test("N8 bloom prefilter: equal to the plain join, and actually reduces the scan") {
+    val bloomed = run("join_bloom_prefilter")
+    val ords = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        operators.Analytics.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    assert(bloomed.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(bloomed).count() == 0)
+    // the point of the exercise: the bloom drops the vast majority of
+    // the big side BEFORE the join's exchange. The build side is ~2%
+    // of orders; with fpp ≪ 1 the pre-join survivor fraction must be
+    // well under 10% of lineitem, and (no false negatives) at least
+    // every truly-matching row must survive.
+    val full = Tables.lineitem(spark, sf).count()
+    val surviving = operators.Skew.prefilteredLineitem(spark, sf).count()
+    val matching = Tables.lineitem(spark, sf)
+      .join(ords, col("l_orderkey") === col("o_orderkey")).count()
+    assert(surviving >= matching, "bloom dropped a matching row")
+    assert(surviving < full / 10,
+      s"bloom kept $surviving of $full — filter not selective on this fixture")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = skewed.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
