@@ -561,7 +561,153 @@ object EventStream {
        |FROM paths GROUP BY 1
        |ORDER BY n_sessions DESC, path LIMIT $limit""".stripMargin
 
+  /** L14 `events_attribution` — first-touch / last-touch marketing
+    * attribution: every purchase is credited to the click/view touch
+    * of the same user inside a lookback window (default 7 days,
+    * strictly before the purchase), or to channel 'none' when no
+    * touch exists. Both models are served side by side per channel
+    * with purchase counts and decimal-exact attributed revenue —
+    * the campaign-ROI report every clickstream warehouse runs.
+    *
+    * The purchase⋈touch join is user-keyed (co-partitioned equi join
+    * with the window as residual — never a broadcast of anything
+    * user-sized); the per-purchase argmax/argmin collapse uses
+    * struct ordering (ts, event_id) so ties are deterministic, and
+    * a no-touch purchase survives as the left join's single null row
+    * (the struct's fields are null, never compared against a real
+    * touch — the left join emits it only when no match exists).
+    * Oracle replays the pick as ROW_NUMBER over the same ordering. */
+  def attribution(spark: SparkSession, dir: String,
+                  lookbackDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("t_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value").cast("decimal(18,6)").as("p_value"))
+    val perPurchase = purchases.join(touches,
+        col("user_id") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackDays DAYS"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(max(col("p_value")).as("p_value"),
+        max(struct(col("t_ts"), col("t_id"), col("t_type"))).as("last_t"),
+        min(struct(col("t_ts"), col("t_id"), col("t_type"))).as("first_t"))
+    val lastM = perPurchase.select(lit("last_touch").as("model"),
+      coalesce(col("last_t.t_type"), lit("none")).as("channel"),
+      col("p_value"))
+    val firstM = perPurchase.select(lit("first_touch").as("model"),
+      coalesce(col("first_t.t_type"), lit("none")).as("channel"),
+      col("p_value"))
+    lastM.union(firstM)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("p_value")).cast("double").as("revenue"))
+  }
+
+  def attributionSql(lookbackDays: Int = 7): String =
+    s"""WITH touches AS (
+       |  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+       |         event_type AS t_type
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |purch AS (
+       |  SELECT user_id, event_id AS p_id, ts AS p_ts,
+       |         CAST(value AS DECIMAL(18,6)) AS p_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT p.p_id, p.p_value, t.t_type, t.t_ts, t.t_id
+       |  FROM purch p LEFT JOIN touches t
+       |    ON p.user_id = t.t_user AND t.t_ts < p.p_ts
+       |   AND t.t_ts >= p.p_ts - INTERVAL $lookbackDays DAY),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY p_id
+       |      ORDER BY t_ts DESC NULLS LAST, t_id DESC) AS rl,
+       |    ROW_NUMBER() OVER (PARTITION BY p_id
+       |      ORDER BY t_ts ASC NULLS LAST, t_id ASC) AS rf
+       |  FROM j),
+       |both_m AS (
+       |  SELECT 'last_touch' AS model, COALESCE(t_type, 'none') AS channel,
+       |         p_value FROM ranked WHERE rl = 1
+       |  UNION ALL
+       |  SELECT 'first_touch', COALESCE(t_type, 'none'), p_value
+       |  FROM ranked WHERE rf = 1)
+       |SELECT model, channel, COUNT(*) AS n_purchases,
+       |  CAST(SUM(p_value) AS DOUBLE) AS revenue
+       |FROM both_m GROUP BY 1, 2""".stripMargin
+
+  /** L15 `events_seasonal_forecast` — seasonal-naive forecasting with
+    * holdout evaluation: the hour-of-day profile of purchase values
+    * learned on the first three weeks predicts the last; served per
+    * hour with the forecast, the realized actual, and the absolute
+    * percentage error — the capacity-planning / anomaly-baseline
+    * query, and the simplest member of the seasonal-decomposition
+    * family (the right first model before anything ARIMA-shaped).
+    *
+    * ONE scan, ONE shuffle: train and test both collapse in the same
+    * conditional aggregation (count/sum CASE over the cutoff) to 24
+    * rows — no self-join of two filtered scans. Sums are
+    * decimal-exact; forecast/actual/APE are IEEE double expressions
+    * of those exact decimals evaluated identically in both engines,
+    * rounded 6dp at serve. */
+  def seasonalForecast(spark: SparkSession, dir: String,
+                       cutoff: String = "2024-01-22",
+                       eventType: String = "purchase"): DataFrame = {
+    val isTrain = col("ts") < lit(cutoff).cast("timestamp")
+    val v = col("value").cast("decimal(18,6)")
+    val f = col("s_train").cast("double") / col("n_train").cast("double")
+    val a = col("s_test").cast("double") / col("n_test").cast("double")
+    Tables.events(spark, dir)
+      .filter(col("event_type") === eventType)
+      .groupBy(hour(col("ts")).as("hod"))
+      .agg(count(when(isTrain, lit(1))).as("n_train"),
+        sum(when(isTrain, v)).as("s_train"),
+        count(when(!isTrain, lit(1))).as("n_test"),
+        sum(when(!isTrain, v)).as("s_test"))
+      .filter(col("n_train") > 0 && col("n_test") > 0)
+      .select(col("hod"), col("n_train"), col("n_test"),
+        round(f, 6).as("forecast"),
+        round(a, 6).as("actual"),
+        round(abs(a - f) / a, 6).as("ape"))
+      .orderBy(col("hod"))
+  }
+
+  def seasonalForecastSql(cutoff: String = "2024-01-22",
+                          eventType: String = "purchase"): String =
+    s"""WITH prof AS (
+       |  SELECT EXTRACT(hour FROM ts) AS hod,
+       |    COUNT(CASE WHEN ts < TIMESTAMP '$cutoff 00:00:00'
+       |               THEN 1 END) AS n_train,
+       |    SUM(CASE WHEN ts < TIMESTAMP '$cutoff 00:00:00'
+       |             THEN CAST(value AS DECIMAL(18,6)) END) AS s_train,
+       |    COUNT(CASE WHEN ts >= TIMESTAMP '$cutoff 00:00:00'
+       |               THEN 1 END) AS n_test,
+       |    SUM(CASE WHEN ts >= TIMESTAMP '$cutoff 00:00:00'
+       |             THEN CAST(value AS DECIMAL(18,6)) END) AS s_test
+       |  FROM events WHERE event_type = '$eventType'
+       |  GROUP BY 1)
+       |SELECT CAST(hod AS INT) AS hod,
+       |  n_train, n_test,
+       |  ROUND(CAST(s_train AS DOUBLE) / CAST(n_train AS DOUBLE), 6)
+       |    AS forecast,
+       |  ROUND(CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS actual,
+       |  ROUND(ABS(CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE)
+       |          - CAST(s_train AS DOUBLE) / CAST(n_train AS DOUBLE))
+       |        / (CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE)), 6) AS ape
+       |FROM prof WHERE n_train > 0 AND n_test > 0
+       |ORDER BY hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> ((s: SparkSession, d: String) =>
+      attribution(s, d)),
+    "param_events_attribution" -> ((s: SparkSession, d: String) =>
+      attribution(s, d, lookbackDays = 1)),
+    "events_seasonal_forecast" -> ((s: SparkSession, d: String) =>
+      seasonalForecast(s, d)),
+    "param_seasonal_forecast" -> ((s: SparkSession, d: String) =>
+      seasonalForecast(s, d, cutoff = "2024-01-15", eventType = "view")),
     "events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "events_session_paths" -> ((s: SparkSession, d: String) =>
       sessionPaths(s, d)),
@@ -585,6 +731,11 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_attribution" -> attributionSql(),
+    "param_events_attribution" -> attributionSql(lookbackDays = 1),
+    "events_seasonal_forecast" -> seasonalForecastSql(),
+    "param_seasonal_forecast" -> seasonalForecastSql(
+      cutoff = "2024-01-15", eventType = "view"),
     "events_funnel" -> funnelSql(),
     "events_session_paths" -> sessionPathsSql(),
     "param_session_paths" -> sessionPathsSql(pathLen = 3, limit = 10),

@@ -1141,7 +1141,89 @@ object TextAnalysis {
        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY 1""".stripMargin
 
+  /** I19 `text_kneser_ney` — interpolated Kneser–Ney bigram
+    * probabilities (Chen & Goodman 1998, the reference smoothing of
+    * every n-gram toolkit and the quality bar I14's stupid backoff
+    * trades away): p(w2|w1) = (c12 − D)/c1 + D·N1+(w1·)/c1 ·
+    * N1+(·w2)/N1+(··), absolute discount D = 0.75. The continuation
+    * count N1+(·w2) — in how many DISTINCT contexts w2 completes a
+    * bigram — is what distinguishes KN from plain backoff: frequent
+    * words appearing in few contexts ("Francisco") get small
+    * continuation mass. Every ingredient is an integer count off the
+    * bigram-count table; the probability is one fully-parenthesized
+    * IEEE expression evaluated identically in both engines, rounded
+    * 9dp at serve.
+    *
+    * Scale: one bigram-keyed rollup; context (w1) and continuation
+    * (w2) marginals are partial-agg'd re-rollups of THAT table (not
+    * of the corpus); the type total is a 1-row broadcast attach;
+    * marginal attachments are vocabulary-keyed equi joins; serve is
+    * a distributed TakeOrdered. Spec replays the formula on the
+    * driver from raw bigram counts and asserts the per-context
+    * total-mass law (observed + unseen backoff mass = 1). */
+  def kneserNey(spark: SparkSession, dir: String,
+                minCount: Long = LmMinCount, limit: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), nonEmptyToks.as("w"))
+    val bigr = toks
+      .select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bigr.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    val types = bc.agg(count(lit(1)).as("n_types"))
+    val d = lit(0.75)
+    val pkn =
+      ((col("c12").cast("double") - d) / col("c1").cast("double")) +
+        (((d * col("n1p_w1").cast("double")) / col("c1").cast("double")) *
+          (col("n1p_w2").cast("double") / col("n_types").cast("double")))
+    bc.filter(col("c12") >= minCount)
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(pkn, 9).as("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(limit)
+  }
+
+  def kneserNeySql(minCount: Long = LmMinCount, limit: Int = 100): String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), bg AS (
+       |  SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |  FROM toksw WHERE len(w) >= 2
+       |), pairs AS (
+       |  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg
+       |), bc AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p_w1
+       |  FROM bc GROUP BY 1
+       |), cont AS (
+       |  SELECT w2, COUNT(*) AS n1p_w2 FROM bc GROUP BY 1
+       |), types AS (SELECT COUNT(*) AS n_types FROM bc)
+       |SELECT bc.w1, bc.w2, c12,
+       |  ROUND(((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)) +
+       |        (((0.75 * CAST(n1p_w1 AS DOUBLE)) / CAST(c1 AS DOUBLE)) *
+       |         (CAST(n1p_w2 AS DOUBLE) / CAST(n_types AS DOUBLE))), 9)
+       |    AS p_kn
+       |FROM bc JOIN ctx ON bc.w1 = ctx.w1
+       |        JOIN cont ON bc.w2 = cont.w2
+       |        CROSS JOIN types
+       |WHERE c12 >= $minCount
+       |ORDER BY p_kn DESC, bc.w1, bc.w2 LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
+    "param_kneser_ney" -> ((s, d) => kneserNey(s, d, minCount = 5, limit = 30)),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
@@ -1166,6 +1248,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_kneser_ney" -> kneserNeySql(),
+    "param_kneser_ney" -> kneserNeySql(minCount = 5, limit = 30),
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_pmi_collocations" -> pmiCollocationsSql(),

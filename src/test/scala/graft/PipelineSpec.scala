@@ -1040,4 +1040,109 @@ class PipelineSpec extends SparkSpecBase {
     sizes.foreach { case (cw, n) => assert(got((cw, 0L)) == n) }
     assert(rows.exists(_.getAs[Long]("offset_weeks") > 0))
   }
+
+  private def usOf(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  test("L14 attribution: both models match a driver replay of the touch pick") {
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        usOf(r.getTimestamp(3)), r.getDouble(4)))
+    val touchesByUser = evs.filter(e => e._3 == "click" || e._3 == "view")
+      .groupBy(_._2)
+    val week = 7L * 86400L * 1000000L
+    val picks = evs.filter(_._3 == "purchase").flatMap {
+      case (pid, u, _, pts, v) =>
+        val vd = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val inWin = touchesByUser.getOrElse(u, Array.empty)
+          .filter(t => t._4 < pts && t._4 >= pts - week)
+        val last = if (inWin.isEmpty) "none"
+          else inWin.maxBy(t => (t._4, t._1))._3
+        val first = if (inWin.isEmpty) "none"
+          else inWin.minBy(t => (t._4, t._1))._3
+        Seq(("last_touch", last, vd), ("first_touch", first, vd))
+    }
+    val want = picks.groupBy(p => (p._1, p._2)).map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.map(_._3).sum.toDouble)
+    }
+    val got = run("events_attribution").collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"))
+    }.toMap
+    assert(got == want)
+    // every purchase is attributed exactly once per model
+    val nPurch = evs.count(_._3 == "purchase").toLong
+    assert(got.collect { case ((m, _), (n, _)) if m == "last_touch" => n }
+      .sum == nPurch)
+  }
+
+  test("L15 seasonal forecast: per-hour profile matches a driver replay") {
+    val cutoffUs = java.time.Instant.parse("2024-01-22T00:00:00Z")
+      .toEpochMilli * 1000L
+    val evs = Tables.events(spark, sf)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), usOf(r.getTimestamp(1)), r.getDouble(2)))
+      .filter(_._1 == "purchase")
+    def dec(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = evs.groupBy(e => (e._2 / 3600000000L) % 24).flatMap {
+      case (hod, es) =>
+        val (tr, te) = es.partition(_._2 < cutoffUs)
+        if (tr.isEmpty || te.isEmpty) None
+        else {
+          val f = tr.map(e => dec(e._3)).sum.toDouble / tr.length
+          val a = te.map(e => dec(e._3)).sum.toDouble / te.length
+          Some((hod.toInt, (tr.length.toLong, te.length.toLong,
+            r6(f), r6(a), r6(math.abs(a - f) / a))))
+        }
+    }
+    val got = run("events_seasonal_forecast").collect().map { r =>
+      r.getAs[Int]("hod") -> (r.getAs[Long]("n_train"), r.getAs[Long]("n_test"),
+        r.getAs[Double]("forecast"), r.getAs[Double]("actual"),
+        r.getAs[Double]("ape"))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("I19 Kneser-Ney: served bigrams match a driver replay; mass law holds") {
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.drop(1))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1pW1 = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1pW2 = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val types = c12.size.toDouble
+    val dD = 0.75
+    def pkn(w1: String, w2: String): Double =
+      ((c12((w1, w2)) - dD) / c1(w1)) +
+        (((dD * n1pW1(w1)) / c1(w1)) * (n1pW2(w2) / types))
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // serve with minCount=5 so sf0.001 yields a non-trivial page
+    val got = operators.TextAnalysis.kneserNey(spark, sf, minCount = 5,
+      limit = 30).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getAs[Double]("p_kn")))
+    assert(got.nonEmpty)
+    got.foreach { case (w2, w1, c, p) =>
+      assert(c == c12((w1, w2)))
+      assert(p == r9(pkn(w1, w2)), s"p_kn mismatch for ($w1,$w2)")
+    }
+    // interpolated-KN mass law: for any context, observed mass plus
+    // the backoff mass of UNSEEN continuations sums to exactly 1
+    c1.keys.take(20).foreach { w1 =>
+      val seen = c12.keys.filter(_._1 == w1).map(_._2).toSet
+      val obs = seen.toSeq.map(w2 => pkn(w1, w2)).sum
+      val unseen = n1pW2.view.filterKeys(!seen(_)).values.sum.toDouble / types *
+        ((dD * n1pW1(w1)) / c1(w1))
+      assert(math.abs(obs + unseen - 1.0) < 1e-9, s"mass law broken at $w1")
+    }
+  }
 }

@@ -67,6 +67,7 @@ class RegistrySpec extends SparkSpecBase {
     "text_bpe_train", // 1-row argmax-merge broadcast per unrolled iteration
     "text_bpe_encode", // same training fold inside; encode join is equi
     "text_pmi_collocations", "param_pmi_collocations", // 1-row corpus-totals attach
+    "text_kneser_ney", "param_kneser_ney", // 1-row bigram-type-total attach
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
     "sim_hybrid_rrf") // broadcast query vector + BM25's stats scalar
 
@@ -202,6 +203,10 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "events_attribution" -> 3, // user-keyed touch join + per-purchase argmax + channel rollup
+    "param_events_attribution" -> 3,
+    "text_kneser_ney" -> 7, // bigram rollup + ctx/cont marginal rollups + two vocab-keyed attaches + type total + TakeOrdered
+    "param_kneser_ney" -> 7,
     "store_equidepth_hist" -> 4, // bin agg + stacked cumsum/total windows + bucket agg + ordered serve
     "param_equidepth_hist" -> 4,
     // O-family: iterative graph algorithms pay one join + one agg
