@@ -561,6 +561,88 @@ object EventStream {
        |FROM paths GROUP BY 1
        |ORDER BY n_sessions DESC, path LIMIT $limit""".stripMargin
 
+  /** L16 `events_cumulative_users` — daily new users + cumulative
+    * user count, the top-line growth chart. The naive form —
+    * COUNT(DISTINCT user) OVER an expanding day window — re-scans
+    * every user for every day (O(days × users) state and a giant
+    * window); the scalable identity is that a user is NEW exactly
+    * once, so ONE user-keyed aggregation (min event day per user)
+    * plus a metadata-scale day-table cumsum serves the same numbers:
+    * cum_users(d) = Σ_{d' ≤ d} new(d'). Days with zero signups don't
+    * break the cumsum (only observed days are served, each carrying
+    * the running total). */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    // hourly buckets: the synthetic user pool is fully active within
+    // two days, so daily granularity degenerates to 2 rows — hours
+    // keep the fixture non-trivial while the identity is unchanged
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("bucket"))
+    val newPer = firstSeen.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(Obs.onePart(col("bucket"))).orderBy(col("bucket"))
+    newPer
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  def cumulativeUsersSql: String =
+    """WITH fd AS (
+      |  SELECT user_id, MIN(date_trunc('hour', ts)) AS bucket
+      |  FROM events GROUP BY 1),
+      |nd AS (SELECT bucket, COUNT(*) AS n_new FROM fd GROUP BY 1)
+      |SELECT CAST(bucket AS TIMESTAMP) AS bucket, n_new,
+      |  CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_users
+      |FROM nd ORDER BY bucket""".stripMargin
+
+  /** L17 `events_stickiness` — DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per day. Exact rolling DISTINCT over a
+    * time window is the classic scale trap (a distinct-over-window
+    * re-deduplicates the whole week per day); the scalable exact
+    * form dedups (day, user) ONCE, then fans each active day out
+    * MAP-SIDE to the ≤ 7 trailing windows it feeds (bounded explode,
+    * L9's hopping mechanic) and dedup-counts per target day — two
+    * keyed shuffles total, window length bounds the fan-out, no
+    * per-day rescans. Served for days with direct activity; the
+    * ratio is one IEEE division of exact counts, round-6dp. */
+  def stickiness(spark: SparkSession, dir: String,
+                 windowDays: Int = 7): DataFrame = {
+    val dayUser = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val wau = dayUser
+      .withColumn("target_day", explode(sequence(
+        col("day"),
+        col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))))
+      .groupBy(col("target_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = dayUser.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(wau, col("day") === col("target_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  def stickinessSql(windowDays: Int = 7): String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+       |expanded AS (
+       |  SELECT unnest(generate_series(day,
+       |           day + INTERVAL ${windowDays - 1} DAY,
+       |           INTERVAL 1 DAY)) AS target_day, user_id
+       |  FROM du),
+       |wau AS (
+       |  SELECT target_day, COUNT(DISTINCT user_id) AS wau
+       |  FROM expanded GROUP BY 1),
+       |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1)
+       |SELECT CAST(day AS TIMESTAMP) AS day, dau, wau,
+       |  ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+       |FROM dau JOIN wau ON day = target_day
+       |ORDER BY day""".stripMargin
+
   /** L14 `events_attribution` — first-touch / last-touch marketing
     * attribution: every purchase is credited to the click/view touch
     * of the same user inside a lookback window (default 7 days,
@@ -700,6 +782,10 @@ object EventStream {
        |ORDER BY hod""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cumulative_users" -> (cumulativeUsers _),
+    "events_stickiness" -> ((s: SparkSession, d: String) => stickiness(s, d)),
+    "param_events_stickiness" -> ((s: SparkSession, d: String) =>
+      stickiness(s, d, windowDays = 28)),
     "events_attribution" -> ((s: SparkSession, d: String) =>
       attribution(s, d)),
     "param_events_attribution" -> ((s: SparkSession, d: String) =>
@@ -731,6 +817,9 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_cumulative_users" -> cumulativeUsersSql,
+    "events_stickiness" -> stickinessSql(),
+    "param_events_stickiness" -> stickinessSql(windowDays = 28),
     "events_attribution" -> attributionSql(),
     "param_events_attribution" -> attributionSql(lookbackDays = 1),
     "events_seasonal_forecast" -> seasonalForecastSql(),

@@ -66,10 +66,25 @@ object Graph {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= %d)""".stripMargin
 
+  /** The canonical edge list, CACHED: every operator here reuses the
+    * edge table several times in one DAG (a union with its own
+    * reversal, one join per PageRank iteration, one scan per BFS
+    * level), and without a cache Spark re-runs the two-shuffle K30
+    * pair rollup once per reuse — measured 13 s → ~3 s on triangles
+    * at sf0.1. `.cache()` is lazy (plan-only construction stays
+    * job-free), and Spark's CacheManager dedups by plan equality, so
+    * repeated calls share one materialization. This is exactly the
+    * "cache the adjacency before iterating" rule every Pregel-on-
+    * Spark implementation lives by; at 100 TB this is a
+    * MEMORY_AND_DISK persist of the edge list, paid once. */
+  private def cachedCanonicalEdges(spark: SparkSession,
+                                   dir: String, minSupport: Int): DataFrame =
+    canonicalEdges(spark, dir, minSupport).cache()
+
   /** Both directions of the canonical edge list. */
   private def directedEdges(spark: SparkSession, dir: String,
                             minSupport: Int): DataFrame = {
-    val e = canonicalEdges(spark, dir, minSupport)
+    val e = cachedCanonicalEdges(spark, dir, minSupport)
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -99,8 +114,10 @@ object Graph {
     val e = directedEdges(spark, dir, minSupport)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
+    // adjacency feeds every iteration — cache it or pay the join
+    // chain once per superstep (see cachedCanonicalEdges)
     val adj = e.join(deg, e("src") === deg("node")).select(
-      col("src"), col("dst"), col("d"))
+      col("src"), col("dst"), col("d")).cache()
     var ranks = deg.select(col("node"), lit(Scale).as("rank"))
     for (_ <- 1 to iters) {
       // all-integer recurrence: Column./ on longs would route through
@@ -159,7 +176,7 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
     // canonical edges with both endpoint degrees attached
-    val canon = canonicalEdges(spark, dir, minSupport)
+    val canon = cachedCanonicalEdges(spark, dir, minSupport)
       .join(deg.select(col("node"), col("d").as("da")), col("src") === col("node"))
       .drop("node")
       .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
@@ -175,6 +192,7 @@ object Graph {
             col("db").as("du"), col("da").as("dv")))
         .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .cache() // reused by both wedge arms AND the closure probe
     // wedges at the lowest corner: (u; v, w) with (deg_v, v) < (deg_w, w)
     val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val y = oriented.select(col("u").as("u2"), col("v").as("v2"),
@@ -222,25 +240,47 @@ object Graph {
     * key, no broadcast of anything unbounded. Hop count is a fixed
     * small constant (the oracle unrolls the same levels), so the
     * loop is `maxHops` stages, not a convergence test. */
+  /** Memoized per-level BFS frontiers. Iterative BFS is the one
+    * shape where the DataFrame-constructor-stays-plan-only rule must
+    * bend (Dedup.bloomCache discipline): level k's plan embeds both
+    * the previous frontier AND the whole visited union, so the
+    * logical plan DOUBLES per hop and Catalyst re-analyzes the
+    * exponential tree on every action (measured 14–24 s of pure
+    * planning for 4 hops at sf0.1). Each level is therefore cut to a
+    * leaf with an eager localCheckpoint — a real job per level, run
+    * ONCE per (session, dir, params, mtime) and memoized, exactly
+    * like the bloom/IVF build jobs; re-serving or explaining the
+    * query afterwards launches nothing. */
+  private val bfsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def bfs(spark: SparkSession, dir: String, brand: String = "Brand#1",
           minSupport: Int = 1, maxHops: Int = 3): DataFrame = {
-    val e = directedEdges(spark, dir, minSupport)
-    val nodes = e.select(col("src").as("node")).distinct()
-    val seeds = Tables.part(spark, dir)
-      .filter(col("p_brand") === brand)
-      .select(col("p_partkey").as("node"))
-      .join(nodes, "node") // seed must exist in the graph
-      .select(col("node"), lit(0).as("hops"))
-    var visited = seeds
-    var frontier = seeds.select(col("node"))
-    for (h <- 1 to maxHops) {
-      val next = e.join(frontier, e("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node").as("vn")),
-          col("node") === col("vn"), "left_anti")
-      frontier = next
-      visited = visited.union(next.select(col("node"), lit(h).as("hops")))
-    }
+    val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:$brand:" +
+      s"$minSupport:$maxHops:$mtime"
+    val visited = bfsCache.computeIfAbsent(key, _ => {
+      val e = directedEdges(spark, dir, minSupport)
+      val nodes = e.select(col("src").as("node")).distinct()
+      val seeds = Tables.part(spark, dir)
+        .filter(col("p_brand") === brand)
+        .select(col("p_partkey").as("node"))
+        .join(nodes, "node") // seed must exist in the graph
+        .select(col("node"), lit(0).as("hops"))
+        .localCheckpoint()
+      var acc = seeds
+      var frontier = seeds.select(col("node"))
+      for (h <- 1 to maxHops) {
+        val next = e.join(frontier, e("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(acc.select(col("node").as("vn")),
+            col("node") === col("vn"), "left_anti")
+          .localCheckpoint()
+        frontier = next
+        acc = acc.union(next.select(col("node"), lit(h).as("hops")))
+      }
+      acc
+    })
     visited.groupBy(col("hops"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_part"))
       .orderBy(col("hops"))

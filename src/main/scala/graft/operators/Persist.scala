@@ -742,7 +742,50 @@ object Persist {
        |SELECT tenant_id, patient_id, name, birth_date, version, last_updated
        |FROM meta""".stripMargin
 
+  /** D13 `persist_ivm_join` — incremental maintenance of a JOIN
+    * view: the revenue-per-customer view V = γ_custkey(lineitem ⋈
+    * orders) maintained under a lineitem delta batch using the
+    * delta-join algebra ΔV = γ(Δlineitem ⋈ orders) merged into the
+    * stored base partials — the join-view counterpart of K1b's
+    * aggregate-view maintenance (q1_incremental), and what a real
+    * warehouse does instead of re-running the full join on every
+    * late-arriving batch. Single-scan discipline: the base/delta
+    * segment flag (shipdate cutoff) joins the GROUP BY key, so the
+    * partial table is exactly the stored-base + delta-batch layout
+    * (one partial row per customer per segment) without a second
+    * lineitem read; the merge sums exact decimal partials — decimal
+    * addition is associative, so merging base + delta is bit-equal
+    * to the full recompute the oracle states. At 100 TB the delta
+    * branch reads only the delta partition (shipdate pushdown) and
+    * the orders side of Δ⋈orders is keyed equi — the base is never
+    * re-joined. */
+  def ivmJoinView(spark: SparkSession, dir: String,
+                  cutoff: String = "1997-01-01"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"),
+        (col("l_shipdate") < lit(cutoff).cast("timestamp")).as("seg_base"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(dec)).as("p_rev"),
+        count(lit(1)).as("p_n"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("p_rev")).cast("double").as("revenue"),
+        sum(col("p_n")).as("n_lines"))
+  }
+
+  def ivmJoinViewSql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "persist_ivm_join" -> ((s, d) => ivmJoinView(s, d)),
     "persist_key_design" -> (keyDesign _),
     "persist_upsert_version" -> (upsertVersion _),
     "persist_upsert_bucketed" -> (upsertVersionBucketed _),
@@ -757,6 +800,8 @@ object Persist {
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
+    // the merged base+delta partials must equal the full recompute
+    "persist_ivm_join" -> ivmJoinViewSql,
     "persist_key_design" -> keyDesignSql,
     "persist_upsert_version" -> upsertVersionSql,
     "persist_upsert_bucketed" -> upsertVersionSql,

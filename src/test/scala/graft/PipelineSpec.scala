@@ -1044,6 +1044,65 @@ class PipelineSpec extends SparkSpecBase {
   private def usOf(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  test("D13 join-view IVM: merged base+delta partials equal the full recompute") {
+    val full = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(operators.Analytics.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+    val ivm = run("persist_ivm_join")
+    assert(ivm.exceptAll(full).count() == 0)
+    assert(full.exceptAll(ivm).count() == 0)
+    // the cutoff genuinely splits the data (both segments non-empty),
+    // otherwise the merge proves nothing
+    val cut = lit("1997-01-01").cast("timestamp")
+    assert(Tables.lineitem(spark, sf).filter(col("l_shipdate") < cut).count() > 0)
+    assert(Tables.lineitem(spark, sf).filter(col("l_shipdate") >= cut).count() > 0)
+  }
+
+  test("L16 cumulative users: first-seen identity matches a driver replay") {
+    val evs = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(1))))
+    val hourUs = 3600L * 1000000L
+    val firstHour = evs.groupBy(_._1).map { case (u, es) =>
+      u -> (es.map(_._2).min / hourUs) * hourUs
+    }
+    val newPer = firstHour.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val want = newPer.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (h, n)) =>
+      (h, n, cum + n)
+    }.drop(1)
+    val got = run("events_cumulative_users").collect()
+      .map(r => (usOf(r.getTimestamp(0)), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the final cumulative count is the number of distinct users
+    assert(got.last._3 == firstHour.size.toLong)
+  }
+
+  test("L17 stickiness: rolling 7-day distinct actives match a driver replay") {
+    val evs = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(1))))
+    val dayUs = 86400L * 1000000L
+    val dayUser = evs.map { case (u, t) => ((t / dayUs) * dayUs, u) }.distinct
+    val days = dayUser.map(_._1).distinct.sorted
+    val want = days.map { d =>
+      val dau = dayUser.count(_._1 == d).toLong
+      val wau = dayUser.filter(p => p._1 <= d && p._1 > d - 7 * dayUs)
+        .map(_._2).distinct.length.toLong
+      val stick = BigDecimal(dau.toDouble / wau.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (d, dau, wau, stick)
+    }.toSeq
+    val got = run("events_stickiness").collect()
+      .map(r => (usOf(r.getTimestamp(0)), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want)
+    // WAU dominates DAU, so stickiness ∈ (0, 1]
+    assert(got.forall(r => r._4 > 0 && r._4 <= 1.0))
+  }
+
   test("L14 attribution: both models match a driver replay of the touch pick") {
     val evs = Tables.events(spark, sf)
       .select("event_id", "user_id", "event_type", "ts", "value").collect()

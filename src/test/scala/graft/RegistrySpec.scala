@@ -203,6 +203,9 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "events_cumulative_users" -> 4, // user first-seen agg + bucket rollup + onePart cumsum + ordered serve
+    "events_stickiness" -> 6, // (day,user) dedup + fan-out distinct (2: expand) + dau rollup + day join + ordered serve
+    "param_events_stickiness" -> 6,
     "events_attribution" -> 3, // user-keyed touch join + per-purchase argmax + channel rollup
     "param_events_attribution" -> 3,
     "text_kneser_ney" -> 7, // bigram rollup + ctx/cont marginal rollups + two vocab-keyed attaches + type total + TakeOrdered
