@@ -355,7 +355,99 @@ object Multimodal {
        |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
        |FROM dec GROUP BY 1""".stripMargin
 
+  case class AhashRow(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** J7 `multimodal_ahash` — perceptual average-hash over REALLY
+    * decoded pixels: the 64-bit aHash (bit i=y·8+x set iff pixel
+    * luminance exceeds the image mean — the classic
+    * downsample-and-threshold perceptual fingerprint; the 8×8 synth
+    * images ARE the aHash grid, so no resample step). Luminance is
+    * the integer channel sum and the threshold is the exact integer
+    * cross-multiply 64·lum > Σlum (F14 discipline — no float mean,
+    * boundaries can't drift), the hash splits into two 32-bit BIGINT
+    * halves so neither engine touches the sign bit. The decode runs
+    * through the same mapPartitions + grouped(BatchSize) codec seam
+    * as J5; the oracle replays the procedural pixel formula in SQL.
+    * Downstream, near-dup grouping on the hash is G18's
+    * bit_count(xor) hamming mechanic; here identical images (synth
+    * reuses ~5 copies per image group) collapse to identical hashes
+    * — keeper = min doc id, G1's shape. */
+  def ahash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed: Dataset[AhashRow] =
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(BatchSize).flatMap { batch =>
+            batch.map { id =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(synthPng(id % ImgGroups)))
+              val lum = new Array[Long](ImgW * ImgH)
+              var total = 0L
+              var y = 0
+              while (y < ImgH) {
+                var x = 0
+                while (x < ImgW) {
+                  val rgb = img.getRGB(x, y)
+                  val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  lum(y * ImgW + x) = l
+                  total += l
+                  x += 1
+                }
+                y += 1
+              }
+              var hi = 0L
+              var lo = 0L
+              var i = 0
+              while (i < 64) {
+                if (64L * lum(i) > total) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              AhashRow(id, hi, lo)
+            }
+          }
+        }
+    hashed.toDF()
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("ahash_hi"), col("ahash_lo"))
+  }
+
+  def ahashSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, doc_id % $ImgGroups AS gid,
+       |    unnest(range(0, $ImgW)) AS x
+       |  FROM documents
+       |), pxy AS (
+       |  SELECT doc_id, gid, x, unnest(range(0, $ImgH)) AS y FROM px
+       |), lum AS (
+       |  SELECT doc_id, CAST(y * $ImgW + x AS BIGINT) AS idx,
+       |    CAST((gid * 7 + x * 3 + y * 5) % 256
+       |       + (gid * 11 + x * 13 + y * 17) % 256
+       |       + (gid * 19 + x * 23 + y * 29) % 256 AS BIGINT) AS l
+       |  FROM pxy
+       |), tot AS (
+       |  SELECT doc_id, idx, l, SUM(l) OVER (PARTITION BY doc_id) AS t
+       |  FROM lum
+       |), bits AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN 64 * l > t AND idx >= 32
+       |                  THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS ahash_hi,
+       |    CAST(SUM(CASE WHEN 64 * l > t AND idx < 32
+       |                  THEN CAST(1 AS BIGINT) << CAST(idx AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS ahash_lo
+       |  FROM tot GROUP BY 1
+       |)
+       |SELECT ahash_hi, ahash_lo, MIN(doc_id) AS keeper_doc_id,
+       |  COUNT(*) AS n_docs
+       |FROM bits GROUP BY 1, 2
+       |ORDER BY ahash_hi, ahash_lo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_ahash" -> (ahash _),
     "multimodal_feature_stub" -> (featureStub _),
     "multimodal_frame_sample" -> (frameSample _),
     "multimodal_resize_stub" -> (resizeStub _),
@@ -363,6 +455,7 @@ object Multimodal {
     "multimodal_image_dedup" -> (imageDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_ahash" -> ahashSql,
     "multimodal_feature_stub" -> featureStubSql,
     "multimodal_frame_sample" -> frameSampleSql,
     "multimodal_resize_stub" -> resizeStubSql,

@@ -343,6 +343,65 @@ case class FunnelAgg(anchors: Seq[Long])
 
   case class FunnelOut(user_id: Long, stages_completed: Int)
 
+  case class AttrAgg(touches: Seq[(Long, Long, String)],
+      lastClick: Long, lastView: Long, lastNone: Long,
+      firstClick: Long, firstView: Long, firstNone: Long)
+
+  case class AttrOut(user_id: Long, last_click: Long, last_view: Long,
+      last_none: Long, first_click: Long, first_view: Long, first_none: Long)
+
+  /** L14 streaming — the attribution twin: per user,
+    * mapGroupsWithState holds the in-window touch buffer (click/view
+    * within the lookback) and, at each purchase, picks the
+    * last-touch / first-touch channel by exactly the batch query's
+    * (ts, event_id) struct order, incrementing per-channel counters
+    * — the campaign dashboard as a live stream. State is bounded by
+    * the lookback window: touches older than (purchase ts −
+    * lookback) can never attribute again under event-time-ordered
+    * arrival and are evicted at each purchase — the same bound a
+    * watermark would enforce. StreamingSpec sums the final per-user
+    * counters and asserts equality with `events_attribution`'s
+    * per-channel purchase counts for BOTH models. */
+  def attributionState(events: Dataset[Event], spark: SparkSession,
+      lookbackDays: Int = 7): Dataset[AttrOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        attrFn(lookbackDays * 86400L * 1000000L) _)
+  }
+
+  private[streaming] def attrFn(lookbackUs: Long)(key: Long,
+      events: Iterator[Event], state: GroupState[AttrAgg]): AttrOut = {
+    var st = state.getOption.getOrElse(
+      AttrAgg(Seq.empty, 0L, 0L, 0L, 0L, 0L, 0L))
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      e.event_type match {
+        case "click" | "view" =>
+          st = st.copy(touches =
+            st.touches :+ ((us(e.ts), e.event_id, e.event_type)))
+        case "purchase" =>
+          val pts = us(e.ts)
+          val win = st.touches.filter(t => t._1 < pts && t._1 >= pts - lookbackUs)
+          val last = if (win.isEmpty) "none" else win.maxBy(t => (t._1, t._2))._3
+          val first = if (win.isEmpty) "none" else win.minBy(t => (t._1, t._2))._3
+          st = st.copy(
+            lastClick = st.lastClick + (if (last == "click") 1 else 0),
+            lastView = st.lastView + (if (last == "view") 1 else 0),
+            lastNone = st.lastNone + (if (last == "none") 1 else 0),
+            firstClick = st.firstClick + (if (first == "click") 1 else 0),
+            firstView = st.firstView + (if (first == "view") 1 else 0),
+            firstNone = st.firstNone + (if (first == "none") 1 else 0),
+            // bounded state: with event-time-ordered arrival nothing
+            // older than this purchase's window can attribute again
+            touches = st.touches.filter(_._1 >= pts - lookbackUs))
+        case _ => ()
+      }
+    }
+    state.update(st)
+    AttrOut(key, st.lastClick, st.lastView, st.lastNone,
+      st.firstClick, st.firstView, st.firstNone)
+  }
+
   /** L11 streaming — the funnel twin: per user, state is the greedy
     * first-touch anchor chain (one event-time µs per completed
     * stage). Because the batch funnel's stage-i anchor is the

@@ -82,6 +82,30 @@ class GraphSpec extends SparkSpecBase {
     assert(got.map(_._2).sum <= adj.size)
   }
 
+  test("O4 components equal driver union-find (the 10 rounds truly converge)") {
+    // union-find ground truth over the minSupport=2 graph
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comps = parent.keys.toSeq.groupBy(find)
+    // the served component of a node set is its MIN id (min-label fp)
+    val want = comps.map { case (_, ns) => (ns.min, ns.size.toLong, ns.sum) }
+      .toSeq.sortBy(c => (-c._2, c._1)).take(50)
+    val got = run("graph_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("param variants return non-degenerate results") {
     assert(run("param_graph_pagerank").count() > 0)
     assert(run("param_graph_bfs").count() > 0)

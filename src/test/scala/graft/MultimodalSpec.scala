@@ -97,4 +97,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("keeper_doc_id") < 100))
     assert(rows.map(_.getAs[String]("img_fingerprint")).distinct.length == rows.length)
   }
+
+  test("J7 aHash: real-decode hashes match the procedural formula per doc") {
+    val rows = run("multimodal_ahash").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // replay the aHash from the procedural pixel formula on the driver
+    def hashOf(gid: Long): (Long, Long) = {
+      val lum = for (y <- 0 until 8; x <- 0 until 8) yield
+        ((gid * 7 + x * 3 + y * 5) % 256) +
+          ((gid * 11 + x * 13 + y * 17) % 256) +
+          ((gid * 19 + x * 23 + y * 29) % 256)
+      val total = lum.sum
+      var (hi, lo) = (0L, 0L)
+      for (i <- 0 until 64 if 64L * lum(i) > total)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      (hi, lo)
+    }
+    val byKeeper = rows.map(r => (r.getAs[Long]("ahash_hi"),
+      r.getAs[Long]("ahash_lo"))).toSet
+    val want = (0L until math.min(100L, nDocs)).map(hashOf).toSet
+    assert(byKeeper == want)
+    // the hash has real contrast: not all-zero / all-one planes only
+    assert(rows.exists(r => java.lang.Long.bitCount(r.getAs[Long]("ahash_lo"))
+      + java.lang.Long.bitCount(r.getAs[Long]("ahash_hi")) > 8))
+  }
 }

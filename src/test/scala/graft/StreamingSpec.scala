@@ -491,6 +491,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L14 streaming attribution counters converge to the batch per-channel counts") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.attributionState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_attr")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // counters are monotone per user: the max update is the final state
+    val fin = spark.table("s_attr").filter(col("user_id") =!= -1L)
+      .groupBy("user_id")
+      .agg(max("last_click").as("lc"), max("last_view").as("lv"),
+        max("last_none").as("ln"), max("first_click").as("fc"),
+        max("first_view").as("fv"), max("first_none").as("fn"))
+      .agg(sum("lc"), sum("lv"), sum("ln"), sum("fc"), sum("fv"), sum("fn"))
+      .head()
+    val got = Map(
+      ("last_touch", "click") -> fin.getLong(0),
+      ("last_touch", "view") -> fin.getLong(1),
+      ("last_touch", "none") -> fin.getLong(2),
+      ("first_touch", "click") -> fin.getLong(3),
+      ("first_touch", "view") -> fin.getLong(4),
+      ("first_touch", "none") -> fin.getLong(5))
+    val want = run("events_attribution").collect().map { r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_purchases")
+    }.toMap
+    assert(got.filter(_._2 > 0) == want.filter(_._2 > 0))
+  }
+
   test("L11 streaming funnel state matches the batch funnel per tenant") {
     val ms = MemoryStream[Event]
     val q = StreamOps.funnelState(ms.toDS(), spark)
