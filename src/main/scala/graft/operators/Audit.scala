@@ -95,7 +95,7 @@ object Audit {
 
   /** Service routing of the reference pipeline: signup/click/view hit
     * ingest, purchases persist, errors land in the DLQ. */
-  private val serviceCol =
+  private[operators] val serviceCol =
     when(col("event_type").isin("signup", "click", "view"), "ingest")
       .when(col("event_type") === "purchase", "persist")
       .otherwise("dlq")
@@ -1192,7 +1192,60 @@ object Audit {
        |  abs_dev > $k * mad AS is_outlier
        |FROM dev JOIN mad ON service = d_service""".stripMargin
 
+  /** F22 `audit_k_anonymity` — k-anonymity audit over the event
+    * store (the data-governance gate before an analytics export):
+    * with quasi-identifier (event_type, event_hour), every
+    * equivalence class must contain at least k distinct users; the
+    * served rows are the VIOLATING classes — each with its distinct-
+    * entity count and row count — i.e. the suppression work list a
+    * release pipeline must generalize or drop before publishing.
+    * The grand summary (classes checked / classes violating) rides
+    * along via the same onePart windowed attach every manifest op
+    * uses (no second scan, no scalar crossJoin). Exact integer
+    * counts end to end.
+    * Scale: one QI-keyed rollup with partial distinct aggregation
+    * (classes ≪ rows); the violation filter serves a bounded
+    * governance report, not the corpus. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("event_hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy(Obs.onePart(col("event_type")))
+    classes
+      .withColumn("n_classes_total", count(lit(1)).over(w))
+      .withColumn("n_classes_violating",
+        sum(when(col("n_users") < k, 1L).otherwise(0L)).over(w))
+      .filter(col("n_users") < k)
+      .select(col("event_type"), col("event_hour"), col("n_users"),
+        col("n_rows"), col("n_classes_total"), col("n_classes_violating"))
+      .orderBy(col("event_type"), col("event_hour"))
+  }
+
+  def kAnonymitySql(k: Int = 5): String =
+    s"""WITH classes AS (
+       |  SELECT event_type,
+       |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour,
+       |    COUNT(DISTINCT user_id) AS n_users,
+       |    COUNT(*) AS n_rows
+       |  FROM events GROUP BY 1, 2),
+       |summed AS (
+       |  SELECT *,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n_classes_total,
+       |    CAST(SUM(CASE WHEN n_users < $k THEN 1 ELSE 0 END) OVER ()
+       |         AS BIGINT) AS n_classes_violating
+       |  FROM classes)
+       |SELECT event_type, event_hour, n_users, n_rows,
+       |  n_classes_total, n_classes_violating
+       |FROM summed WHERE n_users < $k
+       |ORDER BY event_type, event_hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
+    "param_k_anonymity" -> ((s: SparkSession, d: String) =>
+      kAnonymity(s, d, k = 12)),
     "audit_constraint_check" -> (constraintCheck _),
     "audit_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
     "param_mad_outliers" -> ((s: SparkSession, d: String) =>
@@ -1225,6 +1278,8 @@ object Audit {
     "audit_value_quantiles" -> (valueQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "audit_k_anonymity" -> kAnonymitySql(),
+    "param_k_anonymity" -> kAnonymitySql(k = 12),
     "audit_constraint_check" -> constraintCheckSql,
     "audit_mad_outliers" -> madOutliersSql(),
     "param_mad_outliers" -> madOutliersSql(k = 2),

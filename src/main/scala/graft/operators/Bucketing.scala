@@ -340,6 +340,73 @@ object Bucketing {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The schema-evolution cutoff: batches before it were written by
+    * the v1 pipeline (no `service` column), batches after by v2. */
+  private val EvoCutoff = "2024-01-15"
+
+  /** N10 `store_schema_evolution` — an evolved-table read: the store
+    * holds a v1 batch written BEFORE a column existed (events up to
+    * the cutoff, no `service`) and a v2 batch written after the
+    * pipeline started deriving the service dimension; the read
+    * unifies them (`mergeSchema=true`, the Delta/Iceberg
+    * schema-evolution semantic) and v1 rows surface the new column
+    * as NULL — served as a per-(event_type, service) rollup where
+    * the NULL bucket IS the pre-migration history. The oracle
+    * recomputes from the raw table with the same cutoff CASE, so
+    * hash equality proves the merged read loses/invents nothing.
+    * Scale: schema merge is a FOOTER operation (file metadata union,
+    * not data); the rollup is one partial-agg'd shuffle. Both
+    * batches land under one memoized per-(session, dataset-mtime)
+    * path, partitionPrune's lifecycle discipline. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/events.parquet")
+    val entry = evoCache.compute(
+      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
+        if (prev != null && prev.startsWith(s"$mtime@")) prev
+        else {
+          if (prev != null) rmTree(new java.io.File(prev.substring(prev.indexOf('@') + 1)))
+          val p = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+            s"${System.getProperty("user.name")}_" +
+            s"${ProcessHandle.current().pid()}_" +
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
+              .take(6).map("%02x".format(_)).mkString
+          val ev = Tables.events(spark, dir)
+          val cut = lit(EvoCutoff).cast("timestamp")
+          ev.filter(col("ts") < cut)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .write.mode("overwrite").parquet(s"$p/batch=v1")
+          ev.filter(col("ts") >= cut)
+            .select(col("event_id"), col("event_type"), col("value"),
+              Audit.serviceCol.as("service"))
+            .write.mode("overwrite").parquet(s"$p/batch=v2")
+          Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(p))))
+          s"$mtime@$p"
+        })
+    val path = entry.substring(entry.indexOf('@') + 1)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/batch=v1", s"$path/batch=v2")
+      .groupBy(col("event_type"), col("service"))
+      .agg(count(lit(1)).as("n_events"),
+        Analytics.dsum(col("value")).as("value_sum"))
+      .orderBy(col("event_type"), col("service"))
+  }
+
+  def schemaEvolutionSql: String =
+    s"""SELECT event_type,
+       |  CASE WHEN ts >= TIMESTAMP '$EvoCutoff 00:00:00' THEN
+       |    CASE WHEN event_type IN ('signup', 'click', 'view') THEN 'ingest'
+       |         WHEN event_type = 'purchase' THEN 'persist'
+       |         ELSE 'dlq' END
+       |  END AS service,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM events GROUP BY 1, 2
+       |ORDER BY event_type, service""".stripMargin
+
   /** N9 `store_equidepth_hist` — equi-depth (equi-height) histogram
     * over `l_extendedprice`, the CBO statistic behind selectivity
     * estimation (Spark's own ANALYZE … COMPUTE STATISTICS FOR
@@ -397,6 +464,7 @@ object Bucketing {
        |FROM cums GROUP BY 1 ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_schema_evolution" -> (schemaEvolution _),
     "store_equidepth_hist" -> ((s, d) => equidepthHist(s, d)),
     "param_equidepth_hist" -> ((s, d) => equidepthHist(s, d, buckets = 4)),
     "store_column_stats" -> (columnStats _),
@@ -406,6 +474,7 @@ object Bucketing {
     "store_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
+    "store_schema_evolution" -> schemaEvolutionSql,
     "store_equidepth_hist" -> equidepthHistSql(),
     "param_equidepth_hist" -> equidepthHistSql(buckets = 4),
     "store_column_stats" -> columnStatsSql,

@@ -561,6 +561,52 @@ object EventStream {
        |FROM paths GROUP BY 1
        |ORDER BY n_sessions DESC, path LIMIT $limit""".stripMargin
 
+  /** L18 `events_markov` — first-order Markov transition matrix over
+    * per-user event sequences: P(next = b | current = a) =
+    * c(a→b) / c(a→·), the behavioral model behind next-action
+    * prediction and anomaly scoring ("error after purchase is 10×
+    * base rate"). Transitions come from lag over the user's
+    * event-time order ((ts, event_id) — deterministic under
+    * duplicate timestamps); counts are exact integers and the
+    * probability is one IEEE division, so no rounding is needed.
+    * ONE user-keyed shuffle builds every user's sequence; the
+    * transition rollup collapses to |types|² rows with partial
+    * aggregation; the marginal attach joins on the tiny state key.
+    * Spec replays the lag chain on the driver; rows-per-state sum
+    * to 1 by construction (spec-pinned). */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("c_pair"))
+    val marg = trans.groupBy(col("cur").as("m_cur"))
+      .agg(sum(col("c_pair")).as("c_cur"))
+    trans.join(marg, col("cur") === col("m_cur"))
+      .select(col("cur"), col("nxt"), col("c_pair"),
+        (col("c_pair").cast("double") / col("c_cur").cast("double"))
+          .as("p_next"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  def markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |tc AS (
+      |  SELECT cur, nxt, COUNT(*) AS c_pair FROM seq
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT cur, CAST(SUM(c_pair) AS BIGINT) AS c_cur
+      |      FROM tc GROUP BY 1)
+      |SELECT tc.cur, tc.nxt, tc.c_pair,
+      |  CAST(tc.c_pair AS DOUBLE) / CAST(m.c_cur AS DOUBLE) AS p_next
+      |FROM tc JOIN m ON tc.cur = m.cur
+      |ORDER BY tc.cur, tc.nxt""".stripMargin
+
   /** L16 `events_cumulative_users` — daily new users + cumulative
     * user count, the top-line growth chart. The naive form —
     * COUNT(DISTINCT user) OVER an expanding day window — re-scans
@@ -782,6 +828,7 @@ object EventStream {
        |ORDER BY hod""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov" -> (markovTransitions _),
     "events_cumulative_users" -> (cumulativeUsers _),
     "events_stickiness" -> ((s: SparkSession, d: String) => stickiness(s, d)),
     "param_events_stickiness" -> ((s: SparkSession, d: String) =>
@@ -817,6 +864,7 @@ object EventStream {
     "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_markov" -> markovTransitionsSql,
     "events_cumulative_users" -> cumulativeUsersSql,
     "events_stickiness" -> stickinessSql(),
     "param_events_stickiness" -> stickinessSql(windowDays = 28),

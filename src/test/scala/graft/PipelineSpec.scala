@@ -1044,6 +1044,64 @@ class PipelineSpec extends SparkSpecBase {
   private def usOf(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  test("L18 Markov transitions match a driver replay; rows per state sum to 1") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), usOf(r.getTimestamp(2)),
+        r.getLong(3)))
+    val pairs = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4)).map(_._2)
+      sorted.zip(sorted.drop(1))
+    }.toSeq
+    val c = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = c.map { case ((a, b), n) =>
+      (a, b, n, n.toDouble / m(a).toDouble)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = run("events_markov").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want)
+    // each state's outgoing probabilities sum to 1 (within fp tolerance)
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("F22 k-anonymity: violations recount on the driver, summary is exact") {
+    val evs = Tables.events(spark, sf)
+      .select("event_type", "ts", "user_id").collect()
+      .map(r => (r.getString(0), (usOf(r.getTimestamp(1)) / 3600000000L)
+        * 3600000000L, r.getLong(2)))
+    val classes = evs.groupBy(e => (e._1, e._2)).view
+      .mapValues(es => (es.map(_._3).distinct.length.toLong, es.length.toLong))
+      .toMap
+    val k = 5
+    val wantViolations = classes.filter(_._2._1 < k)
+    val rows = run("audit_k_anonymity").collect()
+    assert(rows.length == wantViolations.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), usOf(r.getTimestamp(1)))
+      val (nu, nr) = wantViolations(key)
+      assert(r.getAs[Long]("n_users") == nu && r.getAs[Long]("n_rows") == nr)
+      assert(r.getAs[Long]("n_classes_total") == classes.size.toLong)
+      assert(r.getAs[Long]("n_classes_violating") == wantViolations.size.toLong)
+    }
+  }
+
+  test("N10 schema evolution: v1 rows surface NULL service, nothing lost") {
+    val rows = operators.Bucketing.schemaEvolution(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
+    val cut = lit("2024-01-15").cast("timestamp")
+    val nV1 = Tables.events(spark, sf).filter(col("ts") < cut).count()
+    // the NULL-service bucket IS the pre-migration batch, exactly
+    assert(rows.filter(_.isNullAt(1)).map(_.getAs[Long]("n_events")).sum == nV1)
+    // v2 rows all carry a routed service
+    assert(rows.filter(r => !r.isNullAt(1))
+      .forall(r => Set("ingest", "persist", "dlq").contains(r.getString(1))))
+  }
+
   test("D13 join-view IVM: merged base+delta partials equal the full recompute") {
     val full = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),

@@ -203,6 +203,9 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "audit_k_anonymity" -> 5, // QI rollup w/ two-level distinct (2) + class agg + onePart summary window + ordered serve
+    "param_k_anonymity" -> 5,
+    "events_markov" -> 4, // user sequence window + pair rollup + state marginal rollup + ordered serve
     "events_cumulative_users" -> 4, // user first-seen agg + bucket rollup + onePart cumsum + ordered serve
     "events_stickiness" -> 6, // (day,user) dedup + fan-out distinct (2: expand) + dau rollup + day join + ordered serve
     "param_events_stickiness" -> 6,
