@@ -1141,6 +1141,110 @@ object TextAnalysis {
        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY 1""".stripMargin
 
+  private val RakeStop = Seq("the", "a", "of", "and", "in", "to", "is",
+    "for", "with", "on")
+
+  /** I20 `text_rake_keywords` — RAKE keyword extraction (Rose et
+    * al. 2010): candidate phrases are the maximal stopword-free word
+    * runs (phrase segmentation IS L2's sessionization mechanic — a
+    * running count of stopword boundaries per document numbers the
+    * phrases), each word scores degree/freq over the whole corpus
+    * (degree = Σ length of phrases containing it — co-occurrence
+    * weight; freq = occurrences), and a phrase scores the sum of its
+    * word scores. Every count is an exact integer; the word score is
+    * one IEEE division, and the phrase sum is a LEFT-TO-RIGHT fold
+    * in phrase-word order in BOTH engines (Spark `aggregate`,
+    * DuckDB `list_reduce` over an ORDER BY pos array) so float
+    * addition order — the classic cross-engine drift — is pinned by
+    * construction. Serve = top-k by (score, phrase), round-6dp.
+    * Scale: token explode is map-side; phrase assembly shares one
+    * doc-keyed window shuffle; word stats collapse to vocab size;
+    * the scoring join is vocab-keyed. */
+  def rakeKeywords(spark: SparkSession, dir: String,
+                   limit: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(nonEmptyToks).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(RakeStop: _*))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = toks
+      .withColumn("pid", sum(col("is_stop").cast("long")).over(byDoc))
+      .filter(!col("is_stop"))
+    val phrases = words
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score",
+        col("degree").cast("double") / col("freq").cast("double"))
+    val distinctPhrases = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occurrences"),
+        posexplode(split(col("phrase"), " ")).as(Seq("pos", "w")))
+      .join(wordStats.select(col("w"), col("score")), "w")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("pos"), col("score")))),
+          x => x("score")),
+        lit(0.0), (acc, x) => acc + x).as("rake_raw"))
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("n_words"),
+        col("n_occurrences"), round(col("rake_raw"), 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(limit)
+  }
+
+  def rakeKeywordsSql(limit: Int = 50): String = {
+    val stops = RakeStop.map(s => s"'$s'").mkString(", ")
+    s"""WITH toksw AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, t.pos, t.word,
+       |    t.word IN ($stops) AS is_stop
+       |  FROM toksw, unnest(list_transform(range(1, len(w) + 1),
+       |    i -> struct_pack(pos := i, word := w[i]))) AS u(t)
+       |), flagged AS (
+       |  SELECT doc_id, pos, word,
+       |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+       |    is_stop
+       |  FROM toks
+       |), phrases AS (
+       |  SELECT doc_id, pid,
+       |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS plen
+       |  FROM flagged WHERE NOT is_stop GROUP BY 1, 2
+       |), ws AS (
+       |  SELECT u.w, COUNT(*) AS freq,
+       |    CAST(SUM(plen) AS BIGINT) AS degree
+       |  FROM phrases, unnest(str_split(phrase, ' ')) AS u(w)
+       |  GROUP BY 1
+       |), wsc AS (
+       |  SELECT w, CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+       |  FROM ws
+       |), dp AS (
+       |  SELECT phrase, COUNT(*) AS n_occurrences FROM phrases GROUP BY 1
+       |), pw AS (
+       |  SELECT dp.phrase, dp.n_occurrences, t.pos, t.word
+       |  FROM dp, unnest(list_transform(range(1, len(str_split(phrase, ' ')) + 1),
+       |    i -> struct_pack(pos := i, word := str_split(phrase, ' ')[i]))) AS u(t)
+       |)
+       |SELECT pw.phrase,
+       |  len(str_split(pw.phrase, ' ')) AS n_words,
+       |  pw.n_occurrences,
+       |  ROUND(list_reduce(array_agg(wsc.score ORDER BY pw.pos),
+       |                    (a, b) -> a + b), 6) AS rake_score
+       |FROM pw JOIN wsc ON pw.word = wsc.w
+       |GROUP BY 1, 2, 3
+       |ORDER BY rake_score DESC, phrase LIMIT $limit""".stripMargin
+  }
+
   /** I19 `text_kneser_ney` — interpolated Kneser–Ney bigram
     * probabilities (Chen & Goodman 1998, the reference smoothing of
     * every n-gram toolkit and the quality bar I14's stupid backoff
@@ -1222,6 +1326,8 @@ object TextAnalysis {
        |ORDER BY p_kn DESC, bc.w1, bc.w2 LIMIT $limit""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
+    "param_rake_keywords" -> ((s, d) => rakeKeywords(s, d, limit = 15)),
     "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
     "param_kneser_ney" -> ((s, d) => kneserNey(s, d, minCount = 5, limit = 30)),
     "text_bpe_train" -> (bpeTrain _),
@@ -1248,6 +1354,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_rake_keywords" -> rakeKeywordsSql(),
+    "param_rake_keywords" -> rakeKeywordsSql(limit = 15),
     "text_kneser_ney" -> kneserNeySql(),
     "param_kneser_ney" -> kneserNeySql(minCount = 5, limit = 30),
     "text_bpe_train" -> bpeTrainSql,

@@ -1044,6 +1044,40 @@ class PipelineSpec extends SparkSpecBase {
   private def usOf(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  test("I20 RAKE keywords match a full driver replay of the algorithm") {
+    val stop = Set("the", "a", "of", "and", "in", "to", "is", "for",
+      "with", "on")
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    // phrase segmentation: maximal stopword-free runs
+    val phrases = texts.flatMap { t =>
+      val runs = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      t.split(" ").filter(_.nonEmpty).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val degree = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def score(w: String) = degree(w).toDouble / freq(w).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = phrases.groupBy(_.mkString(" ")).map { case (ph, occ) =>
+      val s = occ.head.foldLeft(0.0)((acc, w) => acc + score(w))
+      (ph, occ.head.length, occ.size.toLong, r6(s))
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(50)
+    val got = operators.TextAnalysis.rakeKeywords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want)
+    // multi-word phrases must actually surface (the point of RAKE)
+    assert(got.exists(_._2 > 1))
+  }
+
   test("L18 Markov transitions match a driver replay; rows per state sum to 1") {
     val evs = Tables.events(spark, sf)
       .select("user_id", "event_type", "ts", "event_id").collect()

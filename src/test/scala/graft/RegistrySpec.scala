@@ -203,6 +203,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "text_rake_keywords" -> 3, // doc-keyed phrase window + phrase/word rollups (vocab-keyed joins broadcast) + TakeOrdered
+    "param_rake_keywords" -> 3,
     "audit_k_anonymity" -> 5, // QI rollup w/ two-level distinct (2) + class agg + onePart summary window + ordered serve
     "param_k_anonymity" -> 5,
     "events_markov" -> 4, // user sequence window + pair rollup + state marginal rollup + ordered serve
