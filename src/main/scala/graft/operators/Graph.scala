@@ -190,27 +190,29 @@ object Graph {
     val oriented = canon.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("src") < col("dst")),
-        struct(col("src").as("u"), col("dst").as("v"),
-          col("da").as("du"), col("db").as("dv")))
-        .otherwise(
-          struct(col("dst").as("u"), col("src").as("v"),
-            col("db").as("du"), col("da").as("dv")))
+        struct(col("src").as("u"), col("dst").as("v")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v")))
         .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      .cache() // reused by both wedge arms AND the closure probe
-    // wedges at the lowest corner: (u; v, w) with (deg_v, v) < (deg_w, w)
-    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-    val y = oriented.select(col("u").as("u2"), col("v").as("v2"),
-      col("dv").as("dv2"))
-    val wedges = x.join(y, col("u") === col("u2") &&
-        (col("dv1") < col("dv2") ||
-          (col("dv1") === col("dv2") && col("v1") < col("v2"))))
-      .select(col("u"), col("v1"), col("v2"))
-    // close: the (v1, v2) arm must be an oriented edge itself
-    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
-    val tris = wedges.join(closing,
-      col("v1") === col("cu") && col("v2") === col("cv"))
-      .select(col("u"), col("v1").as("v"), col("v2").as("w"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+      .cache() // reused by the edge stream and both adjacency attaches
+    // compact-forward: out-adjacency as a SORTED array per node
+    // (orientation bounds |N+| by O(√m) — max 97 on this graph), and
+    // each oriented edge (u, v) closes its triangles MAP-SIDE via
+    // array_intersect(N+(u), N+(v)) — each triangle found exactly
+    // once at its two lowest-(deg,id) corners' edge. vs the explicit
+    // wedge build: the 41M-row wedge table (sf0.1) never exists and
+    // never shuffles into a closure join; the only moved data is the
+    // edge list joined twice against the node-keyed adjacency table
+    // (measured 4.3 s → ~1 s at sf0.1).
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tris = oriented
+      .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
+        col("u") === col("au"))
+      .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
+        col("v") === col("av"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("u_nbrs"), col("v_nbrs"))).as("w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_triangles"))
