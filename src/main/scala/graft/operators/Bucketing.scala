@@ -407,6 +407,65 @@ object Bucketing {
        |FROM events GROUP BY 1, 2
        |ORDER BY event_type, service""".stripMargin
 
+  /** N11 `store_skew_report` — partition-skew diagnosis for a
+    * prospective shuffle key: per key, row count plus the
+    * whole-table skew statistics (max/total/key count), and an
+    * integer-exact hot-key verdict — `is_hot` iff this key holds
+    * more than `hotFactor`× the mean rows per key, decided by the
+    * cross-multiply c·k > hotFactor·total (F14 discipline, no float
+    * mean). This is the report an engineer runs BEFORE choosing
+    * bucketing/salting (N1/N5 are the mitigations; this is the
+    * detector). One partial-agg'd rollup to key cardinality; the
+    * table-wide stats ride the onePart window (metadata-scale —
+    * the KEY table, not the rows). Served deterministically: hot
+    * keys first, then by count and key.
+    *
+    * Fixture: the key is a 32-way routing shard where un-migrated
+    * traffic (3 of every 4 users) still lands on the legacy shard 0
+    * — the real-world "default partition" hot spot (SkewSpec's
+    * synthetic-skew discipline; the natural keys of this dataset
+    * are deliberately uniform). */
+  def skewReport(spark: SparkSession, dir: String,
+                 hotFactor: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = concat(lit("s"),
+      when(pmod(col("user_id"), lit(4)) =!= 0, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(32))))
+    val counts = Tables.events(spark, dir)
+      .groupBy(shard.as("key"))
+      .agg(count(lit(1)).as("c"))
+      // materialized shared key (N9's lesson): three inline onePart
+      // windows would each project their own _w0 and exchange thrice
+      .withColumn("pk", Obs.onePart(col("key")))
+    val w = Window.partitionBy(col("pk"))
+    counts
+      .withColumn("total_rows", sum(col("c")).over(w))
+      .withColumn("n_keys", count(lit(1)).over(w))
+      .withColumn("max_key_rows", max(col("c")).over(w))
+      .withColumn("is_hot",
+        col("c") * col("n_keys") > lit(hotFactor) * col("total_rows"))
+      .select(col("key"), col("c").as("n_rows"), col("total_rows"),
+        col("n_keys"), col("max_key_rows"), col("is_hot"))
+      .orderBy(col("is_hot").desc, col("n_rows").desc, col("key"))
+  }
+
+  def skewReportSql(hotFactor: Int = 3): String =
+    s"""WITH counts AS (
+       |  SELECT 's' || (CASE WHEN user_id % 4 <> 0 THEN 0
+       |                      ELSE user_id % 32 END) AS key,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT *,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS total_rows,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+       |    CAST(MAX(c) OVER () AS BIGINT) AS max_key_rows
+       |  FROM counts)
+       |SELECT key, c AS n_rows, total_rows, n_keys, max_key_rows,
+       |  c * n_keys > $hotFactor * total_rows AS is_hot
+       |FROM stats
+       |ORDER BY is_hot DESC, n_rows DESC, key""".stripMargin
+
   /** N9 `store_equidepth_hist` — equi-depth (equi-height) histogram
     * over `l_extendedprice`, the CBO statistic behind selectivity
     * estimation (Spark's own ANALYZE … COMPUTE STATISTICS FOR
@@ -465,6 +524,8 @@ object Bucketing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_schema_evolution" -> (schemaEvolution _),
+    "store_skew_report" -> ((s, d) => skewReport(s, d)),
+    "param_skew_report" -> ((s, d) => skewReport(s, d, hotFactor = 10)),
     "store_equidepth_hist" -> ((s, d) => equidepthHist(s, d)),
     "param_equidepth_hist" -> ((s, d) => equidepthHist(s, d, buckets = 4)),
     "store_column_stats" -> (columnStats _),
@@ -475,6 +536,8 @@ object Bucketing {
 
   val oracles: Map[String, String] = Map(
     "store_schema_evolution" -> schemaEvolutionSql,
+    "store_skew_report" -> skewReportSql(),
+    "param_skew_report" -> skewReportSql(hotFactor = 10),
     "store_equidepth_hist" -> equidepthHistSql(),
     "param_equidepth_hist" -> equidepthHistSql(buckets = 4),
     "store_column_stats" -> columnStatsSql,

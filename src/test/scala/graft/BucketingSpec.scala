@@ -159,6 +159,27 @@ class BucketingSpec extends SparkSpecBase {
       s"ts predicate not pushed: $pushed")
   }
 
+  test("N11 skew report: counts and hot verdicts recount on the driver") {
+    val users = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0))
+    val counts = users.map(u => "s" + (if (u % 4 != 0) 0L else u % 32))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = users.length.toLong
+    val rows = run("store_skew_report").collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val c = counts(r.getString(0))
+      assert(r.getAs[Long]("n_rows") == c)
+      assert(r.getAs[Long]("total_rows") == total)
+      assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+      assert(r.getAs[Long]("max_key_rows") == counts.values.max)
+      assert(r.getAs[Boolean]("is_hot") == (c * counts.size > 3 * total))
+    }
+    // the legacy default shard is genuinely hot — the detector fires
+    assert(rows.exists(_.getAs[Boolean]("is_hot")))
+    assert(rows.count(_.getAs[Boolean]("is_hot")) < rows.length)
+  }
+
   test("N9 equi-depth histogram: conservation, contiguity, and balance bound") {
     val rows = run("store_equidepth_hist").collect()
     val li = Tables.lineitem(spark, sf)

@@ -203,6 +203,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "store_skew_report" -> 3, // key rollup + stacked onePart stat windows + ordered serve
+    "param_skew_report" -> 3,
     "text_rake_keywords" -> 3, // doc-keyed phrase window + phrase/word rollups (vocab-keyed joins broadcast) + TakeOrdered
     "param_rake_keywords" -> 3,
     "audit_k_anonymity" -> 5, // QI rollup w/ two-level distinct (2) + class agg + onePart summary window + ordered serve
@@ -266,7 +268,7 @@ class RegistrySpec extends SparkSpecBase {
     "param_q3_shipping_priority" -> 1,
     "param_q6_forecast_revenue" -> 1,
     "persist_asof_snapshot" -> 1,
-    "persist_conflict_check" -> 10, // per-(attempt,key) rollup + attempts re-agg + (date,hour,key) candidate join + retry-set agg — all over O(commits) metadata rows, never event rows
+    "persist_conflict_check" -> 11, // per-(attempt,key) rollup + attempts re-agg + (date,hour,key) candidate join + retry-set agg — all over O(commits) metadata rows, never event rows; 11 cold / 10 when an earlier suite's cache lets AQE convert one SMJ (ceiling = cold)
     "persist_changefeed" -> 3, // two snapshot replays + entity-key diff join
     "persist_commit_log" -> 1,
     "param_profile_asof_del" -> 1,
