@@ -433,6 +433,37 @@ case class FunnelAgg(anchors: Seq[Long])
     FunnelOut(key, anchors.length)
   }
 
+  case class MarkovAgg(lastType: String, lastTs: Long, lastId: Long,
+      counts: Map[String, Long])
+
+  case class MarkovOut(user_id: Long, transitions: Map[String, Long])
+
+  /** L18 streaming — the Markov-transition twin: per user,
+    * mapGroupsWithState holds only the LAST event (O(1) state) and
+    * bumps a per-user "cur→nxt" transition counter at each arrival —
+    * the batch lead() chain consumed forward. StreamingSpec merges
+    * the final per-user maps and asserts the totals equal
+    * `events_markov`'s exact pair counts. */
+  def markovState(events: Dataset[Event], spark: SparkSession): Dataset[MarkovOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(markovFn)
+  }
+
+  private[streaming] def markovFn(key: Long, events: Iterator[Event],
+      state: GroupState[MarkovAgg]): MarkovOut = {
+    var st = state.getOption.getOrElse(MarkovAgg(null, Long.MinValue, 0L, Map.empty))
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      if (st.lastType != null) {
+        val k = st.lastType + " " + e.event_type
+        st = st.copy(counts = st.counts.updated(k, st.counts.getOrElse(k, 0L) + 1))
+      }
+      st = st.copy(lastType = e.event_type, lastTs = us(e.ts), lastId = e.event_id)
+    }
+    state.update(st)
+    MarkovOut(key, st.counts)
+  }
+
   case class TombAgg(version: Long, nDeletes: Long, lastIk: String,
       lastOp: String, lastTs: Long, lastValue: Double)
 

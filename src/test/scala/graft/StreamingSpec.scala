@@ -491,6 +491,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L18 streaming Markov state sums to the batch transition counts") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.markovState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_markov")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // per-user counts are monotone; merge the final (max-count) maps
+    import org.apache.spark.sql.Row
+    val finals = spark.table("s_markov").filter(col("user_id") =!= -1L)
+      .select(col("user_id"), explode(col("transitions")).as(Seq("k", "v")))
+      .groupBy("user_id", "k").agg(max("v").as("v"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val got = finals.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      // the sentinel arrival appends one "<last> sentinel" transition
+      // per active user — not part of the batch data; drop them
+      .filterKeys(!_.endsWith(" sentinel")).toMap
+    val want = run("events_markov").collect()
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("L14 streaming attribution counters converge to the batch per-channel counts") {
     val ms = MemoryStream[Event]
     val q = StreamOps.attributionState(ms.toDS(), spark)
