@@ -430,7 +430,7 @@ object Bucketing {
     import org.apache.spark.sql.expressions.Window
     val shard = concat(lit("s"),
       when(pmod(col("user_id"), lit(4)) =!= 0, lit(0L))
-        .otherwise(pmod(col("user_id"), lit(32))))
+        .otherwise(pmod(expr("user_id div 4"), lit(32))))
     val counts = Tables.events(spark, dir)
       .groupBy(shard.as("key"))
       .agg(count(lit(1)).as("c"))
@@ -452,7 +452,7 @@ object Bucketing {
   def skewReportSql(hotFactor: Int = 3): String =
     s"""WITH counts AS (
        |  SELECT 's' || (CASE WHEN user_id % 4 <> 0 THEN 0
-       |                      ELSE user_id % 32 END) AS key,
+       |                      ELSE (user_id // 4) % 32 END) AS key,
        |    COUNT(*) AS c
        |  FROM events GROUP BY 1),
        |stats AS (

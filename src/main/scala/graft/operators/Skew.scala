@@ -274,7 +274,8 @@ object Skew {
   def bloomJoinRevenueSql(priority: String = "1-URGENT",
                           from: String = "1995-01-01",
                           to: String = "1996-01-01"): String =
-    s"""SELECT date_trunc('month', o_orderdate) AS order_month,
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+       |    AS order_month,
        |  COUNT(*) AS n_lines,
        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -377,8 +377,12 @@ case class FunnelAgg(anchors: Seq[Long])
     events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
       e.event_type match {
         case "click" | "view" =>
+          // evict on the touch path too: a never-converting user
+          // (crawler traffic) must not grow state without bound —
+          // same event-time-ordered-arrival assumption as below
           st = st.copy(touches =
-            st.touches :+ ((us(e.ts), e.event_id, e.event_type)))
+            st.touches.filter(_._1 >= us(e.ts) - lookbackUs) :+
+              ((us(e.ts), e.event_id, e.event_type)))
         case "purchase" =>
           val pts = us(e.ts)
           val win = st.touches.filter(t => t._1 < pts && t._1 >= pts - lookbackUs)
@@ -433,8 +437,7 @@ case class FunnelAgg(anchors: Seq[Long])
     FunnelOut(key, anchors.length)
   }
 
-  case class MarkovAgg(lastType: String, lastTs: Long, lastId: Long,
-      counts: Map[String, Long])
+  case class MarkovAgg(lastType: String, counts: Map[String, Long])
 
   case class MarkovOut(user_id: Long, transitions: Map[String, Long])
 
@@ -452,13 +455,13 @@ case class FunnelAgg(anchors: Seq[Long])
 
   private[streaming] def markovFn(key: Long, events: Iterator[Event],
       state: GroupState[MarkovAgg]): MarkovOut = {
-    var st = state.getOption.getOrElse(MarkovAgg(null, Long.MinValue, 0L, Map.empty))
+    var st = state.getOption.getOrElse(MarkovAgg(null, Map.empty))
     events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
       if (st.lastType != null) {
         val k = st.lastType + " " + e.event_type
         st = st.copy(counts = st.counts.updated(k, st.counts.getOrElse(k, 0L) + 1))
       }
-      st = st.copy(lastType = e.event_type, lastTs = us(e.ts), lastId = e.event_id)
+      st = st.copy(lastType = e.event_type)
     }
     state.update(st)
     MarkovOut(key, st.counts)

@@ -162,7 +162,7 @@ class BucketingSpec extends SparkSpecBase {
   test("N11 skew report: counts and hot verdicts recount on the driver") {
     val users = Tables.events(spark, sf).select("user_id").collect()
       .map(_.getLong(0))
-    val counts = users.map(u => "s" + (if (u % 4 != 0) 0L else u % 32))
+    val counts = users.map(u => "s" + (if (u % 4 != 0) 0L else (u / 4) % 32))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     val total = users.length.toLong
     val rows = run("store_skew_report").collect()
