@@ -122,6 +122,84 @@ object Similarity {
        |  FROM d
        |) WHERE rank <= $K""".stripMargin
 
+  /** Held-out eval-set size for H18 — a CONTRACT-bounded constant
+    * like NQueries (the eval set broadcasts at any corpus scale). */
+  private val NEval = 40
+
+  /** H18 `sim_knn_classify` — k-NN label classification eval over
+    * the embedding space: the first [[NEval]] vectors are held out,
+    * each is classified by MAJORITY VOTE of its K nearest training
+    * vectors (quantized dot order — integer-exact ranks, ties by
+    * vec_id; vote ties break to the smaller label), and the served
+    * result is the confusion matrix (true_label, pred_label,
+    * n_queries) — the standard "are these embeddings any good for
+    * retrieval" probe (a k-NN probe in representation-learning
+    * terms), complementing H5/H17's recall evals with a
+    * label-agreement signal. Every step is integer arithmetic:
+    * votes are counts, the argmax is (votes desc, label) —
+    * no float anywhere, so the matrix hash-matches exactly.
+    * Scale: H1's shape — the bounded eval set broadcasts, the train
+    * corpus streams one pass; the per-query top-K window runs over
+    * K×NEval rows; vote/matrix rollups are label-cardinality sized. */
+  def knnClassify(spark: SparkSession, dir: String,
+                  k: Int = K, nEval: Int = NEval): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("lid"), col("label"))
+    val emb = quantized(spark, dir)
+      .join(labels, col("vec_id") === col("lid")).drop("lid")
+    val q = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"),
+        col("label").as("true_label"))
+    val train = emb.filter(col("vec_id") >= nEval)
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    train.crossJoin(broadcast(q))
+      .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrank", row_number().over(wVote))
+      .filter(col("vrank") === 1)
+      .groupBy(col("true_label"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  def knnClassifySql(k: Int = K, nEval: Int = NEval): String =
+    s"""WITH $qnSqlCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |q AS (
+       |  SELECT qnn.vec_id AS qid, qvec AS qq, label AS true_label
+       |  FROM qnn JOIN lab ON qnn.vec_id = lab.vec_id
+       |  WHERE qnn.vec_id < $nEval),
+       |t AS (
+       |  SELECT qnn.vec_id, qvec, label
+       |  FROM qnn JOIN lab ON qnn.vec_id = lab.vec_id
+       |  WHERE qnn.vec_id >= $nEval),
+       |d AS (
+       |  SELECT qid, true_label, t.vec_id, t.label,
+       |    ${dotSql("qq", "qvec")} AS dot
+       |  FROM q JOIN t ON TRUE),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, vec_id) AS rank FROM d)
+       |  WHERE rank <= $k),
+       |votes AS (
+       |  SELECT qid, true_label, label, COUNT(*) AS votes
+       |  FROM topk GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY votes DESC, label) AS vrank FROM votes)
+       |  WHERE vrank = 1)
+       |SELECT true_label, label AS pred_label, COUNT(*) AS n_queries
+       |FROM pred GROUP BY 1, 2
+       |ORDER BY true_label, pred_label""".stripMargin
+
   /** H2 `sim_cosine_pairs` — all pairs above a cosine threshold. The
     * O(n^2) version: correctness baseline for the spec's recall
     * checks; production path at scale is H3/H4. */
@@ -1303,6 +1381,8 @@ object Similarity {
     "sim_maxsim_multivec" -> (maxsimMultivec _),
     "sim_pq_adc" -> (pqAdc _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
+    "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
+    "param_knn_classify" -> ((s, d) => knnClassify(s, d, k = 3, nEval = 20)),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_probe" -> (ivfProbe _),
@@ -1322,6 +1402,8 @@ object Similarity {
     "sim_maxsim_multivec" -> maxsimMultivecSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_topk_bruteforce" -> topkBruteforceSql,
+    "sim_knn_classify" -> knnClassifySql(),
+    "param_knn_classify" -> knnClassifySql(k = 3, nEval = 20),
     "sim_cosine_pairs" -> cosinePairsSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_probe" -> ivfProbeSql,

@@ -43,6 +43,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_topk_bruteforce", "sim_cosine_pairs", "sim_range_search",
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
     "sim_recall_eval", "sim_mrl_eval",
+    "sim_knn_classify", "param_knn_classify", // broadcast held-out eval set, streaming train corpus
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
     "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
     "sim_sq8", // broadcast query codes, streaming corpus codes
@@ -203,6 +204,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_mad_outliers" -> 2,
     "events_session_paths" -> 2, // user-key session window+collect + path rollup (TakeOrdered serve)
     "param_session_paths" -> 2,
+    "sim_knn_classify" -> 3, // per-query topK window + vote rollup/argmax + matrix rollup (label-keyed)
+    "param_knn_classify" -> 3,
     "store_skew_report" -> 3, // key rollup + stacked onePart stat windows + ordered serve
     "param_skew_report" -> 3,
     "text_rake_keywords" -> 3, // doc-keyed phrase window + phrase/word rollups (vocab-keyed joins broadcast) + TakeOrdered

@@ -400,4 +400,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean("d/4") <= mean("d/2"), "deeper truncation cannot help on average")
     assert(mean("d/2") < 1.0, "fixture must exercise recall loss")
   }
+
+  test("H18 kNN classify: confusion matrix matches a driver replay of the vote") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray,
+        r.getInt(2)))
+    val nEval = 40
+    val (q, train) = rows.partition(_._1 < nEval)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = q.map { case (_, qv, tl) =>
+      val top = train.map(t => (dot(qv, t._2), t._1, t._3))
+        .sortBy(t => (-t._1, t._2)).take(10)
+      val votes = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy(v => (-v._2, v._1))
+      (tl, votes.head._1)
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(p => (p._1._1, p._1._2))
+      .map { case ((t, p), n) => (t, p, n) }
+    val got = operators.Similarity.knnClassify(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // sanity: every eval vector classified exactly once
+    assert(got.map(_._3).sum == q.length.toLong)
+  }
 }
