@@ -58,37 +58,74 @@ object Bucketing {
     Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(): Unit
   }
 
+  /** ONE static shutdown hook over a concurrent path set: the old
+    * per-rebuild `addShutdownHook` accumulated one thread per dataset
+    * refresh for the life of the JVM (unbounded in a long session). */
+  private val tmpPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tmpHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpPaths.forEach(p => rmTree(new java.io.File(p)))))
+    true
+  }
+  private def registerTmpPath(p: String): Unit = {
+    tmpHookInstalled; tmpPaths.add(p): Unit
+  }
+  private def dropTmpPath(p: String): Unit = {
+    rmTree(new java.io.File(p)); tmpPaths.remove(p): Unit
+  }
+
+  /** Double-checked per-key memo build. The build closure runs full
+    * Spark write jobs, which must NOT happen inside a
+    * ConcurrentHashMap.compute remapping function — compute holds the
+    * map's bin lock, so an expensive build there blocks unrelated keys
+    * that hash to the same bin. Each key gets its own monitor instead;
+    * a superseded copy (older mtime of the same source) is deleted
+    * eagerly — its lazy plans are stale post-rewrite anyway, and
+    * waiting for JVM exit accumulates full table copies in /tmp. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def memoBuild(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, mtime: Long)(build: => String): String = {
+    val cur = cache.get(key)
+    if (cur != null && cur.startsWith(s"$mtime@")) cur
+    else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val cur2 = cache.get(key)
+      if (cur2 != null && cur2.startsWith(s"$mtime@")) cur2
+      else {
+        if (cur2 != null) dropTmpPath(cur2.substring(cur2.indexOf('@') + 1))
+        val entry = build
+        cache.put(key, entry)
+        entry
+      }
+    }
+  }
+
   def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
-    val entry = partCache.compute(
-      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
-        if (prev != null && prev.startsWith(s"$mtime@")) prev
-        else {
-          // a superseded copy (older mtime of the same source) is
-          // deleted eagerly — its lazy plans are stale post-rewrite
-          // anyway, and waiting for JVM exit accumulates full table
-          // copies in /tmp across refreshes
-          if (prev != null) rmTree(new java.io.File(prev.substring(prev.indexOf('@') + 1)))
-          // the session identity and the JVM PID are part of the
-          // PATH, not just the memo key: a second session (or a
-          // concurrent JVM of the same user reading the same dataset,
-          // where identityHashCode alone can collide) must never
-          // mode(overwrite) a directory another JVM's lazy plans
-          // still read. The OS user keeps two users on a shared
-          // read-only dataset apart, and a shutdown hook reclaims the
-          // live copy when the JVM exits.
-          val p = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-            s"${System.getProperty("user.name")}_" +
-            s"${ProcessHandle.current().pid()}_" +
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
-              .take(6).map("%02x".format(_)).mkString
-          Tables.events(spark, dir)
-            .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-            .write.mode("overwrite").partitionBy("event_date").parquet(p)
-          Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(p))))
-          s"$mtime@$p"
-        })
+    val entry = memoBuild(partCache,
+      s"${System.identityHashCode(spark)}:$dir", mtime) {
+      // the session identity and the JVM PID are part of the
+      // PATH, not just the memo key: a second session (or a
+      // concurrent JVM of the same user reading the same dataset,
+      // where identityHashCode alone can collide) must never
+      // mode(overwrite) a directory another JVM's lazy plans
+      // still read. The OS user keeps two users on a shared
+      // read-only dataset apart, and the static shutdown hook
+      // reclaims the live copy when the JVM exits.
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        s"${System.getProperty("user.name")}_" +
+        s"${ProcessHandle.current().pid()}_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+      Tables.events(spark, dir)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(p)
+      registerTmpPath(p)
+      s"$mtime@$p"
+    }
     val path = entry.substring(entry.indexOf('@') + 1)
     spark.read.parquet(path)
       .filter(col("event_date") === PruneDay)
@@ -363,29 +400,26 @@ object Bucketing {
     * path, partitionPrune's lifecycle discipline. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
-    val entry = evoCache.compute(
-      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
-        if (prev != null && prev.startsWith(s"$mtime@")) prev
-        else {
-          if (prev != null) rmTree(new java.io.File(prev.substring(prev.indexOf('@') + 1)))
-          val p = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
-            s"${System.getProperty("user.name")}_" +
-            s"${ProcessHandle.current().pid()}_" +
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
-              .take(6).map("%02x".format(_)).mkString
-          val ev = Tables.events(spark, dir)
-          val cut = lit(EvoCutoff).cast("timestamp")
-          ev.filter(col("ts") < cut)
-            .select(col("event_id"), col("event_type"), col("value"))
-            .write.mode("overwrite").parquet(s"$p/batch=v1")
-          ev.filter(col("ts") >= cut)
-            .select(col("event_id"), col("event_type"), col("value"),
-              Audit.serviceCol.as("service"))
-            .write.mode("overwrite").parquet(s"$p/batch=v2")
-          Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(p))))
-          s"$mtime@$p"
-        })
+    val entry = memoBuild(evoCache,
+      s"${System.identityHashCode(spark)}:$dir", mtime) {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+        s"${System.getProperty("user.name")}_" +
+        s"${ProcessHandle.current().pid()}_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${System.identityHashCode(spark)}:$dir:$mtime".getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+      val ev = Tables.events(spark, dir)
+      val cut = lit(EvoCutoff).cast("timestamp")
+      ev.filter(col("ts") < cut)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$p/batch=v1")
+      ev.filter(col("ts") >= cut)
+        .select(col("event_id"), col("event_type"), col("value"),
+          Audit.serviceCol.as("service"))
+        .write.mode("overwrite").parquet(s"$p/batch=v2")
+      registerTmpPath(p)
+      s"$mtime@$p"
+    }
     val path = entry.substring(entry.indexOf('@') + 1)
     spark.read.option("mergeSchema", "true")
       .parquet(s"$path/batch=v1", s"$path/batch=v2")

@@ -551,9 +551,18 @@ object Dedup {
       // overhead. The distributed label propagation remains the path
       // for adversarially large candidate graphs.
       val nEdges = edges.count()
+      // Default is MASTER-DERIVED so a cluster deployment is scale-safe
+      // without any conf: on local[*] masters (tests/bench, where
+      // per-iteration job overhead dominates and the candidate graph
+      // trivially fits one JVM) the driver union-find engages up to 1M
+      // edges; on any real cluster master the default is 0, i.e. the
+      // distributed label propagation ALWAYS runs unless the operator
+      // explicitly opts in to a driver-side cut-over.
       val driverMax = spark.conf
         .getOption("graft.dedup.clusters.driverMaxEdges")
-        .map(_.toLong).getOrElse(1000000L)
+        .map(_.toLong)
+        .getOrElse(
+          if (spark.sparkContext.master.startsWith("local")) 1000000L else 0L)
       if (nEdges <= driverMax) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {

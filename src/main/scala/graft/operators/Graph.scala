@@ -81,10 +81,35 @@ object Graph {
     * repeated calls share one materialization. This is exactly the
     * "cache the adjacency before iterating" rule every Pregel-on-
     * Spark implementation lives by; at 100 TB this is a
-    * MEMORY_AND_DISK persist of the edge list, paid once. */
+    * MEMORY_AND_DISK persist of the edge list, paid once.
+    *
+    * Lifecycle: cached plans are tracked in an mtime-keyed memo
+    * ([[cacheReg]]) so a data rewrite under `dir` unpersists the
+    * superseded entry instead of accumulating dead cached tables for
+    * the life of the session (distinct (dir, minSupport) combinations
+    * each keep exactly ONE live cached table). */
+  private val cacheReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  /** Memoized `.cache()`d plan registration: one live cached DataFrame
+    * per logical key; a changed source mtime unpersists the superseded
+    * entry before caching the fresh one. */
+  private def registeredCache(key: String, mtime: Long)
+                             (build: => DataFrame): DataFrame =
+    cacheReg.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        if (prev != null) prev._2.unpersist(blocking = false)
+        (mtime, build.cache())
+      })._2
+
   private def cachedCanonicalEdges(spark: SparkSession,
-                                   dir: String, minSupport: Int): DataFrame =
-    canonicalEdges(spark, dir, minSupport).cache()
+                                   dir: String, minSupport: Int): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    registeredCache(
+      s"${System.identityHashCode(spark)}:$dir:$minSupport:edges", mtime)(
+      canonicalEdges(spark, dir, minSupport))
+  }
 
   /** Both directions of the canonical edge list. */
   private def directedEdges(spark: SparkSession, dir: String,
@@ -112,29 +137,56 @@ object Graph {
     * rank) table (co-partitioned if adjacency is hash-partitioned by
     * src once) plus one dst-keyed partial agg. The rank table is one
     * row per node — never broadcast at 100 TB, always a keyed
-    * shuffle. Intermediate sums stay far below 2^63: total mass is
-    * ≈ N·SCALE and the ×85 blowup adds two decimal digits. */
+    * shuffle. Overflow headroom: per-node contributions `rank div d`
+    * sum in LongType (a node's in-mass is bounded by total mass
+    * ≈ N·SCALE < 2^63 up to N ≈ 9·10⁹ nodes), but the ×85 step runs
+    * in DECIMAL — at the 100 TB design point (N ≈ 10⁸ nodes, total
+    * mass ≈ 10¹⁷) a hub's 85·s reaches ~8.5·10¹⁸ > 2^63, which a
+    * LongType multiply would wrap SILENTLY in non-ANSI mode while the
+    * DuckDB oracle computes the same step in HUGEINT. The decimal
+    * product keeps Spark exact to 38 digits; the post-division rank
+    * always fits BIGINT again (bounded by total mass).
+    *
+    * The converged rank table is memoized (bfsCache discipline) with a
+    * per-round `localCheckpoint`: each round's plan references the
+    * previous round's, so an unrolled lazy chain pays O(iters²)
+    * analysis time and re-plans on every action — deep `iters`
+    * (param_graph_pagerank runs 20) needs each round cut to a leaf. */
+  private val prCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def pagerank(spark: SparkSession, dir: String, minSupport: Int = 1,
                iters: Int = 5, limit: Int = 100): DataFrame = {
-    val e = directedEdges(spark, dir, minSupport)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "node")
-    // adjacency feeds every iteration — cache it or pay the join
-    // chain once per superstep (see cachedCanonicalEdges)
-    val adj = e.join(deg, e("src") === deg("node")).select(
-      col("src"), col("dst"), col("d")).cache()
-    var ranks = deg.select(col("node"), lit(Scale).as("rank"))
-    for (_ <- 1 to iters) {
-      // all-integer recurrence: Column./ on longs would route through
-      // double (inexact past 2^53 and float-truncation vs floor), so
-      // the ÷100 stays a SQL `div`
-      ranks = adj.join(ranks, adj("src") === ranks("node"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("rank div d")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("rank"))
-    }
-    ranks.select(col("node").as("part"), col("rank").as("rank_fp"))
+    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:pr:" +
+      s"$minSupport:$iters:$mtime"
+    val ranksFinal = prCache.computeIfAbsent(key, _ => {
+      val e = directedEdges(spark, dir, minSupport)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "node")
+      // adjacency feeds every iteration — cache it or pay the join
+      // chain once per superstep (see cachedCanonicalEdges)
+      val adj = e.join(deg, e("src") === deg("node")).select(
+        col("src"), col("dst"), col("d")).cache()
+      var ranks = deg.select(col("node"), lit(Scale).as("rank"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        // all-integer recurrence: Column./ on longs would route through
+        // double (inexact past 2^53 and float-truncation vs floor), so
+        // the ÷100 stays a SQL `div` (IntegralDivide handles DECIMAL)
+        ranks = adj.join(ranks, adj("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("rank div d")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(15L * Scale / 100) +
+              expr("(85 * CAST(s AS DECIMAL(38,0))) div 100")).as("rank"))
+          .localCheckpoint()
+      }
+      // every round is checkpointed, so adj has served its last job
+      adj.unpersist(blocking = false)
+      ranks
+    })
+    ranksFinal.select(col("node").as("part"), col("rank").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("part"))
       .limit(limit)
   }
@@ -186,15 +238,19 @@ object Graph {
       .drop("node")
       .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
       .drop("node")
-    // orient: u -> v iff (deg_u, u) < (deg_v, v)
-    val oriented = canon.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("src") < col("dst")),
-        struct(col("src").as("u"), col("dst").as("v")))
-        .otherwise(struct(col("dst").as("u"), col("src").as("v")))
-        .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"))
-      .cache() // reused by the edge stream and both adjacency attaches
+    // orient: u -> v iff (deg_u, u) < (deg_v, v); cached because it is
+    // reused by the edge stream and both adjacency attaches — tracked
+    // in cacheReg so superseded entries unpersist (see registeredCache)
+    val oriented = registeredCache(
+      s"${System.identityHashCode(spark)}:$dir:$minSupport:oriented",
+      Tables.mtime(spark, s"$dir/lineitem.parquet"))(
+      canon.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v")))
+          .as("o"))
+        .select(col("o.u").as("u"), col("o.v").as("v")))
     // compact-forward: out-adjacency as a SORTED array per node
     // (orientation bounds |N+| by O(√m) — max 97 on this graph), and
     // each oriented edge (u, v) closes its triangles MAP-SIDE via
@@ -263,9 +319,12 @@ object Graph {
 
   def bfs(spark: SparkSession, dir: String, brand: String = "Brand#1",
           minSupport: Int = 1, maxHops: Int = 3): DataFrame = {
+    // BOTH source mtimes: edges come from lineitem, seeds from part —
+    // regenerating part.parquet alone must invalidate the memo too
     val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val pmtime = graft.Tables.mtime(spark, s"$dir/part.parquet")
     val key = s"${System.identityHashCode(spark)}:$dir:$brand:" +
-      s"$minSupport:$maxHops:$mtime"
+      s"$minSupport:$maxHops:$mtime:$pmtime"
     val visited = bfsCache.computeIfAbsent(key, _ => {
       val e = directedEdges(spark, dir, minSupport)
       val nodes = e.select(col("src").as("node")).distinct()
@@ -411,8 +470,10 @@ object Graph {
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_bfs" -> ((s, d) => bfs(s, d)),
+    // iters=20 deliberately DEEP: proves the per-round lineage cut
+    // (plan analysis stays linear, not quadratic, in iteration count)
     "param_graph_pagerank" -> ((s, d) => pagerank(s, d,
-      minSupport = 2, iters = 3, limit = 40)),
+      minSupport = 2, iters = 20, limit = 40)),
     "param_graph_triangles" -> ((s, d) => triangles(s, d,
       minSupport = 2, limit = 50)),
     "param_graph_bfs" -> ((s, d) => bfs(s, d,
@@ -426,7 +487,7 @@ object Graph {
     "graph_triangles" -> trianglesSql(),
     "graph_bfs" -> bfsSql(),
     "param_graph_pagerank" -> pagerankSql(
-      minSupport = 2, iters = 3, limit = 40),
+      minSupport = 2, iters = 20, limit = 40),
     "param_graph_triangles" -> trianglesSql(minSupport = 2, limit = 50),
     "param_graph_bfs" -> bfsSql(
       brand = "Brand#7", minSupport = 2, maxHops = 4))

@@ -1042,7 +1042,7 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val totals = uni.agg(sum(col("c_uni")).as("n_tok"))
-      .crossJoin(bigr.groupBy().agg(count(lit(1)).as("n_big")))
+      .crossJoin(broadcast(bigr.groupBy().agg(count(lit(1)).as("n_big"))))
     bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
       .filter(col("c_pair") >= minCount)
       .join(uni.select(col("t").as("w1"), col("c_uni").as("c_w1")), "w1")
