@@ -260,6 +260,106 @@ object Normalize {
       |  factor IS NOT NULL AS converted
       |FROM obs LEFT JOIN conv ON obs.unit = conv.unit""".stripMargin
 
+  /** C6: patient-profile DTO stream (reference: libs/contracts/src/
+    * dto/normalized.patient.v1.json — required schemaVersion ≥ 1 +
+    * patientId, optional name, optional birthDate matching
+    * ^\d{4}-\d{2}-\d{2}$, additionalProperties rejected). The
+    * profile-write stream is D5's: one registry upsert per signup
+    * event. Like C1's observation stream, deterministic defect
+    * classes are injected so every schema rule fires:
+    * event_id % 101 → patientId missing (required violation),
+    * % 97 → schemaVersion 0 (minimum violation), % 103 → birthDate
+    * with '/' separators (pattern violation), % 107 → an unknown
+    * `nickname` property (additionalProperties violation — modeled
+    * columnar as a non-null extra_prop, the set-oriented equivalent
+    * of a JSON key outside the schema). */
+  def patientDtoFrom(events: DataFrame): DataFrame = {
+    val bd = date_add(to_date(lit("1950-01-01")),
+      pmod(col("user_id") * 37, lit(18250)).cast("int"))
+    events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(pmod(col("event_id"), lit(101)) === 0, lit(null).cast("string"))
+          .otherwise(col("user_id").cast("string")).as("patient_id"),
+        when(pmod(col("event_id"), lit(97)) === 0, lit(0)).otherwise(lit(1))
+          .as("schema_version"),
+        concat(lit("patient-"), col("user_id")).as("name"),
+        when(pmod(col("event_id"), lit(103)) === 0,
+          date_format(bd, "yyyy/MM/dd"))
+          .otherwise(date_format(bd, "yyyy-MM-dd")).as("birth_date"),
+        when(pmod(col("event_id"), lit(107)) === 0, lit("nickname"))
+          .otherwise(lit(null).cast("string")).as("extra_prop"))
+  }
+
+  private val BirthDateRe = "^\\d{4}-\\d{2}-\\d{2}$"
+
+  /** JSON-schema-equivalent validity of one patient DTO row. */
+  def patientValid: Column =
+    col("patient_id").isNotNull && col("patient_id") =!= "" &&
+      col("schema_version") >= 1 &&
+      (col("birth_date").isNull || col("birth_date").rlike(BirthDateRe)) &&
+      col("extra_prop").isNull
+
+  /** The patient-DTO CTE + validity predicate in SQL (single source
+    * of truth for C6's oracle and D5's, which consumes only valid
+    * writes). */
+  def patientDtoSqlCte: String =
+    """patient_dto AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_id % 101 = 0 THEN NULL
+      |         ELSE CAST(user_id AS VARCHAR) END AS patient_id,
+      |    CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END AS schema_version,
+      |    'patient-' || user_id AS name,
+      |    CASE WHEN event_id % 103 = 0
+      |      THEN strftime(DATE '1950-01-01'
+      |             + CAST((user_id * 37) % 18250 AS INT), '%Y/%m/%d')
+      |      ELSE strftime(DATE '1950-01-01'
+      |             + CAST((user_id * 37) % 18250 AS INT), '%Y-%m-%d')
+      |    END AS birth_date,
+      |    CASE WHEN event_id % 107 = 0 THEN 'nickname' END AS extra_prop
+      |  FROM events WHERE event_type = 'signup'
+      |)""".stripMargin
+
+  def patientValidSql: String =
+    """patient_id IS NOT NULL AND patient_id <> ''
+      |  AND schema_version >= 1
+      |  AND (birth_date IS NULL
+      |       OR regexp_matches(birth_date, '^\d{4}-\d{2}-\d{2}$'))
+      |  AND extra_prop IS NULL""".stripMargin
+
+  /** C6 `normalize_validate_patient` — the patient-profile validation
+    * report: per-reason reject counts plus the valid count, evaluated
+    * in JSON-schema order (required → minimum → pattern →
+    * additionalProperties, first violation wins) — the profile-write
+    * counterpart of C2's observation report. One partial-agg'd
+    * shuffle over the signup slice; the predicate itself is what D5
+    * filters its write stream with. */
+  def validatePatient(spark: SparkSession, dir: String): DataFrame = {
+    val reason =
+      when(col("patient_id").isNull || col("patient_id") === "",
+        "patient_id_missing")
+        .when(col("schema_version") < 1, "schema_version_invalid")
+        .when(col("birth_date").isNotNull &&
+          !col("birth_date").rlike(BirthDateRe), "birth_date_pattern")
+        .when(col("extra_prop").isNotNull, "additional_properties")
+        .otherwise("valid")
+    patientDtoFrom(graft.Tables.events(spark, dir))
+      .groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def validatePatientSql: String =
+    s"""WITH $patientDtoSqlCte
+       |SELECT CASE
+       |    WHEN patient_id IS NULL OR patient_id = '' THEN 'patient_id_missing'
+       |    WHEN schema_version < 1 THEN 'schema_version_invalid'
+       |    WHEN birth_date IS NOT NULL
+       |      AND NOT regexp_matches(birth_date, '^\\d{4}-\\d{2}-\\d{2}$$')
+       |      THEN 'birth_date_pattern'
+       |    WHEN extra_prop IS NOT NULL THEN 'additional_properties'
+       |    ELSE 'valid' END AS reason,
+       |  COUNT(*) AS n
+       |FROM patient_dto GROUP BY 1""".stripMargin
+
   /** P1 `pipeline_end_to_end` — the reference's WHOLE pipeline as one
     * Spark plan: raw events → ingest envelope + CSV adapter synth →
     * DTO parse (sealed) → Zod-equivalent validation → FHIR structural
@@ -305,6 +405,7 @@ object Normalize {
     "pipeline_end_to_end" -> (endToEnd _),
     "normalize_unit_canonical" -> (unitCanonical _),
     "normalize_validate_dto" -> (validateDto _),
+    "normalize_validate_patient" -> (validatePatient _),
     "normalize_reject_counts" -> (rejectCounts _),
     "normalize_fhir_map" -> (fhirMap _),
     "normalize_entity_id" -> (entityId _))
@@ -313,6 +414,7 @@ object Normalize {
     "pipeline_end_to_end" -> endToEndSql,
     "normalize_unit_canonical" -> unitCanonicalSql,
     "normalize_validate_dto" -> validateDtoSql,
+    "normalize_validate_patient" -> validatePatientSql,
     "normalize_reject_counts" -> rejectCountsSql,
     "normalize_fhir_map" -> fhirMapSql,
     "normalize_entity_id" -> entityIdSql)

@@ -700,11 +700,19 @@ object Persist {
     *
     * Scale: one shuffle on the patient key; the window and the final
     * aggregate share hashpartitioning(user_id) so Catalyst plans a
-    * single Exchange — same discipline as D2. */
+    * single Exchange — same discipline as D2.
+    *
+    * The write stream is validated FIRST (C6,
+    * [[Normalize.patientValid]] — the normalized.patient.v1 schema
+    * check): a rejected profile write never reaches the store, so the
+    * conditional-write idempotency rule applies among VALID writes
+    * only — validation happens at normalize, before persist, exactly
+    * the reference's stage order. */
   def patientMeta(spark: SparkSession, dir: String): DataFrame = {
     val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .filter(col("event_type") === "signup")
+    Normalize.patientDtoFrom(Tables.events(spark, dir))
+      .filter(Normalize.patientValid)
+      .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
       .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
       .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
@@ -720,12 +728,16 @@ object Persist {
   /** The META-row CTE in SQL — single source of truth shared by the
     * D5 oracle and E1's (api_get_patient) point-lookup oracle. */
   def patientMetaSqlCte: String =
-    """meta_applied AS (
+    s"""${Normalize.patientDtoSqlCte},
+      |valid_profile_writes AS (
+      |  SELECT user_id, ts, event_id FROM patient_dto
+      |  WHERE ${Normalize.patientValidSql}
+      |), meta_applied AS (
       |  SELECT * FROM (
       |    SELECT user_id, ts, event_id, 'ik' || (event_id % 5) AS ik,
       |      LAG('ik' || (event_id % 5)) OVER (PARTITION BY user_id
       |                                        ORDER BY ts, event_id) AS prev_ik
-      |    FROM events WHERE event_type = 'signup'
+      |    FROM valid_profile_writes
       |  ) WHERE prev_ik IS NULL OR ik <> prev_ik
       |), meta AS (
       |  SELECT 't' || (user_id % 4) AS tenant_id,
