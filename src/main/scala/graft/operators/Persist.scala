@@ -393,6 +393,106 @@ object Persist {
        |SELECT user_id, event_type, version_asof, value_asof
        |FROM (${snapshotReplaySql(SnapshotTs2, "version_asof", "value_asof")})""".stripMargin
 
+  /** Tombstone-aware snapshot replay — D9's [[opState]] restricted to
+    * writes at or before `cut`: per entity, full lineage (version
+    * counts every applied op, n_deletes the tombstones) plus the
+    * latest applied op/value. The building block of the P2 roundtrip:
+    * both its snapshots AND the invariant's direct-replay oracle are
+    * this ONE definition at different cutoffs. */
+  private def opSnapshotReplay(spark: SparkSession, dir: String,
+                               cut: String): DataFrame = {
+    val wLatest = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    applied(spark, dir)
+      .filter(col("ts") <= lit(cut).cast("timestamp"))
+      .withColumn("op",
+        when(pmod(col("event_id"), lit(7)) === 0, "delete").otherwise("put"))
+      .withColumn("latest_rn", row_number().over(wLatest))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("version"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"),
+        max(when(col("latest_rn") === 1, col("op"))).as("last_op"),
+        max(when(col("latest_rn") === 1, col("value"))).as("last_value"))
+  }
+
+  /** The stored T1 state the P2 consumer bootstraps from (same column
+    * shape as the roundtrip output, minus the purge flag). */
+  private[graft] def cdcBase(spark: SparkSession, dir: String): DataFrame =
+    opSnapshotReplay(spark, dir, SnapshotTs)
+
+  /** P2 produce — the OP-AWARE changefeed (T1 → T2]: D10's snapshot
+    * diff computed over the tombstone-aware replays, so a change
+    * record carries the entity's new lineage AND its latest op — a
+    * `delete` op2 is the CDC tombstone record F10b's purge pass
+    * consumes. Non-noop records are what a real feed ships. */
+  private[graft] def cdcFeedOps(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = cdcBase(spark, dir)
+      .select(col("user_id"), col("event_type"), col("version").as("v1"))
+    val t2 = opSnapshotReplay(spark, dir, SnapshotTs2)
+      .select(col("user_id"), col("event_type"), col("version").as("v2"),
+        col("n_deletes").as("nd2"), col("last_op").as("op2"),
+        col("last_value").as("val2"))
+    t1.join(t2, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(col("v1").isNull, "insert")
+          .when(col("v2") > col("v1"), "update")
+          .otherwise("noop").as("change_type"),
+        col("v2").as("version"), col("nd2").as("n_deletes"),
+        col("op2").as("last_op"), col("val2").as("last_value"))
+  }
+
+  /** P2 `pipeline_cdc_roundtrip` — the CDC loop CLOSED under one
+    * plan: D10-produce (op-aware snapshot diff T1→T2) → D12-apply
+    * (merge the compacted feed onto the stored T1 state) →
+    * D9/F10b-classify (the reconstructed entity set partitioned into
+    * live rows and the purge list via `is_purged`). The ORACLE is the
+    * direct tombstone-aware T2 replay, so the driver hash-proves the
+    * loop's invariant end-to-end:
+    * apply(state(T1), produce(T1→T2]) ≡ replay(T2) — including
+    * tombstones, which D10/D12 alone never exercised (their snapshots
+    * were op-blind).
+    *
+    * Scale: the T1/T2 replays share the one entity-key shuffle of the
+    * applied stream (same subtree, D10's economics); the apply merge
+    * and the final classification ride the same key — at 100 TB the
+    * stored base is a table read, the feed is the day's changes, and
+    * the merge is one co-partitioned join. */
+  def cdcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = cdcBase(spark, dir)
+    val delta = cdcFeedOps(spark, dir)
+      .filter(col("change_type") =!= "noop")
+      .select(col("user_id"), col("event_type"), col("version").as("v2"),
+        col("n_deletes").as("nd2"), col("last_op").as("op2"),
+        col("last_value").as("val2"))
+    base.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("v2"), col("version")).as("version"),
+        coalesce(col("nd2"), col("n_deletes")).as("n_deletes"),
+        coalesce(col("op2"), col("last_op")).as("last_op"),
+        coalesce(col("val2"), col("last_value")).as("last_value"))
+      .withColumn("is_purged", col("last_op") === "delete")
+  }
+
+  def cdcRoundtripSql: String =
+    s"""WITH $appliedSqlCte,
+       |ranked AS (
+       |  SELECT *,
+       |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |  FROM applied
+       |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs2'
+       |)
+       |SELECT user_id, event_type,
+       |  COUNT(*) AS version,
+       |  CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deletes,
+       |  MAX(CASE WHEN latest_rn = 1 THEN op END) AS last_op,
+       |  MAX(CASE WHEN latest_rn = 1 THEN value END) AS last_value,
+       |  MAX(CASE WHEN latest_rn = 1 THEN op END) = 'delete' AS is_purged
+       |FROM ranked GROUP BY 1, 2""".stripMargin
+
   /** D11 `persist_conflict_check` — OPTIMISTIC-CONCURRENCY conflict
     * detection, the commit-protocol check a snapshot-isolated table
     * format (Delta/Iceberg-style, and the reference's conditional
@@ -809,6 +909,7 @@ object Persist {
     "persist_changefeed" -> (changefeed _),
     "persist_cdc_apply" -> (cdcApply _),
     "persist_conflict_check" -> (conflictCheck _),
+    "pipeline_cdc_roundtrip" -> (cdcRoundtrip _),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -826,5 +927,7 @@ object Persist {
     "persist_changefeed" -> changefeedSql,
     "persist_cdc_apply" -> cdcApplySql,
     "persist_conflict_check" -> conflictCheckSql,
+    // the produce→apply→classify chain must equal the direct T2 replay
+    "pipeline_cdc_roundtrip" -> cdcRoundtripSql,
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

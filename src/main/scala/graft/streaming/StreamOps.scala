@@ -547,6 +547,41 @@ case class FunnelAgg(anchors: Seq[Long])
     out.iterator
   }
 
+  case class CdcRec(user_id: Long, event_type: String, version: Long,
+      n_deletes: Long, last_op: String, last_value: Double)
+
+  case class CdcOut(user_id: Long, event_type: String, version: Long,
+      n_deletes: Long, last_op: String, last_value: Double,
+      is_purged: Boolean)
+
+  /** P2 streaming — the CDC CONSUMER twin of `pipeline_cdc_roundtrip`:
+    * bootstrap from the stored snapshot, then tail the change feed.
+    * The input stream is (T1 base records) followed by (non-noop feed
+    * records) — exactly what a consumer reads from a snapshot export
+    * plus the changefeed topic. Each record carries the entity's full
+    * post-image (CDC records ship state, not deltas — D12's shape),
+    * so the fold REPLACES state, keeping the higher version: the feed
+    * lineage is monotone, which makes the fold arrival-order
+    * independent (a replayed/reordered topic converges to the same
+    * state). Update-mode emission is the current reconstructed row
+    * with the D9/F10b purge classification; StreamingSpec asserts the
+    * final state equals the batch roundtrip (and therefore, by the
+    * P2 oracle, the direct T2 replay). */
+  def cdcApplyState(records: Dataset[CdcRec], spark: SparkSession): Dataset[CdcOut] = {
+    import spark.implicits._
+    records.groupByKey(r => (r.user_id, r.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(cdcFn)
+  }
+
+  private[streaming] def cdcFn(key: (Long, String), recs: Iterator[CdcRec],
+      state: GroupState[CdcRec]): CdcOut = {
+    var st = state.getOption.orNull
+    recs.foreach { r => if (st == null || r.version >= st.version) st = r }
+    state.update(st)
+    CdcOut(key._1, key._2, st.version, st.n_deletes, st.last_op,
+      st.last_value, st.last_op == "delete")
+  }
+
   /** L4 streaming — per-user rolling state via mapGroupsWithState
     * (update mode): latest event attributes + lifetime counters. */
   def userLatestState(events: Dataset[Event], spark: SparkSession): Dataset[UserStateOut] = {

@@ -469,6 +469,44 @@ class StreamingSpec extends SparkSpecBase {
     fin.unpersist()
   }
 
+  test("P2 streaming CDC consumer converges to the batch roundtrip state") {
+    import graft.streaming.StreamOps.CdcRec
+    // bootstrap load: the stored T1 snapshot, as full post-image records
+    val base = graft.operators.Persist.cdcBase(spark, sf)
+      .select("user_id", "event_type", "version", "n_deletes",
+        "last_op", "last_value")
+      .as[CdcRec].collect().toSeq
+    // the tailed feed: non-noop change records (same post-image shape)
+    val feed = graft.operators.Persist.cdcFeedOps(spark, sf)
+      .filter(col("change_type") =!= "noop")
+      .select("user_id", "event_type", "version", "n_deletes",
+        "last_op", "last_value")
+      .as[CdcRec].collect().toSeq
+    val ms = MemoryStream[CdcRec]
+    val q = StreamOps.cdcApplyState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_cdc")
+      .outputMode("update").start()
+    ms.addData(base); q.processAllAvailable()
+    ms.addData(feed); q.processAllAvailable()
+    q.stop()
+    // update mode: one row per touched key per trigger; the max-version
+    // emission is the final reconstructed state
+    val got = spark.table("s_cdc")
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("version"), col("n_deletes"), col("last_op"),
+        col("last_value"), col("is_purged"))).as("s"))
+      .select(col("user_id"), col("event_type"), col("s.version"),
+        col("s.n_deletes"), col("s.last_op"), col("s.last_value"),
+        col("s.is_purged"))
+      .collect().map(_.toSeq).toSet
+    val want = run("pipeline_cdc_roundtrip")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("n_deletes"), col("last_op"), col("last_value"),
+        col("is_purged"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming CDC consumer diverges from the batch roundtrip")
+  }
+
   test("L4 streaming user state converges to the batch rollup") {
     val ms = MemoryStream[Event]
     val q = StreamOps.userLatestState(ms.toDS(), spark)
