@@ -234,6 +234,7 @@ class RegistrySpec extends SparkSpecBase {
     "param_graph_bfs" -> 9, // 4 hops
     "dedup_novelty_fraction" -> 3, // shingle first-doc agg + shingle join-back + doc rollup
     "persist_cdc_apply" -> 4, // T1 replay + changefeed's two replays + entity-key merge join
+    "pipeline_cdc_roundtrip" -> 3, // shared T1 subtree + T2 replay + merge (diff/apply ride the entity exchange)
     "api_obs_gapfill" -> 3, // (patient,day) rollup + patient spine + fill window
     "param_obs_gapfill" -> 3,
     "sim_mrl_eval" -> 14, // ground-truth topk + per-fraction truncated topk/hit joins (500-row metadata shuffles)
@@ -334,6 +335,50 @@ class RegistrySpec extends SparkSpecBase {
     "text_token_count" -> 0,
     "text_unigram_surprisal" -> 3
 )
+
+  /** The documented O(n²) correctness baselines — the ONLY queries
+    * allowed to refuse service under the cluster-deployment confs. */
+  private val quadraticBaselines = Set("sim_cosine_pairs", "dedup_ngram_jaccard")
+
+  test("cluster-readiness manifest: under cluster confs the fail-fast set " +
+      "is exactly the documented baselines and everything else plans") {
+    // the confs a real cluster deployment sets: no all-pairs plans, no
+    // driver-side union-find cut-over (distributed label propagation
+    // always). Every registry query must either plan under them or be
+    // one of the two documented quadratic baselines that fail fast —
+    // this pins the COMPLEMENT: nothing else silently depends on a
+    // local-only escape hatch.
+    val prevQuad = spark.conf.getOption("graft.allowQuadraticBaselines")
+    val prevEdges = spark.conf.getOption("graft.dedup.clusters.driverMaxEdges")
+    spark.conf.set("graft.allowQuadraticBaselines", "false")
+    spark.conf.set("graft.dedup.clusters.driverMaxEdges", "0")
+    try {
+      val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          // construction + analysis + optimization: proves the query
+          // plans under cluster confs (memoized eager builders run
+          // their jobs here too, on the distributed paths)
+          fn(spark, sf).queryExecution.optimizedPlan
+          ()
+        } catch { case e: Throwable => failed += ((name, e.toString)) }
+      }
+      val failSet = failed.map(_._1).toSet
+      assert(failSet == quadraticBaselines,
+        s"fail-fast set mismatch — unexpected failures: " +
+          s"${failed.filterNot(f => quadraticBaselines(f._1))}; " +
+          s"missing fail-fasts: ${quadraticBaselines -- failSet}")
+      failed.foreach { case (name, msg) =>
+        assert(msg.contains("allowQuadraticBaselines"),
+          s"$name failed for the wrong reason: $msg")
+      }
+    } finally {
+      prevQuad.fold(spark.conf.unset("graft.allowQuadraticBaselines"))(
+        spark.conf.set("graft.allowQuadraticBaselines", _))
+      prevEdges.fold(spark.conf.unset("graft.dedup.clusters.driverMaxEdges"))(
+        spark.conf.set("graft.dedup.clusters.driverMaxEdges", _))
+    }
+  }
 
   test("shuffle budget: no query plans more exchanges than its pinned ceiling") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
