@@ -883,19 +883,27 @@ object Audit {
     val w6 = Window.partitionBy(col("tenant_id"))
       .orderBy(col("audit_date"), col("audit_hour"))
       .rowsBetween(-5, 0)
-    hourly
+    sloServe(hourly
       .withColumn("n6", sum(col("n")).over(w6))
-      .withColumn("err6", sum(col("n_err")).over(w6))
-      .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
-        col("n"), col("n_err"), col("n6"), col("err6"),
-        round(col("n_err").cast("double") * 10000 /
-          (col("n") * budgetPer10k), 4).as("burn_1h"),
-        round(col("err6").cast("double") * 10000 /
-          (col("n6") * budgetPer10k), 4).as("burn_6h"),
-        (col("n_err") * 50000L > col("n") * (72L * budgetPer10k) &&
-          col("err6") * 5000L > col("n6") * (3L * budgetPer10k))
-          .as("slo_alert"))
+      .withColumn("err6", sum(col("n_err")).over(w6)), budgetPer10k)
   }
+
+  /** The burn-rate/alert projection over the counter columns — ONE
+    * definition shared by the batch query and the streaming twin's
+    * emissions (StreamOps.sloBurnCounters), so the float rounding and
+    * the cross-multiplied alert booleans can never drift between the
+    * two consumption modes. */
+  private[graft] def sloServe(counters: DataFrame,
+      budgetPer10k: Long): DataFrame =
+    counters.select(col("tenant_id"), col("audit_date"), col("audit_hour"),
+      col("n"), col("n_err"), col("n6"), col("err6"),
+      round(col("n_err").cast("double") * 10000 /
+        (col("n") * budgetPer10k), 4).as("burn_1h"),
+      round(col("err6").cast("double") * 10000 /
+        (col("n6") * budgetPer10k), 4).as("burn_6h"),
+      (col("n_err") * 50000L > col("n") * (72L * budgetPer10k) &&
+        col("err6") * 5000L > col("n6") * (3L * budgetPer10k))
+        .as("slo_alert"))
 
   def sloBurnSql(budgetPer10k: Long = 100L): String =
     s"""WITH hourly AS (

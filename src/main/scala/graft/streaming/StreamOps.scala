@@ -547,6 +547,53 @@ case class FunnelAgg(anchors: Seq[Long])
     out.iterator
   }
 
+  case class SloCount(tenant_id: String, audit_date: String,
+      audit_hour: Int, n: Long, n_err: Long, n6: Long, err6: Long)
+
+  case class SloState(hours: Map[(String, Int), (Long, Long)])
+
+  /** F18 streaming — the live SLO burn-rate monitor: per-tenant state
+    * holds the hourly (n, n_err) counters; each trigger folds the
+    * batch's events in and re-emits every hour's counters WITH the
+    * trailing-6-hour sums recomputed over the ordered hour sequence —
+    * exactly the batch F18 window frame (ROWS BETWEEN 5 PRECEDING AND
+    * CURRENT ROW over (date, hour)). The burn/alert projection is NOT
+    * duplicated here: emissions carry integer counters only and the
+    * spec pipes them through the same `Audit.sloServe` the batch query
+    * uses, so rounding and alert booleans are shared by construction.
+    * Counters only grow, so update-mode emissions are monotone and the
+    * final emission per hour equals the batch row. In production the
+    * state map is pruned by watermark (only the trailing 6 hours can
+    * still change an emission once event-time passes); unbounded here
+    * because the spec replays history. */
+  def sloBurnCounters(events: Dataset[Event], spark: SparkSession): Dataset[SloCount] = {
+    import spark.implicits._
+    events.groupByKey(e => "t" + java.lang.Math.floorMod(e.user_id, 4L))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sloFn)
+  }
+
+  private val utcFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+
+  private[streaming] def sloFn(tenant: String, events: Iterator[Event],
+      state: GroupState[SloState]): Iterator[SloCount] = {
+    var hours = state.getOption.map(_.hours).getOrElse(Map.empty)
+    events.foreach { e =>
+      val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      val key = (utcFmt.format(inst),
+        inst.atZone(java.time.ZoneOffset.UTC).getHour)
+      val (n, ne) = hours.getOrElse(key, (0L, 0L))
+      hours += key -> (n + 1L, ne + (if (e.event_type == "error") 1L else 0L))
+    }
+    state.update(SloState(hours))
+    val ordered = hours.toSeq.sortBy(_._1)
+    ordered.zipWithIndex.map { case (((date, hr), (n, ne)), i) =>
+      val frame = ordered.slice(math.max(0, i - 5), i + 1)
+      SloCount(tenant, date, hr, n, ne,
+        frame.map(_._2._1).sum, frame.map(_._2._2).sum)
+    }.iterator
+  }
+
   case class CdcRec(user_id: Long, event_type: String, version: Long,
       n_deletes: Long, last_op: String, last_value: Double)
 

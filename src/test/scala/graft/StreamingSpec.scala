@@ -469,6 +469,31 @@ class StreamingSpec extends SparkSpecBase {
     fin.unpersist()
   }
 
+  test("F18 streaming SLO burn monitor converges to the batch multiwindow alert") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sloBurnCounters(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_slo")
+      .outputMode("update").start()
+    // no watermark state to flush — feed the two halves, no sentinel
+    // (its pmod tenant would pollute t3's counters)
+    val (first, second) = batchEvents.splitAt(batchEvents.size / 2)
+    ms.addData(first); q.processAllAvailable()
+    ms.addData(second); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits every hour per trigger; counters only grow,
+    // so the max-struct per (tenant, date, hour) is the final emission
+    val fin = spark.table("s_slo")
+      .groupBy("tenant_id", "audit_date", "audit_hour")
+      .agg(max(struct(col("n"), col("n_err"), col("n6"), col("err6"))).as("s"))
+      .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
+        col("s.n"), col("s.n_err"), col("s.n6"), col("s.err6"))
+    // the SAME serve projection as the batch query (shared rounding)
+    val got = graft.operators.Audit.sloServe(fin, 100L)
+      .collect().map(_.toSeq).toSet
+    val want = run("audit_slo_burn").collect().map(_.toSeq).toSet
+    assert(got == want, "streaming SLO burn monitor diverges from batch F18")
+  }
+
   test("P2 streaming CDC consumer converges to the batch roundtrip state") {
     import graft.streaming.StreamOps.CdcRec
     // bootstrap load: the stored T1 snapshot, as full post-image records
