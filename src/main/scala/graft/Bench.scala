@@ -25,7 +25,12 @@ object Bench {
     // cost stays visible without polluting the steady-state number.
     val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // optional subset (comma-separated names) — used by the sf1.0
+    // scale-validation runs to bench the heavy queries at 10x data
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     // canary: one fixed cheap NON-REGISTRY plan (the warmup rollup)
