@@ -418,18 +418,21 @@ object Persist {
 
   /** The stored T1 state the P2 consumer bootstraps from (same column
     * shape as the roundtrip output, minus the purge flag). */
-  private[graft] def cdcBase(spark: SparkSession, dir: String): DataFrame =
-    opSnapshotReplay(spark, dir, SnapshotTs)
+  private[graft] def cdcBase(spark: SparkSession, dir: String,
+                             cut: String = SnapshotTs): DataFrame =
+    opSnapshotReplay(spark, dir, cut)
 
   /** P2 produce — the OP-AWARE changefeed (T1 → T2]: D10's snapshot
     * diff computed over the tombstone-aware replays, so a change
     * record carries the entity's new lineage AND its latest op — a
     * `delete` op2 is the CDC tombstone record F10b's purge pass
     * consumes. Non-noop records are what a real feed ships. */
-  private[graft] def cdcFeedOps(spark: SparkSession, dir: String): DataFrame = {
-    val t1 = cdcBase(spark, dir)
+  private[graft] def cdcFeedOps(spark: SparkSession, dir: String,
+                                cut1: String = SnapshotTs,
+                                cut2: String = SnapshotTs2): DataFrame = {
+    val t1 = cdcBase(spark, dir, cut1)
       .select(col("user_id"), col("event_type"), col("version").as("v1"))
-    val t2 = opSnapshotReplay(spark, dir, SnapshotTs2)
+    val t2 = opSnapshotReplay(spark, dir, cut2)
       .select(col("user_id"), col("event_type"), col("version").as("v2"),
         col("n_deletes").as("nd2"), col("last_op").as("op2"),
         col("last_value").as("val2"))
@@ -458,9 +461,11 @@ object Persist {
     * and the final classification ride the same key — at 100 TB the
     * stored base is a table read, the feed is the day's changes, and
     * the merge is one co-partitioned join. */
-  def cdcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = cdcBase(spark, dir)
-    val delta = cdcFeedOps(spark, dir)
+  def cdcRoundtrip(spark: SparkSession, dir: String,
+                   cut1: String = SnapshotTs,
+                   cut2: String = SnapshotTs2): DataFrame = {
+    val base = cdcBase(spark, dir, cut1)
+    val delta = cdcFeedOps(spark, dir, cut1, cut2)
       .filter(col("change_type") =!= "noop")
       .select(col("user_id"), col("event_type"), col("version").as("v2"),
         col("n_deletes").as("nd2"), col("last_op").as("op2"),
@@ -474,7 +479,7 @@ object Persist {
       .withColumn("is_purged", col("last_op") === "delete")
   }
 
-  def cdcRoundtripSql: String =
+  def cdcRoundtripSql(cut2: String = SnapshotTs2): String =
     s"""WITH $appliedSqlCte,
        |ranked AS (
        |  SELECT *,
@@ -482,7 +487,7 @@ object Persist {
        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
        |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
        |  FROM applied
-       |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs2'
+       |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$cut2'
        |)
        |SELECT user_id, event_type,
        |  COUNT(*) AS version,
@@ -909,7 +914,11 @@ object Persist {
     "persist_changefeed" -> (changefeed _),
     "persist_cdc_apply" -> (cdcApply _),
     "persist_conflict_check" -> (conflictCheck _),
-    "pipeline_cdc_roundtrip" -> (cdcRoundtrip _),
+    "pipeline_cdc_roundtrip" -> ((s: SparkSession, d: String) => cdcRoundtrip(s, d)),
+    // a second window: T1 = the default run's T2, T2 eight days later —
+    // proves the roundtrip invariant is window-independent
+    "param_cdc_roundtrip" -> ((s: SparkSession, d: String) =>
+      cdcRoundtrip(s, d, cut1 = SnapshotTs2, cut2 = "2024-01-20 00:00:00")),
     "persist_asof_snapshot" -> (asofSnapshot _))
 
   val oracles: Map[String, String] = Map(
@@ -928,6 +937,7 @@ object Persist {
     "persist_cdc_apply" -> cdcApplySql,
     "persist_conflict_check" -> conflictCheckSql,
     // the produce→apply→classify chain must equal the direct T2 replay
-    "pipeline_cdc_roundtrip" -> cdcRoundtripSql,
+    "pipeline_cdc_roundtrip" -> cdcRoundtripSql(),
+    "param_cdc_roundtrip" -> cdcRoundtripSql(cut2 = "2024-01-20 00:00:00"),
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

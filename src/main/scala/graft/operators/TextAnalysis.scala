@@ -235,6 +235,99 @@ object TextAnalysis {
         (sum(col("surp")).cast("double") / count(lit(1))).as("surprisal"))
   }
 
+  /** Bounded category count for I21's distributions (top tokens +
+    * one pooled OOV bucket). */
+  private val KlVocabK = 200
+
+  /** I21 `text_kl_divergence` — per-source vocabulary KL divergence
+    * from the whole-corpus distribution: the domain-shift measure a
+    * mix planner reads before weighting sources (the token-level
+    * counterpart of F20's PSI on event streams, and the distance
+    * under DSIR's importance weighting, I8). Distributions are over a
+    * BOUNDED category set — the top-[[KlVocabK]] corpus tokens plus a
+    * pooled `<oov>` bucket — with add-one smoothing over the realized
+    * categories, so KL(P_src ‖ Q_corpus) is finite and well-defined
+    * for every source.
+    *
+    * Cross-engine exactness (I6's recipe, tightened): the only
+    * transcendental is the per-category log-ratio, rounded to 9 dp
+    * and cast DECIMAL(28,9); it is then weighted by the INTEGER
+    * smoothed count and summed in decimal — exact, order-insensitive
+    * — with ONE double division by the integer total at the end,
+    * rounded to 6. Scale: one explode+rollup for counts (token-keyed
+    * shuffle, linear), a KlVocabK-row broadcast vocab, and a
+    * sources × categories grid that is broadcast-sized by
+    * construction (sources is a bounded dimension; categories ≤
+    * KlVocabK+1). */
+  def klDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(nonEmptyToks).as("token"))
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = corpus.orderBy(col("c").desc, col("token")).limit(KlVocabK)
+      .select(col("token"), lit(1).as("inv"))
+    val cat = toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("source"),
+        when(col("inv").isNotNull, col("token")).otherwise(lit("<oov>")).as("cat"))
+    val q = cat.groupBy(col("cat")).agg(count(lit(1)).as("c_corpus"))
+    val qTot = q.agg(sum(col("c_corpus")).as("n_corpus"),
+      count(lit(1)).as("n_cats"))
+    val p = cat.groupBy(col("source"), col("cat")).agg(count(lit(1)).as("c_src"))
+    val pTot = p.groupBy(col("source")).agg(sum(col("c_src")).as("n_src"))
+    pTot.crossJoin(broadcast(q))
+      .join(p, Seq("source", "cat"), "left")
+      .na.fill(0L, Seq("c_src"))
+      .crossJoin(broadcast(qTot))
+      .withColumn("lr", round(
+        log(((col("c_src") + 1) * (col("n_corpus") + col("n_cats"))).cast("double") /
+          ((col("n_src") + col("n_cats")) * (col("c_corpus") + 1)).cast("double")), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_tokens"),
+        max(col("n_cats")).as("n_cats"),
+        round(sum((col("c_src") + 1) * col("lr")).cast("double") /
+          (max(col("n_src")) + max(col("n_cats"))), 6).as("kl_to_corpus"))
+      .orderBy(col("source"))
+  }
+
+  def klDivergenceSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents
+       |), corpus AS (
+       |  SELECT token, COUNT(*) AS c FROM t GROUP BY 1
+       |), v AS (
+       |  SELECT token FROM corpus ORDER BY c DESC, token LIMIT $KlVocabK
+       |), cat AS (
+       |  SELECT source,
+       |    CASE WHEN v.token IS NOT NULL THEN t.token ELSE '<oov>' END AS cat
+       |  FROM t LEFT JOIN v ON t.token = v.token
+       |), q AS (
+       |  SELECT cat, COUNT(*) AS c_corpus FROM cat GROUP BY 1
+       |), qt AS (
+       |  SELECT SUM(c_corpus) AS n_corpus, COUNT(*) AS n_cats FROM q
+       |), p AS (
+       |  SELECT source, cat, COUNT(*) AS c_src FROM cat GROUP BY 1, 2
+       |), pt AS (
+       |  SELECT source, SUM(c_src) AS n_src FROM p GROUP BY 1
+       |), grid AS (
+       |  SELECT pt.source, pt.n_src, q.cat, q.c_corpus,
+       |    COALESCE(p.c_src, 0) AS c_src, qt.n_corpus, qt.n_cats
+       |  FROM pt CROSS JOIN q
+       |  LEFT JOIN p ON p.source = pt.source AND p.cat = q.cat
+       |  CROSS JOIN qt
+       |)
+       |SELECT source,
+       |  CAST(MAX(n_src) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(n_cats) AS BIGINT) AS n_cats,
+       |  ROUND(CAST(SUM((c_src + 1) * CAST(ROUND(ln(
+       |      CAST((c_src + 1) * (n_corpus + n_cats) AS DOUBLE)
+       |      / CAST((n_src + n_cats) * (c_corpus + 1) AS DOUBLE)), 9)
+       |      AS DECIMAL(28,9))) AS DOUBLE)
+       |    / (MAX(n_src) + MAX(n_cats)), 6) AS kl_to_corpus
+       |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
   def unigramSurprisalSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
@@ -1347,6 +1440,7 @@ object TextAnalysis {
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_repetition_signals" -> (repetitionSignals _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
+    "text_kl_divergence" -> (klDivergence _),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_lang_id" -> (langId _),
     "text_quality_score" -> (qualityScore _),
@@ -1373,6 +1467,7 @@ object TextAnalysis {
     "text_bpe_pair_stats" -> bpePairStatsSql,
     "text_repetition_signals" -> repetitionSignalsSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
+    "text_kl_divergence" -> klDivergenceSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,

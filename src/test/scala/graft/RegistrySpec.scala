@@ -70,7 +70,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_pmi_collocations", "param_pmi_collocations", // 1-row corpus-totals attach
     "text_kneser_ney", "param_kneser_ney", // 1-row bigram-type-total attach
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
-    "sim_hybrid_rrf") // broadcast query vector + BM25's stats scalar
+    "sim_hybrid_rrf", // broadcast query vector + BM25's stats scalar
+    "text_kl_divergence") // bounded sources × ≤201-category broadcast grid + 1-row totals attach
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -235,6 +236,7 @@ class RegistrySpec extends SparkSpecBase {
     "dedup_novelty_fraction" -> 3, // shingle first-doc agg + shingle join-back + doc rollup
     "persist_cdc_apply" -> 4, // T1 replay + changefeed's two replays + entity-key merge join
     "pipeline_cdc_roundtrip" -> 3, // shared T1 subtree + T2 replay + merge (diff/apply ride the entity exchange)
+    "param_cdc_roundtrip" -> 3,
     "api_obs_gapfill" -> 3, // (patient,day) rollup + patient spine + fill window
     "param_obs_gapfill" -> 3,
     "sim_mrl_eval" -> 14, // ground-truth topk + per-fraction truncated topk/hit joins (500-row metadata shuffles)
@@ -333,7 +335,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_rolling_fingerprint" -> 0,
     "text_tfidf_top_terms" -> 5,
     "text_token_count" -> 0,
-    "text_unigram_surprisal" -> 3
+    "text_unigram_surprisal" -> 3,
+    "text_kl_divergence" -> 7 // token rollup (corpus-scale) + 6 vocab/source-keyed metadata rollups/serves
 )
 
   /** The documented O(n²) correctness baselines — the ONLY queries
