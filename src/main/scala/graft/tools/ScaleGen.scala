@@ -31,17 +31,20 @@ import org.apache.spark.sql.functions._
   * `sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 target/scale/sf1.0 10"`
   */
 object ScaleGen {
-  private val Off = 10000000L // per-replica key offset (≡ 0 mod 4)
+  val Off = 10000000L // per-replica key offset (≡ 0 mod 4)
 
   def main(args: Array[String]): Unit = {
-    val in = args(0)
-    val out = args(1)
-    val reps = args(2).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.Engine.builder(s"local[$cpus]", cpus.toInt)
       .appName("graft-scalegen").getOrCreate()
     graft.Engine.configure(spark)
+    run(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
 
+  /** The replication itself, callable from specs (ScaleGenSpec pins
+    * the replica properties the SCALING analysis relies on). */
+  def run(spark: SparkSession, in: String, out: String, reps: Int): Unit = {
     def replicate(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$in/$table.parquet")
       val all = (0 until reps).map(k => xform(base, k)).reduce(_ unionAll _)
@@ -77,6 +80,5 @@ object ScaleGen {
          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
            s"slice(embedding, 1, $k))")))
         .withColumn("vec_id", shift("vec_id", k)))
-    spark.stop()
   }
 }
