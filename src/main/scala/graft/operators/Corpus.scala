@@ -187,9 +187,16 @@ object Corpus {
     * the tiny blocks table only, broadcast-joined back, (3) a
     * within-block running sum windowed per block. Every unbounded
     * window here is over a bounded row set. */
-  def pack(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(nonEmptyToks).as("n_tokens"))
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    packFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), size(nonEmptyToks).as("n_tokens")))
+
+  /** The two-level prefix-scan packing over any (doc_id, n_tokens)
+    * frame — shared by M4 and P3's fused pipeline (blocks over a
+    * FILTERED corpus are sparse but block order still equals doc
+    * order, so the scan stays correct). */
+  private[operators] def packFrom(docsTok: DataFrame): DataFrame = {
+    val docs = docsTok
       .withColumn("block", floor(col("doc_id") / lit(PackBlock)).cast("long"))
     val blockTotals = docs.groupBy(col("block"))
       .agg(sum(col("n_tokens")).as("block_total"))
@@ -224,6 +231,95 @@ object Corpus {
        |  SELECT doc_id, n_tokens,
        |    -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, which the
        |    -- harness canonicalizes as float
+       |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS token_offset
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens, token_offset,
+       |  token_offset // $SeqLen AS seq_first,
+       |  (token_offset + GREATEST(n_tokens, 1) - 1) // $SeqLen AS seq_last
+       |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- P3
+
+  /** P3 `pipeline_corpus_prep` — the TRAINING-DATA pipeline as ONE
+    * fused plan, the G/I/M-family counterpart of P1's ETL chain:
+    * documents → quality funnel keep slice (M9's first-failing-rule
+    * verdict) → exact normalized-fingerprint dedup, first occurrence
+    * wins (G2's normalization) → benchmark decontamination (G8's
+    * rule: drop any surviving train doc sharing a word trigram with
+    * the held-out doc_id % 10 slice) → GPT-style sequence packing of
+    * the survivor corpus (M4's two-level prefix scan). The served
+    * row is the packed-corpus manifest: per surviving doc its token
+    * count, global token offset, and first/last sequence — exactly
+    * what a trainer's data loader consumes.
+    *
+    * Every stage is the SAME operator its standalone query serves,
+    * fused — "switch to this library" for the corpus side. Scale:
+    * the funnel is scan-project; the dedup is one fingerprint-keyed
+    * shuffle; decontamination is a shingle-keyed join (benchmark
+    * side AQE-broadcast when it fits); the packing scan shuffles
+    * only block totals. No stage re-reads the corpus. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.Tables.documents(spark, dir)
+      .filter(qualityVerdict === "keep")
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = kept
+      .withColumn("fp", md5(Dedup.normText.cast("binary")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+    val sh = Dedup.shingles(spark, dir, 3)
+    val contaminated = sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("shingle")).distinct(), "shingle")
+      .select(col("doc_id")).distinct()
+    val clean = deduped
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    packFrom(clean.select(col("doc_id"), size(nonEmptyToks).as("n_tokens")))
+  }
+
+  def corpusPrepSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      CASE
+       |        WHEN n_words < 10 THEN 'too_short'
+       |        WHEN CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.5
+       |          THEN 'too_repetitive'
+       |        WHEN CAST(punct AS DOUBLE) / CAST(n_len AS DOUBLE) > 0.3
+       |          THEN 'too_punct'
+       |        ELSE 'keep'
+       |      END AS verdict
+       |    FROM (
+       |      SELECT doc_id, text,
+       |        len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_words,
+       |        len(list_distinct(list_filter(str_split(text, ' '), x -> x <> '')))
+       |          AS n_distinct,
+       |        length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct,
+       |        length(text) AS n_len
+       |      FROM documents))
+       |  WHERE verdict = 'keep'
+       |), dd AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(${Dedup.normTextSql}) ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1
+       |), ${Dedup.shinglesSql(3)},
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id FROM sh t JOIN sh b ON t.shingle = b.shingle
+       |  WHERE b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+       |), clean AS (
+       |  SELECT q.doc_id, q.text FROM q JOIN dd USING (doc_id)
+       |  WHERE q.doc_id % 10 <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+       |), d AS (
+       |  SELECT doc_id,
+       |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM clean
+       |), o AS (
+       |  SELECT doc_id, n_tokens,
        |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
        |      AS token_offset
@@ -448,7 +544,9 @@ object Corpus {
     * are exact-integer ratios (bit-identical cross-engine). Scale:
     * pure scan-project — no shuffle, no joins; the funnel of a
     * 100 TB corpus costs one pass. */
-  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's first-failing-rule verdict as a Column — shared
+    * with P3's fused quality stage. */
+  private[operators] def qualityVerdict: Column = {
     val w = nonEmptyToks
     val nWords = size(w)
     val nDistinct = size(array_distinct(w))
@@ -456,14 +554,16 @@ object Corpus {
     // (the synthetic corpus is lowercase, but the rule must hold for
     // mixed-case corpora too)
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-    val verdict =
-      when(nWords < 10, "too_short")
-        .when(nDistinct.cast("double") / nWords.cast("double") < 0.5, "too_repetitive")
-        .when(punct.cast("double") / length(col("text")).cast("double") > 0.3, "too_punct")
-        .otherwise("keep")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), nWords.as("n_words"), verdict.as("verdict"))
+    when(nWords < 10, "too_short")
+      .when(nDistinct.cast("double") / nWords.cast("double") < 0.5, "too_repetitive")
+      .when(punct.cast("double") / length(col("text")).cast("double") > 0.3, "too_punct")
+      .otherwise("keep")
   }
+
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(nonEmptyToks).as("n_words"),
+        qualityVerdict.as("verdict"))
 
   def qualityFunnelSql: String =
     """SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
@@ -701,6 +801,7 @@ object Corpus {
     "corpus_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "corpus_token_budget" -> (tokenBudget _),
     "corpus_quality_funnel" -> (qualityFunnel _),
+    "pipeline_corpus_prep" -> (corpusPrep _),
     "corpus_shuffle_shards" -> (shuffleShards _),
     "corpus_split_leakfree" -> (splitLeakFree _),
     "corpus_resample" -> (resample _),
@@ -718,6 +819,8 @@ object Corpus {
     "corpus_length_buckets" -> lengthBucketsSql(),
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_quality_funnel" -> qualityFunnelSql,
+    // the fused chain must equal the stage-by-stage CTE composition
+    "pipeline_corpus_prep" -> corpusPrepSql,
     "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_split_leakfree" -> splitLeakFreeSql,
     "corpus_resample" -> resampleSql,

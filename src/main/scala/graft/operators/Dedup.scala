@@ -26,7 +26,7 @@ object Dedup {
     * range(1, len-n+2) + element_at construction index-for-index so
     * both engines shingle identically. Guarded for short docs
     * (Spark's sequence() counts DOWN when start > stop). */
-  private def shingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  private[operators] def shingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val w = col("w")
     val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
       .otherwise(array().cast("array<int>"))
@@ -39,7 +39,7 @@ object Dedup {
   }
 
   /** SQL fragment producing the identical shingle set in DuckDB. */
-  private def shinglesSql(n: Int): String = {
+  private[operators] def shinglesSql(n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
@@ -63,16 +63,23 @@ object Dedup {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** G2's normalized text (lowercase, punctuation stripped, whitespace
+    * collapsed) — shared with P3's fused dedup stage. */
+  private[operators] def normText: Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+
+  /** The same normalization in DuckDB SQL. */
+  private[operators] def normTextSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** G2 `dedup_fingerprint` — dedup on a normalized fingerprint
     * (lowercase, punctuation stripped, whitespace collapsed) so
     * formatting-only variants collapse. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
-      "[^a-z0-9 ]", " "), " +", " "))
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(md5(norm.cast("binary")).as("fingerprint"))
+      .groupBy(md5(normText.cast("binary")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-  }
 
   def fingerprintSql: String =
     """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
