@@ -260,7 +260,10 @@ object Corpus {
     * the funnel is scan-project; the dedup is one fingerprint-keyed
     * shuffle; decontamination is a shingle-keyed join (benchmark
     * side AQE-broadcast when it fits); the packing scan shuffles
-    * only block totals. No stage re-reads the corpus. */
+    * only block totals. The corpus text is scanned twice — once for
+    * the funnel→dedup chain, once for the shingle derivation (the
+    * same two-scan shape as running G8 beside a filter pass); every
+    * other stage consumes keyed intermediates. */
   def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
     val kept = graft.Tables.documents(spark, dir)
       .filter(qualityVerdict === "keep")

@@ -284,7 +284,7 @@ class RegistrySpec extends SparkSpecBase {
     "persist_upsert_bucketed" -> 0,
     "persist_upsert_version" -> 1,
     "pipeline_end_to_end" -> 1,
-    "pipeline_corpus_prep" -> 8, // fp-window dedup + shingle distinct/join/anti (all doc- or shingle-keyed) + pack's block-total scan; corpus itself read once
+    "pipeline_corpus_prep" -> 8, // fp-window dedup + shingle distinct/join/anti (all doc- or shingle-keyed) + pack's block-total scan; two corpus text scans (chain + shingles)
     "q1_incremental" -> 3, // base partials + tail partials + merge
     "q1_pricing_summary" -> 1,
     "q1_rollup" -> 2, // q1-shaped partial agg + 6-row rollup
