@@ -148,6 +148,46 @@ object Analytics {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** K32 `k32_grouping_sets` — GROUPING SETS, the general form
+    * completing the OLAP-shape family beside K27's ROLLUP (the
+    * hierarchical special case) and K28's PIVOT (the transposed one):
+    * exactly the marginal reports the caller picks — per-service, per
+    * -tenant, and the grand total over the audit metric stream, with
+    * NO (service, tenant) cross cells (the point of GROUPING SETS:
+    * you don't pay for levels you didn't ask for). K27's two-level
+    * economics: the finest (service, tenant) pair aggregates FIRST
+    * into mergeable decimal partials (one corpus-scale shuffle), the
+    * grouping-set expansion runs over those few dozen partial rows,
+    * and GROUPING() flags disambiguate a real NULL key from a
+    * marginal row — identical semantics in the DuckDB oracle. */
+  def k32GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .groupBy(Audit.serviceCol.as("service"), Obs.tenant.as("tenant_id"))
+      .agg(count(lit(1)).as("p_n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("p_v"))
+    base
+      .groupingSets(
+        Seq(Seq(col("service")), Seq(col("tenant_id")), Seq()),
+        col("service"), col("tenant_id"))
+      .agg(sum(col("p_n")).as("n_events"),
+        sum(col("p_v")).cast("double").as("value_sum"),
+        grouping(col("service")).as("g_service"),
+        grouping(col("tenant_id")).as("g_tenant"))
+  }
+
+  def k32GroupingSetsSql: String =
+    """SELECT
+      |  CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+      |       WHEN event_type = 'purchase' THEN 'persist'
+      |       ELSE 'dlq' END AS service,
+      |  't' || (user_id % 4) AS tenant_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  CAST(GROUPING(service) AS TINYINT) AS g_service,
+      |  CAST(GROUPING(tenant_id) AS TINYINT) AS g_tenant
+      |FROM events
+      |GROUP BY GROUPING SETS ((service), (tenant_id), ())""".stripMargin
+
   /** K28 `q1_pivot` — the revenue matrix returnflag × linestatus via
     * relational PIVOT: one row per flag, one column per status. The
     * pivot VALUES are pinned (F, O — the contract every pivot needs
@@ -1413,6 +1453,7 @@ object Analytics {
     "q1_pricing_summary" -> ((s, d) => q1PricingSummary(s, d)),
     "q1_incremental" -> ((s, d) => q1Incremental(s, d)),
     "q1_rollup" -> (q1Rollup _),
+    "k32_grouping_sets" -> (k32GroupingSets _),
     "q1_pivot" -> (q1Pivot _),
     "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
     "q5_join_chain" -> ((s, d) => q5JoinChain(s, d)),
@@ -1463,6 +1504,7 @@ object Analytics {
     // incremental maintenance must reproduce the full recompute bit-for-bit
     "q1_incremental" -> q1Sql(),
     "q1_rollup" -> q1RollupSql,
+    "k32_grouping_sets" -> k32GroupingSetsSql,
     "q1_pivot" -> q1PivotSql,
     "q3_shipping_priority" -> q3Sql(),
     "q5_join_chain" -> q5Sql(),
