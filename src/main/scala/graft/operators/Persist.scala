@@ -422,6 +422,50 @@ object Persist {
                              cut: String = SnapshotTs): DataFrame =
     opSnapshotReplay(spark, dir, cut)
 
+  /** D14 `persist_export_manifest` — the snapshot-export INTEGRITY
+    * MANIFEST a CDC bootstrap consumer verifies before tailing the
+    * feed (P2's `cdcApplyState` loads exactly this export): per
+    * tenant, entity/live/tombstone counts, the version mass, and an
+    * order-insensitive integer state checksum
+    * (Σ user_id·version — exact BIGINT on both engines, so a dropped
+    * or duplicated entity in the export is detected without sorting
+    * or string concatenation). This is the Delta/Iceberg snapshot
+    * manifest shape (row counts + content digest per file/partition)
+    * applied to the entity state. One rollup over the snapshot —
+    * the snapshot subtree is D4/D9's single entity-key shuffle. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame =
+    cdcBase(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(when(col("last_op") === "put", 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("last_op") === "delete", 1L).otherwise(0L)).as("n_tombstoned"),
+        sum(col("version")).as("version_sum"),
+        sum(col("user_id") * col("version")).as("state_checksum"))
+
+  def exportManifestSql: String =
+    s"""WITH $appliedSqlCte,
+       |ranked AS (
+       |  SELECT *,
+       |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS latest_rn
+       |  FROM applied
+       |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$SnapshotTs'
+       |), state AS (
+       |  SELECT user_id, event_type, COUNT(*) AS version,
+       |    MAX(CASE WHEN latest_rn = 1 THEN op END) AS last_op
+       |  FROM ranked GROUP BY 1, 2
+       |)
+       |SELECT 't' || (user_id % 4) AS tenant_id,
+       |  COUNT(*) AS n_entities,
+       |  CAST(SUM(CASE WHEN last_op = 'put' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_live,
+       |  CAST(SUM(CASE WHEN last_op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tombstoned,
+       |  CAST(SUM(version) AS BIGINT) AS version_sum,
+       |  CAST(SUM(user_id * version) AS BIGINT) AS state_checksum
+       |FROM state GROUP BY 1""".stripMargin
+
   /** P2 produce — the OP-AWARE changefeed (T1 → T2]: D10's snapshot
     * diff computed over the tombstone-aware replays, so a change
     * record carries the entity's new lineage AND its latest op — a
@@ -915,6 +959,7 @@ object Persist {
     "persist_cdc_apply" -> (cdcApply _),
     "persist_conflict_check" -> (conflictCheck _),
     "pipeline_cdc_roundtrip" -> ((s: SparkSession, d: String) => cdcRoundtrip(s, d)),
+    "persist_export_manifest" -> (exportManifest _),
     // a second window: T1 = the default run's T2, T2 eight days later —
     // proves the roundtrip invariant is window-independent
     "param_cdc_roundtrip" -> ((s: SparkSession, d: String) =>
@@ -938,6 +983,7 @@ object Persist {
     "persist_conflict_check" -> conflictCheckSql,
     // the produce→apply→classify chain must equal the direct T2 replay
     "pipeline_cdc_roundtrip" -> cdcRoundtripSql(),
+    "persist_export_manifest" -> exportManifestSql,
     "param_cdc_roundtrip" -> cdcRoundtripSql(cut2 = "2024-01-20 00:00:00"),
     "persist_asof_snapshot" -> asofSnapshotSql)
 }

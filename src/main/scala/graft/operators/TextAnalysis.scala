@@ -259,12 +259,13 @@ object TextAnalysis {
     * sources × categories grid that is broadcast-sized by
     * construction (sources is a bounded dimension; categories ≤
     * KlVocabK+1). */
-  def klDivergence(spark: SparkSession, dir: String): DataFrame = {
+  def klDivergence(spark: SparkSession, dir: String,
+                   vocabK: Int = KlVocabK): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(nonEmptyToks).as("token"))
     val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val vocab = corpus.orderBy(col("c").desc, col("token")).limit(KlVocabK)
+    val vocab = corpus.orderBy(col("c").desc, col("token")).limit(vocabK)
       .select(col("token"), lit(1).as("inv"))
     val cat = toks.join(broadcast(vocab), Seq("token"), "left")
       .select(col("source"),
@@ -290,7 +291,7 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  def klDivergenceSql: String =
+  def klDivergenceSql(vocabK: Int = KlVocabK): String =
     s"""WITH t AS (
        |  SELECT source,
        |    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
@@ -298,7 +299,7 @@ object TextAnalysis {
        |), corpus AS (
        |  SELECT token, COUNT(*) AS c FROM t GROUP BY 1
        |), v AS (
-       |  SELECT token FROM corpus ORDER BY c DESC, token LIMIT $KlVocabK
+       |  SELECT token FROM corpus ORDER BY c DESC, token LIMIT $vocabK
        |), cat AS (
        |  SELECT source,
        |    CASE WHEN v.token IS NOT NULL THEN t.token ELSE '<oov>' END AS cat
@@ -327,6 +328,158 @@ object TextAnalysis {
        |      AS DECIMAL(28,9))) AS DOUBLE)
        |    / (MAX(n_src) + MAX(n_cats)), 6) AS kl_to_corpus
        |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
+  /** I22 `text_lexical_diversity` — per-source lexical-diversity
+    * report: the vocabulary-growth signals (Heaps-law inputs) a
+    * corpus curator reads beside I21's KL distance when deciding
+    * whether a source is genuinely diverse or template spam —
+    * type/token ratio, hapax fraction (share of vocabulary seen
+    * exactly once), and the share of TOKEN MASS carried by the
+    * source's top-10 types (concentration; near 1.0 = boilerplate).
+    * Everything is exact integer counts until one final double
+    * division per ratio, so cross-engine hashes are exact.
+    * Scale: one explode + (source, token)-keyed rollup (the linear
+    * token shuffle every I-op pays), then a bounded per-source
+    * rollup; top-10 mass is a rank window inside the (source, token)
+    * aggregate — partitioned by source, never global. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tt = Tables.documents(spark, dir)
+      .select(col("source"), explode(nonEmptyToks).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val ranked = tt.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("token"))))
+    ranked.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("top10_mass"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"),
+        (col("top10_mass").cast("double") / col("n_tokens")).as("top10_token_share"))
+      .orderBy(col("source"))
+  }
+
+  def lexicalDiversitySql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents
+      |), tt AS (
+      |  SELECT source, token, COUNT(*) AS c FROM t GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |                               ORDER BY c DESC, token) AS rnk
+      |  FROM tt
+      |)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS hapax_frac,
+      |  CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE) AS top10_token_share
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  /** I23 `text_langid_trained` — a TRAINED language classifier
+    * (supervised counterpart of I1's fixed stopword heuristic): per
+    * language, a char-bigram multinomial is fit from the labeled
+    * corpus itself (add-one smoothing over the GLOBAL bigram type
+    * set, so every language normalizes over the same categories);
+    * each document is re-scored under all five models and argmaxed;
+    * the served result is the confusion matrix (lang,
+    * predicted_lang, n_docs) — the eval a data curator actually
+    * reads (sim_knn_classify's discipline, on text).
+    *
+    * Cross-engine exactness: the only transcendental is the per
+    * (lang, bigram) log-prob, rounded to 9 dp and cast
+    * DECIMAL(28,9); each doc's score is Σ count·logprob in exact
+    * decimal; argmax compares decimals with lang-order tie-break.
+    * Scale: the MODEL is bounded (langs × charset² rows) and
+    * broadcast; docs pay one bigram explode + (doc, bigram) rollup
+    * (linear, the I-family token shuffle); scoring is a broadcast
+    * join + doc-keyed rollup — no all-pairs anything. */
+  def langIdTrained(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    // (doc, bigram) counts — one linear explode over positions
+    val bi = docs
+      .select(col("doc_id"), col("lang"), col("text"), explode(sequence(lit(1),
+        greatest(length(col("text")) - 1, lit(1)))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(text, i, 2)").as("bg"))
+    val docBg = bi.groupBy(col("doc_id"), col("lang"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    // per-language bigram counts + global type set
+    val lb = docBg.groupBy(col("lang").as("m_lang"), col("bg"))
+      .agg(sum(col("c")).as("c_lang"))
+    val types = lb.select(col("bg")).distinct()
+    val nTypes = types.agg(count(lit(1)).as("n_types"))
+    val langTot = lb.groupBy(col("m_lang")).agg(sum(col("c_lang")).as("n_lang"))
+    // dense model grid: every (lang, bigram type), add-one smoothed
+    val model = langTot.crossJoin(broadcast(types))
+      .join(lb, Seq("m_lang", "bg"), "left").na.fill(0L, Seq("c_lang"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("m_lang"), col("bg"),
+        round(log((col("c_lang") + 1).cast("double") /
+          (col("n_lang") + col("n_types")).cast("double")), 9)
+          .cast(DecimalType(28, 9)).as("logp"))
+    // score every doc under every language model
+    val scored = docBg.join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+      .agg(sum(col("c") * col("logp")).as("score"))
+    // argmax with ascending-lang tie-break: max(struct) wins on the
+    // highest preference rank, which is assigned reverse-alphabetical
+    val pref = langs.map(_._1).sorted.reverse.zipWithIndex
+      .foldLeft(lit(-1)) { case (els, (l, i)) =>
+        when(col("m_lang") === l, lit(i)).otherwise(els) }
+    val best = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(max(struct(col("score"), pref.as("pref"),
+        col("m_lang"))).as("top"))
+      .select(col("doc_id"), col("lang"), col("top.m_lang").as("predicted_lang"))
+    best.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  def langIdTrainedSql: String =
+    """WITH bi AS (
+      |  SELECT doc_id, lang, substr(text, i, 2) AS bg
+      |  FROM documents,
+      |    UNNEST(generate_series(1, greatest(length(text) - 1, 1))) AS u(i)
+      |), doc_bg AS (
+      |  SELECT doc_id, lang, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3
+      |), lb AS (
+      |  SELECT lang AS m_lang, bg, SUM(c) AS c_lang FROM doc_bg GROUP BY 1, 2
+      |), types AS (SELECT DISTINCT bg FROM lb
+      |), nt AS (SELECT COUNT(*) AS n_types FROM types
+      |), lt AS (SELECT m_lang, SUM(c_lang) AS n_lang FROM lb GROUP BY 1
+      |), model AS (
+      |  SELECT lt.m_lang, types.bg,
+      |    CAST(ROUND(ln(CAST(COALESCE(lb.c_lang, 0) + 1 AS DOUBLE)
+      |      / CAST(lt.n_lang + nt.n_types AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS logp
+      |  FROM lt CROSS JOIN types
+      |  LEFT JOIN lb ON lb.m_lang = lt.m_lang AND lb.bg = types.bg
+      |  CROSS JOIN nt
+      |), scored AS (
+      |  SELECT d.doc_id, d.lang, m.m_lang, SUM(d.c * m.logp) AS score
+      |  FROM doc_bg d JOIN model m ON d.bg = m.bg
+      |  GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT doc_id, lang,
+      |    MAX({'s': score,
+      |         'r': CASE m_lang WHEN 'de' THEN 4 WHEN 'en' THEN 3
+      |              WHEN 'es' THEN 2 WHEN 'fr' THEN 1 WHEN 'zh' THEN 0
+      |              ELSE -1 END,
+      |         'm': m_lang}).m AS predicted_lang
+      |  FROM scored GROUP BY 1, 2
+      |)
+      |SELECT lang, predicted_lang, COUNT(*) AS n_docs
+      |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def unigramSurprisalSql: String =
     s"""WITH t AS (
@@ -1440,7 +1593,11 @@ object TextAnalysis {
     "text_bpe_pair_stats" -> (bpePairStats _),
     "text_repetition_signals" -> (repetitionSignals _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
-    "text_kl_divergence" -> (klDivergence _),
+    "text_kl_divergence" -> ((s: SparkSession, d: String) => klDivergence(s, d)),
+    "text_lexical_diversity" -> (lexicalDiversity _),
+    "text_langid_trained" -> (langIdTrained _),
+    "param_kl_divergence" -> ((s: SparkSession, d: String) =>
+      klDivergence(s, d, vocabK = 50)),
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_lang_id" -> (langId _),
     "text_quality_score" -> (qualityScore _),
@@ -1467,7 +1624,10 @@ object TextAnalysis {
     "text_bpe_pair_stats" -> bpePairStatsSql,
     "text_repetition_signals" -> repetitionSignalsSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
-    "text_kl_divergence" -> klDivergenceSql,
+    "text_kl_divergence" -> klDivergenceSql(),
+    "text_lexical_diversity" -> lexicalDiversitySql,
+    "text_langid_trained" -> langIdTrainedSql,
+    "param_kl_divergence" -> klDivergenceSql(vocabK = 50),
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,

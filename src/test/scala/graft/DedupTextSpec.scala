@@ -613,6 +613,63 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("I22 lexical diversity: matches a driver recount per source") {
+    val rows = run("text_lexical_diversity").collect()
+    val bySource = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val toks = bySource(r.getAs[String]("source"))
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val counts = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val nTok = toks.length.toLong
+      val nTypes = counts.size.toLong
+      val hapax = counts.values.count(_ == 1L).toLong
+      val top10 = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._2).sum
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_types") == nTypes)
+      assert(r.getAs[Double]("type_token_ratio") == nTypes.toDouble / nTok)
+      assert(r.getAs[Double]("hapax_frac") == hapax.toDouble / nTypes)
+      assert(r.getAs[Double]("top10_token_share") == top10.toDouble / nTok)
+    }
+  }
+
+  test("I23 trained langid: matrix accounts for every doc; argmax matches a driver rescore") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+    val m = run("text_langid_trained").collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // row sums = per-lang doc counts (nothing dropped or double-counted)
+    val rowSums = m.groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n_docs")).sum }
+    assert(rowSums == docs.groupBy(_.getString(1)).map { case (l, ds) => l -> ds.size.toLong })
+    // driver re-derivation of the full model + rescore, same rounding recipe
+    def bigrams(t: String): Seq[String] =
+      (1 to math.max(t.length - 1, 1)).map(i => t.slice(i - 1, math.min(i + 1, t.length)))
+    val docBg = docs.map(r => (r.getLong(0), r.getString(1),
+      bigrams(r.getString(2)).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }))
+    val langCounts = docBg.groupBy(_._2).map { case (l, ds) =>
+      l -> ds.flatMap(_._3).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum } }
+    val types = langCounts.values.flatMap(_.keys).toSet
+    val nTypes = types.size.toLong
+    val langTot = langCounts.map { case (l, c) => l -> c.values.sum }
+    val logp: Map[(String, String), BigDecimal] = (for {
+      l <- langCounts.keys; b <- types
+    } yield (l, b) -> BigDecimal(math.rint(math.log(
+      (langCounts(l).getOrElse(b, 0L) + 1).toDouble / (langTot(l) + nTypes)) * 1e9) / 1e9))
+      .toMap
+    val predicted = docBg.map { case (id, l, cnt) =>
+      val best = langCounts.keys.toSeq
+        .map(ml => (cnt.map { case (b, c) => logp((ml, b)) * c }.sum, ml))
+        .sortBy { case (s, ml) => (-s, ml) }.head._2
+      (l, best)
+    }
+    val expectMatrix = predicted.groupBy(identity)
+      .map { case ((l, p), xs) => (l, p) -> xs.size.toLong }
+    val gotMatrix = m.map(r => (r.getAs[String]("lang"),
+      r.getAs[String]("predicted_lang")) -> r.getAs[Long]("n_docs")).toMap
+    assert(gotMatrix == expectMatrix)
+  }
+
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
     val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
     assert(rows.length == 30)

@@ -71,7 +71,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_kneser_ney", "param_kneser_ney", // 1-row bigram-type-total attach
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
     "sim_hybrid_rrf", // broadcast query vector + BM25's stats scalar
-    "text_kl_divergence") // bounded sources × ≤201-category broadcast grid + 1-row totals attach
+    "text_kl_divergence", "param_kl_divergence", // bounded sources × ≤201-category broadcast grid + 1-row totals attach
+    "text_langid_trained") // bounded langs × charset² model grid + 1-row type-count attach
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -337,7 +338,11 @@ class RegistrySpec extends SparkSpecBase {
     "text_tfidf_top_terms" -> 5,
     "text_token_count" -> 0,
     "text_unigram_surprisal" -> 3,
-    "text_kl_divergence" -> 7 // token rollup (corpus-scale) + 6 vocab/source-keyed metadata rollups/serves
+    "text_kl_divergence" -> 7, // token rollup (corpus-scale) + 6 vocab/source-keyed metadata rollups/serves
+    "param_kl_divergence" -> 7, // same plan shape, smaller vocab
+    "text_lexical_diversity" -> 4, // token rollup + source window + rollup + sort
+    "text_langid_trained" -> 13 // doc-scale: docBg/score/argmax/matrix rollups; rest are bounded model-side (lb/types/totals) metadata exchanges
+
 )
 
   /** The documented O(n²) correctness baselines — the ONLY queries
