@@ -463,6 +463,179 @@ object Graph {
        |ORDER BY n_nodes DESC, component LIMIT $limit""".stripMargin
   }
 
+  /** Memoized converged rank tables for [[personalizedPagerank]]
+    * (bfsCache discipline). */
+  private val pprCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** O5 `graph_ppr` — PERSONALIZED PageRank: teleport mass restarts
+    * at a seed set (one brand's parts — O3's seeds) instead of
+    * uniformly, giving "importance relative to these products" — the
+    * related-item ranker behind seeded recommendation retrieval
+    * (vs O1's global importance). Same BIGINT fixed-point recurrence
+    * as O1 with the teleport term gated on seed membership:
+    * r0 = SCALE·[v ∈ S], r' = [v ∈ S]·0.15·SCALE +
+    * (85 · Σ_u floor(r_u / deg_u)) div 100 — engine-exact, no float
+    * order sensitivity. Non-seed nodes unreached by any path hold
+    * rank 0 and are filtered from the serve (rank > 0), so the
+    * result is the seed community ranked by proximity-weighted mass.
+    *
+    * Scale: identical economics to O1 (adjacency cached once, each
+    * round ONE src-keyed join + ONE dst-keyed partial agg + a
+    * broadcast seed-flag attach); the seed table is a brand slice —
+    * bounded, broadcast. Deep-iters safety via the same per-round
+    * localCheckpoint memo. */
+  def personalizedPagerank(spark: SparkSession, dir: String,
+                           brand: String = "Brand#1", minSupport: Int = 1,
+                           iters: Int = 5, limit: Int = 100): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val pmtime = Tables.mtime(spark, s"$dir/part.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:ppr:$brand:" +
+      s"$minSupport:$iters:$mtime:$pmtime"
+    val ranksFinal = pprCache.computeIfAbsent(key, _ => {
+      val e = directedEdges(spark, dir, minSupport)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "node")
+      val adj = e.join(deg, e("src") === deg("node")).select(
+        col("src"), col("dst"), col("d")).cache()
+      val seeds = Tables.part(spark, dir)
+        .filter(col("p_brand") === brand)
+        .select(col("p_partkey").as("node"), lit(1).as("is_seed"))
+      var ranks = deg.select(col("node"))
+        .join(broadcast(seeds), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed") === 1, lit(Scale)).otherwise(lit(0L))
+            .cast("long").as("rank"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        ranks = adj.join(ranks, adj("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("rank div d")).as("s"))
+          .select(col("dst").as("node"),
+            expr("(85 * CAST(s AS DECIMAL(38,0))) div 100").as("m"))
+          .join(broadcast(seeds), Seq("node"), "left")
+          .select(col("node"),
+            (when(col("is_seed") === 1, lit(15L * Scale / 100))
+              .otherwise(lit(0L)) + col("m")).cast("long").as("rank"))
+          .localCheckpoint()
+      }
+      adj.unpersist(blocking = false)
+      ranks
+    })
+    ranksFinal.filter(col("rank") > 0)
+      .select(col("node").as("part"), col("rank").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("part"))
+      .limit(limit)
+  }
+
+  def personalizedPagerankSql(brand: String = "Brand#1",
+                              minSupport: Int = 1, iters: Int = 5,
+                              limit: Int = 100): String = {
+    val base =
+      s"""WITH ${pairsSqlCte.format(minSupport)},
+         |$edgesSqlCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+         |adj AS MATERIALIZED (SELECT e.src, e.dst, d.d FROM edges e
+         |        JOIN deg d ON e.src = d.node),
+         |seeds AS (SELECT p_partkey AS node, 1 AS is_seed FROM part
+         |          WHERE p_brand = '$brand'),
+         |r0 AS (SELECT deg.node,
+         |         CAST(CASE WHEN s.is_seed = 1 THEN $Scale ELSE 0 END
+         |              AS BIGINT) AS rank
+         |       FROM deg LEFT JOIN seeds s ON deg.node = s.node)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT m.node,
+         |    CAST(CASE WHEN s.is_seed = 1 THEN ${15L * Scale / 100}
+         |         ELSE 0 END + m.m AS BIGINT) AS rank
+         |  FROM (SELECT a.dst AS node, (85 * SUM(r.rank // a.d)) // 100 AS m
+         |        FROM adj a JOIN r${i - 1} r ON a.src = r.node
+         |        GROUP BY 1) m
+         |  LEFT JOIN seeds s ON m.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT node AS part, rank AS rank_fp FROM r$iters WHERE rank > 0
+       |ORDER BY rank_fp DESC, part LIMIT $limit""".stripMargin
+  }
+
+  /** O6 `graph_clustering_coef` — local clustering coefficient per
+    * node: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over nodes with
+    * deg ≥ 2 — O2's triangle counts normalized by the neighborhood's
+    * possible edges, the standard community-density score (a part
+    * whose co-purchase neighbors also co-purchase each other anchors
+    * a coherent basket theme; a hub with cc≈0 is a generic staple).
+    *
+    * Exactness: T and deg are exact integers; the one division is
+    * exact-int → double, bit-identical cross-engine (I-family rule).
+    * Scale: same compact-forward subtree as O2 (wedge work bounded
+    * O(m^1.5), no wedge table materialized) + one node-keyed join
+    * against the degree rollup. Serve: coefficient desc (then part)
+    * over triangle-bearing nodes, top-k. */
+  def clusteringCoefficient(spark: SparkSession, dir: String,
+                            minSupport: Int = 1, limit: Int = 100): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+    val canon = cachedCanonicalEdges(spark, dir, minSupport)
+      .join(deg.select(col("node"), col("d").as("da")), col("src") === col("node"))
+      .drop("node")
+      .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
+      .drop("node")
+    val oriented = registeredCache(
+      s"${System.identityHashCode(spark)}:$dir:$minSupport:oriented",
+      Tables.mtime(spark, s"$dir/lineitem.parquet"))(
+      canon.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v")))
+          .as("o"))
+        .select(col("o.u").as("u"), col("o.v").as("v")))
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tris = oriented
+      .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
+        col("u") === col("au"))
+      .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
+        col("v") === col("av"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("u_nbrs"), col("v_nbrs"))).as("w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("d") >= 2)
+      .join(perNode, Seq("node"))
+      .select(col("node").as("part"), col("d").as("degree"),
+        col("n_triangles"),
+        ((lit(2L) * col("n_triangles")).cast("double") /
+          (col("d") * (col("d") - 1)).cast("double")).as("clustering_coef"))
+      .orderBy(col("clustering_coef").desc, col("part"))
+      .limit(limit)
+  }
+
+  def clusteringCoefficientSql(minSupport: Int = 1,
+                               limit: Int = 100): String =
+    s"""WITH ${pairsSqlCte.format(minSupport)},
+       |$edgesSqlCte,
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.src = e1.dst
+       |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |pn AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1)
+       |SELECT deg.node AS part, deg.d AS degree, pn.n_triangles,
+       |  CAST(2 * pn.n_triangles AS DOUBLE)
+       |    / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS clustering_coef
+       |FROM deg JOIN pn ON deg.node = pn.node
+       |WHERE deg.d >= 2
+       |ORDER BY clustering_coef DESC, part LIMIT $limit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_components" -> ((s, d) => connectedComponents(s, d)),
     "param_graph_components" -> ((s, d) => connectedComponents(s, d,
@@ -477,7 +650,13 @@ object Graph {
     "param_graph_triangles" -> ((s, d) => triangles(s, d,
       minSupport = 2, limit = 50)),
     "param_graph_bfs" -> ((s, d) => bfs(s, d,
-      brand = "Brand#7", minSupport = 2, maxHops = 4)))
+      brand = "Brand#7", minSupport = 2, maxHops = 4)),
+    "graph_ppr" -> ((s, d) => personalizedPagerank(s, d)),
+    "param_graph_ppr" -> ((s, d) => personalizedPagerank(s, d,
+      brand = "Brand#7", minSupport = 2, iters = 8, limit = 40)),
+    "graph_clustering_coef" -> ((s, d) => clusteringCoefficient(s, d)),
+    "param_graph_clustering_coef" -> ((s, d) => clusteringCoefficient(s, d,
+      minSupport = 2, limit = 50)))
 
   val oracles: Map[String, String] = Map(
     "graph_components" -> connectedComponentsSql(),
@@ -490,5 +669,11 @@ object Graph {
       minSupport = 2, iters = 20, limit = 40),
     "param_graph_triangles" -> trianglesSql(minSupport = 2, limit = 50),
     "param_graph_bfs" -> bfsSql(
-      brand = "Brand#7", minSupport = 2, maxHops = 4))
+      brand = "Brand#7", minSupport = 2, maxHops = 4),
+    "graph_ppr" -> personalizedPagerankSql(),
+    "param_graph_ppr" -> personalizedPagerankSql(
+      brand = "Brand#7", minSupport = 2, iters = 8, limit = 40),
+    "graph_clustering_coef" -> clusteringCoefficientSql(),
+    "param_graph_clustering_coef" -> clusteringCoefficientSql(
+      minSupport = 2, limit = 50))
 }

@@ -106,8 +106,54 @@ class GraphSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("O5 personalized pagerank equals the seeded recurrence on the driver") {
+    val scale = 1000000000L
+    val seeds = Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey")).collect().map(_.getLong(0))
+      .filter(adj.contains).toSet
+    var rank: Map[Long, Long] = adj.map { case (n, _) =>
+      n -> (if (seeds(n)) scale else 0L) }
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, ns) <- adj; v <- ns) contrib(v) += rank(u) / ns.length
+      rank = adj.map { case (n, _) =>
+        n -> ((if (seeds(n)) 15L * scale / 100 else 0L) + 85L * contrib(n) / 100)
+      }
+    }
+    val expected = rank.toSeq.filter(_._2 > 0)
+      .sortBy { case (n, r) => (-r, n) }.take(100)
+    val got = run("graph_ppr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // personalization law: seeded mass concentrates — every seed with
+    // a self-loop-free neighborhood still holds its teleport floor
+    val gotMap = rank.filter(_._2 > 0)
+    assert(seeds.forall(s => gotMap.getOrElse(s, 0L) >= 15L * scale / 100))
+  }
+
+  test("O6 clustering coefficient equals the naive ratio on the driver") {
+    val nbrs = adj.view.mapValues(_.toSet).toMap
+    val naive = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, ns) <- adj; b <- ns if a < b; c <- nbrs(b) if b < c
+         if nbrs(a).contains(c)) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    val expected = adj.collect { case (n, ns) if ns.length >= 2 && naive(n) > 0 =>
+      (n, ns.length.toLong, naive(n),
+        2.0 * naive(n) / (ns.length.toLong * (ns.length - 1)))
+    }.toSeq.sortBy { case (n, _, _, cc) => (-cc, n) }.take(100)
+    val got = run("graph_clustering_coef").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // a coefficient is a ratio of realized to possible wedge closures
+    assert(got.forall { case (_, _, _, cc) => cc > 0.0 && cc <= 1.0 })
+  }
+
   test("param variants return non-degenerate results") {
     assert(run("param_graph_pagerank").count() > 0)
     assert(run("param_graph_bfs").count() > 0)
+    assert(run("param_graph_ppr").count() > 0)
+    assert(run("param_graph_clustering_coef").count() > 0)
   }
 }

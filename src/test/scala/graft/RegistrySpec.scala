@@ -341,7 +341,9 @@ class RegistrySpec extends SparkSpecBase {
     "text_kl_divergence" -> 7, // token rollup (corpus-scale) + 6 vocab/source-keyed metadata rollups/serves
     "param_kl_divergence" -> 7, // same plan shape, smaller vocab
     "text_lexical_diversity" -> 4, // token rollup + source window + rollup + sort
-    "text_langid_trained" -> 13 // doc-scale: docBg/score/argmax/matrix rollups; rest are bounded model-side (lb/types/totals) metadata exchanges
+    "text_langid_trained" -> 13, // doc-scale: docBg/score/argmax/matrix rollups; rest are bounded model-side (lb/types/totals) metadata exchanges
+    "graph_clustering_coef" -> 4, // O2's compact-forward subtree + degree join + corner rollup
+    "param_graph_clustering_coef" -> 4
 
 )
 
