@@ -222,6 +222,82 @@ object Corpus {
           / lit(SeqLen)).cast("long").as("seq_last"))
   }
 
+  /** Shards for M15's balanced packing (tiny locally so the snake
+    * wraps many epochs; at 100 TB this is the writer parallelism). */
+  private val BalanceShards = 8L
+
+  /** M15 `corpus_balanced_shards` — SIZE-BALANCED shard assignment:
+    * docs ranked by token count (desc, doc_id tie-break) are dealt
+    * into shards in SNAKE order (longest-processing-time heuristic's
+    * deterministic round-robin cousin: epoch k deals left-to-right,
+    * k+1 right-to-left), so every shard gets one doc per epoch and
+    * alternating epochs cancel the within-epoch size gradient — the
+    * equal-token-mass sharding a training loader wants, where M10's
+    * hash sharding only equalizes COUNTS. Served as the per-shard
+    * manifest (docs, token mass, load factor vs perfect balance);
+    * the spec pins the snake law and the balance bound.
+    *
+    * Scale: the global size rank is the M4 two-level discipline, with
+    * n_tokens ITSELF as the block key — distinct token counts are
+    * bounded by max doc length (metadata-scale), so the bucket-count
+    * table is tiny (onePart window over it only), and the
+    * within-bucket rank windows partition on n_tokens. One doc-keyed
+    * shuffle + bounded metadata exchanges; the serve rollup is
+    * BalanceShards rows. */
+  def balancedShards(spark: SparkSession, dir: String,
+                     nShards: Long = BalanceShards): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(nonEmptyToks).as("n_tokens"))
+    val bucketCounts = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+    val wBuckets = Window.partitionBy(Obs.onePart(col("n_tokens")))
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .select(col("n_tokens"), coalesce(sum(col("c")).over(wBuckets), lit(0L))
+        .as("bucket_offset"))
+    val wInBucket = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    val ranked = docs
+      .join(broadcast(offsets), "n_tokens")
+      .withColumn("idx",
+        col("bucket_offset") + row_number().over(wInBucket) - 1)
+    val assigned = ranked.select(col("doc_id"), col("n_tokens"),
+      when(pmod(floor(col("idx") / nShards), lit(2L)) === 0,
+        pmod(col("idx"), lit(nShards)))
+        .otherwise(lit(nShards - 1) - pmod(col("idx"), lit(nShards)))
+        .cast("long").as("shard"))
+    val tot = assigned.agg(sum(col("n_tokens")).as("total_tokens"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        ((col("shard_tokens") * lit(nShards)).cast("double") /
+          col("total_tokens").cast("double")).as("load_factor"))
+      .orderBy(col("shard"))
+  }
+
+  def balancedShardsSql(nShards: Long = BalanceShards): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS idx
+       |  FROM d
+       |), a AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN (idx // $nShards) % 2 = 0 THEN idx % $nShards
+       |         ELSE ${nShards - 1} - idx % $nShards END AS shard
+       |  FROM r
+       |), t AS (SELECT SUM(n_tokens) AS total_tokens FROM d)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  CAST(SUM(n_tokens) * $nShards AS DOUBLE)
+       |    / CAST(t.total_tokens AS DOUBLE) AS load_factor
+       |FROM a CROSS JOIN t
+       |GROUP BY shard, t.total_tokens ORDER BY shard""".stripMargin
+
   def packSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
@@ -812,6 +888,10 @@ object Corpus {
     "corpus_chunk" -> (chunk _),
     "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_pack" -> (pack _),
+    "corpus_balanced_shards" -> ((s: SparkSession, d: String) =>
+      balancedShards(s, d)),
+    "param_balanced_shards" -> ((s: SparkSession, d: String) =>
+      balancedShards(s, d, nShards = 5L)),
     "corpus_source_cap" -> (sourceCap _),
     "corpus_mix_weights" -> (mixWeights _),
     "corpus_temperature_mix" -> (temperatureMix _))
@@ -833,5 +913,7 @@ object Corpus {
     "corpus_pii_redact" -> piiRedactSql,
     "corpus_chunk" -> chunkSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,
-    "corpus_pack" -> packSql)
+    "corpus_pack" -> packSql,
+    "corpus_balanced_shards" -> balancedShardsSql(),
+    "param_balanced_shards" -> balancedShardsSql(nShards = 5L))
 }

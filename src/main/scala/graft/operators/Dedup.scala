@@ -1221,6 +1221,150 @@ object Dedup {
        |  COALESCE(ka.clean_text, '') AS clean_text
        |FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin
 
+  /** G23 `dedup_boilerplate` — frequency-thresholded TEMPLATE-line
+    * removal: a [[LineW]]-token span that recurs across ≥ `minDocs`
+    * DISTINCT documents of the same source is boilerplate (header/
+    * footer/nav templates — the jusText/Trafilatura heuristic lifted
+    * to corpus statistics) and is removed EVERYWHERE, unlike G15's
+    * first-occurrence dedup which always keeps one copy. Docs are
+    * rebuilt from their surviving lines; the report carries per-doc
+    * totals the M9 quality funnel can gate on (a doc that was mostly
+    * boilerplate shrinks to nothing).
+    *
+    * Scale: line explode is linear; the template census is ONE
+    * (source, line)-keyed rollup (distinct-doc counts are exact —
+    * count(distinct) inside a keyed agg, no corpus-wide distinct);
+    * the flag attach joins on the same (source, line) key —
+    * co-partitioned with the census, no broadcast of anything
+    * unbounded; reconstruction is doc-keyed, collect_list bounded by
+    * doc length. */
+  def boilerplate(spark: SparkSession, dir: String,
+                  minDocs: Int = 3): DataFrame = {
+    val allToks = filter(split(col("text"), " "), c => c =!= "")
+    val w = col("w")
+    val nLines = ((size(w) + (LineW - 1)) / LineW).cast("int")
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), allToks.as("w"))
+      .filter(size(w) > 0)
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(0), nLines - 1),
+        i => struct(i.as("line_idx"),
+          concat_ws(" ", slice(w, i * LineW + 1, lit(LineW))).as("line")))).as("s"))
+      .select(col("doc_id"), col("source"),
+        col("s.line_idx").as("line_idx"), col("s.line").as("line"))
+    val boiler = lines.groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("source"), col("line"), lit(1).as("is_boiler"))
+    val flagged = lines.join(boiler, Seq("source", "line"), "left")
+    flagged.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler") === 1, 1L).otherwise(0L)).as("n_boiler"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
+  def boilerplateSql(minDocs: Int = 3): String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id, source,
+       |    list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), ln AS (
+       |  SELECT doc_id, source, unnest(list_transform(
+       |    range(0, CAST(CEIL(len(w) / $LineW.0) AS BIGINT)),
+       |    i -> struct_pack(line_idx := i,
+       |      line := array_to_string(w[(i*$LineW+1):(i*$LineW+$LineW)], ' ')))) AS s
+       |  FROM toksl WHERE len(w) > 0
+       |), lines AS (
+       |  SELECT doc_id, source, s.line_idx AS line_idx, s.line AS line FROM ln
+       |), boiler AS (
+       |  SELECT source, line FROM lines
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |)
+       |SELECT l.doc_id, l.source, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler,
+       |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+       |    ' ' ORDER BY l.line_idx), '') AS clean_text
+       |FROM lines l
+       |LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+       |GROUP BY 1, 2""".stripMargin
+
+  /** G24 `dedup_source_overlap` — pairwise SOURCE-overlap matrix:
+    * exact shingle-set Jaccard and containment between every pair of
+    * sources — the corpus diagnostic behind mixing decisions ("is
+    * source B mostly a recrawl of source A?") and the macro view of
+    * what G8/G16 measure doc-by-doc. Containment uses the SMALLER
+    * side (a small source fully embedded in a big one shows 1.0 where
+    * Jaccard would dilute it — the asymmetry that actually flags
+    * recrawls). All ratios divide exact integers (bit-identical
+    * cross-engine, no rounding needed).
+    *
+    * Scale: NEVER pairs shingles across the corpus — each shingle row
+    * carries its (bounded, ≤ n_sources) source set from one
+    * shingle-keyed rollup, pair expansion is map-side over that array
+    * (K30's mechanic, ≤ sources² per shingle), and the final matrix
+    * is sources² rows; the size attach is a bounded broadcast. One
+    * linear shingle pass + two keyed rollups. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    n: Int = 3): DataFrame = {
+    val ss = shingles(spark, dir, n)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = ss.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("size_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("size_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("size_a"), col("size_b"),
+        (col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .as("jaccard"),
+        (col("inter").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"))
+          .as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sourceOverlapSql(n: Int = 3): String =
+    s"""WITH ${shinglesSql(n)},
+       |ss AS (
+       |  SELECT DISTINCT d.source, s.shingle
+       |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+       |), sizes AS (
+       |  SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1
+       |), inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    COUNT(*) AS inter
+       |  FROM ss a JOIN ss b
+       |    ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.source_a, i.source_b, i.inter,
+       |  sa.n_sh AS size_a, sb.n_sh AS size_b,
+       |  CAST(i.inter AS DOUBLE)
+       |    / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard,
+       |  CAST(i.inter AS DOUBLE)
+       |    / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |FROM inter i
+       |JOIN sizes sa ON sa.source = i.source_a
+       |JOIN sizes sb ON sb.source = i.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** G22 `dedup_novelty_fraction` — incremental n-gram novelty (the
     * dataset-curation signal behind "is this document adding
     * anything": RefinedWeb/FineWeb-style corpus audits): per doc, the
@@ -1262,6 +1406,13 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_novelty_fraction" -> ((s, d) => noveltyFraction(s, d)),
     "dedup_line_level" -> (lineLevel _),
+    "dedup_source_overlap" -> ((s: SparkSession, d: String) =>
+      sourceOverlap(s, d)),
+    "param_source_overlap" -> ((s: SparkSession, d: String) =>
+      sourceOverlap(s, d, n = 2)),
+    "dedup_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
+    "param_boilerplate" -> ((s: SparkSession, d: String) =>
+      boilerplate(s, d, minDocs = 2)),
     "dedup_contamination_frac" -> (contaminationFrac _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
     "dedup_winnowing" -> (winnowing _),
@@ -1288,6 +1439,10 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_novelty_fraction" -> noveltyFractionSql(),
     "dedup_line_level" -> lineLevelSql,
+    "dedup_source_overlap" -> sourceOverlapSql(),
+    "param_source_overlap" -> sourceOverlapSql(n = 2),
+    "dedup_boilerplate" -> boilerplateSql(),
+    "param_boilerplate" -> boilerplateSql(minDocs = 2),
     "dedup_contamination_frac" -> contaminationFracSql,
     "dedup_minhash_estimate" -> minhashEstimateSql,
     "dedup_winnowing" -> winnowingSql,

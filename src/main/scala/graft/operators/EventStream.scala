@@ -766,6 +766,220 @@ object EventStream {
        |  CAST(SUM(p_value) AS DOUBLE) AS revenue
        |FROM both_m GROUP BY 1, 2""".stripMargin
 
+  /** L19 `events_attribution_decay` — MULTI-touch attribution, the
+    * fractional-credit models beside L14's winner-take-all pair:
+    * every touch in the lookback shares the purchase, weighted
+    * 2^(−Δt/halflife) (time-decay — recency matters) or 1/n
+    * (linear — all touches equal), both served per channel. The
+    * models every marketing warehouse runs after first/last stop
+    * being believable.
+    *
+    * Exactness: Δt is exact integer MICROseconds (unix_micros /
+    * epoch_us — no engine-specific seconds truncation); each touch's
+    * CREDIT is
+    * rounded to 6 dp and cast DECIMAL(18,6) BEFORE the channel
+    * rollup, so the sum is exact-decimal and order-insensitive (the
+    * round-then-decimal-sum rule) — the one pow() evaluates
+    * identically cross-engine far above the 1e-6 grain. A no-touch
+    * purchase keeps full credit under channel 'none'.
+    *
+    * Scale: the purchase⋈touch join is user-keyed like L14; the
+    * per-purchase normalization (Σw, n) is a window PARTITIONED BY
+    * purchase id — bounded by touches-per-purchase, shuffled on the
+    * purchase key, never global. */
+  def attributionDecay(spark: SparkSession, dir: String,
+                       lookbackDays: Int = 7,
+                       halflifeHours: Int = 24): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("t_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val hl = halflifeHours * 3600L
+    val j = purchases.join(touches,
+        col("user_id") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackDays DAYS"),
+        "left")
+      .withColumn("w", pow(lit(0.5),
+        (unix_micros(col("p_ts")) - unix_micros(col("t_ts")))
+          .cast("double") / lit(hl * 1e6)))
+    val wP = Window.partitionBy(col("p_id"))
+    val credited = j
+      .withColumn("sumw", sum(col("w")).over(wP))
+      .withColumn("n_t", count(col("t_id")).over(wP))
+      .withColumn("channel", coalesce(col("t_type"), lit("none")))
+    val decayM = credited.select(lit("time_decay").as("model"), col("channel"),
+      when(col("t_id").isNull, round(col("p_value"), 6))
+        .otherwise(round(col("p_value") * col("w") / col("sumw"), 6))
+        .cast("decimal(18,6)").as("credit"))
+    val linearM = credited.select(lit("linear").as("model"), col("channel"),
+      when(col("t_id").isNull, round(col("p_value"), 6))
+        .otherwise(round(col("p_value") / col("n_t").cast("double"), 6))
+        .cast("decimal(18,6)").as("credit"))
+    decayM.union(linearM)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).cast("double").as("revenue"))
+  }
+
+  def attributionDecaySql(lookbackDays: Int = 7,
+                          halflifeHours: Int = 24): String = {
+    val hl = halflifeHours * 3600L
+    s"""WITH touches AS (
+       |  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+       |         event_type AS t_type
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |purch AS (
+       |  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT p.p_id, p.p_value, p.p_ts, t.t_type, t.t_ts, t.t_id,
+       |    POWER(0.5, CAST(epoch_us(p.p_ts) - epoch_us(t.t_ts) AS DOUBLE)
+       |               / ($hl * 1e6)) AS w
+       |  FROM purch p LEFT JOIN touches t
+       |    ON p.user_id = t.t_user AND t.t_ts < p.p_ts
+       |   AND t.t_ts >= p.p_ts - INTERVAL $lookbackDays DAY),
+       |norm AS (
+       |  SELECT *, SUM(w) OVER (PARTITION BY p_id) AS sumw,
+       |    COUNT(t_id) OVER (PARTITION BY p_id) AS n_t,
+       |    COALESCE(t_type, 'none') AS channel
+       |  FROM j),
+       |credits AS (
+       |  SELECT 'time_decay' AS model, channel,
+       |    CAST(CASE WHEN t_id IS NULL THEN ROUND(p_value, 6)
+       |         ELSE ROUND(p_value * w / sumw, 6) END
+       |         AS DECIMAL(18,6)) AS credit
+       |  FROM norm
+       |  UNION ALL
+       |  SELECT 'linear', channel,
+       |    CAST(CASE WHEN t_id IS NULL THEN ROUND(p_value, 6)
+       |         ELSE ROUND(p_value / CAST(n_t AS DOUBLE), 6) END
+       |         AS DECIMAL(18,6))
+       |  FROM norm)
+       |SELECT model, channel, COUNT(*) AS n_credits,
+       |  CAST(SUM(credit) AS DOUBLE) AS revenue
+       |FROM credits GROUP BY 1, 2""".stripMargin
+  }
+
+  /** L20 `events_ab_test` — deterministic A/B experiment readout:
+    * users are assigned to control/treatment by a salted md5 of
+    * user_id (the M10 hash-assignment idiom — no RNG state, the same
+    * user lands in the same arm on any engine, any partitioning, any
+    * replay, which is what makes an experiment auditable), and the
+    * serve is the one-row experiment report: per-arm users /
+    * converters / revenue, conversion rates, relative lift, and the
+    * pooled two-proportion z-score — the readout every growth
+    * dashboard derives from the clickstream. Conversion = a
+    * HIGH-VALUE purchase (value ≥ `minValue`): the synthetic pool is
+    * small enough that "any purchase" saturates (every user converts
+    * at every SF), which degenerates the pooled variance to 0 and the
+    * z-score to 0/0 — a threshold keeps the metric live, and is the
+    * realistic experiment target anyway.
+    *
+    * Exactness: counts are exact integers and revenue exact decimal;
+    * rates/lift/z are IEEE double chains of those exact inputs with
+    * identical parenthesization in both engines, rounded 6 dp at the
+    * serve (the F14/F17 "no float until the last mile" discipline —
+    * the decision-grade counters stay integer). Degenerate reports
+    * stay NULL, never NaN: lift is guarded on conv_c > 0 and z on
+    * 0 < pooled rate < 1, because Spark serves IEEE NaN where DuckDB
+    * serves NULL for 0/0 — the guard makes both engines agree AND is
+    * the right serve (a z-score with zero pooled variance is
+    * undefined, not a number).
+    *
+    * Scale: ONE user-keyed rollup (conversion flag + revenue per
+    * user), then a 2-row arm rollup and a 1-row pivot — after the
+    * first shuffle everything is metadata-scale. */
+  def abTest(spark: SparkSession, dir: String,
+             salt: String = "exp1", minValue: Double = 100.0): DataFrame = {
+    val arm = when(pmod(conv(substring(
+        md5(concat(lit(s"$salt:"), col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(2L)) === 0, "control")
+      .otherwise("treatment")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), arm.as("arm"),
+        (col("event_type") === "purchase" &&
+          col("value") >= lit(minValue)).cast("long").as("is_p"),
+        when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)")).as("rev"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(max(col("is_p")).as("converted"), sum(col("rev")).as("revenue"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"),
+        sum(col("revenue")).as("revenue"))
+    val piv = arms.agg(
+      max(when(col("arm") === "control", col("n_users"))).as("n_c"),
+      max(when(col("arm") === "control", col("n_conv"))).as("conv_c"),
+      max(when(col("arm") === "control", col("revenue"))).as("rev_c_d"),
+      max(when(col("arm") === "treatment", col("n_users"))).as("n_t"),
+      max(when(col("arm") === "treatment", col("n_conv"))).as("conv_t"),
+      max(when(col("arm") === "treatment", col("revenue"))).as("rev_t_d"))
+    val pc = col("conv_c").cast("double") / col("n_c").cast("double")
+    val pt = col("conv_t").cast("double") / col("n_t").cast("double")
+    val pp = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("n_c") + col("n_t")).cast("double")
+    piv.select(col("n_c"), col("conv_c"), col("n_t"), col("conv_t"),
+      col("rev_c_d").cast("double").as("rev_c"),
+      col("rev_t_d").cast("double").as("rev_t"),
+      round(pc, 6).as("rate_c"), round(pt, 6).as("rate_t"),
+      when(col("conv_c") > 0,
+        round(pt / pc - lit(1.0), 6)).as("lift"),
+      when(col("conv_c") + col("conv_t") > 0 &&
+          col("conv_c") + col("conv_t") < col("n_c") + col("n_t"),
+        round((pt - pc) / sqrt((pp * (lit(1.0) - pp)) *
+          (lit(1.0) / col("n_c").cast("double") +
+            lit(1.0) / col("n_t").cast("double"))), 6)).as("z_score"))
+  }
+
+  def abTestSql(salt: String = "exp1", minValue: Double = 100.0): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN CAST(('0x' || substring(md5('$salt:' || user_id), 1, 15))
+       |              AS BIGINT) % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value >= $minValue
+       |        THEN 1 ELSE 0 END) AS converted,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(value AS DECIMAL(18,6))
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS revenue
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT arm, COUNT(*) AS n_users,
+       |    CAST(SUM(converted) AS BIGINT) AS n_conv,
+       |    SUM(revenue) AS revenue
+       |  FROM pu GROUP BY 1),
+       |p AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 'control' THEN n_users END) AS n_c,
+       |    MAX(CASE WHEN arm = 'control' THEN n_conv END) AS conv_c,
+       |    MAX(CASE WHEN arm = 'control' THEN revenue END) AS rev_c_d,
+       |    MAX(CASE WHEN arm = 'treatment' THEN n_users END) AS n_t,
+       |    MAX(CASE WHEN arm = 'treatment' THEN n_conv END) AS conv_t,
+       |    MAX(CASE WHEN arm = 'treatment' THEN revenue END) AS rev_t_d
+       |  FROM a)
+       |SELECT n_c, conv_c, n_t, conv_t,
+       |  CAST(rev_c_d AS DOUBLE) AS rev_c,
+       |  CAST(rev_t_d AS DOUBLE) AS rev_t,
+       |  ROUND(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS rate_c,
+       |  ROUND(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS rate_t,
+       |  CASE WHEN conv_c > 0 THEN
+       |    ROUND(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |      / (CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) - 1.0, 6)
+       |  END AS lift,
+       |  CASE WHEN conv_c + conv_t > 0 AND conv_c + conv_t < n_c + n_t THEN
+       |    ROUND((CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |        - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+       |      / sqrt((CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+       |          * (1.0 - CAST(conv_c + conv_t AS DOUBLE)
+       |                 / CAST(n_c + n_t AS DOUBLE)))
+       |        * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 6)
+       |  END AS z_score
+       |FROM p""".stripMargin
+
   /** L15 `events_seasonal_forecast` — seasonal-naive forecasting with
     * holdout evaluation: the hour-of-day profile of purchase values
     * learned on the first three weeks predicts the last; served per
@@ -837,6 +1051,13 @@ object EventStream {
       attribution(s, d)),
     "param_events_attribution" -> ((s: SparkSession, d: String) =>
       attribution(s, d, lookbackDays = 1)),
+    "events_attribution_decay" -> ((s: SparkSession, d: String) =>
+      attributionDecay(s, d)),
+    "events_ab_test" -> ((s: SparkSession, d: String) => abTest(s, d)),
+    "param_ab_test" -> ((s: SparkSession, d: String) =>
+      abTest(s, d, salt = "exp2", minValue = 150.0)),
+    "param_attribution_decay" -> ((s: SparkSession, d: String) =>
+      attributionDecay(s, d, lookbackDays = 2, halflifeHours = 6)),
     "events_seasonal_forecast" -> ((s: SparkSession, d: String) =>
       seasonalForecast(s, d)),
     "param_seasonal_forecast" -> ((s: SparkSession, d: String) =>
@@ -870,6 +1091,11 @@ object EventStream {
     "param_events_stickiness" -> stickinessSql(windowDays = 28),
     "events_attribution" -> attributionSql(),
     "param_events_attribution" -> attributionSql(lookbackDays = 1),
+    "events_attribution_decay" -> attributionDecaySql(),
+    "events_ab_test" -> abTestSql(),
+    "param_ab_test" -> abTestSql(salt = "exp2", minValue = 150.0),
+    "param_attribution_decay" -> attributionDecaySql(
+      lookbackDays = 2, halflifeHours = 6),
     "events_seasonal_forecast" -> seasonalForecastSql(),
     "param_seasonal_forecast" -> seasonalForecastSql(
       cutoff = "2024-01-15", eventType = "view"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -636,7 +637,168 @@ object Graph {
        |WHERE deg.d >= 2
        |ORDER BY clustering_coef DESC, part LIMIT $limit""".stripMargin
 
+  /** O7 `graph_link_prediction` — common-neighbors + Adamic–Adar
+    * link prediction over the co-purchase graph: for each
+    * NON-adjacent pair (u, v), cn = |N(u) ∩ N(v)| and
+    * aa = Σ_{w ∈ N(u) ∩ N(v)} 1/ln(deg w) — the classic "products
+    * likely to be bought together next" ranker (Liben-Nowell &
+    * Kleinberg CIKM'03), i.e. the candidate generator for the edges
+    * O1/O5 then rank. AA is served in BIGINT fixed-point: each
+    * center's contribution is round(1e9 / ln(deg_w)) — ONE libm call
+    * rounded to the integer grain (~1e-9) far above libm's last-ulp
+    * (~1e-16) — then summed as exact integers, so the score
+    * hash-matches cross-engine (the I-family round-then-integer-sum
+    * rule; float SUM order sensitivity never arises).
+    *
+    * Scale: wedges are generated at their CENTER w (both score
+    * definitions sum over centers), which is O(Σ deg(w)²) — hub-
+    * quadratic — so centers with deg > `maxDeg` are EXCLUDED, the
+    * standard production capping: a super-hub's AA contribution is
+    * 1/ln(huge) ≈ noise and common-neighbor counts through staples
+    * carry no signal, while the cap bounds per-center fan-out at
+    * maxDeg² regardless of skew (same economics as O2's orientation
+    * bound). Pipeline: one center-keyed collect of the ≤maxDeg
+    * sorted neighbor list, map-side pair explode (K30's expansion),
+    * one (u,v)-keyed rollup, one anti join against the edge list
+    * (candidates must be non-adjacent) — all keyed shuffles, nothing
+    * unbounded broadcast. The oracle states the same capped sum as a
+    * wedge self-join; hash equality proves the explode path exact. */
+  def linkPrediction(spark: SparkSession, dir: String, minSupport: Int = 2,
+                     maxDeg: Int = 64, limit: Int = 100): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+    // per-center sorted neighbor list, hub-capped BEFORE the collect
+    // so no task ever materializes a super-hub's adjacency
+    val nbrs = e.join(deg, e("src") === deg("node"))
+      .filter(col("d") <= maxDeg)
+      .groupBy(col("src"), col("d"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .select(col("d"),
+        explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"),
+        expr("CAST(ROUND(1e9 / LN(CAST(d AS DOUBLE))) AS BIGINT)").as("w_aa"))
+    val scored = nbrs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("w_aa")).as("aa_fp"))
+    scored.join(cachedCanonicalEdges(spark, dir, minSupport)
+        .select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_fp").desc, col("u"), col("v"))
+      .limit(limit)
+  }
+
+  def linkPredictionSql(minSupport: Int = 2, maxDeg: Int = 64,
+                        limit: Int = 100): String =
+    s"""WITH ${pairsSqlCte.format(minSupport)},
+       |$edgesSqlCte,
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+       |wedge AS (
+       |  SELECT e1.dst AS u, e2.dst AS v,
+       |    CAST(ROUND(1e9 / LN(CAST(d.d AS DOUBLE))) AS BIGINT) AS w_aa
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  JOIN deg d ON d.node = e1.src
+       |  WHERE d.d <= $maxDeg),
+       |scored AS (
+       |  SELECT u, v, COUNT(*) AS cn, CAST(SUM(w_aa) AS BIGINT) AS aa_fp
+       |  FROM wedge GROUP BY 1, 2)
+       |SELECT s.u, s.v, s.cn, s.aa_fp FROM scored s
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |                  WHERE p.src = s.u AND p.dst = s.v)
+       |ORDER BY aa_fp DESC, u, v LIMIT $limit""".stripMargin
+
+  /** O8 `graph_degree_dist` — degree distribution + power-law tail
+    * fit: the graph's ANALYZE pass (N7's discipline applied to the
+    * co-purchase graph). Serves the degree histogram with the exact
+    * CCDF P(D ≥ d) — the log-log line whose straightness IS the
+    * power-law diagnostic — and the Clauset-style continuous-MLE
+    * exponent α̂ = 1 + n_tail / Σ_{d ≥ xmin} n_d·ln(d/(xmin−½))
+    * attached to every row (the skew number that tells an operator
+    * whether salting/orientation tricks are mandatory on this graph).
+    *
+    * Exactness: counts exact BIGINT; each distinct degree's ln is ONE
+    * libm call rounded 9 dp → DECIMAL(18,9) — NOT (28,9): the weight
+    * multiply against a BIGINT count at (28,9) exceeds precision 38
+    * and Spark's precision-loss adjustment silently cuts the product
+    * scale to 6 dp, diverging from any exact engine at ~1e-6 per
+    * term; (18,9)×(10,0) stays inside 38 digits and is exact —
+    * weighted by the exact integer n_d and summed as decimal
+    * (order-insensitive, the I-family round-then-decimal-sum rule);
+    * CCDF and α̂ are single divisions of exact quantities.
+    *
+    * Scale: degree rollup is one node-keyed shuffle; EVERYTHING after
+    * (CCDF cumulative, totals, tail fit) runs as window aggregates in
+    * one pass over the HISTOGRAM (≤ max-degree rows, metadata-scale —
+    * the only onePart window, one Window node since all frames share
+    * the partitioning+ordering) — no second scan of the edge table,
+    * no crossJoin attach branches. */
+  def degreeDist(spark: SparkSession, dir: String, minSupport: Int = 1,
+                 xmin: Int = 2): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    // histogram is metadata-scale: cumulative + totals + the MLE tail
+    // fit all ride the same single-partition window, so the whole
+    // post-rollup computation is one pass with zero extra branches
+    val part = Window.partitionBy(Obs.onePart(col("degree")))
+    val wTail = part.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = part.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val inTail = col("degree") >= xmin
+    val wlog = when(inTail, col("n_nodes").cast("decimal(10,0)") * expr(
+      s"CAST(ROUND(LN(CAST(degree AS DOUBLE) / ${xmin - 0.5}), 9) " +
+        "AS DECIMAL(18,9))"))
+    hist.select(col("degree"), col("n_nodes"),
+        sum(col("n_nodes")).over(wTail).as("n_geq"),
+        sum(col("n_nodes")).over(wAll).as("n_total"),
+        sum(when(inTail, col("n_nodes"))).over(wAll).as("n_tail"),
+        sum(wlog).over(wAll).as("logsum"))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_geq").cast("double") / col("n_total").cast("double"))
+          .as("ccdf"),
+        col("n_tail"),
+        (lit(1.0) + col("n_tail").cast("double") /
+          col("logsum").cast("double")).as("alpha_hat"))
+      .orderBy(col("degree"))
+  }
+
+  def degreeDistSql(minSupport: Int = 1, xmin: Int = 2): String =
+    s"""WITH ${pairsSqlCte.format(minSupport)},
+       |$edgesSqlCte,
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+       |w AS (
+       |  SELECT degree, n_nodes,
+       |    CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_geq,
+       |    CAST(SUM(n_nodes) OVER () AS BIGINT) AS n_total,
+       |    CAST(SUM(CASE WHEN degree >= $xmin THEN n_nodes END) OVER ()
+       |      AS BIGINT) AS n_tail,
+       |    SUM(CASE WHEN degree >= $xmin THEN
+       |      CAST(n_nodes AS DECIMAL(10,0)) *
+       |      CAST(ROUND(LN(CAST(degree AS DOUBLE) / ${xmin - 0.5}), 9)
+       |        AS DECIMAL(18,9)) END) OVER () AS logsum
+       |  FROM hist)
+       |SELECT degree, n_nodes,
+       |  CAST(n_geq AS DOUBLE) / CAST(n_total AS DOUBLE) AS ccdf,
+       |  n_tail,
+       |  1.0 + CAST(n_tail AS DOUBLE) / CAST(logsum AS DOUBLE) AS alpha_hat
+       |FROM w
+       |ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_dist" -> ((s, d) => degreeDist(s, d)),
+    "param_graph_degree_dist" -> ((s, d) => degreeDist(s, d,
+      minSupport = 2, xmin = 3)),
+    "graph_link_prediction" -> ((s, d) => linkPrediction(s, d)),
+    "param_graph_link_prediction" -> ((s, d) => linkPrediction(s, d,
+      minSupport = 2, maxDeg = 16, limit = 50)),
     "graph_components" -> ((s, d) => connectedComponents(s, d)),
     "param_graph_components" -> ((s, d) => connectedComponents(s, d,
       minSupport = 3, iters = 6, limit = 20)),
@@ -659,6 +821,11 @@ object Graph {
       minSupport = 2, limit = 50)))
 
   val oracles: Map[String, String] = Map(
+    "graph_degree_dist" -> degreeDistSql(),
+    "param_graph_degree_dist" -> degreeDistSql(minSupport = 2, xmin = 3),
+    "graph_link_prediction" -> linkPredictionSql(),
+    "param_graph_link_prediction" -> linkPredictionSql(
+      minSupport = 2, maxDeg = 16, limit = 50),
     "graph_components" -> connectedComponentsSql(),
     "param_graph_components" -> connectedComponentsSql(
       minSupport = 3, iters = 6, limit = 20),

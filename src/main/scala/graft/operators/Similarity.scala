@@ -1370,7 +1370,61 @@ object Similarity {
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rank FROM fused
        |) WHERE rank <= $k""".stripMargin
 
+  /** H19 `sim_knn_graph` — the k-NN GRAPH over the WHOLE corpus
+    * (every vector is a query): the all-to-all retrieval behind
+    * SemDeDup/G13-style semantic clustering and graph-based index
+    * builds, and the one H-family shape where the query side is
+    * CORPUS-sized — nothing can broadcast (H1/H3 broadcast a bounded
+    * query set; here both sides are the corpus). Candidates come from
+    * LSH blocking: a bucket-keyed SELF-join (both sides
+    * hash-partitioned on the same [[bucketCol]] sign-bits — a
+    * co-partitioned equi join at any scale), then the per-node top-k
+    * window runs on the src key. Nodes alone in their bucket have no
+    * candidates and are absent — the standard LSH-blocking contract
+    * (same as G4's bands); the oracle replays identical semantics so
+    * even absence hash-matches.
+    *
+    * Scale: per-bucket work is |b|² — at 100 TB, NPlanes grows with
+    * the corpus (bucket population targets a per-task candidate
+    * budget: 2^planes cells ≈ n/budget) and hot buckets split under
+    * AQE skew handling; output is n·k rows by definition (a graph
+    * materialization, not a serve). Cosines are the H1 integer-dot
+    * kernel — exact BIGINT dots, one double division, deterministic
+    * ties by (cosine desc, dst). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val emb = quantized(spark, dir).withColumn("bucket", bucketCol(col("qvec")))
+    val lhs = emb.select(col("vec_id").as("src"), col("qvec").as("sq"),
+      col("nsq").as("sn"), col("bucket"))
+    val rhs = emb.select(col("vec_id").as("dst"), col("qvec").as("dq"),
+      col("nsq").as("dn"), col("bucket"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    lhs.join(rhs, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        cosineQ(vdotQuantizedNative(col("sq"), col("dq")), col("sn"), col("dn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cosine"))
+  }
+
+  def knnGraphSql(k: Int = K): String =
+    s"""WITH $qnSqlCte, b AS (
+       |  SELECT vec_id, qvec, nsq, ${bucketSql("qvec")} AS bucket FROM qnn
+       |), cand AS (
+       |  SELECT s.vec_id AS src, c.vec_id AS dst,
+       |    ${cosSql(dotSql("s.qvec", "c.qvec"), "s.nsq", "c.nsq")} AS cosine
+       |  FROM b s JOIN b c ON c.bucket = s.bucket AND c.vec_id <> s.vec_id
+       |)
+       |SELECT src, rank, dst, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |                               ORDER BY cosine DESC, dst) AS rank
+       |  FROM cand
+       |) WHERE rank <= $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "param_knn_graph" -> ((s, d) => knnGraph(s, d, k = 3)),
     "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "sim_rerank_pipeline" -> (rerankPipeline _),
     "sim_sq8" -> (sq8 _),
@@ -1392,6 +1446,8 @@ object Similarity {
     "sim_mrl_eval" -> ((s, d) => mrlEval(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> knnGraphSql(),
+    "param_knn_graph" -> knnGraphSql(k = 3),
     "sim_hybrid_rrf" -> hybridRrfSql(),
     "sim_rerank_pipeline" -> rerankPipelineSql,
     "sim_sq8" -> sq8Sql,

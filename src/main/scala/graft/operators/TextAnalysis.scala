@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1571,7 +1572,91 @@ object TextAnalysis {
        |WHERE c12 >= $minCount
        |ORDER BY p_kn DESC, bc.w1, bc.w2 LIMIT $limit""".stripMargin
 
+  private val VocabGrowthBucket = 64L
+
+  /** I24 `text_vocab_growth` — Heaps'-law vocabulary-growth curve:
+    * documents in ingest order (doc_id) are grouped into buckets of
+    * [[VocabGrowthBucket]], and each bucket reports cumulative tokens
+    * vs cumulative distinct word TYPES — the V(n) ≈ K·n^β curve whose
+    * flattening tells a corpus curator when additional data stops
+    * adding vocabulary (the macro twin of G22's per-doc novelty).
+    * The served `beta_hat` = ln V / ln N per bucket is the running
+    * Heaps exponent estimate (exact-integer inputs → one libm ln +
+    * 9 dp round, the I-family float discipline).
+    *
+    * Scale: NO corpus-wide ordered scan — "cumulative distinct" is
+    * recast as first-occurrence ownership (min doc_id per type, the
+    * G22 mechanic): one token-keyed min rollup assigns each type to
+    * the bucket that coined it, one doc-keyed rollup counts tokens,
+    * and the cumulative sums run over the BUCKET table (n_docs /
+    * [[VocabGrowthBucket]] rows — metadata-scale, the only onePart
+    * window). Everything corpus-sized moves through keyed partial
+    * aggs. */
+  def vocabGrowth(spark: SparkSession, dir: String,
+                  bucket: Long = VocabGrowthBucket): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(nonEmptyToks).as("t"))
+    val newTypes = toks.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      .groupBy((col("fd") / bucket).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val base = Tables.documents(spark, dir)
+      .select((col("doc_id") / bucket).cast("long").as("bucket"),
+        size(nonEmptyToks).cast("long").as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    // bucket table is metadata-scale (docs / bucket size): the
+    // cumulative window runs there, never over per-doc rows
+    val wCum = Window.partitionBy(Obs.onePart(col("bucket")))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("new_types"),
+        sum(col("n_tokens")).over(wCum).as("cum_tokens"),
+        sum(col("new_types")).over(wCum).as("cum_types"))
+      .withColumn("beta_hat",
+        round(log(col("cum_types").cast("double")) /
+          log(col("cum_tokens").cast("double")), 9))
+      .orderBy(col("bucket"))
+  }
+
+  def vocabGrowthSql(bucket: Long = VocabGrowthBucket): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '),
+       |    x -> x <> '')) AS t
+       |  FROM documents
+       |), nt AS (
+       |  SELECT CAST(MIN(doc_id) // $bucket AS BIGINT) AS bucket, t
+       |  FROM toks GROUP BY t
+       |), newt AS (
+       |  SELECT bucket, COUNT(*) AS new_types FROM nt GROUP BY 1
+       |), base AS (
+       |  SELECT CAST(doc_id // $bucket AS BIGINT) AS bucket,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> '')))
+       |         AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), j AS (
+       |  SELECT b.bucket, b.n_docs, b.n_tokens,
+       |    COALESCE(n.new_types, 0) AS new_types
+       |  FROM base b LEFT JOIN newt n ON b.bucket = n.bucket
+       |)
+       |SELECT bucket, n_docs, n_tokens, new_types,
+       |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types,
+       |  ROUND(ln(CAST(SUM(new_types) OVER w AS DOUBLE))
+       |    / ln(CAST(SUM(n_tokens) OVER w AS DOUBLE)), 9) AS beta_hat
+       |FROM j
+       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> ((s: SparkSession, d: String) => vocabGrowth(s, d)),
+    "param_vocab_growth" -> ((s: SparkSession, d: String) =>
+      vocabGrowth(s, d, bucket = 16L)),
     "text_rake_keywords" -> ((s, d) => rakeKeywords(s, d)),
     "param_rake_keywords" -> ((s, d) => rakeKeywords(s, d, limit = 15)),
     "text_kneser_ney" -> ((s, d) => kneserNey(s, d)),
@@ -1605,6 +1690,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_growth" -> vocabGrowthSql(),
+    "param_vocab_growth" -> vocabGrowthSql(bucket = 16L),
     "text_rake_keywords" -> rakeKeywordsSql(),
     "param_rake_keywords" -> rakeKeywordsSql(limit = 15),
     "text_kneser_ney" -> kneserNeySql(),

@@ -594,6 +594,65 @@ case class FunnelAgg(anchors: Seq[Long])
     }.iterator
   }
 
+  case class EwmaCount(service: String, audit_date: String,
+      audit_hour: Int, n: Long, dur_sum: Long,
+      ewma_num: Long, ewma_den: Long)
+
+  case class EwmaState(hours: Map[(String, Int), (Long, Long)])
+
+  /** F17 streaming — the live EWMA latency-regression monitor (twin
+    * of the batch `audit_ewma_alarm`, completing the alarm-family
+    * twins beside F18's): per-SERVICE state holds the hourly
+    * (n, dur_sum) counters; each trigger folds the batch's events in
+    * and re-emits every hour's counters WITH the dyadic-weighted lag
+    * sums (Σ 2^(M−k) over the k = 1..M previous PRESENT hours in
+    * order — exactly the batch lag(k) row semantics) recomputed.
+    * Emissions carry integer counters only; the mean/flag projection
+    * stays one expression shared with batch by construction (the
+    * cross-multiplied `dur_sum·den > 2·num·n` needs only these
+    * columns). Counters only grow, so update-mode emissions are
+    * componentwise monotone and the final emission per hour equals
+    * the batch row. Production prunes state past M hours by
+    * watermark; unbounded here because the spec replays history. */
+  def ewmaCounters(events: Dataset[Event], spark: SparkSession,
+      memory: Int = 8): Dataset[EwmaCount] = {
+    import spark.implicits._
+    events.groupByKey(e =>
+      if (e.event_type == "signup" || e.event_type == "click" ||
+        e.event_type == "view") "ingest"
+      else if (e.event_type == "purchase") "persist"
+      else "dlq")
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(ewmaFn(memory))
+  }
+
+  private[streaming] def ewmaFn(memory: Int)(service: String,
+      events: Iterator[Event],
+      state: GroupState[EwmaState]): Iterator[EwmaCount] = {
+    var hours = state.getOption.map(_.hours).getOrElse(Map.empty)
+    events.foreach { e =>
+      val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      val key = (utcFmt.format(inst),
+        inst.atZone(java.time.ZoneOffset.UTC).getHour)
+      val (n, ds) = hours.getOrElse(key, (0L, 0L))
+      val dur = java.lang.Math.floorMod(
+        e.event_id * 7919L + e.user_id * 104729L, 5000L)
+      hours += key -> (n + 1L, ds + dur)
+    }
+    state.update(EwmaState(hours))
+    val ordered = hours.toSeq.sortBy(_._1)
+    ordered.zipWithIndex.map { case (((date, hr), (n, ds)), i) =>
+      val lags = (1 to memory).map { k =>
+        if (i - k >= 0) ordered(i - k)._2 else (0L, 0L)
+      }
+      val num = lags.zipWithIndex.map { case ((_, dsk), j) =>
+        dsk * (1L << (memory - (j + 1))) }.sum
+      val den = lags.zipWithIndex.map { case ((nk, _), j) =>
+        nk * (1L << (memory - (j + 1))) }.sum
+      EwmaCount(service, date, hr, n, ds, num, den)
+    }.iterator
+  }
+
   case class CdcRec(user_id: Long, event_type: String, version: Long,
       n_deletes: Long, last_op: String, last_value: Double)
 

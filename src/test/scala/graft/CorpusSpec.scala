@@ -156,6 +156,43 @@ class CorpusSpec extends SparkSpecBase {
       "doc-level running sum must be partitioned by block")
   }
 
+  test("M15 balanced shards: snake assignment matches driver, mass balanced") {
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+    val s = 8L
+    val expected = toks.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, n), i) =>
+        val pos = i % s
+        val shard = if ((i / s) % 2 == 0) pos else s - 1 - pos
+        (shard, n)
+      }.groupBy(_._1).map { case (sh, xs) =>
+        (sh, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = run("corpus_balanced_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // balance: every shard's token mass within one max-doc of perfect
+    val masses = got.map(_._3)
+    val maxDoc = toks.map(_._2).max
+    assert(masses.max - masses.min <= maxDoc * 2,
+      s"shard imbalance ${masses.max - masses.min} exceeds 2x max doc $maxDoc")
+    // accounting: nothing dropped
+    assert(masses.sum == toks.map(_._2).sum)
+    assert(got.map(_._2).sum == toks.length.toLong)
+  }
+
+  test("M15 plan: the size rank is two-level, no corpus-wide single-partition window") {
+    val df = run("corpus_balanced_shards")
+    val windows = flattenPlan(executedPlan(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val docLevel = windows.filter(_.output.exists(_.name == "doc_id"))
+    assert(docLevel.nonEmpty, "expected a window over the document rows")
+    assert(docLevel.forall(_.partitionSpec.nonEmpty),
+      "doc-level rank must be partitioned by token-count bucket")
+  }
+
   test("M8 leak-free split: covers all docs, no near-dup edge straddles the boundary") {
     val split = run("corpus_split_leakfree").cache()
     assert(split.count() == Tables.documents(spark, sf).count())

@@ -670,6 +670,99 @@ class DedupTextSpec extends SparkSpecBase {
     assert(gotMatrix == expectMatrix)
   }
 
+  test("G23 boilerplate: census law and reconstruction match a driver replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def docLines(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).grouped(8).map(_.mkString(" ")).toSeq
+    // template census: (source, line) in >= 3 distinct docs
+    val census = docs.flatMap { case (id, s, t) =>
+      docLines(t).distinct.map(l => (s, l, id)) }
+      .groupBy(p => (p._1, p._2)).collect {
+        case ((s, l), xs) if xs.map(_._3).distinct.size >= 3 => (s, l) }.toSet
+    val got = run("dedup_boilerplate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(got.size == docs.count(_._3.split(" ").exists(_.nonEmpty)))
+    docs.take(80).foreach { case (id, s, t) =>
+      val ls = docLines(t)
+      if (ls.nonEmpty) {
+        val (nl, nb, clean) = got(id)
+        val keep = ls.filterNot(l => census((s, l)))
+        assert(nl == ls.size && nb == (ls.size - keep.size))
+        assert(clean == keep.mkString(" "))
+      }
+    }
+    // the param twin (minDocs=2) can only remove MORE
+    val got2 = run("param_boilerplate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boiler")).toMap
+    assert(got.forall { case (id, (_, nb, _)) => got2(id) >= nb })
+  }
+
+  test("G24 source overlap: exact Jaccard/containment match a driver replay") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shOf(t: String): Seq[String] = {
+      val w = t.split(" ").filter(_.nonEmpty).take(60)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+    }
+    val bySource: Map[String, Set[String]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => shOf(d._2)).toSet).toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = srcs(i); b = srcs(j)
+      inter = (bySource(a) intersect bySource(b)).size.toLong if inter > 0
+    } yield {
+      val (sa, sb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+      (a, b, inter, sa, sb,
+        inter.toDouble / (sa + sb - inter).toDouble,
+        inter.toDouble / math.min(sa, sb).toDouble)
+    }).toSeq
+    val got = run("dedup_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == want)
+    // overlap laws: jaccard <= containment <= 1, both positive
+    assert(got.forall { case (_, _, _, _, _, j, c) =>
+      j > 0.0 && j <= c && c <= 1.0 })
+    // bigram shingles overlap at least as much as trigram (containment
+    // of coarser grain dominates): param twin sanity, not equality
+    assert(run("param_source_overlap").count() >= got.length.toLong)
+  }
+
+  test("I24 vocab growth: bucket census matches a driver first-occurrence replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val b = 64L
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, ws) =>
+      ws.foreach(w => if (!firstDoc.contains(w)) firstDoc(w) = id) }
+    val newTypes = firstDoc.values.groupBy(_ / b).view
+      .mapValues(_.size.toLong).toMap
+    val base = docs.groupBy(_._1 / b).map { case (bk, ds) =>
+      bk -> (ds.length.toLong, ds.map(_._2.length.toLong).sum) }
+    val buckets = base.keys.toSeq.sorted
+    var (cumT, cumV) = (0L, 0L)
+    val expected = buckets.map { bk =>
+      val (nd, nt) = base(bk)
+      val nv = newTypes.getOrElse(bk, 0L)
+      cumT += nt; cumV += nv
+      (bk, nd, nt, nv, cumT, cumV)
+    }
+    val got = run("text_vocab_growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // Heaps exponent: sublinear growth everywhere past the first bucket
+    val betas = run("text_vocab_growth").collect().map(_.getAs[Double]("beta_hat"))
+    assert(betas.forall(bh => bh > 0.0 && bh <= 1.0))
+    // total types accounted exactly once
+    assert(expected.last._6 == firstDoc.size.toLong)
+  }
+
   test("I9 BPE pair stats: ranks sequential, counts non-increasing, 2-char pairs") {
     val rows = run("text_bpe_pair_stats").collect().sortBy(_.getAs[Int]("rank"))
     assert(rows.length == 30)

@@ -150,10 +150,67 @@ class GraphSpec extends SparkSpecBase {
     assert(got.forall { case (_, _, _, cc) => cc > 0.0 && cc <= 1.0 })
   }
 
+  test("O7 link prediction equals the capped Adamic-Adar replay on the driver") {
+    // minSupport=2 adjacency (O7's default graph)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val canon = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj2 = (canon.toSeq ++ canon.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val acc = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    for ((w, ns) <- adj2 if ns.size <= 64) {
+      val wAa = math.round(1e9 / math.log(ns.size.toDouble))
+      for (i <- ns.indices; j <- (i + 1) until ns.length) {
+        val k = (ns(i), ns(j))
+        val (cn, aa) = acc(k)
+        acc(k) = (cn + 1, aa + wAa)
+      }
+    }
+    val expected = acc.toSeq.filterNot { case (k, _) => canon(k) }
+      .map { case ((u, v), (cn, aa)) => (u, v, cn, aa) }
+      .sortBy { case (u, v, _, aa) => (-aa, u, v) }.take(100)
+    val got = run("graph_link_prediction").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // predicted links are non-edges by construction
+    assert(got.forall { case (u, v, _, _) => !canon((u, v)) && u < v })
+  }
+
+  test("O8 degree distribution: histogram, CCDF and alpha match a driver replay") {
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val hist = deg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = deg.size.toLong
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val tail = hist.filter(_._1 >= 2L)
+    val nTail = tail.values.sum
+    val logsum = tail.map { case (d, n) =>
+      r9(math.log(d.toDouble / 1.5)) * BigDecimal(n) }.sum
+    val alpha = 1.0 + nTail.toDouble / logsum.toDouble
+    val expected = hist.keys.toSeq.sorted.map { d =>
+      val nGeq = hist.filter(_._1 >= d).values.sum
+      (d, hist(d), nGeq.toDouble / total.toDouble, nTail, alpha)
+    }
+    val got = run("graph_degree_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // CCDF laws: exactly 1 at the min degree, monotone decreasing after
+    assert(got.head._3 == 1.0)
+    assert(got.map(_._3).reverse == got.map(_._3).reverse.sorted)
+    // a co-purchase graph is right-skewed: alpha must be a sane tail exponent
+    assert(alpha > 1.0 && alpha < 10.0)
+  }
+
   test("param variants return non-degenerate results") {
     assert(run("param_graph_pagerank").count() > 0)
     assert(run("param_graph_bfs").count() > 0)
     assert(run("param_graph_ppr").count() > 0)
     assert(run("param_graph_clustering_coef").count() > 0)
+    assert(run("param_graph_link_prediction").count() > 0)
   }
 }

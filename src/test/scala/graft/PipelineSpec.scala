@@ -1228,6 +1228,98 @@ class PipelineSpec extends SparkSpecBase {
       .sum == nPurch)
   }
 
+  test("L19 decay attribution: fractional credits match a driver replay") {
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        usOf(r.getTimestamp(3)), r.getDouble(4)))
+    val touchesByUser = evs.filter(e => e._3 == "click" || e._3 == "view")
+      .groupBy(_._2)
+    val week = 7L * 86400L * 1000000L
+    val hlUs = 24L * 3600L * 1000000L
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val credits = evs.filter(_._3 == "purchase").flatMap {
+      case (_, u, _, pts, v) =>
+        val inWin = touchesByUser.getOrElse(u, Array.empty)
+          .filter(t => t._4 < pts && t._4 >= pts - week)
+        if (inWin.isEmpty)
+          Seq(("time_decay", "none", r6(v)), ("linear", "none", r6(v)))
+        else {
+          val ws = inWin.map(t =>
+            (t._3, math.pow(0.5, (pts - t._4).toDouble / hlUs.toDouble)))
+          val sumw = ws.map(_._2).sum
+          (ws.map { case (ch, w) => ("time_decay", ch, r6(v * w / sumw)) } ++
+            inWin.map(t => ("linear", t._3, r6(v / inWin.length.toDouble)))).toSeq
+        }
+    }
+    val want = credits.groupBy(c => (c._1, c._2)).map { case (k, cs) =>
+      k -> (cs.length.toLong, cs.map(_._3).sum.toDouble)
+    }
+    val got = run("events_attribution_decay").collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_credits"), r.getAs[Double]("revenue"))
+    }.toMap
+    assert(got == want)
+    // conservation: each model's total credit is within rounding grain
+    // of total purchase revenue (each credit rounds at 1e-6/2)
+    val totalRev = evs.filter(_._3 == "purchase").map(_._5).sum
+    Seq("time_decay", "linear").foreach { m =>
+      val modelRev = got.collect { case ((`m`, _), (_, rev)) => rev }.sum
+      assert(math.abs(modelRev - totalRev) <= 0.5e-6 * credits.length + 1e-9,
+        s"$m credit total $modelRev drifts from revenue $totalRev")
+    }
+  }
+
+  test("L20 A/B test: arm assignment and report match a driver replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def armOf(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "control" else "treatment"
+    }
+    val perUser = evs.groupBy(_._1).map { case (u, es) =>
+      (armOf(u), es.exists(e => e._2 == "purchase" && e._3 >= 100.0),
+        es.filter(_._2 == "purchase")
+          .map(e => BigDecimal(e._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum)
+    }
+    val byArm = perUser.groupBy(_._1).map { case (a, us) =>
+      a -> (us.size.toLong, us.count(_._2).toLong, us.map(_._3).sum)
+    }
+    val (nC, convC, revC) = byArm("control")
+    val (nT, convT, revT) = byArm("treatment")
+    val row = run("events_ab_test").collect().head
+    assert(row.getAs[Long]("n_c") == nC && row.getAs[Long]("conv_c") == convC)
+    assert(row.getAs[Long]("n_t") == nT && row.getAs[Long]("conv_t") == convT)
+    assert(row.getAs[Double]("rev_c") == revC.toDouble &&
+      row.getAs[Double]("rev_t") == revT.toDouble)
+    // report math: rates/lift/z re-derive from the integer counters
+    val (pc, pt) = (convC.toDouble / nC, convT.toDouble / nT)
+    val pp = (convC + convT).toDouble / (nC + nT)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("rate_c") == r6(pc))
+    assert(row.getAs[Double]("rate_t") == r6(pt))
+    // degenerate guards: lift NULL when control never converts, z NULL
+    // when the pooled variance is 0 — replayed exactly
+    if (convC > 0) assert(row.getAs[Double]("lift") == r6(pt / pc - 1.0))
+    else assert(row.isNullAt(row.fieldIndex("lift")))
+    if (pp > 0.0 && pp < 1.0)
+      assert(row.getAs[Double]("z_score") ==
+        r6((pt - pc) / math.sqrt((pp * (1.0 - pp)) * (1.0 / nC + 1.0 / nT))))
+    else assert(row.isNullAt(row.fieldIndex("z_score")))
+    // the threshold keeps the experiment live: z must be DEFINED here
+    assert(!row.isNullAt(row.fieldIndex("z_score")))
+    // both arms populated: md5 assignment actually splits the users
+    assert(nC > 0 && nT > 0)
+    // a different salt re-randomizes: the param twin's split differs
+    val row2 = run("param_ab_test").collect().head
+    assert(row2.getAs[Long]("n_c") != nC ||
+      row2.getAs[Double]("rev_c") != revC.toDouble)
+  }
+
   test("L15 seasonal forecast: per-hour profile matches a driver replay") {
     val cutoffUs = java.time.Instant.parse("2024-01-22T00:00:00Z")
       .toEpochMilli * 1000L

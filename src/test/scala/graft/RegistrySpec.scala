@@ -60,6 +60,8 @@ class RegistrySpec extends SparkSpecBase {
     "k29_rfm_segmentation", // 1-row quartile-threshold attach
     "corpus_mix_weights", "corpus_resample", "corpus_temperature_mix",
     "corpus_length_buckets", // 1-row naive-baseline attach
+    "corpus_balanced_shards", "param_balanced_shards", // 1-row token-total attach
+    "graph_degree_dist", "param_graph_degree_dist", // 1-row total + 1-row fit attach
     "text_stupid_backoff", // corpus-total scalar attach
     "text_dsir_weights",
     "text_tfidf_top_terms", "text_unigram_surprisal",
@@ -343,7 +345,25 @@ class RegistrySpec extends SparkSpecBase {
     "text_lexical_diversity" -> 4, // token rollup + source window + rollup + sort
     "text_langid_trained" -> 13, // doc-scale: docBg/score/argmax/matrix rollups; rest are bounded model-side (lb/types/totals) metadata exchanges
     "graph_clustering_coef" -> 4, // O2's compact-forward subtree + degree join + corner rollup
-    "param_graph_clustering_coef" -> 4
+    "param_graph_clustering_coef" -> 4,
+    "dedup_boilerplate" -> 3, // line census rollup + flag join + doc rebuild
+    "param_boilerplate" -> 3,
+    "corpus_balanced_shards" -> 7, // doc-keyed bucket join + shard rollup; rest bounded bucket/offset metadata exchanges
+    "param_balanced_shards" -> 7,
+    "graph_link_prediction" -> 6, // nbr-list collect + wedge rollup + anti join (edges cached)
+    "param_graph_link_prediction" -> 6,
+    "text_vocab_growth" -> 6, // type-min rollup + 2 bucket rollups + bucket join + metadata cum window
+    "param_vocab_growth" -> 6,
+    "events_attribution_decay" -> 6, // user-keyed join + p_id window + channel rollup
+    "param_attribution_decay" -> 6,
+    "sim_knn_graph" -> 5, // bucket-keyed self-join + src-keyed top-k window
+    "param_knn_graph" -> 5,
+    "events_ab_test" -> 4, // user rollup; arm rollup + 1-row pivot are metadata
+    "param_ab_test" -> 4,
+    "dedup_source_overlap" -> 8, // shingle distinct + doc join + source distinct + 2 rollups; size attaches broadcast
+    "param_source_overlap" -> 8,
+    "graph_degree_dist" -> 5, // node-keyed degree rollup; histogram rollup + metadata window/fit attaches
+    "param_graph_degree_dist" -> 5
 
 )
 

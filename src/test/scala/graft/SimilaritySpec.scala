@@ -426,4 +426,42 @@ class SimilaritySpec extends SparkSpecBase {
     // sanity: every eval vector classified exactly once
     assert(got.map(_._3).sum == q.length.toLong)
   }
+
+  test("H19 kNN graph: bucketed all-corpus top-k matches a driver replay") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // replicate the md5-derived hyperplanes (Similarity.planes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planes = (0 until 4).map { p =>
+      (0 until 64).map { j =>
+        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+          .take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) & Long.MaxValue
+        (h % 2001L) - 1000L
+      }.toArray
+    }
+    def bucket(v: Array[Long]): Int =
+      planes.zipWithIndex.map { case (pl, i) =>
+        if (dot(v, pl) > 0L) 1 << i else 0 }.sum
+    val byBucket = rows.groupBy(r => bucket(r._2))
+    val want = byBucket.values.toSeq.flatMap { bs =>
+      bs.toSeq.flatMap { case (src, sv) =>
+        val sn = math.sqrt(dot(sv, sv).toDouble)
+        bs.toSeq.filter(_._1 != src)
+          .map { case (dst, dv) =>
+            (src, dst, dot(sv, dv).toDouble /
+              (sn * math.sqrt(dot(dv, dv).toDouble))) }
+          .sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+          .map { case ((s, d, c), i) => (s, i + 1, d, c) }
+      }
+    }.toSet
+    val got = run("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // graph law: ranks dense 1..k per present node, never a self-edge
+    assert(got.forall { case (s, rk, d, _) => s != d && rk >= 1 && rk <= 10 })
+  }
 }

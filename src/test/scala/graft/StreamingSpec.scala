@@ -494,6 +494,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want, "streaming SLO burn monitor diverges from batch F18")
   }
 
+  test("F17 streaming EWMA monitor converges to the batch regression alarm") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.ewmaCounters(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_ewma")
+      .outputMode("update").start()
+    // no watermark state to flush — no sentinel (its event_type would
+    // route to the dlq service and pollute that service's counters)
+    val (first, second) = batchEvents.splitAt(batchEvents.size / 2)
+    ms.addData(first); q.processAllAvailable()
+    ms.addData(second); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits every hour per trigger; all four counters
+    // only grow, so the lexicographic max per hour = the final emission
+    val fin = spark.table("s_ewma")
+      .groupBy("service", "audit_date", "audit_hour")
+      .agg(max(struct(col("n"), col("dur_sum"), col("ewma_num"),
+        col("ewma_den"))).as("s"))
+      .select(col("service"), col("audit_date"), col("audit_hour"),
+        col("s.n"), col("s.dur_sum"), col("s.ewma_num"), col("s.ewma_den"))
+    val got = fin.collect().map(_.toSeq).toSet
+    val want = run("audit_ewma_alarm")
+      .select("service", "audit_date", "audit_hour", "n", "dur_sum",
+        "ewma_num", "ewma_den")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming EWMA counters diverge from batch F17")
+    // the alert projection derives from the streamed counters alone:
+    // the same cross-multiplied flag reproduces the batch alarms
+    val gotFlag = fin.select(col("service"), col("audit_date"),
+        col("audit_hour"),
+        (col("ewma_den") > 0 && col("n") >= 20L &&
+          col("dur_sum") * col("ewma_den") > col("ewma_num") * col("n") * 2)
+          .as("is_regression"))
+      .collect().map(_.toSeq).toSet
+    val wantFlag = run("audit_ewma_alarm")
+      .select("service", "audit_date", "audit_hour", "is_regression")
+      .collect().map(_.toSeq).toSet
+    assert(gotFlag == wantFlag)
+  }
+
   test("P2 streaming CDC consumer converges to the batch roundtrip state") {
     import graft.streaming.StreamOps.CdcRec
     // bootstrap load: the stored T1 snapshot, as full post-image records
