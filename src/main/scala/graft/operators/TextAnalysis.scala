@@ -1653,7 +1653,106 @@ object TextAnalysis {
        |             AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
 
+  /** I25 `text_zipf_fit` — Zipf rank–frequency law fit over the
+    * corpus unigram distribution: the top-`topK` word types by
+    * frequency, each served with its rank, plus the log-log OLS fit
+    * ln c ≈ intercept − exponent·ln rank attached to every row — the
+    * companion diagnostic to I24's Heaps curve (an exponent near 1 is
+    * the signature of natural language; a flat slope flags synthetic
+    * or template text, a steep one a degenerate vocabulary — the
+    * macro check a curator runs beside I22's per-source signals).
+    *
+    * Cross-engine exactness: each ln (one per rank, one per top
+    * count) is rounded at the 1e-6 grain and SCALED TO BIGINT, so all
+    * four OLS moments (Σx, Σy, Σxy, Σx²) are exact integer sums —
+    * order-insensitive — and the closed-form slope/intercept are
+    * single divisions of exact DECIMAL(38,0)/HUGEINT quantities (the
+    * intercept numerator Σy·Σx² − Σx·Σxy reaches ~1e24, past BIGINT,
+    * so the moment algebra runs in decimal; both engines then cast
+    * the SAME exact integer to double — IEEE-identical). Overflow
+    * headroom: ln c ≤ 28 even at 10¹² occurrences, so k·Σxy stays
+    * under 2^63 for topK ≤ ~200; the default 100 (param 50) sits well
+    * inside the bound.
+    *
+    * Scale: the corpus pays one token-keyed rollup (the linear
+    * I-family shuffle); the top-K pick is a TakeOrdered (never a full
+    * sort), ranking + moments run on the bounded K-row table (the
+    * documented post-LIMIT onePart class), and the 1-row fit
+    * broadcasts back onto the K served rows. */
+  def zipfFit(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(nonEmptyToks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("token")).limit(topK)
+    val ranked = top.select(col("token"), col("c"),
+        row_number().over(Window.partitionBy(Obs.onePart(col("c")))
+          .orderBy(col("c").desc, col("token"))).as("rank"))
+      .select(col("rank"), col("token"), col("c"),
+        expr("CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("lr_e6"),
+        expr("CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("lc_e6"))
+    val fit = ranked.groupBy()
+      .agg(count(lit(1)).as("k"),
+        sum(col("lr_e6")).as("sx"), sum(col("lc_e6")).as("sy"),
+        sum(col("lr_e6") * col("lc_e6")).as("sxy"),
+        sum(col("lr_e6") * col("lr_e6")).as("sxx"))
+      .select(
+        round(expr(
+          """-CAST(CAST(k AS DECIMAL(38,0)) * sxy
+            |      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+            | / CAST(CAST(k AS DECIMAL(38,0)) * sxx
+            |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)""".stripMargin),
+          6).as("zipf_exponent"),
+        round(expr(
+          """CAST(CAST(sy AS DECIMAL(38,0)) * sxx
+            |     - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)
+            | / CAST(CAST(k AS DECIMAL(38,0)) * sxx
+            |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / 1e6""".stripMargin),
+          6).as("fit_intercept_ln"))
+    ranked.select(col("rank"), col("token"), col("c"))
+      .crossJoin(broadcast(fit))
+      .orderBy(col("rank"))
+  }
+
+  def zipfFitSql(topK: Int = 100): String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+       |    AS token
+       |  FROM documents
+       |), counts AS (
+       |  SELECT token, COUNT(*) AS c FROM t GROUP BY 1
+       |), top AS (
+       |  SELECT token, c FROM counts ORDER BY c DESC, token LIMIT $topK
+       |), ranked AS (
+       |  SELECT token, c,
+       |    ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank
+       |  FROM top
+       |), pts AS (
+       |  SELECT rank, token, c,
+       |    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lr_e6,
+       |    CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS lc_e6
+       |  FROM ranked
+       |), fit AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+       |    CAST(SUM(lr_e6) AS HUGEINT) AS sx,
+       |    CAST(SUM(lc_e6) AS HUGEINT) AS sy,
+       |    CAST(SUM(lr_e6 * lc_e6) AS HUGEINT) AS sxy,
+       |    CAST(SUM(lr_e6 * lr_e6) AS HUGEINT) AS sxx
+       |  FROM pts
+       |)
+       |SELECT p.rank, p.token, p.c,
+       |  ROUND(-CAST(k * sxy - sx * sy AS DOUBLE)
+       |    / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_exponent,
+       |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |    / CAST(k * sxx - sx * sx AS DOUBLE) / 1e6, 6) AS fit_intercept_ln
+       |FROM pts p CROSS JOIN fit
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
+    "param_zipf_fit" -> ((s: SparkSession, d: String) =>
+      zipfFit(s, d, topK = 20)),
     "text_vocab_growth" -> ((s: SparkSession, d: String) => vocabGrowth(s, d)),
     "param_vocab_growth" -> ((s: SparkSession, d: String) =>
       vocabGrowth(s, d, bucket = 16L)),
@@ -1690,6 +1789,8 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_fit" -> zipfFitSql(),
+    "param_zipf_fit" -> zipfFitSql(topK = 20),
     "text_vocab_growth" -> vocabGrowthSql(),
     "param_vocab_growth" -> vocabGrowthSql(bucket = 16L),
     "text_rake_keywords" -> rakeKeywordsSql(),

@@ -653,6 +653,55 @@ case class FunnelAgg(anchors: Seq[Long])
     }.iterator
   }
 
+  case class SpikeCount(tenant_id: String, audit_date: String,
+      audit_hour: Int, n_total: Long, n_err: Long,
+      trail_total: Long, trail_err: Long)
+
+  case class SpikeState(hours: Map[(String, Int), (Long, Long)])
+
+  /** F14 streaming — the live error-spike alarm (twin of the batch
+    * `audit_error_spikes`, completing the alarm-family twins beside
+    * F17/F18's): per-TENANT state holds the hourly (n_total, n_err)
+    * counters; each trigger folds the batch's events in and re-emits
+    * every hour's counters WITH the trailing-24-present-hour sums
+    * recomputed over the ordered hour sequence — exactly the batch
+    * F14 window frame (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING over
+    * the present (date, hour) rows). Emissions carry integer counters
+    * only; the rate/spike projection derives from these columns alone
+    * (the cross-multiplied `n_err·trail > 2·trail_err·n` flag), so
+    * rounding and alert booleans are shared with batch by
+    * construction — the one divergence is the EMPTY frame, which
+    * batch reports as NULL trailing sums and the typed emission as 0;
+    * the flag agrees either way (a non-empty frame always has
+    * trail_total ≥ 1). Counters only grow, so update-mode emissions
+    * are monotone and the final emission per hour equals the batch
+    * row. Production prunes state past 24 present hours by watermark;
+    * unbounded here because the spec replays history. */
+  def errorSpikeCounters(events: Dataset[Event], spark: SparkSession): Dataset[SpikeCount] = {
+    import spark.implicits._
+    events.groupByKey(e => "t" + java.lang.Math.floorMod(e.user_id, 4L))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(spikeFn)
+  }
+
+  private[streaming] def spikeFn(tenant: String, events: Iterator[Event],
+      state: GroupState[SpikeState]): Iterator[SpikeCount] = {
+    var hours = state.getOption.map(_.hours).getOrElse(Map.empty)
+    events.foreach { e =>
+      val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      val key = (utcFmt.format(inst),
+        inst.atZone(java.time.ZoneOffset.UTC).getHour)
+      val (n, ne) = hours.getOrElse(key, (0L, 0L))
+      hours += key -> (n + 1L, ne + (if (e.event_type == "error") 1L else 0L))
+    }
+    state.update(SpikeState(hours))
+    val ordered = hours.toSeq.sortBy(_._1)
+    ordered.zipWithIndex.map { case (((date, hr), (n, ne)), i) =>
+      val frame = ordered.slice(math.max(0, i - 24), i)
+      SpikeCount(tenant, date, hr, n, ne,
+        frame.map(_._2._1).sum, frame.map(_._2._2).sum)
+    }.iterator
+  }
+
   case class CdcRec(user_id: Long, event_type: String, version: Long,
       n_deletes: Long, last_op: String, last_value: Double)
 

@@ -613,6 +613,38 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("I25 zipf fit: ranks and OLS moments match a driver replay") {
+    val rows = run("text_zipf_fit").collect()
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    // served ranks/tokens/counts are exactly the driver's top-100
+    assert(rows.map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+      r.getAs[Long]("c"))).toSeq ==
+      top.zipWithIndex.map { case ((t, c), i) => (i + 1, t, c) })
+    // OLS replay with the same 1e-6 log grain, in exact BigInt
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (BigInt(math.round(math.log(i + 1.0) * 1e6)),
+        BigInt(math.round(math.log(c.toDouble) * 1e6)))
+    }
+    val k = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expSlope = r6(-(k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble)
+    val expIcpt = r6((sy * sxx - sx * sxy).toDouble /
+      (k * sxx - sx * sx).toDouble / 1e6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("zipf_exponent") == expSlope)
+      assert(r.getAs[Double]("fit_intercept_ln") == expIcpt)
+    }
+    // natural-language corpus: the exponent is positive and sane
+    assert(expSlope > 0.1 && expSlope < 3.0)
+  }
+
   test("I22 lexical diversity: matches a driver recount per source") {
     val rows = run("text_lexical_diversity").collect()
     val bySource = Tables.documents(spark, sf).select("source", "text").collect()

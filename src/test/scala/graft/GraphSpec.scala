@@ -206,11 +206,39 @@ class GraphSpec extends SparkSpecBase {
     assert(alpha > 1.0 && alpha < 10.0)
   }
 
+  test("O9 kcore equals driver peeling run to TRUE convergence") {
+    // default graph (minSupport=1), peeled at k=3 until the fixed
+    // point — proving the served 8 fixed rounds suffice
+    var alive: Map[Long, Set[Long]] =
+      adj.view.mapValues(_.toSet).toMap
+    var changed = true
+    var nRounds = 0
+    while (changed) {
+      val keep = alive.filter(_._2.size >= 3).keySet
+      val next = alive.collect { case (n, ns) if keep(n) =>
+        n -> ns.intersect(keep) }.filter(_._2.nonEmpty)
+      changed = next != alive
+      alive = next
+      nRounds += 1
+    }
+    assert(nRounds <= 8, s"peeling took $nRounds rounds > the 8 served")
+    val expected = alive.map { case (n, ns) => (n, ns.size.toLong) }
+      .toSeq.sortBy { case (n, d) => (-d, n) }.take(100)
+    val got = run("graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty, "degenerate fixture: empty 3-core")
+    // the defining k-core invariant: every survivor keeps >= k in-core
+    // neighbors
+    assert(got.forall(_._2 >= 3L))
+  }
+
   test("param variants return non-degenerate results") {
     assert(run("param_graph_pagerank").count() > 0)
     assert(run("param_graph_bfs").count() > 0)
     assert(run("param_graph_ppr").count() > 0)
     assert(run("param_graph_clustering_coef").count() > 0)
     assert(run("param_graph_link_prediction").count() > 0)
+    assert(run("param_graph_kcore").count() > 0)
   }
 }

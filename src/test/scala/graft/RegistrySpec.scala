@@ -74,7 +74,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
     "sim_hybrid_rrf", // broadcast query vector + BM25's stats scalar
     "text_kl_divergence", "param_kl_divergence", // bounded sources × ≤201-category broadcast grid + 1-row totals attach
-    "text_langid_trained") // bounded langs × charset² model grid + 1-row type-count attach
+    "text_langid_trained", // bounded langs × charset² model grid + 1-row type-count attach
+    "text_zipf_fit", "param_zipf_fit") // 1-row OLS-fit attach onto the top-K rows
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -354,6 +355,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_graph_link_prediction" -> 6,
     "text_vocab_growth" -> 6, // type-min rollup + 2 bucket rollups + bucket join + metadata cum window
     "param_vocab_growth" -> 6,
+    "text_zipf_fit" -> 6, // token rollup + TakeOrdered top-K; rank window / fit agg / serve sort are 100-row metadata exchanges
+    "param_zipf_fit" -> 6,
     "events_attribution_decay" -> 6, // user-keyed join + p_id window + channel rollup
     "param_attribution_decay" -> 6,
     "sim_knn_graph" -> 5, // bucket-keyed self-join + src-keyed top-k window

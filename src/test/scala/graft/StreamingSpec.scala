@@ -494,6 +494,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want, "streaming SLO burn monitor diverges from batch F18")
   }
 
+  test("F14 streaming error-spike monitor converges to the batch alarm") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.errorSpikeCounters(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_spike")
+      .outputMode("update").start()
+    // no watermark state to flush — no sentinel (its pmod tenant
+    // would pollute t3's counters, the F18-twin discipline)
+    val (first, second) = batchEvents.splitAt(batchEvents.size / 2)
+    ms.addData(first); q.processAllAvailable()
+    ms.addData(second); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits every hour per trigger; all four counters
+    // only grow, so the lexicographic max per hour = the final emission
+    val fin = spark.table("s_spike")
+      .groupBy("tenant_id", "audit_date", "audit_hour")
+      .agg(max(struct(col("n_total"), col("n_err"), col("trail_total"),
+        col("trail_err"))).as("s"))
+      .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
+        col("s.n_total"), col("s.n_err"), col("s.trail_total"),
+        col("s.trail_err"))
+    // batch reports the empty frame as NULL trailing sums; the typed
+    // streaming emission reports 0 — coalesce on the batch side
+    val got = fin.collect().map(_.toSeq).toSet
+    val want = run("audit_error_spikes")
+      .select(col("tenant_id"), col("audit_date"), col("audit_hour"),
+        col("n_total"), col("n_err"),
+        coalesce(col("trail_total"), lit(0L)).as("trail_total"),
+        coalesce(col("trail_err"), lit(0L)).as("trail_err"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming spike counters diverge from batch F14")
+    // the alert flag derives from the streamed counters alone and
+    // reproduces the batch booleans (empty frame: trail_total = 0
+    // fails `> 0` exactly where batch NULL fails IS NOT NULL)
+    val gotFlag = fin.select(col("tenant_id"), col("audit_date"),
+        col("audit_hour"),
+        (col("trail_total") > 0 &&
+          col("n_err") * col("trail_total") >
+            col("trail_err") * col("n_total") * 2 &&
+          col("n_err") >= 3).as("is_spike"))
+      .collect().map(_.toSeq).toSet
+    val wantFlag = run("audit_error_spikes")
+      .select("tenant_id", "audit_date", "audit_hour", "is_spike")
+      .collect().map(_.toSeq).toSet
+    assert(gotFlag == wantFlag)
+  }
+
   test("F17 streaming EWMA monitor converges to the batch regression alarm") {
     val ms = MemoryStream[Event]
     val q = StreamOps.ewmaCounters(ms.toDS(), spark)
