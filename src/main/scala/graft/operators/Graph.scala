@@ -104,6 +104,38 @@ object Graph {
         (mtime, build.cache())
       })._2
 
+  /** The registeredCache discipline for the ITERATIVE ops' converged
+    * eager-localCheckpoint tables (O1/O3/O4/O5/O9): one live entry per
+    * logical (session, dir, params) key with the source-mtime token in
+    * the VALUE, so a data rewrite under `dir` releases the superseded
+    * entry's checkpointed RDD blocks instead of retaining them for the
+    * session's lifetime (previously the mtime lived in the KEY and a
+    * rewrite just grew the map). */
+  private val ckptReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  private def memoCheckpoint(key: String, mtimeToken: String)
+                            (build: => DataFrame): DataFrame =
+    ckptReg.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == mtimeToken) prev
+      else {
+        if (prev != null) releaseCheckpoint(prev._2)
+        (mtimeToken, build)
+      })._2
+
+  /** Best-effort unpersist of every checkpointed RDD a converged plan
+    * serves from: a localCheckpoint'd table is a single LogicalRDD
+    * leaf; the BFS accumulator is a union with one leaf per level —
+    * collectLeaves releases them all. Safe mid-loop too: Dataset
+    * .localCheckpoint() is EAGER, so by the time round i+1 exists its
+    * data no longer depends on round i's blocks. */
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def cachedCanonicalEdges(spark: SparkSession,
                                    dir: String, minSupport: Int): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
@@ -148,20 +180,16 @@ object Graph {
     * product keeps Spark exact to 38 digits; the post-division rank
     * always fits BIGINT again (bounded by total mass).
     *
-    * The converged rank table is memoized (bfsCache discipline) with a
+    * The converged rank table is memoized ([[memoCheckpoint]]) with a
     * per-round `localCheckpoint`: each round's plan references the
     * previous round's, so an unrolled lazy chain pays O(iters²)
     * analysis time and re-plans on every action — deep `iters`
     * (param_graph_pagerank runs 20) needs each round cut to a leaf. */
-  private val prCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   def pagerank(spark: SparkSession, dir: String, minSupport: Int = 1,
                iters: Int = 5, limit: Int = 100): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
-    val key = s"${System.identityHashCode(spark)}:$dir:pr:" +
-      s"$minSupport:$iters:$mtime"
-    val ranksFinal = prCache.computeIfAbsent(key, _ => {
+    val key = s"${System.identityHashCode(spark)}:$dir:pr:$minSupport:$iters"
+    val ranksFinal = memoCheckpoint(key, mtime.toString) {
       val e = directedEdges(spark, dir, minSupport)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .withColumnRenamed("src", "node")
@@ -175,6 +203,7 @@ object Graph {
         // all-integer recurrence: Column./ on longs would route through
         // double (inexact past 2^53 and float-truncation vs floor), so
         // the ÷100 stays a SQL `div` (IntegralDivide handles DECIMAL)
+        val prev = ranks
         ranks = adj.join(ranks, adj("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(expr("rank div d")).as("s"))
@@ -182,11 +211,12 @@ object Graph {
             (lit(15L * Scale / 100) +
               expr("(85 * CAST(s AS DECIMAL(38,0))) div 100")).as("rank"))
           .localCheckpoint()
+        releaseCheckpoint(prev) // round i+1 is materialized; free round i
       }
       // every round is checkpointed, so adj has served its last job
       adj.unpersist(blocking = false)
       ranks
-    })
+    }
     ranksFinal.select(col("node").as("part"), col("rank").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("part"))
       .limit(limit)
@@ -315,18 +345,15 @@ object Graph {
     * ONCE per (session, dir, params, mtime) and memoized, exactly
     * like the bloom/IVF build jobs; re-serving or explaining the
     * query afterwards launches nothing. */
-  private val bfsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   def bfs(spark: SparkSession, dir: String, brand: String = "Brand#1",
           minSupport: Int = 1, maxHops: Int = 3): DataFrame = {
     // BOTH source mtimes: edges come from lineitem, seeds from part —
     // regenerating part.parquet alone must invalidate the memo too
     val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
     val pmtime = graft.Tables.mtime(spark, s"$dir/part.parquet")
-    val key = s"${System.identityHashCode(spark)}:$dir:$brand:" +
-      s"$minSupport:$maxHops:$mtime:$pmtime"
-    val visited = bfsCache.computeIfAbsent(key, _ => {
+    val key = s"${System.identityHashCode(spark)}:$dir:bfs:$brand:" +
+      s"$minSupport:$maxHops"
+    val visited = memoCheckpoint(key, s"$mtime:$pmtime") {
       val e = directedEdges(spark, dir, minSupport)
       val nodes = e.select(col("src").as("node")).distinct()
       val seeds = Tables.part(spark, dir)
@@ -346,8 +373,8 @@ object Graph {
         frontier = next
         acc = acc.union(next.select(col("node"), lit(h).as("hops")))
       }
-      acc
-    })
+      acc // a union over one checkpoint leaf per level — all retained
+    }
     visited.groupBy(col("hops"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_part"))
       .orderBy(col("hops"))
@@ -376,12 +403,6 @@ object Graph {
        |FROM v$maxHops GROUP BY 1 ORDER BY hops""".stripMargin
   }
 
-  /** Memoized converged label tables for [[connectedComponents]]
-    * (bfsCache discipline — see there for why iterative ops memoize
-    * eager per-round checkpoints). */
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   /** O4 `graph_components` — weakly-connected components over the
     * co-purchase graph (the community grouping behind G6's dedup
     * clusters, here as a served graph primitive): iterate
@@ -402,9 +423,8 @@ object Graph {
                           minSupport: Int = 2, iters: Int = 10,
                           limit: Int = 50): DataFrame = {
     val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
-    val key = s"${System.identityHashCode(spark)}:$dir:cc:" +
-      s"$minSupport:$iters:$mtime"
-    val labels = ccCache.computeIfAbsent(key, _ => {
+    val key = s"${System.identityHashCode(spark)}:$dir:cc:$minSupport:$iters"
+    val labels = memoCheckpoint(key, mtime.toString) {
       val e = directedEdges(spark, dir, minSupport)
       val nodes = e.select(col("src").as("node")).distinct()
       val aug = e.union(nodes.select(col("node").as("src"),
@@ -419,12 +439,14 @@ object Graph {
             lab.select(col("node").as("pnode"), col("label").as("plabel")),
             col("label") === col("pnode"))
           .select(col("node").as("jnode"), col("plabel"))
+        val prev = lab
         lab = nbrMin.join(ptr, col("node") === col("jnode"))
           .select(col("node"), least(col("nm"), col("plabel")).as("label"))
           .localCheckpoint()
+        releaseCheckpoint(prev)
       }
       lab
-    })
+    }
     labels.groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_part"))
       .orderBy(col("n_nodes").desc, col("component"))
@@ -464,11 +486,6 @@ object Graph {
        |ORDER BY n_nodes DESC, component LIMIT $limit""".stripMargin
   }
 
-  /** Memoized converged rank tables for [[personalizedPagerank]]
-    * (bfsCache discipline). */
-  private val pprCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   /** O5 `graph_ppr` — PERSONALIZED PageRank: teleport mass restarts
     * at a seed set (one brand's parts — O3's seeds) instead of
     * uniformly, giving "importance relative to these products" — the
@@ -492,8 +509,8 @@ object Graph {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
     val pmtime = Tables.mtime(spark, s"$dir/part.parquet")
     val key = s"${System.identityHashCode(spark)}:$dir:ppr:$brand:" +
-      s"$minSupport:$iters:$mtime:$pmtime"
-    val ranksFinal = pprCache.computeIfAbsent(key, _ => {
+      s"$minSupport:$iters"
+    val ranksFinal = memoCheckpoint(key, s"$mtime:$pmtime") {
       val e = directedEdges(spark, dir, minSupport)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .withColumnRenamed("src", "node")
@@ -509,6 +526,7 @@ object Graph {
             .cast("long").as("rank"))
         .localCheckpoint()
       for (_ <- 1 to iters) {
+        val prev = ranks
         ranks = adj.join(ranks, adj("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(expr("rank div d")).as("s"))
@@ -519,10 +537,11 @@ object Graph {
             (when(col("is_seed") === 1, lit(15L * Scale / 100))
               .otherwise(lit(0L)) + col("m")).cast("long").as("rank"))
           .localCheckpoint()
+        releaseCheckpoint(prev)
       }
       adj.unpersist(blocking = false)
       ranks
-    })
+    }
     ranksFinal.filter(col("rank") > 0)
       .select(col("node").as("part"), col("rank").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("part"))
@@ -792,11 +811,6 @@ object Graph {
        |FROM w
        |ORDER BY degree""".stripMargin
 
-  /** Memoized converged k-core edge tables for [[kcore]] (bfsCache
-    * discipline — iterative ops memoize eager per-round checkpoints). */
-  private val kcoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   /** O9 `graph_kcore` — k-core decomposition by iterative peeling:
     * repeatedly delete nodes of degree < k (each deletion lowers its
     * neighbors' degrees) until the fixed point — the maximal subgraph
@@ -828,20 +842,22 @@ object Graph {
             k: Int = 3, rounds: Int = 8, limit: Int = 100): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
     val key = s"${System.identityHashCode(spark)}:$dir:kcore:" +
-      s"$minSupport:$k:$rounds:$mtime"
-    val alive = kcoreCache.computeIfAbsent(key, _ => {
+      s"$minSupport:$k:$rounds"
+    val alive = memoCheckpoint(key, mtime.toString) {
       var a = directedEdges(spark, dir, minSupport).localCheckpoint()
       for (_ <- 1 to rounds) {
         val keep = a.groupBy(col("src")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select(col("src").as("node"))
+        val prev = a
         a = a.join(keep.select(col("node").as("ks")), col("src") === col("ks"))
           .drop("ks")
           .join(keep.select(col("node").as("kd")), col("dst") === col("kd"))
           .drop("kd")
           .localCheckpoint()
+        releaseCheckpoint(prev)
       }
       a
-    })
+    }
     alive.groupBy(col("src").as("part"))
       .agg(count(lit(1)).as("core_degree"))
       .orderBy(col("core_degree").desc, col("part"))

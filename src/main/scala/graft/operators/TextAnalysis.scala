@@ -251,11 +251,15 @@ object TextAnalysis {
     * for every source.
     *
     * Cross-engine exactness (I6's recipe, tightened): the only
-    * transcendental is the per-category log-ratio, rounded to 9 dp
-    * and cast DECIMAL(28,9); it is then weighted by the INTEGER
-    * smoothed count and summed in decimal — exact, order-insensitive
-    * — with ONE double division by the integer total at the end,
-    * rounded to 6. Scale: one explode+rollup for counts (token-keyed
+    * transcendental is the per-category log-ratio (each BIGINT factor
+    * cast to double BEFORE the multiply — the exact integer product
+    * overflows 2^63 at 100 TB token counts), rounded to 9 dp and cast
+    * DECIMAL(18,9); it is then weighted by the smoothed count cast
+    * DECIMAL(19,0) — product DECIMAL(38,9), inside Spark's 38-digit
+    * cap with NO precision loss — and summed in decimal — exact,
+    * order-insensitive — with ONE double division by the integer
+    * total at the end, rounded to 6. Scale: one explode+rollup for
+    * counts (token-keyed
     * shuffle, linear), a KlVocabK-row broadcast vocab, and a
     * sources × categories grid that is broadcast-sized by
     * construction (sources is a bounded dimension; categories ≤
@@ -280,14 +284,25 @@ object TextAnalysis {
       .join(p, Seq("source", "cat"), "left")
       .na.fill(0L, Seq("c_src"))
       .crossJoin(broadcast(qTot))
+      // each factor cast to double BEFORE the multiply: the exact
+      // BIGINT product (c_src+1)*(n_corpus+n_cats) exceeds 2^63 at
+      // the 100 TB design point (token counts ~1e13) and non-ANSI
+      // Spark would wrap silently — the O1 pagerank overflow class.
       .withColumn("lr", round(
-        log(((col("c_src") + 1) * (col("n_corpus") + col("n_cats"))).cast("double") /
-          ((col("n_src") + col("n_cats")) * (col("c_corpus") + 1)).cast("double")), 9)
-        .cast(DecimalType(28, 9)))
+        log((col("c_src") + 1).cast("double") *
+          (col("n_corpus") + col("n_cats")).cast("double") /
+          ((col("n_src") + col("n_cats")).cast("double") *
+            (col("c_corpus") + 1).cast("double"))), 9)
+        .cast(DecimalType(18, 9)))
       .groupBy(col("source"))
       .agg(max(col("n_src")).as("n_tokens"),
         max(col("n_cats")).as("n_cats"),
-        round(sum((col("c_src") + 1) * col("lr")).cast("double") /
+        // degreeDist's round-then-decimal-sum rule: DECIMAL(19,0) ×
+        // DECIMAL(18,9) → DECIMAL(38,9) with NO precision loss (a
+        // LongType count would promote to DECIMAL(20,0), overflow 38,
+        // and allowPrecisionLoss would silently cut the scale to 6)
+        round(sum((col("c_src") + 1).cast(DecimalType(19, 0)) * col("lr"))
+          .cast("double") /
           (max(col("n_src")) + max(col("n_cats"))), 6).as("kl_to_corpus"))
       .orderBy(col("source"))
   }
@@ -323,10 +338,10 @@ object TextAnalysis {
        |SELECT source,
        |  CAST(MAX(n_src) AS BIGINT) AS n_tokens,
        |  CAST(MAX(n_cats) AS BIGINT) AS n_cats,
-       |  ROUND(CAST(SUM((c_src + 1) * CAST(ROUND(ln(
-       |      CAST((c_src + 1) * (n_corpus + n_cats) AS DOUBLE)
-       |      / CAST((n_src + n_cats) * (c_corpus + 1) AS DOUBLE)), 9)
-       |      AS DECIMAL(28,9))) AS DOUBLE)
+       |  ROUND(CAST(SUM(CAST(c_src + 1 AS DECIMAL(19,0)) * CAST(ROUND(ln(
+       |      CAST(c_src + 1 AS DOUBLE) * CAST(n_corpus + n_cats AS DOUBLE)
+       |      / (CAST(n_src + n_cats AS DOUBLE) * CAST(c_corpus + 1 AS DOUBLE))), 9)
+       |      AS DECIMAL(18,9))) AS DOUBLE)
        |    / (MAX(n_src) + MAX(n_cats)), 6) AS kl_to_corpus
        |FROM grid GROUP BY source ORDER BY source""".stripMargin
 
@@ -397,8 +412,9 @@ object TextAnalysis {
     *
     * Cross-engine exactness: the only transcendental is the per
     * (lang, bigram) log-prob, rounded to 9 dp and cast
-    * DECIMAL(28,9); each doc's score is Σ count·logprob in exact
-    * decimal; argmax compares decimals with lang-order tie-break.
+    * DECIMAL(18,9); each doc's score is Σ count·logprob with the
+    * count cast DECIMAL(19,0) — product DECIMAL(38,9), exact in both
+    * engines; argmax compares decimals with lang-order tie-break.
     * Scale: the MODEL is bounded (langs × charset² rows) and
     * broadcast; docs pay one bigram explode + (doc, bigram) rollup
     * (linear, the I-family token shuffle); scoring is a broadcast
@@ -427,11 +443,15 @@ object TextAnalysis {
       .select(col("m_lang"), col("bg"),
         round(log((col("c_lang") + 1).cast("double") /
           (col("n_lang") + col("n_types")).cast("double")), 9)
-          .cast(DecimalType(28, 9)).as("logp"))
-    // score every doc under every language model
+          .cast(DecimalType(18, 9)).as("logp"))
+    // score every doc under every language model — DECIMAL(19,0) ×
+    // DECIMAL(18,9) → DECIMAL(38,9), exact (degreeDist's rule: a raw
+    // LongType count would promote to DECIMAL(20,0), push the product
+    // precision past 38, and allowPrecisionLoss would silently round
+    // the scale to 6 while the DuckDB oracle keeps 9 dp)
     val scored = docBg.join(broadcast(model), Seq("bg"))
       .groupBy(col("doc_id"), col("lang"), col("m_lang"))
-      .agg(sum(col("c") * col("logp")).as("score"))
+      .agg(sum(col("c").cast(DecimalType(19, 0)) * col("logp")).as("score"))
     // argmax with ascending-lang tie-break: max(struct) wins on the
     // highest preference rank, which is assigned reverse-alphabetical
     val pref = langs.map(_._1).sorted.reverse.zipWithIndex
@@ -462,12 +482,13 @@ object TextAnalysis {
       |  SELECT lt.m_lang, types.bg,
       |    CAST(ROUND(ln(CAST(COALESCE(lb.c_lang, 0) + 1 AS DOUBLE)
       |      / CAST(lt.n_lang + nt.n_types AS DOUBLE)), 9)
-      |      AS DECIMAL(28,9)) AS logp
+      |      AS DECIMAL(18,9)) AS logp
       |  FROM lt CROSS JOIN types
       |  LEFT JOIN lb ON lb.m_lang = lt.m_lang AND lb.bg = types.bg
       |  CROSS JOIN nt
       |), scored AS (
-      |  SELECT d.doc_id, d.lang, m.m_lang, SUM(d.c * m.logp) AS score
+      |  SELECT d.doc_id, d.lang, m.m_lang,
+      |    SUM(CAST(d.c AS DECIMAL(19,0)) * m.logp) AS score
       |  FROM doc_bg d JOIN model m ON d.bg = m.bg
       |  GROUP BY 1, 2, 3
       |), best AS (

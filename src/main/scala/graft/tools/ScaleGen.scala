@@ -45,8 +45,22 @@ object ScaleGen {
   /** The replication itself, callable from specs (ScaleGenSpec pins
     * the replica properties the SCALING analysis relies on). */
   def run(spark: SparkSession, in: String, out: String, reps: Int): Unit = {
-    def replicate(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
+    def replicate(table: String, shifted: String*)
+                 (xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$in/$table.parquet")
+      // Replica key ranges [k·Off, (k+1)·Off) must not collide: a base
+      // key ≥ Off would silently corrupt FK integrity and the
+      // user_id%4 tenancy everything downstream relies on, so fail
+      // loudly instead (one metadata-cheap max() scan per key column).
+      if (shifted.nonEmpty) {
+        val row = base
+          .select(shifted.map(c => max(col(c)).cast("long").as(c)): _*).head()
+        shifted.zipWithIndex.foreach { case (c, i) =>
+          require(row.isNullAt(i) || row.getLong(i) < Off,
+            s"$table: max($c) = ${row.getLong(i)} >= Off=$Off — " +
+              "replica key ranges would collide; raise Off")
+        }
+      }
       val all = (0 until reps).map(k => xform(base, k)).reduce(_ unionAll _)
       all.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scalegen] $table x$reps -> $out")
@@ -55,26 +69,29 @@ object ScaleGen {
 
     replicate("region")((df, k) => if (k == 0) df else df.limit(0))
     replicate("nation")((df, k) => if (k == 0) df else df.limit(0))
-    replicate("customer")((df, k) => df.withColumn("c_custkey", shift("c_custkey", k)))
-    replicate("supplier")((df, k) => df.withColumn("s_suppkey", shift("s_suppkey", k)))
-    replicate("part")((df, k) => df.withColumn("p_partkey", shift("p_partkey", k)))
-    replicate("orders")((df, k) => df
+    replicate("customer", "c_custkey")((df, k) =>
+      df.withColumn("c_custkey", shift("c_custkey", k)))
+    replicate("supplier", "s_suppkey")((df, k) =>
+      df.withColumn("s_suppkey", shift("s_suppkey", k)))
+    replicate("part", "p_partkey")((df, k) =>
+      df.withColumn("p_partkey", shift("p_partkey", k)))
+    replicate("orders", "o_orderkey", "o_custkey")((df, k) => df
       .withColumn("o_orderkey", shift("o_orderkey", k))
       .withColumn("o_custkey", shift("o_custkey", k)))
-    replicate("lineitem")((df, k) => df
+    replicate("lineitem", "l_orderkey", "l_partkey", "l_suppkey")((df, k) => df
       .withColumn("l_orderkey", shift("l_orderkey", k))
       .withColumn("l_partkey", shift("l_partkey", k))
       .withColumn("l_suppkey", shift("l_suppkey", k)))
-    replicate("events")((df, k) => df
+    replicate("events", "event_id", "user_id")((df, k) => df
       .withColumn("event_id", shift("event_id", k))
       .withColumn("user_id", shift("user_id", k)))
-    replicate("documents")((df, k) =>
+    replicate("documents", "doc_id")((df, k) =>
       (if (k == 0) df
        else df.withColumn("text",
          regexp_replace(col("text"), "(\\S+)", s"$$1${k}x")))
         .withColumn("doc_id", shift("doc_id", k))
         .withColumn("n_chars", length(col("text")).cast("long")))
-    replicate("embeddings")((df, k) =>
+    replicate("embeddings", "vec_id")((df, k) =>
       (if (k == 0) df
        else df.withColumn("embedding", expr(
          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
