@@ -118,6 +118,120 @@ object Audit {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** F23 `audit_health_report` — the health-api dashboard read
+    * (reference: services/health-api/src/handler.ts): per tenant, the
+    * three pipeline failure counters summed over a trailing window
+    * whose requested width is clamped `max(5, min(q, 1440))` minutes
+    * (handler.ts:93), plus the tenant's last audit write — its
+    * partition-derived object key and timestamp (handler.ts:42-57's
+    * `lastAuditWrite` over the tenantId=/date= layout) — and its
+    * staleness in whole minutes. The reference reads the sums from
+    * CloudWatch (`metricSumLast`, handler.ts:58-80) and the freshness
+    * from an S3 listing; here the same numbers derive from the event
+    * stream itself, each through the pipeline's OWN single source of
+    * truth so the counters can never drift from the operators they
+    * observe:
+    *   - `ingest_error_count`: 'error'-typed events (the ingest
+    *     handler's catch/DLQ path),
+    *   - `dto_invalid_count`: the window slice re-run through C1's
+    *     actual DTO parse + Zod predicate ([[Normalize.dtoFrom]] /
+    *     [[Normalize.isValid]] — no re-derived defect classes),
+    *   - `persist_error_count`: conditional-write rejections — a
+    *     write whose idempotency key equals its predecessor's, the
+    *     complement of D2's applied stream ([[Persist.attemptsFrom]]).
+    * The window anchors at the stream's max ts (the dataset's "now";
+    * the upper bound is vacuous since nothing is later).
+    *
+    * Scale: ONE pass over events computes both error flags and the
+    * per-tenant argmax last-write in a single tenant-keyed rollup
+    * (the lag rides the same (user_id, event_type) window D2 already
+    * pays); the DTO re-parse touches only the WINDOW slice (the time
+    * filter sits below the parse, so 100 TB of history costs the
+    * trailing window, not a full-corpus parse); the anchor is one
+    * metadata-cheap global max, broadcast-attached; final assembly
+    * joins per-tenant aggregates — metadata-scale. */
+  def healthReport(spark: SparkSession, dir: String,
+                   windowMin: Int = 1440): DataFrame = {
+    val w = math.max(5, math.min(windowMin, 1440)) // handler.ts:93
+    val ev = Tables.events(spark, dir)
+    val ends = ev.agg(max(col("ts")).as("end_ts"))
+    val inWin = col("ts") > col("end_ts") - expr(s"INTERVAL $w MINUTE")
+    val s1 = Persist.attemptsFrom(ev).crossJoin(broadcast(ends))
+      .groupBy(Obs.tenant.as("tenant_id"))
+      .agg(
+        sum(when(inWin && col("event_type") === "error", 1L).otherwise(0L))
+          .as("ingest_error_count"),
+        sum(when(inWin && col("prev_ik") === col("ik"), 1L).otherwise(0L))
+          .as("persist_error_count"),
+        max(struct(col("ts").as("t"), col("event_id").as("e"))).as("last"))
+    val dinv = Normalize.dtoFrom(ev.crossJoin(broadcast(ends)).filter(inWin))
+      .filter(!Normalize.isValid)
+      .groupBy(concat(lit("t"),
+        pmod(col("patient_id").cast("long"), lit(4))).as("tenant_id"))
+      .agg(count(lit(1)).as("dto_invalid_count"))
+    s1.crossJoin(broadcast(ends))
+      .join(dinv, Seq("tenant_id"), "left")
+      .select(col("tenant_id"), lit(w).as("window_min"),
+        col("ingest_error_count"),
+        coalesce(col("dto_invalid_count"), lit(0L)).as("dto_invalid_count"),
+        col("persist_error_count"),
+        concat(lit("tenantId="), col("tenant_id"),
+          lit("/date="), date_format(col("last.t"), "yyyy-MM-dd"),
+          lit("/hour="), hour(col("last.t")).cast("string"),
+          lit("/part-"), col("last.e").cast("string"), lit(".jsonl"))
+          .as("last_audit_key"),
+        col("last.t").as("last_audit_ts"),
+        expr("(unix_micros(end_ts) - unix_micros(last.t)) div 60000000")
+          .as("staleness_min"))
+      .orderBy(col("tenant_id"))
+  }
+
+  def healthReportSql(windowMin: Int = 1440): String = {
+    val w = math.max(5, math.min(windowMin, 1440))
+    s"""WITH ${Normalize.dtoSqlCte},
+       |ends AS (SELECT MAX(ts) AS end_ts FROM events),
+       |base AS (
+       |  SELECT e.*, 't' || (e.user_id % 4) AS tenant_id,
+       |    'ik' || (e.event_id % 5) AS ik,
+       |    LAG('ik' || (e.event_id % 5)) OVER (
+       |      PARTITION BY e.user_id, e.event_type
+       |      ORDER BY e.ts, e.event_id) AS prev_ik
+       |  FROM events e
+       |),
+       |s1 AS (
+       |  SELECT tenant_id,
+       |    CAST(SUM(CASE WHEN ts > end_ts - INTERVAL ($w) MINUTE
+       |                   AND event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ingest_error_count,
+       |    CAST(SUM(CASE WHEN ts > end_ts - INTERVAL ($w) MINUTE
+       |                   AND prev_ik = ik THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS persist_error_count,
+       |    MAX({'t': ts, 'e': event_id}) AS last
+       |  FROM base CROSS JOIN ends GROUP BY 1
+       |),
+       |dinv AS (
+       |  SELECT 't' || (CAST(d.patient_id AS BIGINT) % 4) AS tenant_id,
+       |    COUNT(*) AS dto_invalid_count
+       |  FROM dto d CROSS JOIN ends
+       |  WHERE d.effective > end_ts - INTERVAL ($w) MINUTE
+       |    AND NOT (${Normalize.isValidSql})
+       |  GROUP BY 1
+       |)
+       |SELECT s1.tenant_id, $w AS window_min,
+       |  ingest_error_count,
+       |  COALESCE(dto_invalid_count, 0) AS dto_invalid_count,
+       |  persist_error_count,
+       |  'tenantId=' || s1.tenant_id || '/date='
+       |    || strftime(s1.last.t, '%Y-%m-%d')
+       |    || '/hour=' || hour(s1.last.t)
+       |    || '/part-' || s1.last.e || '.jsonl' AS last_audit_key,
+       |  s1.last.t AS last_audit_ts,
+       |  (epoch_us(ends.end_ts) - epoch_us(s1.last.t)) // 60000000
+       |    AS staleness_min
+       |FROM s1 CROSS JOIN ends LEFT JOIN dinv USING (tenant_id)
+       |ORDER BY tenant_id""".stripMargin
+  }
+
   /** F3 `dlq_redrive_pending` — failures still stuck in the DLQ:
     * error events with no later activity from the same user (the
     * retry never happened). A left_anti self-join on the user key —
@@ -1279,6 +1393,9 @@ object Audit {
     "audit_hll_sketch_store" -> (hllSketchStore _),
     "audit_partition_counts" -> (partitionCounts _),
     "audit_metric_counts" -> (metricCounts _),
+    "audit_health_report" -> ((s: SparkSession, d: String) => healthReport(s, d)),
+    "param_audit_health_report" -> ((s: SparkSession, d: String) =>
+      healthReport(s, d, windowMin = 1)), // clamps up to 5 (handler.ts:93)
     "dlq_redrive_pending" -> (dlqRedrivePending _),
     "dlq_redrive_batch" -> (dlqRedriveBatch _),
     "audit_list_page" -> (auditListPage _),
@@ -1309,6 +1426,8 @@ object Audit {
     "audit_hll_sketch_store" -> hllSketchStoreSql,
     "audit_partition_counts" -> partitionCountsSql,
     "audit_metric_counts" -> metricCountsSql,
+    "audit_health_report" -> healthReportSql(),
+    "param_audit_health_report" -> healthReportSql(1),
     "dlq_redrive_pending" -> dlqRedrivePendingSql,
     "dlq_redrive_batch" -> dlqRedriveBatchSql,
     "audit_list_page" -> auditListPageSql,

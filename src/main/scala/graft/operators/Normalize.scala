@@ -50,7 +50,7 @@ object Normalize {
   def validObsFrom(events: DataFrame): DataFrame =
     dtoFrom(events).filter(isValid).filter(fhirValid)
 
-  private def dtoSqlCte: String =
+  private[operators] def dtoSqlCte: String =
     """raw AS (
       |  SELECT event_id,
       |    concat_ws(',', user_id, event_type,
@@ -79,12 +79,12 @@ object Normalize {
   /** Zod-equivalent validity predicate (reference: libs/validation/
     * dto.ts:5-11 — non-empty patientId/code/unit/sourceSystem, numeric
     * value, ISO datetime, ingestHash >= 10 chars). */
-  private def isValid: Column =
+  private[operators] def isValid: Column =
     col("patient_id") =!= "" && col("code") =!= "" && col("unit") =!= "" &&
       col("value").isNotNull && !isnan(col("value")) &&
       col("effective").isNotNull && length(col("ingest_hash")) >= 10
 
-  private def isValidSql: String =
+  private[operators] def isValidSql: String =
     """patient_id <> '' AND code <> '' AND unit <> ''
       |  AND value IS NOT NULL AND NOT isnan(value)
       |  AND effective IS NOT NULL AND length(ingest_hash) >= 10""".stripMargin

@@ -33,18 +33,26 @@ object Persist {
     * synthetic idempotency key (event_id mod 5 within the entity)
     * collides on purpose so both consecutive replays (suppressed) and
     * recycled keys (applied again) exist. */
-  private def appliedFrom(events: DataFrame): DataFrame = {
+  /** The full write-attempt stream with idempotency evidence (`ik` +
+    * the lagged `prev_ik` within the entity), BOTH outcomes kept:
+    * [[appliedFrom]] filters to accepted writes; F23's health report
+    * counts the rejected complement (the conditional-write failure
+    * path) — shared so the rule can never drift between the two. */
+  private[operators] def attemptsFrom(events: DataFrame): DataFrame = {
     val wSeq = Window
       .partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     events
       .withColumn("ik", concat(lit("ik"), pmod(col("event_id"), lit(5))))
       .withColumn("prev_ik", lag(col("ik"), 1).over(wSeq))
+  }
+
+  private def appliedFrom(events: DataFrame): DataFrame =
+    attemptsFrom(events)
       // conditional-write semantics: only a consecutive same-key write
       // is a no-op (see object doc for the lag equivalence proof)
       .filter(col("prev_ik").isNull || col("ik") =!= col("prev_ik"))
       .drop("prev_ik")
-  }
 
   private[graft] def applied(spark: SparkSession, dir: String): DataFrame =
     appliedFrom(Tables.events(spark, dir))

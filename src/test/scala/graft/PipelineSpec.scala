@@ -1388,4 +1388,53 @@ class PipelineSpec extends SparkSpecBase {
       assert(math.abs(obs + unseen - 1.0) < 1e-9, s"mass law broken at $w1")
     }
   }
+
+  test("F23 health report: clamp paths and counters match a driver recount") {
+    val rows = run("audit_health_report").collect()
+    assert(rows.map(_.getAs[String]("tenant_id")).toSeq ==
+      Seq("t0", "t1", "t2", "t3"))
+    assert(rows.forall(_.getAs[Int]("window_min") == 1440))
+    // upper clamp (handler.ts:93): any request >= 1440 serves the
+    // identical report
+    val hi = graft.operators.Audit.healthReport(spark, sf, windowMin = 5000)
+      .collect()
+    assert(hi.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    // lower clamp: 1 -> 5
+    val low = run("param_audit_health_report").collect()
+    assert(low.forall(_.getAs[Int]("window_min") == 5))
+
+    // independent driver recount of all three counters + staleness
+    case class Ev(id: Long, user: Long, typ: String, us: Long)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val end = ev.map(_.us).max
+    val winLo = end - 1440L * 60000000L
+    def tenant(e: Ev) = "t" + (e.user % 4)
+    val rejected = ev.groupBy(e => (e.user, e.typ)).values.flatMap { g =>
+      val s = g.sortBy(e => (e.us, e.id))
+      s.zip(s.drop(1)).collect { case (a, b) if a.id % 5 == b.id % 5 => b }
+    }.toSeq
+    for (r <- rows) {
+      val t = r.getAs[String]("tenant_id")
+      val mine = ev.filter(e => tenant(e) == t)
+      val win = mine.filter(_.us > winLo)
+      assert(r.getAs[Long]("ingest_error_count") ==
+        win.count(_.typ == "error"))
+      // dto-invalid classes: %97 -> 'N/A' value (Zod null), %101 ->
+      // empty code; 'Infinity' (%103) passes Zod, fails FHIR only
+      assert(r.getAs[Long]("dto_invalid_count") ==
+        win.count(e => e.id % 97 == 0 || e.id % 101 == 0))
+      assert(r.getAs[Long]("persist_error_count") ==
+        rejected.count(e => tenant(e) == t && e.us > winLo))
+      val last = mine.maxBy(e => (e.us, e.id))
+      assert(r.getAs[Long]("staleness_min") == (end - last.us) / 60000000L)
+      assert(r.getAs[String]("last_audit_key").startsWith(s"tenantId=$t/date=")
+        && r.getAs[String]("last_audit_key").endsWith(s"part-${last.id}.jsonl"))
+    }
+    // the fixture exercises every counter somewhere
+    assert(rows.map(_.getAs[Long]("ingest_error_count")).sum > 0)
+    assert(rows.map(_.getAs[Long]("persist_error_count")).sum > 0)
+  }
 }
