@@ -419,17 +419,38 @@ object TextAnalysis {
     * broadcast; docs pay one bigram explode + (doc, bigram) rollup
     * (linear, the I-family token shuffle); scoring is a broadcast
     * join + doc-keyed rollup — no all-pairs anything. */
+  /** Cached (doc, lang, bigram) count rollup for [[langIdTrained]] —
+    * the subtree that feeds BOTH the model-fit chain (per-language
+    * counts, global type set, totals) and the scoring join, i.e. it
+    * would otherwise re-run the char-explode + rollup for every
+    * branch of the plan. Same keyed-invalidation discipline as
+    * [[dsirFeatsCache]] (mtime in the value, superseded entries
+    * unpersisted). */
+  private val langIdDocBgCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private def langIdDocBg(spark: SparkSession, dir: String): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/documents.parquet")
+    langIdDocBgCache.compute(
+      s"${System.identityHashCode(spark)}:$dir", (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) prev._2.unpersist()
+          // (doc, bigram) counts — one linear explode over positions
+          val bi = Tables.documents(spark, dir)
+            .select(col("doc_id"), col("lang"), col("text"),
+              explode(sequence(lit(1),
+                greatest(length(col("text")) - 1, lit(1)))).as("i"))
+            .select(col("doc_id"), col("lang"),
+              expr("substring(text, i, 2)").as("bg"))
+          (mtime, bi.groupBy(col("doc_id"), col("lang"), col("bg"))
+            .agg(count(lit(1)).as("c")).cache())
+        })._2
+  }
+
   def langIdTrained(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val docs = Tables.documents(spark, dir)
-    // (doc, bigram) counts — one linear explode over positions
-    val bi = docs
-      .select(col("doc_id"), col("lang"), col("text"), explode(sequence(lit(1),
-        greatest(length(col("text")) - 1, lit(1)))).as("i"))
-      .select(col("doc_id"), col("lang"),
-        expr("substring(text, i, 2)").as("bg"))
-    val docBg = bi.groupBy(col("doc_id"), col("lang"), col("bg"))
-      .agg(count(lit(1)).as("c"))
+    val docBg = langIdDocBg(spark, dir)
     // per-language bigram counts + global type set
     val lb = docBg.groupBy(col("lang").as("m_lang"), col("bg"))
       .agg(sum(col("c")).as("c_lang"))
