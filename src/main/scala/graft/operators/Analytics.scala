@@ -1299,20 +1299,16 @@ object Analytics {
     * partitioning. At 100 TB: both shuffles move ≤ 21 rows per order
     * with partial aggregation on the pair side; no basket-size blowup
     * risk because the per-key state is the sorted part array, capped
-    * by the schema's basket bound. */
+    * by the schema's basket bound. The basket → pair chain is the ONE
+    * shared cold build ([[Graph.cachedPairCounts]]) the whole graph
+    * family also serves from — this query is a plan-only filter +
+    * top-k over that cached rollup. */
   def k30CopurchasePairs(spark: SparkSession, dir: String,
                          minSupport: Int = 2, limit: Int = 100): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    Graph.cachedPairCounts(spark, dir)
       .filter(col("n_orders") >= minSupport)
+      .select(col("src").as("part_a"), col("dst").as("part_b"),
+        col("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(limit)
 
@@ -1336,7 +1332,8 @@ object Analytics {
     * (lift desc, antecedent, consequent). Confidence and lift are
     * exact ratios of BIGINT counts with explicit double casts in one
     * fixed association order, rounded 6dp.
-    * Scale: pair counts reuse K30's two-shuffle map-side expansion;
+    * Scale: baskets and pair counts serve from the shared cached cold
+    * build ([[Graph.cachedBaskets]]/[[Graph.cachedPairCounts]]);
     * the per-part order counts are one more linear partial agg; the
     * marginal attachments are part-keyed equi joins (part-dimension
     * sized); the order total is a 1-row broadcast attach; serve is
@@ -1344,17 +1341,10 @@ object Analytics {
   def k31AssociationRules(spark: SparkSession, dir: String,
                           minSupport: Int = 2, minConf: Double = 0.05,
                           limit: Int = 100): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val pairCounts = items
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .agg(count(lit(1)).as("c_pair"))
+    val items = Graph.cachedBaskets(spark, dir)
+    val pairCounts = Graph.cachedPairCounts(spark, dir)
+      .select(col("src").as("part_a"), col("dst").as("part_b"),
+        col("n_orders").as("c_pair"))
       .filter(col("c_pair") >= minSupport)
     val partCounts = items
       .select(explode(col("parts")).as("part"))

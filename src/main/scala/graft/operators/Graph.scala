@@ -41,21 +41,14 @@ object Graph {
   private val Scale = 1000000000L // 1e9 fixed-point unit
 
   /** Canonical undirected co-purchase edges (src < dst), thresholded
-    * on order co-occurrence support. Two shuffles total: the per-order
-    * distinct-part array, then the pair rollup (pairs expand map-side
-    * from the sorted array — K30's expansion, O(basket²) ≤ 21/order). */
+    * on order co-occurrence support — a plan-only filter+projection
+    * over the ONE shared cached pair-count rollup
+    * ([[cachedPairCounts]]), so every (dir, minSupport) variant and
+    * the K30/K31 market-basket family all serve from the same cold
+    * build instead of each re-deriving the basket → pair chain. */
   private[operators] def canonicalEdges(spark: SparkSession, dir: String,
                                         minSupport: Int): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS src, y AS dst))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
-      .agg(count(lit(1)).as("n_orders"))
+    cachedPairCounts(spark, dir)
       .filter(col("n_orders") >= minSupport)
       .select(col("src"), col("dst"))
 
@@ -87,8 +80,9 @@ object Graph {
     * Lifecycle: cached plans are tracked in an mtime-keyed memo
     * ([[cacheReg]]) so a data rewrite under `dir` unpersists the
     * superseded entry instead of accumulating dead cached tables for
-    * the life of the session (distinct (dir, minSupport) combinations
-    * each keep exactly ONE live cached table). */
+    * the life of the session. Per dir there are exactly TWO live
+    * cached tables — the basket arrays and the unthresholded pair
+    * counts — shared by every minSupport variant and by K30/K31. */
   private val cacheReg =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
 
@@ -136,18 +130,48 @@ object Graph {
       case _ => ()
     }
 
-  private def cachedCanonicalEdges(spark: SparkSession,
-                                   dir: String, minSupport: Int): DataFrame = {
+  /** The shared cold build, stage 1: per-order sorted distinct-part
+    * baskets — the first shuffle of EVERY market-basket/graph
+    * operator (K30/K31 and the whole O-family), cached once per dir.
+    * K31's per-part marginals and order total also derive from this
+    * table, so its cold build is paid exactly once. */
+  private[operators] def cachedBaskets(spark: SparkSession,
+                                       dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
-    registeredCache(
-      s"${System.identityHashCode(spark)}:$dir:$minSupport:edges", mtime)(
-      canonicalEdges(spark, dir, minSupport))
+    registeredCache(s"${System.identityHashCode(spark)}:$dir:baskets", mtime)(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+  }
+
+  /** The shared cold build, stage 2: UNthresholded co-purchase pair
+    * counts (src < dst, n_orders) — pairs expand MAP-SIDE from the
+    * cached basket arrays (nested transform + flatten, i < j by
+    * construction, ≤ 21 pairs per ≤ 7-line TPC-H order, so O(n)
+    * never O(n²)), then one pair-keyed rollup. Cached UNthresholded
+    * so every minSupport variant, K30's top-k, and K31's rules are
+    * plan-only filters over ONE materialization — previously each
+    * (dir, minSupport) kept its own cached edge table and K30/K31
+    * re-ran the whole chain per query. */
+  private[operators] def cachedPairCounts(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    registeredCache(s"${System.identityHashCode(spark)}:$dir:paircounts",
+      mtime)(
+      cachedBaskets(spark, dir)
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+            |  transform(slice(parts, i + 2, size(parts)),
+            |            y -> struct(x AS src, y AS dst))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+        .agg(count(lit(1)).as("n_orders")))
   }
 
   /** Both directions of the canonical edge list. */
   private def directedEdges(spark: SparkSession, dir: String,
                             minSupport: Int): DataFrame = {
-    val e = cachedCanonicalEdges(spark, dir, minSupport)
+    val e = canonicalEdges(spark, dir, minSupport)
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -264,7 +288,7 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
     // canonical edges with both endpoint degrees attached
-    val canon = cachedCanonicalEdges(spark, dir, minSupport)
+    val canon = canonicalEdges(spark, dir, minSupport)
       .join(deg.select(col("node"), col("d").as("da")), col("src") === col("node"))
       .drop("node")
       .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
@@ -597,7 +621,7 @@ object Graph {
     val e = directedEdges(spark, dir, minSupport)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
-    val canon = cachedCanonicalEdges(spark, dir, minSupport)
+    val canon = canonicalEdges(spark, dir, minSupport)
       .join(deg.select(col("node"), col("d").as("da")), col("src") === col("node"))
       .drop("node")
       .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
@@ -702,7 +726,7 @@ object Graph {
         expr("CAST(ROUND(1e9 / LN(CAST(d AS DOUBLE))) AS BIGINT)").as("w_aa"))
     val scored = nbrs.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"), sum(col("w_aa")).as("aa_fp"))
-    scored.join(cachedCanonicalEdges(spark, dir, minSupport)
+    scored.join(canonicalEdges(spark, dir, minSupport)
         .select(col("src").as("u"), col("dst").as("v")),
         Seq("u", "v"), "left_anti")
       .orderBy(col("aa_fp").desc, col("u"), col("v"))
