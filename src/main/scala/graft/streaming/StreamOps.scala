@@ -46,6 +46,42 @@ object StreamOps {
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 
+  /** D13 streaming twin — the foreachBatch DELTA-MERGE consumer that
+    * maintains the incremental join view (`persist_ivm_join`): each
+    * micro-batch Δlineitem joins the static orders dim, folds to
+    * per-customer decimal partials, and merges into the running state
+    * with one full-outer key merge (sum both sides, coalescing
+    * absentees to zero). Decimal addition is associative and
+    * commutative, so ANY micro-batch partitioning of the input
+    * converges to the batch view bit-for-bit — StreamingSpec proves
+    * equality under uneven splits, closing the produce≡consume loop
+    * P2 gave CDC for the aggregate/join-view family. At 100 TB the
+    * state is a bucketed (o_custkey) MERGE target and each batch
+    * reads ONLY its delta — the base view is never re-joined; the
+    * dim side broadcasts per batch exactly like L6's enrichment. */
+  def ivmDeltaMerge(state: DataFrame, delta: DataFrame,
+                    orders: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val part = delta
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(dec)).as("d_rev"),
+        count(lit(1)).as("d_n"))
+    state.join(part, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("rev"), lit(0).cast(dec)) +
+          coalesce(col("d_rev"), lit(0).cast(dec))).cast(dec).as("rev"),
+        (coalesce(col("n_lines"), lit(0L)) +
+          coalesce(col("d_n"), lit(0L))).as("n_lines"))
+  }
+
+  /** The maintained state read back in the batch view's serve shape. */
+  def ivmServe(state: DataFrame): DataFrame =
+    state.select(col("o_custkey"), col("rev").cast("double").as("revenue"),
+      col("n_lines"))
+
   /** L6 streaming — stream-static enrichment join + running rollup:
     * the static dimension is joined per micro-batch (Spark re-plans
     * the broadcast each batch; no watermark is needed on the static

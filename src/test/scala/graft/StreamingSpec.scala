@@ -708,4 +708,39 @@ class StreamingSpec extends SparkSpecBase {
       assert(gotCounts(ten) == want, s"tenant $ten")
     }
   }
+
+  test("D13 ivm streaming twin: foreachBatch delta-merge equals batch under arbitrary splits") {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    val ords = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, Double, Double)]
+    val schema = StructType(Seq(StructField("o_custkey", LongType),
+      StructField("rev", DecimalType(18, 6)), StructField("n_lines", LongType)))
+    var state = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val q = ms.toDF()
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the delta-merge consumer: state ⊎ fold(Δ ⋈ orders); the
+        // localCheckpoint is the spec-scale stand-in for the MERGE
+        // target write a real deployment commits per batch
+        state = StreamOps.ivmDeltaMerge(state, batch, ords).localCheckpoint()
+        ()
+      }
+      .outputMode("update").start()
+    // deliberately uneven micro-batch splits (1, 3, rest/2, remainder)
+    val cuts = Seq(1, 4, 4 + (li.size - 4) / 2, li.size)
+    var prev = 0
+    for (c <- cuts) {
+      ms.addData(li.slice(prev, c)); q.processAllAvailable(); prev = c
+    }
+    q.stop()
+    val got = StreamOps.ivmServe(state).collect().map(_.toSeq).toSet
+    val want = run("persist_ivm_join").collect().map(_.toSeq).toSet
+    assert(got == want,
+      "foreachBatch delta-merge diverges from the batch join view")
+  }
 }
