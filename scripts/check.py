@@ -6,7 +6,11 @@ runs each oracle SQL from outDir/oracle_sql.json in DuckDB against the
 same sfDir tables, and compares: row count, column names, and values
 (columns sorted by name, rows sorted by all columns, exact equality).
 
-Usage: python3 scripts/check.py <sfDir> <outDir>
+Usage: python3 scripts/check.py [--json report.json] <sfDir> <outDir> [query...]
+
+--json additionally writes a driver-style correctness report
+({query: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — used for the CORRECTNESS_SCALE artifacts.
 """
 import json, sys, glob, os
 import duckdb
@@ -54,21 +58,29 @@ def fetch(cursor):
     return cols, rows
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, names=None, json_path=None):
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: a directory of parts
+            p = f"{p}/*.parquet"
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    names = sys.argv[3:] or sorted(oracle)
+    names = names or sorted(oracle)
     for name in names:
         sql = oracle[name]
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
+        rep = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rep
         if not files:
             print(f"FAIL {name}: no spark result parquet")
+            rep["err"] = "no spark result parquet"
             n_fail += 1
             continue
         try:
@@ -76,10 +88,15 @@ def main(sf_dir, out_dir):
             wcols, wrows = fetch(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            rep["err"] = f"exec error: {e}"
             n_fail += 1
             continue
         gc, gr = canon(grows, gcols)
         wc, wr = canon(wrows, wcols)
+        rep["spark_rows"], rep["oracle_rows"] = len(gr), len(wr)
+        rep["schema_match"] = gc == wc
+        rep["rows_match"] = len(gr) == len(wr)
+        rep["hash_match"] = gr == wr
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             n_fail += 1
@@ -96,8 +113,16 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_path:
+        json.dump(report, open(json_path, "w"), indent=1)
+        print(f"report -> {json_path}")
     sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    argv = sys.argv[1:]
+    jp = None
+    if argv and argv[0] == "--json":
+        jp = argv[1]
+        argv = argv[2:]
+    main(argv[0], argv[1], argv[2:] or None, jp)

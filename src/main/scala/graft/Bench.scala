@@ -4,7 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = Engine.builder(master, cpus.toInt).getOrCreate()
     Engine.configure(spark)
     // warm the JVM/codegen paths so the first measured query doesn't
     // absorb session startup (~3-4 s of JIT + codegen compile)

@@ -10,7 +10,12 @@ object Verify {
     // optional: extra args select a subset of queries (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — used to
+    // run the whole registry under local-cluster[2,8,4096], where
+    // broadcast transport and closure serialization cross REAL
+    // executor JVM boundaries (the r8 verdict's cluster-readiness ask)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = Engine.builder(master, cpus.toInt).getOrCreate()
     Engine.configure(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

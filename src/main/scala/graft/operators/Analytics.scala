@@ -51,13 +51,13 @@ object Analytics {
 
   def q1Sql(shipdateMax: String = "1999-09-02"): String =
     s"""SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '$shipdateMax'
@@ -141,7 +141,7 @@ object Analytics {
   def q1RollupSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)))
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR)
       |    AS DOUBLE) AS revenue,
       |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
       |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
@@ -182,7 +182,7 @@ object Analytics {
       |       ELSE 'dlq' END AS service,
       |  't' || (user_id % 4) AS tenant_id,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum,
       |  CAST(GROUPING(service) AS TINYINT) AS g_service,
       |  CAST(GROUPING(tenant_id) AS TINYINT) AS g_tenant
       |FROM events
@@ -205,11 +205,11 @@ object Analytics {
 
   def q1PivotSql: String =
     """SELECT l_returnflag,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
-      |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END)
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END) AS VARCHAR)
       |    AS DOUBLE) AS revenue_f,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
-      |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END)
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END) AS VARCHAR)
       |    AS DOUBLE) AS revenue_o
       |FROM lineitem GROUP BY 1""".stripMargin
 
@@ -237,7 +237,7 @@ object Analytics {
   def q3Sql(segment: String = "BUILDING", date: String = "1998-06-01",
             limit: Int = 10): String =
     s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -278,7 +278,7 @@ object Analytics {
   def q5Sql(region: String = "ASIA", from: String = "1996-01-01",
             to: String = "1999-01-01"): String =
     s"""SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -313,7 +313,7 @@ object Analytics {
             discLo: Double = 0.04, discHi: Double = 0.06,
             qtyMax: Int = 24): String =
     s"""SELECT
-      |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '$from'
@@ -338,7 +338,7 @@ object Analytics {
 
   def k5Sql: String =
     """SELECT c_mktsegment, n_name,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -372,7 +372,7 @@ object Analytics {
   def k6Sql: String =
     """WITH spend AS (
       |  SELECT o_custkey,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_spend,
       |    COUNT(*) AS n_orders
       |  FROM orders GROUP BY o_custkey
       |), ranked AS (
@@ -465,9 +465,9 @@ object Analytics {
   def k9Sql(qtyThreshold: Double = 150.0, limit: Int = 100): String =
     s"""WITH qty AS (
       |  SELECT l_orderkey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > $qtyThreshold
+      |  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) > $qtyThreshold
       |)
       |SELECT c_name, c_custkey, o_orderkey,
       |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice, total_qty
@@ -521,11 +521,11 @@ object Analytics {
   def k11Sql(fraction: Double = 0.2): String =
     s"""WITH avg_qty AS (
       |  SELECT l_partkey AS p_key,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |      / COUNT(l_quantity) AS avg_qty
       |  FROM lineitem GROUP BY 1
       |)
-      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+      |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / 7.0
       |    AS avg_yearly,
       |  COUNT(*) AS n_small
       |FROM lineitem JOIN avg_qty ON l_partkey = p_key
@@ -671,7 +671,7 @@ object Analytics {
              brand3: String = "Brand#34",
              qty1: Int = 1, qty2: Int = 10, qty3: Int = 20): String =
     s"""SELECT
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = '$brand1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN $qty1 AND ${qty1 + 10})
@@ -707,10 +707,10 @@ object Analytics {
   def k15Sql(from: String = "1997-03-01", to: String = "1997-04-01"): String =
     s"""WITH agg AS (
       |  SELECT
-      |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
       |                       THEN l_extendedprice*(1.0-l_discount)
-      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
-      |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+      |    CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '$from'
       |    AND l_shipdate < TIMESTAMP '$to'
@@ -752,7 +752,7 @@ object Analytics {
   def k16Sql(from: String = "1996-10-01", to: String = "1997-01-01",
              limit: Int = 20): String =
     s"""SELECT c_custkey, c_name, n_name, c_acctbal,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_returned_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -814,7 +814,7 @@ object Analytics {
   def k17Sql(from: String = "1996-01-01", to: String = "1996-04-01"): String =
     s"""WITH rev AS (
       |  SELECT l_suppkey,
-      |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |    CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '$from'
       |    AND l_shipdate < TIMESTAMP '$to'
@@ -856,7 +856,7 @@ object Analytics {
   def k18Sql(nationA: String = "NATION_3", nationB: String = "NATION_7"): String =
     s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS volume,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -895,9 +895,9 @@ object Analytics {
 
   def k19Sql(recencyCutoff: String = "1998-06-01"): String =
     s"""SELECT c_mktsegment, COUNT(*) AS numcust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
       |FROM customer c
-      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      |WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |                     / COUNT(*)
       |                   FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -976,10 +976,10 @@ object Analytics {
              partType: String = "SMALL"): String =
     s"""WITH yr AS (
       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-      |    CAST(SUM(CAST(CASE WHEN sn.n_name = '$nation'
+      |    CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = '$nation'
       |                       THEN l_extendedprice*(1.0-l_discount)
-      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
-      |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS nation_volume,
+      |    CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_volume
       |  FROM lineitem
       |  JOIN part ON l_partkey = p_partkey AND p_type = '$partType'
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1033,8 +1033,8 @@ object Analytics {
   def k23Sql(nameSubstr: String = "widget", costFactor: Double = 0.6): String =
     s"""SELECT n_name AS nation,
       |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
-      |    - $costFactor*p_retailprice*l_quantity AS DECIMAL(18,6)))
+      |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)
+      |    - $costFactor*p_retailprice*l_quantity AS DECIMAL(18,6))) AS VARCHAR)
       |    AS DOUBLE) AS sum_profit
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%$nameSubstr%'
@@ -1076,7 +1076,7 @@ object Analytics {
   def k24Sql(nation: String = "NATION_3", fraction: Double = 0.003): String =
     s"""WITH vals AS (
       |  SELECT l_partkey,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |      AS stock_value
       |  FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1085,7 +1085,7 @@ object Analytics {
       |)
       |SELECT l_partkey, stock_value FROM vals
       |WHERE stock_value > $fraction * (
-      |  SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,6))) AS DOUBLE)
+      |  SELECT CAST(CAST(SUM(CAST(stock_value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |  FROM vals)""".stripMargin
 
   /** K25 `k25_part_promotion` — TPC-H Q20 shape: suppliers from one
@@ -1133,11 +1133,11 @@ object Analytics {
       |WHERE s_suppkey IN (
       |  SELECT l_suppkey FROM (
       |    SELECT l_partkey, l_suppkey,
-      |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_all,
-      |      CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '$from'
+      |      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty_all,
+      |      CAST(CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '$from'
       |                          AND l_shipdate < TIMESTAMP '$to'
       |                         THEN l_quantity ELSE 0.0 END
-      |        AS DECIMAL(18,6))) AS DOUBLE) AS qty_window
+      |        AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty_window
       |    FROM lineitem
       |    JOIN part ON l_partkey = p_partkey AND p_name LIKE '$prefix%'
       |    GROUP BY 1, 2
@@ -1252,7 +1252,7 @@ object Analytics {
   def rfmSegmentationSql: String =
     """WITH base AS (
       |  SELECT o_custkey, MAX(o_orderdate) AS recency, COUNT(*) AS frequency,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS monetary,
       |    epoch_us(MAX(o_orderdate)) AS r_us
       |  FROM orders GROUP BY 1
       |), th AS (

@@ -115,7 +115,7 @@ object Audit {
       |            ELSE 'dlq' END AS service,
       |  event_type AS metric,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** F23 `audit_health_report` — the health-api dashboard read

@@ -136,7 +136,7 @@ object Bucketing {
 
   def partitionPruneSql: String =
     s"""SELECT event_type, COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
        |FROM events
        |WHERE CAST(ts AS DATE) = DATE '$PruneDay'
        |GROUP BY 1""".stripMargin
@@ -437,7 +437,7 @@ object Bucketing {
        |         ELSE 'dlq' END
        |  END AS service,
        |  COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
        |FROM events GROUP BY 1, 2
        |ORDER BY event_type, service""".stripMargin
 

@@ -32,7 +32,7 @@ object EventStream {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       |  event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** L2 `stream_sessionize` — 30-minute-gap sessionization: a new
@@ -74,7 +74,7 @@ object EventStream {
       |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
       |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM numbered GROUP BY 1, 2""".stripMargin
 
   /** L3 `stream_event_dedup` — duplicate suppression on
@@ -134,7 +134,7 @@ object EventStream {
       |  MAX(CASE WHEN rn = 1 THEN value END) AS last_value,
       |  COUNT(*) AS n_events,
       |  COUNT(DISTINCT event_type) AS n_event_types,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM ranked GROUP BY 1""".stripMargin
 
   /** L5 `stream_interval_join` — interval (stream-stream) join: each
@@ -188,7 +188,7 @@ object EventStream {
   def enrichedRollupSql: String =
     """SELECT c_mktsegment AS segment, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
@@ -226,7 +226,7 @@ object EventStream {
       |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
       |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM numbered GROUP BY user_id, session_num""".stripMargin
 
   /** L8 `stream_interval_join_outer` — the LEFT OUTER form of L5:
@@ -294,7 +294,7 @@ object EventStream {
       |    AS window_start,
       |  event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM events CROSS JOIN range(0, 3) r(k)
       |GROUP BY 1, 2""".stripMargin
 

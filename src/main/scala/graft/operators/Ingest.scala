@@ -116,7 +116,7 @@ object Ingest {
     """SELECT 't' || (user_id % 4) AS tenant_id,
       |  strftime(ts, '%Y-%m-%d') AS ingest_date,
       |  COUNT(*) AS n_objects,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 

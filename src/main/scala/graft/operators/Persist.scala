@@ -947,8 +947,8 @@ object Persist {
 
   def ivmJoinViewSql: String =
     """SELECT o_custkey,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-      |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1""".stripMargin

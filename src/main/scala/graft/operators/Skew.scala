@@ -68,7 +68,7 @@ object Skew {
 
   def saltedRollupSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin
 
   /** The service-routing dimension of the reference pipeline (the
@@ -108,7 +108,7 @@ object Skew {
       |         ('purchase','persist'), ('error','dlq')
       |)
       |SELECT service, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1""".stripMargin
 
@@ -277,8 +277,8 @@ object Skew {
     s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
        |    AS order_month,
        |  COUNT(*) AS n_lines,
-       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-       |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |                AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        |WHERE o.o_orderpriority = '$priority'
        |  AND o.o_orderdate >= TIMESTAMP '$from 00:00:00'
