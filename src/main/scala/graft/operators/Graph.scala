@@ -156,9 +156,13 @@ object Graph {
   private[operators] def cachedPairCounts(spark: SparkSession,
                                           dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    // resolve the baskets entry BEFORE entering this map's compute:
+    // a nested compute on the same ConcurrentHashMap throws
+    // "Recursive update" whenever the two keys land in one bin
+    val baskets = cachedBaskets(spark, dir)
     registeredCache(s"${System.identityHashCode(spark)}:$dir:paircounts",
       mtime)(
-      cachedBaskets(spark, dir)
+      baskets
         .select(explode(expr(
           """flatten(transform(parts, (x, i) ->
             |  transform(slice(parts, i + 2, size(parts)),
@@ -508,6 +512,84 @@ object Graph {
        |  CAST(SUM(node) AS BIGINT) AS sum_part
        |FROM l$iters GROUP BY 1
        |ORDER BY n_nodes DESC, component LIMIT $limit""".stripMargin
+  }
+
+  /** O10 `graph_communities_lpa` — community detection by
+    * synchronous LABEL PROPAGATION (Raghavan et al. 2007, the
+    * near-linear-time community algorithm): seed every node with its
+    * own id; each round, every node adopts the MODE of its
+    * neighbors' labels. Unlike O4's min-propagation (which converges
+    * to connected components), the mode update stops at community
+    * boundaries — a node keeps its side's majority label even when a
+    * few cross-community edges exist, so dense co-purchase pockets
+    * get distinct labels inside one component. Determinism: classic
+    * LPA tie-breaks randomly; here ties break (count DESC, label
+    * ASC) via row_number in BOTH engines, and both run exactly
+    * `iters` synchronous rounds, so labels hash-match round for
+    * round (the serve is "labels after T rounds", not a fixed-point
+    * claim — LPA famously oscillates under synchronous update, which
+    * a fixed round count sidesteps deterministically). Serve:
+    * per-community size + id-sum checksum, largest first.
+    * Scale: each round is ONE edges⋈labels src-keyed join and ONE
+    * (node, label)-keyed mode rollup — label-propagation economics
+    * identical to O4; adjacency comes from the shared cached pair
+    * build, per-round lineage cut by the localCheckpoint memo
+    * discipline. */
+  def communitiesLpa(spark: SparkSession, dir: String,
+                     minSupport: Int = 2, iters: Int = 3,
+                     limit: Int = 50): DataFrame = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:lpa:$minSupport:$iters"
+    val labels = memoCheckpoint(key, mtime.toString) {
+      val e = directedEdges(spark, dir, minSupport)
+      val nodes = e.select(col("src").as("node")).distinct()
+      var lab = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      val wMode = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label"))
+      for (_ <- 1 to iters) {
+        val prev = lab
+        lab = e.join(lab.withColumnRenamed("node", "lnode"),
+            e("src") === col("lnode"))
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wMode))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label"))
+          .localCheckpoint()
+        releaseCheckpoint(prev)
+      }
+      lab
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_part"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(limit)
+  }
+
+  def communitiesLpaSql(minSupport: Int = 2, iters: Int = 3,
+                        limit: Int = 50): String = {
+    val base =
+      s"""WITH ${pairsSqlCte.format(minSupport)},
+         |$edgesSqlCte,
+         |gnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS MATERIALIZED (SELECT node, node AS label FROM gnodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY 1, 2)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT label AS community, COUNT(*) AS n_nodes,
+       |  CAST(SUM(node) AS BIGINT) AS sum_part
+       |FROM l$iters GROUP BY 1
+       |ORDER BY n_nodes DESC, community LIMIT $limit""".stripMargin
   }
 
   /** O5 `graph_ppr` — PERSONALIZED PageRank: teleport mass restarts
@@ -918,6 +1000,9 @@ object Graph {
     "param_graph_link_prediction" -> ((s, d) => linkPrediction(s, d,
       minSupport = 2, maxDeg = 16, limit = 50)),
     "graph_components" -> ((s, d) => connectedComponents(s, d)),
+    "graph_communities_lpa" -> ((s, d) => communitiesLpa(s, d)),
+    "param_communities_lpa" -> ((s, d) =>
+      communitiesLpa(s, d, minSupport = 3, iters = 2)),
     "param_graph_components" -> ((s, d) => connectedComponents(s, d,
       minSupport = 3, iters = 6, limit = 20)),
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -948,6 +1033,8 @@ object Graph {
     "param_graph_link_prediction" -> linkPredictionSql(
       minSupport = 2, maxDeg = 16, limit = 50),
     "graph_components" -> connectedComponentsSql(),
+    "graph_communities_lpa" -> communitiesLpaSql(),
+    "param_communities_lpa" -> communitiesLpaSql(minSupport = 3, iters = 2),
     "param_graph_components" -> connectedComponentsSql(
       minSupport = 3, iters = 6, limit = 20),
     "graph_pagerank" -> pagerankSql(),

@@ -34,7 +34,12 @@ class ParamSpec extends SparkSpecBase {
   private def assertAgrees(df: DataFrame, sql: String, label: String): Unit = {
     ensureViews()
     val viaApi = canon(df)
-    val viaSql = canon(spark.sql(sql))
+    // The oracles route decimal-sum serves through VARCHAR so DuckDB's
+    // string→double (correctly rounded) replaces its 1-ulp-off native
+    // decimal→double cast (SCALING_r09.md §1). Spark's parser requires
+    // a length on VARCHAR; STRING is its exact equivalent and Spark's
+    // decimal→string→double is correctly rounded the same way.
+    val viaSql = canon(spark.sql(sql.replace("AS VARCHAR)", "AS STRING)")))
     assert(viaApi == viaSql,
       s"$label: DataFrame API and parameterized SQL disagree " +
         s"(${viaApi.length} vs ${viaSql.length} rows; " +
