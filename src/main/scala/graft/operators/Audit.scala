@@ -1314,6 +1314,100 @@ object Audit {
        |  abs_dev > $k * mad AS is_outlier
        |FROM dev JOIN mad ON service = d_service""".stripMargin
 
+  // ===== F24 audit_changepoint =====
+
+  /** F24 `audit_changepoint` — offline changepoint LOCATOR per
+    * service over the hourly volume series (single-split binary
+    * segmentation with the CUSUM deviation statistic): for a series
+    * x_1..x_T with prefix sums S_k, the level shift most likely sits
+    * after the index k* that maximizes |S_k − (k/T)·S_T| — served
+    * here as the T-scaled integer |T·S_k − k·S_T| so the whole
+    * argmax is exact BIGINT arithmetic (counts are integers; at the
+    * 100 TB design point T·S_k ≈ 10⁴·10¹³ still fits in DECIMAL, so
+    * the multiply is widened through DECIMAL(38,0) — the PageRank ×85
+    * discipline). Ties break to the earliest hour. Complements the
+    * F14/F17/F21 alarms: those flag single anomalous POINTS; this
+    * locates a persistent LEVEL SHIFT — the deploy-regression shape
+    * (reference scope: libs/obs/metrics.ts counters are the series
+    * source). Segment means are exact integer divisions served as
+    * DOUBLE; the direction flag compares the cross-multiplied
+    * integer means so no float enters the decision.
+    * Scale: one hourly rollup of the raw stream (map-side partial
+    * agg to services×hours rows), then windows over that bounded
+    * metadata table only — nothing wider than the hourly series
+    * shuffles. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = Tables.events(spark, dir)
+      .groupBy(serviceCol.as("service"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("service")).orderBy(col("hour"))
+    val wAll = Window.partitionBy(col("service"))
+    val scored = hourly
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("s_k", sum(col("n")).over(wOrd))
+      .withColumn("t_hours", count(lit(1)).over(wAll))
+      .withColumn("s_t", sum(col("n")).over(wAll))
+      // a split needs a non-empty right segment
+      .filter(col("k") < col("t_hours"))
+      .withColumn("stat",
+        abs(col("t_hours").cast(dec) * col("s_k").cast(dec)
+          - col("k").cast(dec) * col("s_t").cast(dec)))
+    val wBest = Window.partitionBy(col("service"))
+      .orderBy(col("stat").desc, col("hour"))
+    scored.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("service"), col("hour").as("split_after"),
+        col("k").as("n_hours_before"),
+        (col("t_hours") - col("k")).as("n_hours_after"),
+        (col("s_k").cast("double") / col("k")).as("mean_before"),
+        ((col("s_t") - col("s_k")).cast("double")
+          / (col("t_hours") - col("k"))).as("mean_after"),
+        col("stat").cast("double").as("cusum_stat"),
+        // exact: (s_t−s_k)·k vs s_k·(t−k) cross-multiplied in DECIMAL
+        when((col("s_t") - col("s_k")).cast(dec) * col("k").cast(dec)
+          > col("s_k").cast(dec) * (col("t_hours") - col("k")).cast(dec),
+          "up").otherwise("down").as("direction"))
+  }
+
+  def changepointSql: String =
+    """WITH hourly AS (
+      |  SELECT CASE WHEN event_type IN ('signup','click','view') THEN 'ingest'
+      |              WHEN event_type = 'purchase' THEN 'persist'
+      |              ELSE 'dlq' END AS service,
+      |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), pre AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+      |    CAST(SUM(n) OVER w AS BIGINT) AS s_k,
+      |    CAST(COUNT(*) OVER (PARTITION BY service) AS BIGINT) AS t_hours,
+      |    CAST(SUM(n) OVER (PARTITION BY service) AS BIGINT) AS s_t
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY service ORDER BY hour
+      |               ROWS UNBOUNDED PRECEDING)
+      |), scored AS (
+      |  SELECT *,
+      |    abs(CAST(t_hours AS DECIMAL(38,0)) * CAST(s_k AS DECIMAL(38,0))
+      |      - CAST(k AS DECIMAL(38,0)) * CAST(s_t AS DECIMAL(38,0))) AS stat
+      |  FROM pre WHERE k < t_hours
+      |), best AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY service
+      |    ORDER BY stat DESC, hour) AS rk
+      |  FROM scored
+      |)
+      |SELECT service, hour AS split_after,
+      |  k AS n_hours_before, t_hours - k AS n_hours_after,
+      |  CAST(s_k AS DOUBLE) / k AS mean_before,
+      |  CAST(s_t - s_k AS DOUBLE) / (t_hours - k) AS mean_after,
+      |  CAST(stat AS DOUBLE) AS cusum_stat,
+      |  CASE WHEN CAST(s_t - s_k AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0))
+      |         > CAST(s_k AS DECIMAL(38,0)) * CAST(t_hours - k AS DECIMAL(38,0))
+      |       THEN 'up' ELSE 'down' END AS direction
+      |FROM best WHERE rk = 1""".stripMargin
+
   /** F22 `audit_k_anonymity` — k-anonymity audit over the event
     * store (the data-governance gate before an analytics export):
     * with quasi-identifier (event_type, event_hour), every
@@ -1375,6 +1469,7 @@ object Audit {
     "audit_psi_drift" -> ((s: SparkSession, d: String) => psiDrift(s, d)),
     "param_psi_drift" -> ((s: SparkSession, d: String) =>
       psiDrift(s, d, splitDate = "2024-01-11", bins = 4)),
+    "audit_changepoint" -> (changepoint _),
     "audit_error_spikes" -> (errorSpikes _),
     "audit_ewma_alarm" -> ((s: SparkSession, d: String) => ewmaAlarm(s, d)),
     "param_ewma_alarm" -> ((s: SparkSession, d: String) =>
@@ -1410,6 +1505,7 @@ object Audit {
     "param_mad_outliers" -> madOutliersSql(k = 2),
     "audit_psi_drift" -> psiDriftSql(),
     "param_psi_drift" -> psiDriftSql(splitDate = "2024-01-11", bins = 4),
+    "audit_changepoint" -> changepointSql,
     "audit_error_spikes" -> errorSpikesSql,
     "audit_ewma_alarm" -> ewmaAlarmSql(),
     "param_ewma_alarm" -> ewmaAlarmSql(memory = 4),

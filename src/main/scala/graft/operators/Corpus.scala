@@ -874,7 +874,117 @@ object Corpus {
        |FROM documents
        |ORDER BY race_key, doc_id LIMIT $k""".stripMargin
 
+  /** M16 `corpus_contrastive_triplets` — (anchor, positive, negative)
+    * triplet mining for embedding-model training data: every doc with
+    * at least one exact near-duplicate (G19's ungated prefix-filter
+    * pairs at Jaccard ≥ t — the SOUND positive source: paraphrase-
+    * level pairs, never random) gets its best positive (highest
+    * Jaccard, ties → smaller id) and a HARD negative — the next doc
+    * by id inside the anchor's n_chars÷16 length bucket (cyclic
+    * within the bucket), i.e. a length-matched lookalike the model
+    * can't separate by trivial features. A candidate negative that
+    * is itself a near-dup of the anchor (or the anchor alone in its
+    * bucket) drops the row — documented, deterministic. Jaccard
+    * serves as the exact integer division G19 serves.
+    * Scale: positives ride G19's prefix-filter path (no quadratic
+    * gate, shared apssDocs cache with G19/G20); negatives need ONE
+    * window partitioned by the bounded length-bucket key (M15's
+    * bucket-window discipline — never a global sort); the near-dup
+    * exclusion is an equi anti-join on the pair key. */
+  def contrastiveTriplets(spark: SparkSession, dir: String,
+                          t: Double = 0.5,
+                          bucketChars: Int = 16): DataFrame = {
+    val pos = Dedup.apssPrefix(spark, dir, t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val posd = pos
+      .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
+        col("jaccard"))
+      .union(pos.select(col("doc_b").as("anchor"), col("doc_a").as("partner"),
+        col("jaccard")))
+    val wBest = Window.partitionBy(col("anchor"))
+      .orderBy(col("jaccard").desc, col("partner"))
+    val best = posd.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("partner").as("positive"),
+        col("jaccard").as("jaccard_pos"))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val wBAll = wB.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val buck = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"n_chars div $bucketChars").as("bucket"))
+      .withColumn("neg", coalesce(lead(col("doc_id"), 1).over(wB),
+        first(col("doc_id")).over(wBAll)))
+      .withColumn("neg_chars", coalesce(lead(col("n_chars"), 1).over(wB),
+        first(col("n_chars")).over(wBAll)))
+    best
+      .join(buck, col("anchor") === col("doc_id"))
+      .join(posd.select(col("anchor").as("xa"), col("partner").as("xp")),
+        col("xa") === col("anchor") && col("xp") === col("neg"), "left")
+      .filter(col("neg") =!= col("anchor") && col("xp").isNull)
+      .select(col("anchor"), col("positive"), col("jaccard_pos"),
+        col("neg").as("negative"),
+        abs(col("n_chars") - col("neg_chars")).as("neg_chars_delta"))
+      .orderBy(col("anchor"))
+  }
+
+  def contrastiveTripletsSql(t: Double = 0.5, bucketChars: Int = 16): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')[:60]
+       |    AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM toks WHERE len(w) >= 3
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pos AS (
+       |  SELECT doc_a, doc_b,
+       |    inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+       |  FROM prs JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $t
+       |), posd AS (
+       |  SELECT doc_a AS anchor, doc_b AS partner, jaccard FROM pos
+       |  UNION ALL SELECT doc_b, doc_a, jaccard FROM pos
+       |), best AS (
+       |  SELECT anchor, partner AS positive, jaccard AS jaccard_pos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+       |      ORDER BY jaccard DESC, partner) AS rn FROM posd) WHERE rn = 1
+       |), buck AS (
+       |  SELECT doc_id, n_chars,
+       |    COALESCE(
+       |      LEAD(doc_id) OVER (PARTITION BY n_chars // $bucketChars
+       |        ORDER BY doc_id),
+       |      FIRST_VALUE(doc_id) OVER (PARTITION BY n_chars // $bucketChars
+       |        ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |      AS neg,
+       |    COALESCE(
+       |      LEAD(n_chars) OVER (PARTITION BY n_chars // $bucketChars
+       |        ORDER BY doc_id),
+       |      FIRST_VALUE(n_chars) OVER (PARTITION BY n_chars // $bucketChars
+       |        ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |      AS neg_chars
+       |  FROM documents
+       |)
+       |SELECT b.anchor, b.positive, b.jaccard_pos, k.neg AS negative,
+       |  abs(k.n_chars - k.neg_chars) AS neg_chars_delta
+       |FROM best b JOIN buck k ON b.anchor = k.doc_id
+       |LEFT JOIN posd pd ON pd.anchor = b.anchor AND pd.partner = k.neg
+       |WHERE k.neg <> b.anchor AND pd.partner IS NULL
+       |ORDER BY b.anchor""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_contrastive_triplets" -> ((s, d) => contrastiveTriplets(s, d)),
+    "param_contrastive_triplets" -> ((s, d) =>
+      contrastiveTriplets(s, d, t = 0.7, bucketChars = 32)),
     "corpus_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "param_weighted_sample" -> ((s, d) => weightedSample(s, d, k = 50)),
     "corpus_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
@@ -897,6 +1007,9 @@ object Corpus {
     "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_contrastive_triplets" -> contrastiveTripletsSql(),
+    "param_contrastive_triplets" ->
+      contrastiveTripletsSql(t = 0.7, bucketChars = 32),
     "corpus_weighted_sample" -> weightedSampleSql(),
     "param_weighted_sample" -> weightedSampleSql(k = 50),
     "corpus_length_buckets" -> lengthBucketsSql(),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -1041,8 +1042,132 @@ object EventStream {
        |FROM prof WHERE n_train > 0 AND n_test > 0
        |ORDER BY hod""".stripMargin
 
+  /** L21 `events_survival` — Kaplan–Meier retention curve over user
+    * PURCHASE lifetimes (the product-limit estimator, Kaplan & Meier
+    * 1958 — the standard churn-analysis read): a user's lifetime
+    * runs from their first event to their last purchase (revenue
+    * retention, not mere activity — activity is near-uniform in this
+    * stream and yields a flat curve); a user whose last purchase
+    * falls within `censorDays` of the study horizon (global max
+    * last-purchase) is CENSORED at the horizon (still alive as far
+    * as the data can tell), everyone else is an observed churn. Per
+    * distinct lifetime d (in whole days): n_at_risk = users with
+    * lifetime ≥ d,
+    * n_churned = observed churns at exactly d, and the survival
+    * estimate S(d) = Π_{d' ≤ d} (1 − churn/at_risk). The product is
+    * computed in log space with the I6/F20 exactness recipe — each
+    * factor's ln rounded to 6 dp, summed as DECIMAL(18,9) (exact,
+    * order-insensitive), exp'd and rounded only at the serve. A
+    * duration where every at-risk user churns zeroes the curve; the
+    * zero propagates via an exact integer flag, never through
+    * ln(0).
+    * Scale: ONE user-keyed rollup of the raw stream (the only
+    * corpus-wide shuffle; the horizon scalar attaches via broadcast
+    * crossJoin, never a single-partition window over the user
+    * table), then every window runs over the distinct-lifetime
+    * table — bounded by the study length in days, metadata scale. */
+  def survival(spark: SparkSession, dir: String,
+               censorDays: Int = 3): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"),
+        max(when(col("event_type") === "purchase", col("ts")))
+          .as("last_buy"))
+      .filter(col("last_buy").isNotNull) // never-buyers have no lifetime
+    val horizon = users.agg(max(col("last_buy")).as("horizon"))
+    val perUser = users.crossJoin(broadcast(horizon))
+      .withColumn("churned",
+        col("last_buy") < col("horizon") - expr(s"INTERVAL $censorDays DAYS"))
+      .withColumn("end_ts",
+        when(col("churned"), col("last_buy")).otherwise(col("horizon")))
+      // whole-day lifetime from EXACT microsecond integers (both
+      // engines divide the same BIGINT by the same double constant —
+      // unix_timestamp would drop micros the oracle keeps)
+      .withColumn("lifetime_days",
+        floor((unix_micros(col("end_ts"))
+          - unix_micros(col("first_ts"))) / 86400000000.0).cast("int"))
+    val byDur = perUser.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("n_censored", col("n_total") - col("n_churned"))
+    val one = Obs.onePart(col("lifetime_days"))
+    val wDesc = Window.partitionBy(one)
+      .orderBy(col("lifetime_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(one)
+      .orderBy(col("lifetime_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_at_risk", sum(col("n_total")).over(wDesc))
+      .withColumn("term",
+        when(col("n_churned") > 0 && col("n_churned") < col("n_at_risk"),
+          round(log((col("n_at_risk") - col("n_churned"))
+            .cast("double") / col("n_at_risk")), 6)
+            .cast(DecimalType(18, 9)))
+          .otherwise(lit(0).cast(DecimalType(18, 9))))
+      .withColumn("dead",
+        max(when(col("n_churned") === col("n_at_risk"), 1).otherwise(0))
+          .over(wAsc))
+      .withColumn("log_surv", sum(col("term")).over(wAsc))
+      .select(col("lifetime_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("log_surv").cast("double")), 6))
+          .as("km_survival"))
+      .orderBy(col("lifetime_days"))
+  }
+
+  def survivalSql(censorDays: Int = 3): String =
+    s"""WITH users AS (
+       |  SELECT user_id, MIN(ts) AS first_ts,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_buy
+       |  FROM events GROUP BY 1
+       |  HAVING MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+       |    IS NOT NULL
+       |), h AS (SELECT MAX(last_buy) AS horizon FROM users),
+       |per_user AS (
+       |  SELECT user_id,
+       |    last_buy < horizon - INTERVAL $censorDays DAYS AS churned,
+       |    CAST(floor(CAST(epoch_us(
+       |      CASE WHEN last_buy < horizon - INTERVAL $censorDays DAYS
+       |           THEN last_buy ELSE horizon END
+       |      - first_ts) AS DOUBLE) / 86400000000.0) AS INT)
+       |      AS lifetime_days
+       |  FROM users CROSS JOIN h
+       |), by_dur AS (
+       |  SELECT lifetime_days, COUNT(*) AS n_total,
+       |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_churned
+       |  FROM per_user GROUP BY 1
+       |), risk AS (
+       |  SELECT *, n_total - n_churned AS n_censored,
+       |    CAST(SUM(n_total) OVER (ORDER BY lifetime_days DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+       |  FROM by_dur
+       |), terms AS (
+       |  SELECT *,
+       |    CASE WHEN n_churned > 0 AND n_churned < n_at_risk
+       |         THEN CAST(ROUND(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+       |                / n_at_risk), 6) AS DECIMAL(18,9))
+       |         ELSE CAST(0 AS DECIMAL(18,9)) END AS term,
+       |    MAX(CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY lifetime_days ROWS UNBOUNDED PRECEDING)
+       |      AS dead
+       |  FROM risk
+       |)
+       |SELECT lifetime_days, n_at_risk, n_churned, n_censored,
+       |  CASE WHEN dead = 1 THEN 0.0
+       |       ELSE ROUND(exp(CAST(CAST(SUM(term) OVER (ORDER BY
+       |         lifetime_days ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+       |         AS DOUBLE)), 6) END AS km_survival
+       |FROM terms
+       |ORDER BY lifetime_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov" -> (markovTransitions _),
+    "events_survival" -> ((s: SparkSession, d: String) => survival(s, d)),
+    "param_survival" -> ((s: SparkSession, d: String) =>
+      survival(s, d, censorDays = 7)),
     "events_cumulative_users" -> (cumulativeUsers _),
     "events_stickiness" -> ((s: SparkSession, d: String) => stickiness(s, d)),
     "param_events_stickiness" -> ((s: SparkSession, d: String) =>
@@ -1097,6 +1222,8 @@ object EventStream {
     "param_attribution_decay" -> attributionDecaySql(
       lookbackDays = 2, halflifeHours = 6),
     "events_seasonal_forecast" -> seasonalForecastSql(),
+    "events_survival" -> survivalSql(),
+    "param_survival" -> survivalSql(censorDays = 7),
     "param_seasonal_forecast" -> seasonalForecastSql(
       cutoff = "2024-01-15", eventType = "view"),
     "events_funnel" -> funnelSql(),

@@ -122,6 +122,148 @@ object Similarity {
        |  FROM d
        |) WHERE rank <= $K""".stripMargin
 
+  /** H20 `sim_mmr_select` — Maximal-Marginal-Relevance diverse top-k
+    * (Carbonell & Goldstein, SIGIR'98 — the standard relevance/
+    * redundancy re-ranker for retrieval-augmented pipelines): per
+    * probe, candidates are its top-[[MmrPool]] by exact quantized dot
+    * (H1's pool), then [[MmrK]] items are selected greedily — step 1
+    * takes the most relevant; each later step takes
+    * argmax λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) with λ = ½ (ties →
+    * smaller vec_id), so every pick is the most relevant thing least
+    * like what's already chosen. Determinism: rel/sim are the house
+    * quantized-cosine (exact integer dot ÷ sqrt products — a pinned
+    * IEEE sequence), the score expression shape `0.5·rel − 0.5·maxsim`
+    * is identical in both engines, and ties are row_number'd, so the
+    * greedy trajectory hash-matches step for step; the oracle unrolls
+    * the [[MmrK]] selections as MATERIALIZED CTEs.
+    * Scale: ONE corpus pass builds the pools (queries broadcast, the
+    * H1 economics); everything after — the pool×pool sim table
+    * (NQueries·pool² rows) and the greedy steps — runs on CONTRACT-
+    * bounded metadata, eagerly checkpointed so no step replans the
+    * corpus scan. Memoized per (dir, pool, k) under the iterative-op
+    * discipline. */
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  private val mmrReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  def mmrSelect(spark: SparkSession, dir: String,
+                poolK: Int = MmrPool, selectK: Int = MmrK): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/embeddings.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:mmr:$poolK:$selectK"
+    val sel = mmrReg.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        // release a superseded entry's checkpointed blocks (the
+        // prCache leak class fixed in r8 — mtime lives in the VALUE)
+        if (prev != null) Graph.releaseCheckpoint(prev._2)
+        val emb = quantized(spark, dir)
+        val q = emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qid"), col("qvec").as("qq"),
+            col("nsq").as("qn"))
+        val wPool = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("vec_id"))
+        val pool = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
+          .withColumn("rk", row_number().over(wPool))
+          .filter(col("rk") <= poolK)
+          .select(col("qid"), col("vec_id"),
+            cosineQ(col("dot"), col("qn"), col("nsq")).as("rel"),
+            col("qvec"), col("nsq"))
+          .localCheckpoint() // NQueries×poolK rows; ends the corpus scan
+        val sims = pool.as("a")
+          .join(pool.as("b"), col("a.qid") === col("b.qid") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.qid").as("qid"), col("a.vec_id").as("sa"),
+            col("b.vec_id").as("sb"),
+            cosineQ(vdotQuantizedNative(col("a.qvec"), col("b.qvec")),
+              col("a.nsq"), col("b.nsq")).as("sim"))
+          .localCheckpoint() // NQueries×poolK×(poolK−1) rows
+        val cand = pool.select(col("qid"), col("vec_id"), col("rel"))
+        val wPick = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        var s = cand
+          .withColumn("score", lit(0.5) * col("rel"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), lit(1).as("step"),
+            col("score").as("mmr_score"))
+          .localCheckpoint()
+        for (t <- 2 to selectK) {
+          val ms = sims
+            .join(s.select(col("qid").as("q2"), col("vec_id").as("selv")),
+              col("qid") === col("q2") && col("sa") === col("selv"))
+            .groupBy(col("qid"), col("sb").as("vec_id"))
+            .agg(max(col("sim")).as("maxsim"))
+          s = s.union(cand
+            .join(s.select(col("qid").as("q3"), col("vec_id").as("v3")),
+              col("qid") === col("q3") && col("vec_id") === col("v3"),
+              "left_anti")
+            .join(ms, Seq("qid", "vec_id"))
+            .withColumn("score",
+              lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+            .withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("vec_id"), lit(t).as("step"),
+              col("score").as("mmr_score")))
+            .localCheckpoint()
+        }
+        (mtime, s)
+      })._2
+    sel.select(col("qid"), col("step"), col("vec_id"),
+      round(col("mmr_score"), 6).as("mmr_score"))
+      .orderBy(col("qid"), col("step"))
+  }
+
+  def mmrSelectSql(poolK: Int = MmrPool, selectK: Int = MmrK): String = {
+    val steps = (2 to selectK).map { t =>
+      s"""m$t AS MATERIALIZED (
+         |  SELECT p.qid, p.vec_id, p.rel, MAX(s.sim) AS maxsim
+         |  FROM pool p JOIN sims s ON s.qid = p.qid AND s.b = p.vec_id
+         |  JOIN sel${t - 1} z ON z.qid = s.qid AND z.vec_id = s.a
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |                    WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+         |  GROUP BY 1, 2, 3
+         |), pick$t AS MATERIALIZED (
+         |  SELECT qid, vec_id, $t AS step,
+         |    0.5 * rel - 0.5 * maxsim AS mmr_score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY 0.5 * rel - 0.5 * maxsim DESC, vec_id) AS rn
+         |        FROM m$t)
+         |  WHERE rn = 1
+         |), sel$t AS MATERIALIZED (
+         |  SELECT qid, vec_id, step, mmr_score FROM sel${t - 1}
+         |  UNION ALL SELECT qid, vec_id, step, mmr_score FROM pick$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $qnSqlCte,
+       |probes AS (SELECT vec_id AS qid, qvec AS qq, nsq AS qn
+       |           FROM qnn WHERE vec_id < $NQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, vec_id, rel, qvec, nsq FROM (
+       |    SELECT p.qid, c.vec_id, c.qvec, c.nsq,
+       |      ${cosSql(dotSql("p.qq", "c.qvec"), "p.qn", "c.nsq")} AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${dotSql("p.qq", "c.qvec")} DESC, c.vec_id) AS rk
+       |    FROM probes p JOIN qnn c ON c.vec_id <> p.qid)
+       |  WHERE rk <= $poolK
+       |), sims AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+       |    ${cosSql(dotSql("a.qvec", "b.qvec"), "a.nsq", "b.nsq")} AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |), sel1 AS MATERIALIZED (
+       |  SELECT qid, vec_id, 1 AS step, 0.5 * rel AS mmr_score
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY rel DESC, vec_id) AS rn FROM pool)
+       |  WHERE rn = 1
+       |),
+       |$steps
+       |SELECT qid, step, vec_id, ROUND(mmr_score, 6) AS mmr_score
+       |FROM sel$selectK ORDER BY qid, step""".stripMargin
+  }
+
   /** Held-out eval-set size for H18 — a CONTRACT-bounded constant
     * like NQueries (the eval set broadcasts at any corpus scale). */
   private val NEval = 40
@@ -1435,6 +1577,9 @@ object Similarity {
     "sim_maxsim_multivec" -> (maxsimMultivec _),
     "sim_pq_adc" -> (pqAdc _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
+    "sim_mmr_select" -> ((s: SparkSession, d: String) => mmrSelect(s, d)),
+    "param_mmr_select" -> ((s: SparkSession, d: String) =>
+      mmrSelect(s, d, poolK = 10, selectK = 3)),
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
     "param_knn_classify" -> ((s, d) => knnClassify(s, d, k = 3, nEval = 20)),
     "sim_cosine_pairs" -> (cosinePairs _),
@@ -1458,6 +1603,8 @@ object Similarity {
     "sim_maxsim_multivec" -> maxsimMultivecSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_topk_bruteforce" -> topkBruteforceSql,
+    "sim_mmr_select" -> mmrSelectSql(),
+    "param_mmr_select" -> mmrSelectSql(poolK = 10, selectK = 3),
     "sim_knn_classify" -> knnClassifySql(),
     "param_knn_classify" -> knnClassifySql(k = 3, nEval = 20),
     "sim_cosine_pairs" -> cosinePairsSql,

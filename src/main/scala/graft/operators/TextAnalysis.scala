@@ -345,6 +345,132 @@ object TextAnalysis {
        |    / (MAX(n_src) + MAX(n_cats)), 6) AS kl_to_corpus
        |FROM grid GROUP BY source ORDER BY source""".stripMargin
 
+  /** I26 `text_js_divergence` — pairwise source Jensen–Shannon
+    * divergence matrix: the SYMMETRIC companion to I21 (KL measures
+    * each source against the corpus; JSD says which sources are
+    * mutually redundant — the mix planner's "collapse these two?"
+    * read, the distributional macro view beside G24's exact shingle
+    * overlap). JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, over
+    * I21's bounded category set (top-vocabK corpus tokens + pooled
+    * `<oov>`) with add-one smoothing — always finite, 0 ≤ JSD ≤ ln 2.
+    *
+    * Exactness: I21's recipe verbatim — each log-ratio's BIGINT
+    * factors cast to double BEFORE multiplying (the 2^63 wrap class),
+    * ln rounded 9 dp → DECIMAL(18,9), weighted by the smoothed count
+    * as DECIMAL(19,0) (product DECIMAL(38,9), no precision loss),
+    * decimal-summed, ONE double division per side at the serve,
+    * halved and rounded 6. The ½(x+y) parenthesization is pinned
+    * identically in both engines.
+    * Scale: the same ONE linear token-keyed shuffle as I21; the
+    * source-pair grid expands MAP-SIDE from a collected (source,
+    * n_src) array (K30's mechanic over the bounded source dimension
+    * — no non-equi join), and pairs × categories stays
+    * sources²·(vocabK+1) — broadcast-sized by construction. */
+  def jsDivergence(spark: SparkSession, dir: String,
+                   vocabK: Int = KlVocabK): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(nonEmptyToks).as("token"))
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = corpus.orderBy(col("c").desc, col("token")).limit(vocabK)
+      .select(col("token"), lit(1).as("inv"))
+    val cat = toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("source"),
+        when(col("inv").isNotNull, col("token")).otherwise(lit("<oov>")).as("cat"))
+    val cats = cat.select(col("cat")).distinct()
+    val nc = cats.agg(count(lit(1)).as("n_cats"))
+    val p = cat.groupBy(col("source"), col("cat")).agg(count(lit(1)).as("c_src"))
+    val pt = p.groupBy(col("source")).agg(sum(col("c_src")).as("n_src"))
+    val pairs = pt
+      .agg(sort_array(collect_list(struct(col("source"), col("n_src"))))
+        .as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x.source AS source_a, x.n_src AS n_a,
+          |                        y.source AS source_b, y.n_src AS n_b))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.source_a"), col("pr.n_a"),
+        col("pr.source_b"), col("pr.n_b"))
+    // smoothed M-ratio arguments: every factor to double BEFORE the
+    // multiply (I21's 2^63 discipline; same comment applies)
+    val den = (col("c_a") + 1).cast("double") *
+      (col("n_b") + col("n_cats")).cast("double") +
+      (col("c_b") + 1).cast("double") * (col("n_a") + col("n_cats")).cast("double")
+    def term(cSelf: Column, nOther: Column): Column =
+      round(log(lit(2.0) * (cSelf + 1).cast("double") *
+        (nOther + col("n_cats")).cast("double") / den), 9)
+        .cast(DecimalType(18, 9))
+    pairs
+      .crossJoin(broadcast(cats))
+      .crossJoin(broadcast(nc))
+      .join(broadcast(p.select(col("source").as("source_a"), col("cat"),
+        col("c_src").as("c_a"))), Seq("source_a", "cat"), "left")
+      .join(broadcast(p.select(col("source").as("source_b"), col("cat"),
+        col("c_src").as("c_b"))), Seq("source_b", "cat"), "left")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .withColumn("term_a", (col("c_a") + 1).cast(DecimalType(19, 0)) *
+        term(col("c_a"), col("n_b")))
+      .withColumn("term_b", (col("c_b") + 1).cast(DecimalType(19, 0)) *
+        term(col("c_b"), col("n_a")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("n_cats")).as("n_cats"),
+        round(lit(0.5) * (
+          sum(col("term_a")).cast("double") /
+            (max(col("n_a")) + max(col("n_cats"))) +
+            sum(col("term_b")).cast("double") /
+              (max(col("n_b")) + max(col("n_cats")))), 6).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def jsDivergenceSql(vocabK: Int = KlVocabK): String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents
+       |), corpus AS (
+       |  SELECT token, COUNT(*) AS c FROM t GROUP BY 1
+       |), v AS (
+       |  SELECT token FROM corpus ORDER BY c DESC, token LIMIT $vocabK
+       |), cat AS (
+       |  SELECT source,
+       |    CASE WHEN v.token IS NOT NULL THEN t.token ELSE '<oov>' END AS cat
+       |  FROM t LEFT JOIN v ON t.token = v.token
+       |), cats AS (SELECT DISTINCT cat FROM cat),
+       |nc AS (SELECT COUNT(*) AS n_cats FROM cats),
+       |p AS (SELECT source, cat, COUNT(*) AS c_src FROM cat GROUP BY 1, 2),
+       |pt AS (SELECT source, SUM(c_src) AS n_src FROM p GROUP BY 1),
+       |grid AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, c.cat,
+       |    a.n_src AS n_a, b.n_src AS n_b,
+       |    COALESCE(pa.c_src, 0) AS c_a, COALESCE(pb.c_src, 0) AS c_b,
+       |    nc.n_cats
+       |  FROM pt a JOIN pt b ON a.source < b.source
+       |  CROSS JOIN cats c CROSS JOIN nc
+       |  LEFT JOIN p pa ON pa.source = a.source AND pa.cat = c.cat
+       |  LEFT JOIN p pb ON pb.source = b.source AND pb.cat = c.cat
+       |), terms AS (
+       |  SELECT source_a, source_b, n_a, n_b, n_cats,
+       |    CAST(c_a + 1 AS DECIMAL(19,0)) * CAST(ROUND(ln(
+       |      2.0 * CAST(c_a + 1 AS DOUBLE) * CAST(n_b + n_cats AS DOUBLE)
+       |      / (CAST(c_a + 1 AS DOUBLE) * CAST(n_b + n_cats AS DOUBLE)
+       |       + CAST(c_b + 1 AS DOUBLE) * CAST(n_a + n_cats AS DOUBLE))), 9)
+       |      AS DECIMAL(18,9)) AS term_a,
+       |    CAST(c_b + 1 AS DECIMAL(19,0)) * CAST(ROUND(ln(
+       |      2.0 * CAST(c_b + 1 AS DOUBLE) * CAST(n_a + n_cats AS DOUBLE)
+       |      / (CAST(c_a + 1 AS DOUBLE) * CAST(n_b + n_cats AS DOUBLE)
+       |       + CAST(c_b + 1 AS DOUBLE) * CAST(n_a + n_cats AS DOUBLE))), 9)
+       |      AS DECIMAL(18,9)) AS term_b
+       |  FROM grid
+       |)
+       |SELECT source_a, source_b,
+       |  CAST(MAX(n_cats) AS BIGINT) AS n_cats,
+       |  ROUND(0.5 * (CAST(CAST(SUM(term_a) AS VARCHAR) AS DOUBLE)
+       |      / (MAX(n_a) + MAX(n_cats))
+       |    + CAST(CAST(SUM(term_b) AS VARCHAR) AS DOUBLE)
+       |      / (MAX(n_b) + MAX(n_cats))), 6) AS jsd
+       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** I22 `text_lexical_diversity` — per-source lexical-diversity
     * report: the vocabulary-growth signals (Heaps-law inputs) a
     * corpus curator reads beside I21's KL distance when deciding
@@ -1820,6 +1946,9 @@ object TextAnalysis {
     "text_repetition_signals" -> (repetitionSignals _),
     "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_kl_divergence" -> ((s: SparkSession, d: String) => klDivergence(s, d)),
+    "text_js_divergence" -> ((s: SparkSession, d: String) => jsDivergence(s, d)),
+    "param_js_divergence" -> ((s: SparkSession, d: String) =>
+      jsDivergence(s, d, vocabK = 10)), // small vocab exercises <oov>
     "text_lexical_diversity" -> (lexicalDiversity _),
     "text_langid_trained" -> (langIdTrained _),
     "param_kl_divergence" -> ((s: SparkSession, d: String) =>
@@ -1855,6 +1984,8 @@ object TextAnalysis {
     "text_repetition_signals" -> repetitionSignalsSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "text_kl_divergence" -> klDivergenceSql(),
+    "text_js_divergence" -> jsDivergenceSql(),
+    "param_js_divergence" -> jsDivergenceSql(vocabK = 10),
     "text_lexical_diversity" -> lexicalDiversitySql,
     "text_langid_trained" -> langIdTrainedSql,
     "param_kl_divergence" -> klDivergenceSql(vocabK = 50),

@@ -156,6 +156,57 @@ class CorpusSpec extends SparkSpecBase {
       "doc-level running sum must be partitioned by block")
   }
 
+  test("M16 contrastive triplets equal a full driver replay of the mining") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // trigram shingle sets, 60-token cap (the G19 definition)
+    val shingleSets = docs.map { case (id, t, _) =>
+      val w = t.split(" ").filter(_.nonEmpty).take(60)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = docs.map(_._1).sorted
+    val pos = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (shingleSets(a) & shingleSets(b)).size
+      if inter > 0
+      jac = inter.toDouble / (shingleSets(a).size + shingleSets(b).size - inter)
+      if jac >= 0.5
+    } yield ((a, b), jac)).toMap
+    val posd = pos.toSeq
+      .flatMap { case ((a, b), j) => Seq(a -> (b, j), b -> (a, j)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val chars = docs.map(d => d._1 -> d._3).toMap
+    // cyclic next-doc-by-id inside the n_chars÷16 bucket
+    val nextInBucket = docs.groupBy(_._3 / 16).values.flatMap { g =>
+      val sorted = g.map(_._1).sorted
+      sorted.zip(sorted.drop(1) :+ sorted.head)
+    }.toMap
+    val want = posd.toSeq.map { case (anchor, partners) =>
+      val (positive, jac) = partners.sortBy { case (pid, j) => (-j, pid) }.head
+      val neg = nextInBucket(anchor)
+      (anchor, positive, jac, neg)
+    }.filter { case (a, _, _, neg) =>
+      neg != a && !posd(a).exists(_._1 == neg)
+    }.sortBy(_._1).map { case (a, p, j, n) =>
+      (a, p, j, n, math.abs(chars(a) - chars(n)))
+    }
+    val got = run("corpus_contrastive_triplets").collect().map { r =>
+      (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Double]("jaccard_pos"), r.getAs[Long]("negative"),
+        r.getAs[Long]("neg_chars_delta"))
+    }.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // triplet contract: anchor, positive, negative all distinct; the
+    // negative is never itself a near-dup of the anchor
+    got.foreach { case (a, p, _, n, _) =>
+      assert(a != p && a != n && p != n)
+      assert(!pos.contains((math.min(a, n), math.max(a, n))))
+    }
+  }
+
   test("M15 balanced shards: snake assignment matches driver, mass balanced") {
     val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))

@@ -666,6 +666,47 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("I26 JSD matrix: driver replay, full pair coverage, [0, ln 2] bound") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) =>
+      t.split(" ").filter(_.nonEmpty).map(s -> _) }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = corpus.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(200).map(_._1).toSet
+    val cats = toks.map { case (s, t) => (s, if (vocab(t)) t else "<oov>") }
+    val catSet = cats.map(_._2).distinct
+    val nCats = catSet.size.toLong
+    val p = cats.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nSrc = cats.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val sources = nSrc.keys.toSeq.sorted
+    val want = (for { a <- sources; b <- sources if a < b } yield {
+      val (na, nb) = (nSrc(a), nSrc(b))
+      var sa = BigDecimal(0); var sb = BigDecimal(0)
+      for (c <- catSet) {
+        val ca = p.getOrElse((a, c), 0L); val cb = p.getOrElse((b, c), 0L)
+        val den = (ca + 1).toDouble * (nb + nCats).toDouble +
+          (cb + 1).toDouble * (na + nCats).toDouble
+        sa += BigDecimal(ca + 1) *
+          r9(math.log(2.0 * (ca + 1).toDouble * (nb + nCats).toDouble / den))
+        sb += BigDecimal(cb + 1) *
+          r9(math.log(2.0 * (cb + 1).toDouble * (na + nCats).toDouble / den))
+      }
+      (a, b) -> BigDecimal(0.5 * (sa.toDouble / (na + nCats)
+        + sb.toDouble / (nb + nCats)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+    val got = run("text_js_divergence").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jsd"))
+      .toMap
+    assert(got == want)
+    // every unordered source pair served exactly once; JSD ∈ [0, ln 2]
+    assert(got.size == sources.size * (sources.size - 1) / 2)
+    assert(got.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
+  }
+
   test("I23 trained langid: matrix accounts for every doc; argmax matches a driver rescore") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
     val m = run("text_langid_trained").collect()

@@ -106,6 +106,35 @@ class GraphSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("O10 LPA communities equal 3 synchronous mode rounds on the driver") {
+    // minSupport=2 undirected graph, same derivation as the O4 replay
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val canon = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val und = canon ++ canon.map(e => (e._2, e._1))
+    val nodes = und.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val counts = scala.collection.mutable
+        .Map[(Long, Long), Long]().withDefaultValue(0L)
+      for ((s, d) <- und) counts((d, lab(s))) += 1
+      lab = counts.groupBy(_._1._1).map { case (n, m) =>
+        n -> m.toSeq.map { case ((_, l), c) => (c, l) }
+          .sortBy { case (c, l) => (-c, l) }.head._2
+      }
+    }
+    val want = lab.toSeq.groupBy(_._2).map { case (community, ns) =>
+      (community, ns.size.toLong, ns.map(_._1).sum)
+    }.toSeq.sortBy(c => (-c._2, c._1)).take(50)
+    val got = run("graph_communities_lpa").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("O5 personalized pagerank equals the seeded recurrence on the driver") {
     val scale = 1000000000L
     val seeds = Tables.part(spark, sf)

@@ -1437,4 +1437,89 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("ingest_error_count")).sum > 0)
     assert(rows.map(_.getAs[Long]("persist_error_count")).sum > 0)
   }
+
+  test("F24 changepoint equals the integer CUSUM argmax replayed on the driver") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def service(t: String) =
+      if (Set("signup", "click", "view")(t)) "ingest"
+      else if (t == "purchase") "persist" else "dlq"
+    val want = ev.groupBy(e => service(e._1)).map { case (svc, es) =>
+      val hourly = es.groupBy(_._2 / 3600000000L).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val t = hourly.size.toLong
+      val sT = hourly.map(_._2).sum
+      val scored = hourly.zipWithIndex.scanLeft((0L, 0L, BigInt(0))) {
+        case ((_, sPrev, _), ((hr, n), i)) =>
+          val k = i + 1L
+          val sK = sPrev + n
+          (hr, sK, (BigInt(t) * sK - BigInt(k) * sT).abs)
+      }.drop(1).zipWithIndex.filter { case (_, i) => i + 1L < t }
+      val ((hr, sK, stat), i) =
+        scored.maxBy { case ((h, _, s), _) => (s, -h) }
+      val k = i + 1L
+      val up = BigInt(sT - sK) * k > BigInt(sK) * (t - k)
+      svc -> (hr, k, t - k,
+        sK.toDouble / k, (sT - sK).toDouble / (t - k),
+        stat.toDouble, if (up) "up" else "down")
+    }
+    val got = run("audit_changepoint").collect().map { r =>
+      r.getAs[String]("service") -> (
+        r.getAs[java.sql.Timestamp]("split_after").getTime * 1000L
+          / 3600000000L,
+        r.getAs[Long]("n_hours_before"), r.getAs[Long]("n_hours_after"),
+        r.getAs[Double]("mean_before"), r.getAs[Double]("mean_after"),
+        r.getAs[Double]("cusum_stat"), r.getAs[String]("direction"))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("L21 Kaplan-Meier curve equals the product-limit replay on the driver") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).flatMap { case (_, es) =>
+      val first = es.map(_._3).min
+      val buys = es.filter(_._2 == "purchase").map(_._3)
+      if (buys.isEmpty) None else Some((first, buys.max))
+    }.toSeq
+    assert(users.nonEmpty)
+    val horizon = users.map(_._2).max
+    val censorUs = 3L * 86400000000L
+    val perUser = users.map { case (f, lb) =>
+      val churned = lb < horizon - censorUs
+      val end = if (churned) lb else horizon
+      (((end - f) / 86400000000.0).floor.toInt, churned)
+    }
+    val byDur = perUser.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    var atRisk = perUser.size.toLong
+    var logSurv = BigDecimal(0)
+    var dead = false
+    val want = byDur.map { case (d, (nTot, nCh)) =>
+      if (nCh > 0 && nCh < atRisk)
+        logSurv += r6(math.log((atRisk - nCh).toDouble / atRisk))
+      if (nCh == atRisk) dead = true
+      val surv =
+        if (dead) 0.0 else r6(math.exp(logSurv.toDouble)).toDouble
+      val row = (d, atRisk, nCh, nTot - nCh, surv)
+      atRisk -= nTot
+      row
+    }
+    val got = run("events_survival").collect().map { r =>
+      (r.getAs[Int]("lifetime_days"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("km_survival"))
+    }.toSeq
+    assert(got == want)
+    // the curve is a genuine survival function: monotone nonincreasing
+    // from 1 downward
+    val curve = got.map(_._5)
+    assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a })
+    assert(curve.forall(s => s >= 0.0 && s <= 1.0))
+  }
 }

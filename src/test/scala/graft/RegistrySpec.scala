@@ -40,6 +40,7 @@ class RegistrySpec extends SparkSpecBase {
     * scalar to every row". Everything else must not BNLJ. */
   private val bnljAllowed = Set(
     // (a) broadcast query/request side, streaming corpus side
+    "sim_mmr_select", "param_mmr_select", // H1's broadcast-probe pool build
     "sim_topk_bruteforce", "sim_cosine_pairs", "sim_range_search",
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
     "sim_recall_eval", "sim_mrl_eval",
@@ -74,6 +75,9 @@ class RegistrySpec extends SparkSpecBase {
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
     "sim_hybrid_rrf", // broadcast query vector + BM25's stats scalar
     "text_kl_divergence", "param_kl_divergence", // bounded sources × ≤201-category broadcast grid + 1-row totals attach
+    "text_js_divergence", "param_js_divergence", // bounded source-pairs × categories grid + 1-row n_cats attach
+    "events_survival", "param_survival", // 1-row horizon attach
+    "audit_health_report", "param_audit_health_report", // 1-row window-end/horizon attach
     "text_langid_trained", // bounded langs × charset² model grid + 1-row type-count attach
     "text_zipf_fit", "param_zipf_fit") // 1-row OLS-fit attach onto the top-K rows
 
@@ -366,7 +370,15 @@ class RegistrySpec extends SparkSpecBase {
     "dedup_source_overlap" -> 8, // shingle distinct + doc join + source distinct + 2 rollups; size attaches broadcast
     "param_source_overlap" -> 8,
     "graph_degree_dist" -> 5, // node-keyed degree rollup; histogram rollup + metadata window/fit attaches
-    "param_graph_degree_dist" -> 5
+    "param_graph_degree_dist" -> 5,
+    "audit_health_report" -> 5, // events rollup + tenant window/argmax + counter rollups (all tenant-keyed metadata after the first shuffle)
+    "param_audit_health_report" -> 5,
+    "events_survival" -> 8, // ONE corpus-wide user rollup; 1-row horizon agg + lifetime rollup + desc/asc curve windows + ordered serve are all bounded distinct-lifetime metadata exchanges
+    "param_survival" -> 8,
+    "text_js_divergence" -> 7, // I21's token rollup (corpus-scale) + vocab/category/source-keyed metadata rollups; pair grid is map-side
+    "param_js_divergence" -> 7,
+    "corpus_contrastive_triplets" -> 5, // G19 positive chain (shingle-keyed) + bucket-window negatives + pair anti-join
+    "param_contrastive_triplets" -> 5
 
 )
 

@@ -22,6 +22,50 @@ class SimilaritySpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("H20 MMR selection equals the greedy trajectory replayed on the driver") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val nsq = vecs.map { case (id, v) => id -> dot(v, v) }
+    def cos(a: Long, na: Long, nb: Long): Double =
+      a.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (0L until 8L).flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, dot(vecs(qid), vecs(id))))
+        .sortBy { case (id, d) => (-d, id) }.take(20)
+        .map { case (id, d) => id -> cos(d, nsq(qid), nsq(id)) }
+      val rel = pool.toMap
+      var selected = Vector.empty[Long]
+      (1 to 5).map { step =>
+        val (pick, score) =
+          if (step == 1) {
+            val (id, r) = pool.maxBy { case (id, r) => (r, -id) }
+            (id, 0.5 * r)
+          } else {
+            pool.filterNot { case (id, _) => selected.contains(id) }
+              .map { case (id, r) =>
+                val maxsim = selected.map(s =>
+                  cos(dot(vecs(id), vecs(s)), nsq(id), nsq(s))).max
+                (id, 0.5 * r - 0.5 * maxsim)
+              }.maxBy { case (id, sc) => (sc, -id) }
+          }
+        selected :+= pick
+        (qid, step, pick, r6(score))
+      }
+    }
+    val got = run("sim_mmr_select").collect().map { r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("step"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("mmr_score"))
+    }.toSeq
+    assert(got == want)
+  }
+
   test("H3 LSH ANN: ranked, no self-match, recall beats empty") {
     val ann = run("sim_lsh_ann").cache()
     val brute = run("sim_topk_bruteforce").cache()
