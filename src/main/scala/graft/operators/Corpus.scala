@@ -894,8 +894,15 @@ object Corpus {
   def contrastiveTriplets(spark: SparkSession, dir: String,
                           t: Double = 0.5,
                           bucketChars: Int = 16): DataFrame = {
+    // the near-dup pair set feeds FOUR consumers (both union
+    // directions, the best-positive window, the negative exclusion
+    // anti-join) — without an eager cut the prefix-filter join runs
+    // once per consumer (measured 3.16 s → the apss median class);
+    // the pair set is the bounded near-dup index a real pipeline
+    // would persist anyway
     val pos = Dedup.apssPrefix(spark, dir, t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint()
     val posd = pos
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
         col("jaccard"))

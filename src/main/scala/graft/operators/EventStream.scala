@@ -1042,6 +1042,84 @@ object EventStream {
        |FROM prof WHERE n_train > 0 AND n_test > 0
        |ORDER BY hod""".stripMargin
 
+  /** L22 `events_burstiness` — inter-event-time statistics + the
+    * Goh–Barabási burstiness coefficient per event type: for each
+    * (type, user) sequence, the gaps between consecutive events; per
+    * type, their count, mean, standard deviation, and
+    * B = (σ−μ)/(σ+μ) ∈ [−1, 1] — B ≈ −1 is a perfectly periodic
+    * process (heartbeat), B ≈ 0 Poisson, B → 1 extreme burstiness
+    * (the shape that breaks watermark/window sizing, which is why a
+    * streaming operator reads this before picking L1/L9 widths).
+    * Exactness: gaps are exact BIGINT microseconds (unix_micros both
+    * engines, lag ordered by (ts, event_id) — a total order);
+    * Σgap and Σgap² are DECIMAL(38,0) sums (gap² ~10²² at this
+    * fixture already exceeds 2^63 summed — the O1 overflow class);
+    * the mean/σ/B chain is a PINNED sequence of IEEE double ops on
+    * the exact sums (identical in both engines), rounded 6 dp only
+    * at the serve.
+    * Scale: one (type, user)-keyed window (the L2 sessionize
+    * economics), then one partial-agg rollup to a per-type row —
+    * nothing wider than the event stream shuffles, once. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev")).as("gap"))
+    val stats = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(dec)).as("s1"),
+        sum(col("gap").cast(dec) * col("gap").cast(dec)).as("s2"))
+    // pinned double chain on the exact decimal sums (same shape in
+    // the oracle): m = s1/n, var = s2/n − m·m, σ = sqrt(var)
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val m = s1d / col("n_gaps")
+    val sd = sqrt(s2d / col("n_gaps") - m * m)
+    stats.select(col("event_type"), col("n_gaps"),
+      round(m / lit(1000000.0), 6).as("mean_gap_sec"),
+      round(sd / lit(1000000.0), 6).as("std_gap_sec"),
+      round((sd - m) / (sd + m), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  def burstinessSql: String =
+    """WITH seq AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events
+      |), gaps AS (
+      |  SELECT event_type, us - prev AS gap FROM seq WHERE prev IS NOT NULL
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n_gaps,
+      |    CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS s2
+      |  FROM gaps GROUP BY 1
+      |)
+      |SELECT event_type, n_gaps,
+      |  ROUND(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps / 1000000.0, 6)
+      |    AS mean_gap_sec,
+      |  ROUND(sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n_gaps
+      |      - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps)
+      |        * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps)) / 1000000.0,
+      |    6) AS std_gap_sec,
+      |  ROUND((sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n_gaps
+      |      - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps)
+      |        * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps))
+      |     - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps)
+      |   / (sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n_gaps
+      |      - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps)
+      |        * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps))
+      |     + CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_gaps), 6)
+      |    AS burstiness
+      |FROM stats ORDER BY event_type""".stripMargin
+
   /** L21 `events_survival` — Kaplan–Meier retention curve over user
     * PURCHASE lifetimes (the product-limit estimator, Kaplan & Meier
     * 1958 — the standard churn-analysis read): a user's lifetime
@@ -1166,6 +1244,7 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov" -> (markovTransitions _),
     "events_survival" -> ((s: SparkSession, d: String) => survival(s, d)),
+    "events_burstiness" -> (burstiness _),
     "param_survival" -> ((s: SparkSession, d: String) =>
       survival(s, d, censorDays = 7)),
     "events_cumulative_users" -> (cumulativeUsers _),
@@ -1223,6 +1302,7 @@ object EventStream {
       lookbackDays = 2, halflifeHours = 6),
     "events_seasonal_forecast" -> seasonalForecastSql(),
     "events_survival" -> survivalSql(),
+    "events_burstiness" -> burstinessSql,
     "param_survival" -> survivalSql(censorDays = 7),
     "param_seasonal_forecast" -> seasonalForecastSql(
       cutoff = "2024-01-15", eventType = "view"),

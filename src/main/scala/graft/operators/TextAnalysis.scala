@@ -1917,6 +1917,113 @@ object TextAnalysis {
        |FROM pts p CROSS JOIN fit
        |ORDER BY rank""".stripMargin
 
+  private val TrScale = 1000000000L
+
+  /** Memoized converged TextRank table — the O1 iterative-op
+    * discipline (per-round localCheckpoint + release-on-supersede,
+    * mtime in the VALUE). */
+  private val trReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  /** I27 `text_textrank` — TextRank keyword extraction (Mihalcea &
+    * Tarau, EMNLP'04): damped PageRank over the word CO-OCCURRENCE
+    * graph (adjacent-token pairs, weights = corpus co-occurrence
+    * counts), the graph-centrality companion to RAKE (I20,
+    * degree-based) and TF-IDF (I5, frequency-based) — a word ranks
+    * high when it co-occurs with other high-ranking words, not merely
+    * when it is frequent. O1's BIGINT fixed-point recurrence adapted
+    * to WEIGHTED edges: r' = 0.15·SCALE + (85 · Σ_u (r_u·w_uv) div
+    * W_u) div 100 with the r·w product widened through DECIMAL(38,0)
+    * (at 100 TB mass ~10¹⁷ times hub weights ~10⁶ the BIGINT multiply
+    * would wrap silently — the O1 ×85 class); every operation integer,
+    * engine-exact, no float-sum order sensitivity. Both engines run
+    * exactly `iters` rounds (oracle unrolls CTEs). The UNWEIGHTED
+    * classic degenerates on this corpus (the 31-type vocabulary makes
+    * the co-occurrence graph near-complete — every rank ties); the
+    * weighted variant is also what the TextRank paper recommends for
+    * keyword graphs.
+    * Scale: the bigram rollup is ONE token-keyed linear shuffle; each
+    * round is one src-keyed join + one dst-keyed partial agg over the
+    * (bounded) vocabulary graph — O1's exact economics with vocab-
+    * sized rank tables (never broadcast, always keyed). */
+  def textrank(spark: SparkSession, dir: String, iters: Int = 5,
+               limit: Int = 50): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/documents.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:tr:$iters"
+    val ranksFinal = trReg.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        if (prev != null) Graph.releaseCheckpoint(prev._2)
+        val bi = Tables.documents(spark, dir)
+          .select(nonEmptyToks.as("w"))
+          .select(explode(expr(
+            """transform(slice(w, 1, size(w) - 1),
+              |  (x, i) -> struct(x AS t1, element_at(w, i + 2) AS t2))"""
+              .stripMargin)).as("p"))
+          .filter(col("p.t1") =!= col("p.t2"))
+          .select(least(col("p.t1"), col("p.t2")).as("a"),
+            greatest(col("p.t1"), col("p.t2")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        val edges = bi.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(bi.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val wt = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+          .withColumnRenamed("src", "word")
+        val adj = edges.join(wt, edges("src") === wt("word"))
+          .select(col("src"), col("dst"), col("w"), col("wtot")).cache()
+        var ranks = wt.select(col("word"), lit(TrScale).as("rank"))
+          .localCheckpoint()
+        for (_ <- 1 to iters) {
+          val prevR = ranks
+          ranks = adj.join(ranks, adj("src") === ranks("word"))
+            .groupBy(col("dst"))
+            // r·w widened through DECIMAL before the integral divide
+            .agg(sum(expr("(CAST(rank AS DECIMAL(38,0)) * w) div wtot"))
+              .as("s"))
+            .select(col("dst").as("word"),
+              (lit(15L * TrScale / 100) +
+                expr("(85 * CAST(s AS DECIMAL(38,0))) div 100")).as("rank"))
+            .localCheckpoint()
+          Graph.releaseCheckpoint(prevR)
+        }
+        adj.unpersist(blocking = false)
+        (mtime, ranks)
+      })._2
+    ranksFinal.select(col("word"), col("rank").as("textrank_fp"))
+      .orderBy(col("textrank_fp").desc, col("word"))
+      .limit(limit)
+  }
+
+  def textrankSql(iters: Int = 5, limit: Int = 50): String = {
+    val steps = (1 to iters).map { i =>
+      // HUGEINT, NOT DECIMAL: DuckDB's // on DECIMAL operands is
+      // plain division (21 // 4 = 5.25) — only integer types floor
+      s"""r$i AS (SELECT a.dst AS word,
+         |  CAST(${15L * TrScale / 100}
+         |    + (85 * SUM((CAST(r.rank AS HUGEINT) * a.w) // a.wtot))
+         |      // 100 AS BIGINT) AS rank
+         |  FROM adj a JOIN r${i - 1} r ON a.src = r.word
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), bi AS (
+       |  SELECT LEAST(w[i], w[i+1]) AS a, GREATEST(w[i], w[i+1]) AS b,
+       |    COUNT(*) AS w
+       |  FROM toks, unnest(range(1, len(w))) AS t(i)
+       |  WHERE w[i] <> w[i+1] GROUP BY 1, 2
+       |), edges AS (SELECT a AS src, b AS dst, w FROM bi
+       |             UNION ALL SELECT b, a, w FROM bi),
+       |wt AS (SELECT src AS word, CAST(SUM(w) AS BIGINT) AS wtot
+       |       FROM edges GROUP BY 1),
+       |adj AS MATERIALIZED (SELECT e.src, e.dst, e.w, t.wtot
+       |       FROM edges e JOIN wt t ON e.src = t.word),
+       |r0 AS (SELECT word, CAST($TrScale AS BIGINT) AS rank FROM wt),
+       |$steps
+       |SELECT word, rank AS textrank_fp FROM r$iters
+       |ORDER BY textrank_fp DESC, word LIMIT $limit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
     "param_zipf_fit" -> ((s: SparkSession, d: String) =>
@@ -1947,6 +2054,9 @@ object TextAnalysis {
     "text_unigram_surprisal" -> (unigramSurprisal _),
     "text_kl_divergence" -> ((s: SparkSession, d: String) => klDivergence(s, d)),
     "text_js_divergence" -> ((s: SparkSession, d: String) => jsDivergence(s, d)),
+    "text_textrank" -> ((s: SparkSession, d: String) => textrank(s, d)),
+    "param_textrank" -> ((s: SparkSession, d: String) =>
+      textrank(s, d, iters = 3, limit = 20)),
     "param_js_divergence" -> ((s: SparkSession, d: String) =>
       jsDivergence(s, d, vocabK = 10)), // small vocab exercises <oov>
     "text_lexical_diversity" -> (lexicalDiversity _),
@@ -1985,6 +2095,8 @@ object TextAnalysis {
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "text_kl_divergence" -> klDivergenceSql(),
     "text_js_divergence" -> jsDivergenceSql(),
+    "text_textrank" -> textrankSql(),
+    "param_textrank" -> textrankSql(iters = 3, limit = 20),
     "param_js_divergence" -> jsDivergenceSql(vocabK = 10),
     "text_lexical_diversity" -> lexicalDiversitySql,
     "text_langid_trained" -> langIdTrainedSql,

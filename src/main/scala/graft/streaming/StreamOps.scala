@@ -489,6 +489,54 @@ case class FunnelAgg(anchors: Seq[Long])
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(markovFn)
   }
 
+  /** Exact sufficient statistics for one (event_type, user) gap
+    * stream. Σgap² passes 2^63 at tiny scale (gap ~10¹¹ µs squared),
+    * so both sums live as BigInt serialized to String — the state
+    * stays EXACT under any micro-batch split, which is the whole
+    * point: mean/σ/burstiness are pure functions of (n, Σ, Σ²). */
+  case class GapAgg(lastUs: Long, lastId: Long, n: Long,
+      s1: String, s2: String)
+
+  case class GapOut(event_type: String, user_id: Long, n_gaps: Long,
+      s1: String, s2: String)
+
+  /** L22 streaming twin — incremental inter-event-gap statistics per
+    * (type, user): state carries the last event (for the next gap)
+    * plus the exact (n, Σgap, Σgap²) accumulators; each micro-batch
+    * folds its events in (ts, event_id) order. Burstiness itself is
+    * computed OUTSIDE the state as a pure function of the emitted
+    * sufficient statistics — the same per-type reduction the batch
+    * operator runs — so StreamingSpec proves final stream state ≡
+    * batch `events_burstiness` bit-for-bit under arbitrary splits.
+    * Caveat shared with every mapGroupsWithState twin here: within a
+    * key, cross-batch late events would create negative gaps; the
+    * batch twin defines the contract on the (ts, id) total order and
+    * the spec feeds splits in order per key (watermark discipline at
+    * scale). */
+  def gapStatsState(events: Dataset[Event], spark: SparkSession): Dataset[GapOut] = {
+    import spark.implicits._
+    events.groupByKey(e => (e.event_type, e.user_id))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(gapStatsFn)
+  }
+
+  private[streaming] def gapStatsFn(key: (String, Long),
+      events: Iterator[Event], state: GroupState[GapAgg]): GapOut = {
+    var st = state.getOption.getOrElse(GapAgg(Long.MinValue, 0L, 0L, "0", "0"))
+    var s1 = BigInt(st.s1); var s2 = BigInt(st.s2)
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val t = us(e.ts)
+      if (st.lastUs != Long.MinValue) {
+        val gap = BigInt(t - st.lastUs)
+        s1 += gap; s2 += gap * gap
+        st = st.copy(n = st.n + 1)
+      }
+      st = st.copy(lastUs = t, lastId = e.event_id)
+    }
+    st = st.copy(s1 = s1.toString, s2 = s2.toString)
+    state.update(st)
+    GapOut(key._1, key._2, st.n, st.s1, st.s2)
+  }
+
   private[streaming] def markovFn(key: Long, events: Iterator[Event],
       state: GroupState[MarkovAgg]): MarkovOut = {
     var st = state.getOption.getOrElse(MarkovAgg(null, Map.empty))

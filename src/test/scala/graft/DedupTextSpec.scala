@@ -666,6 +666,41 @@ class DedupTextSpec extends SparkSpecBase {
     }
   }
 
+  test("I27 TextRank equals the weighted integer recurrence replayed on the driver") {
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.drop(1)).filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    }
+    val bi = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val adj = (bi.toSeq.map { case ((a, b), w) => (a, b, w) } ++
+      bi.toSeq.map { case ((a, b), w) => (b, a, w) })
+      .groupBy(_._1).view
+      .mapValues(es => es.map(e => (e._2, e._3))).toMap
+    val wtot = adj.view.mapValues(_.map(_._2).sum).toMap
+    val scale = 1000000000L
+    var rank: Map[String, BigInt] =
+      adj.keys.map(_ -> BigInt(scale)).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable
+        .Map[String, BigInt]().withDefaultValue(BigInt(0))
+      for ((u, es) <- adj; (v, w) <- es)
+        in(v) += (rank(u) * w) / wtot(u)
+      rank = adj.keys.map(n =>
+        n -> (BigInt(15L * scale / 100) + (BigInt(85) * in(n)) / 100)).toMap
+    }
+    val want = rank.toSeq
+      .sortBy { case (word, r) => (-r, word) }.take(50)
+      .map { case (word, r) => (word, r.toLong) }
+    val got = run("text_textrank").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // the weighted variant genuinely differentiates on this corpus
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
   test("I26 JSD matrix: driver replay, full pair coverage, [0, ln 2] bound") {
     val docs = Tables.documents(spark, sf).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

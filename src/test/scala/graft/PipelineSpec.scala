@@ -1475,6 +1475,39 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L22 burstiness equals the Goh-Barabasi replay on the driver") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = ev.groupBy(_._1).map { case (typ, es) =>
+      val gaps = es.groupBy(_._2).values.flatMap { g =>
+        val s = g.map(e => (e._4, e._3)).sorted.map(_._1)
+        s.zip(s.drop(1)).map { case (a, b) => b - a }
+      }.toSeq
+      val n = gaps.size.toLong
+      val s1 = gaps.map(BigInt(_)).sum
+      val s2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+      // the pinned double chain on exact integer sums (same shapes as
+      // the operator and the oracle)
+      val m = s1.toDouble / n
+      val sd = math.sqrt(s2.toDouble / n - m * m)
+      typ -> (n, r6(m / 1000000.0), r6(sd / 1000000.0),
+        r6((sd - m) / (sd + m)))
+    }
+    val got = run("events_burstiness").collect().map { r =>
+      r.getAs[String]("event_type") -> (r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_gap_sec"), r.getAs[Double]("std_gap_sec"),
+        r.getAs[Double]("burstiness"))
+    }.toMap
+    assert(got == want)
+    // B is a genuine [-1, 1] coefficient
+    assert(got.values.forall { case (_, _, _, b) => b >= -1.0 && b <= 1.0 })
+  }
+
   test("L21 Kaplan-Meier curve equals the product-limit replay on the driver") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))

@@ -378,7 +378,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_js_divergence" -> 7, // I21's token rollup (corpus-scale) + vocab/category/source-keyed metadata rollups; pair grid is map-side
     "param_js_divergence" -> 7,
     "corpus_contrastive_triplets" -> 5, // G19 positive chain (shingle-keyed) + bucket-window negatives + pair anti-join
-    "param_contrastive_triplets" -> 5
+    "param_contrastive_triplets" -> 5,
+    "events_burstiness" -> 3 // (type,user) lag window + type rollup + ordered serve
 
 )
 

@@ -660,6 +660,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L22 streaming gap statistics reduce to the batch burstiness exactly") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.gapStatsState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_gaps")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // n is monotone per key: the max-n update is the final state
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("n_gaps").desc)
+    val fin = spark.table("s_gaps")
+      .filter(col("event_type") =!= "sentinel")
+      .withColumn("rn", row_number().over(wKey))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        BigInt(r.getString(3)), BigInt(r.getString(4))))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = fin.groupBy(_._1).map { case (typ, ks) =>
+      val n = ks.map(_._2).sum
+      val s1 = ks.map(_._3).sum
+      val s2 = ks.map(_._4).sum
+      val m = s1.toDouble / n
+      val sd = math.sqrt(s2.toDouble / n - m * m)
+      typ -> (n, r6(m / 1000000.0), r6(sd / 1000000.0),
+        r6((sd - m) / (sd + m)))
+    }
+    val want = run("events_burstiness").collect().map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_gap_sec"), r.getAs[Double]("std_gap_sec"),
+        r.getAs[Double]("burstiness"))
+    }.toMap
+    assert(got == want)
+  }
+
   test("L14 streaming attribution counters converge to the batch per-channel counts") {
     val ms = MemoryStream[Event]
     val q = StreamOps.attributionState(ms.toDS(), spark)
