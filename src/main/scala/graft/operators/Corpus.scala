@@ -988,7 +988,119 @@ object Corpus {
        |WHERE k.neg <> b.anchor AND pd.partner IS NULL
        |ORDER BY b.anchor""".stripMargin
 
+  /** P4 `pipeline_corpus_refresh` — the INCREMENTAL corpus-refresh
+    * composite (continuous-pretraining day-2 ingest): yesterday's
+    * corpus (doc_id % 3 ≠ 0 — the deterministic synthetic split) has
+    * already been indexed; today's delta (doc_id % 3 = 0) is admitted
+    * WITHOUT recomputing the base — each delta doc is checked against
+    * (1) the base's content-hash set (exact recrawl), (2) the base's
+    * distinct-shingle index (novelty fraction — what share of the
+    * doc's trigrams the corpus has never seen; G22's mechanic, but
+    * against a FROZEN base instead of first-occurrence order), and
+    * (3) the M9-style quality gate, with M9's first-failing-rule
+    * verdict discipline: exact_dup → low_quality → near_dup → keep
+    * (a doc below `minNovelty` is a near-duplicate in aggregate even
+    * when no single base doc matches it). Shingle-less docs repeat
+    * nothing — novelty 1.0 by definition.
+    * Scale: the two base-side structures are exactly what a
+    * production refresh PERSISTS between days (a hash set and a
+    * shingle index — both content-keyed, shardable); delta work is
+    * O(|delta|): one hash-keyed left join + one shingle-keyed left
+    * join + a delta-doc rollup. The base is never rescanned per doc
+    * and nothing pairwise ever forms. */
+  def corpusRefresh(spark: SparkSession, dir: String,
+                    minNovelty: Double = 0.3,
+                    minChars: Long = 64L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val baseHashes = base
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .withColumn("in_base", lit(1))
+    val baseShingles = shingleSet(base)
+      .select(col("shingle")).distinct().withColumn("seen", lit(1))
+    val novelty = shingleSet(delta)
+      .join(baseShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    delta
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .join(baseHashes, Seq("h"), "left")
+      .join(novelty, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_novel"))
+      .withColumn("novelty_frac",
+        when(col("n_shingles") === 0, lit(1.0))
+          .otherwise(round(col("n_novel").cast("double")
+            / col("n_shingles"), 6)))
+      .withColumn("verdict",
+        when(col("in_base").isNotNull, "exact_dup")
+          .when(col("n_chars") < minChars, "low_quality")
+          .when(col("novelty_frac") < minNovelty, "near_dup")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_chars"), col("n_shingles"),
+        col("n_novel"), col("novelty_frac"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct trigram shingles (the G19 definition: 60-token cap). */
+  private def shingleSet(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val idx = when(size(w) >= 3, sequence(lit(1), size(w) - 2))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx, i => concat_ws(" ",
+      element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    docs.select(col("doc_id"),
+        slice(filter(split(col("text"), " "), c => c =!= ""), 1, 60).as("w"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  def corpusRefreshSql(minNovelty: Double = 0.3,
+                       minChars: Long = 64L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM toks WHERE len(w) >= 3
+       |), base_hashes AS (
+       |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+       |), base_shingles AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 3 <> 0
+       |), novelty AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN b.shingle IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM sh s LEFT JOIN base_shingles b ON s.shingle = b.shingle
+       |  WHERE s.doc_id % 3 = 0 GROUP BY 1
+       |)
+       |SELECT d.doc_id, d.n_chars,
+       |  COALESCE(n.n_shingles, 0) AS n_shingles,
+       |  COALESCE(n.n_novel, 0) AS n_novel,
+       |  CASE WHEN COALESCE(n.n_shingles, 0) = 0 THEN 1.0
+       |       ELSE ROUND(CAST(n.n_novel AS DOUBLE) / n.n_shingles, 6)
+       |  END AS novelty_frac,
+       |  CASE WHEN bh.h IS NOT NULL THEN 'exact_dup'
+       |       WHEN d.n_chars < $minChars THEN 'low_quality'
+       |       WHEN (CASE WHEN COALESCE(n.n_shingles, 0) = 0 THEN 1.0
+       |             ELSE ROUND(CAST(n.n_novel AS DOUBLE) / n.n_shingles, 6)
+       |             END) < $minNovelty THEN 'near_dup'
+       |       ELSE 'keep' END AS verdict
+       |FROM documents d
+       |LEFT JOIN base_hashes bh ON md5(d.text) = bh.h
+       |LEFT JOIN novelty n ON d.doc_id = n.doc_id
+       |WHERE d.doc_id % 3 = 0
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus_refresh" -> ((s, d) => corpusRefresh(s, d)),
+    "param_corpus_refresh" -> ((s, d) =>
+      corpusRefresh(s, d, minNovelty = 0.8, minChars = 120L)),
     "corpus_contrastive_triplets" -> ((s, d) => contrastiveTriplets(s, d)),
     "param_contrastive_triplets" -> ((s, d) =>
       contrastiveTriplets(s, d, t = 0.7, bucketChars = 32)),
@@ -1014,6 +1126,9 @@ object Corpus {
     "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus_refresh" -> corpusRefreshSql(),
+    "param_corpus_refresh" ->
+      corpusRefreshSql(minNovelty = 0.8, minChars = 120L),
     "corpus_contrastive_triplets" -> contrastiveTripletsSql(),
     "param_contrastive_triplets" ->
       contrastiveTripletsSql(t = 0.7, bucketChars = 32),

@@ -1475,6 +1475,41 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("P4 corpus refresh equals a full driver replay of the delta admission") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty).take(60)
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val (delta, base) = docs.partition(_._1 % 3 == 0)
+    val baseTexts = base.map(_._2).toSet
+    val baseSh = base.flatMap(d => shingles(d._2)).toSet
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = delta.toSeq.sortBy(_._1).map { case (id, t, nc) =>
+      val sh = shingles(t)
+      val novel = sh.count(!baseSh.contains(_)).toLong
+      val nf = if (sh.isEmpty) 1.0 else r6(novel.toDouble / sh.size)
+      val verdict =
+        if (baseTexts.contains(t)) "exact_dup"
+        else if (nc < 64) "low_quality"
+        else if (nf < 0.3) "near_dup"
+        else "keep"
+      (id, nc, sh.size.toLong, novel, nf, verdict)
+    }
+    val got = run("pipeline_corpus_refresh").collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+        r.getAs[Double]("novelty_frac"), r.getAs[String]("verdict"))
+    }.toSeq
+    assert(got == want)
+    // every delta doc gets exactly one verdict; base docs never appear
+    assert(got.map(_._1).toSet == delta.map(_._1).toSet)
+    assert(got.count(_._6 == "keep") > 0)
+  }
+
   test("L22 burstiness equals the Goh-Barabasi replay on the driver") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("user_id"), col("event_id"),

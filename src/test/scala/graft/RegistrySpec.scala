@@ -379,7 +379,9 @@ class RegistrySpec extends SparkSpecBase {
     "param_js_divergence" -> 7,
     "corpus_contrastive_triplets" -> 5, // G19 positive chain (shingle-keyed) + bucket-window negatives + pair anti-join
     "param_contrastive_triplets" -> 5,
-    "events_burstiness" -> 3 // (type,user) lag window + type rollup + ordered serve
+    "events_burstiness" -> 3, // (type,user) lag window + type rollup + ordered serve
+    "pipeline_corpus_refresh" -> 5, // two shingle distincts + shingle join + delta rollup + hash/doc attaches
+    "param_corpus_refresh" -> 5
 
 )
 
