@@ -446,7 +446,82 @@ object Multimodal {
        |FROM bits GROUP BY 1, 2
        |ORDER BY ahash_hi, ahash_lo""".stripMargin
 
+  case class DhashRow(doc_id: Long, dhash: Long)
+
+  /** J8 `multimodal_dhash` — perceptual DIFFERENCE hash over really
+    * decoded pixels: bit (y·7+x) set iff luminance INCREASES left to
+    * right, lum(x+1,y) > lum(x,y) — the gradient-structure
+    * fingerprint that survives global brightness shifts aHash (J7)
+    * is sensitive to (the standard dHash tradeoff; production dedup
+    * runs both and ANDs the matches). 8 rows × 7 horizontal
+    * comparisons = 56 bits, packed into ONE sign-safe BIGINT.
+    * Pure integer comparisons — no mean, no threshold drift. Same
+    * mapPartitions + grouped(BatchSize) codec seam as J5/J7; the
+    * oracle replays the procedural pixel formula with an idx+1
+    * self-alignment inside each row. Downstream is G1's shape on the
+    * hash (synth reuses ~5 copies per image group). */
+  def dhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed: Dataset[DhashRow] =
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(BatchSize).flatMap { batch =>
+            batch.map { id =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(synthPng(id % ImgGroups)))
+              def lum(x: Int, y: Int): Long = {
+                val rgb = img.getRGB(x, y)
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              }
+              var h = 0L
+              var y = 0
+              while (y < ImgH) {
+                var x = 0
+                while (x < ImgW - 1) {
+                  if (lum(x + 1, y) > lum(x, y)) h |= 1L << (y * 7 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              DhashRow(id, h)
+            }
+          }
+        }
+    hashed.toDF()
+      .groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("dhash"))
+  }
+
+  def dhashSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, doc_id % $ImgGroups AS gid,
+       |    unnest(range(0, ${ImgW - 1})) AS x
+       |  FROM documents
+       |), pxy AS (
+       |  SELECT doc_id, gid, x, unnest(range(0, $ImgH)) AS y FROM px
+       |), cmp AS (
+       |  SELECT doc_id, x, y,
+       |    CAST((gid * 7 + (x+1) * 3 + y * 5) % 256
+       |       + (gid * 11 + (x+1) * 13 + y * 17) % 256
+       |       + (gid * 19 + (x+1) * 23 + y * 29) % 256 AS BIGINT)
+       |    > CAST((gid * 7 + x * 3 + y * 5) % 256
+       |       + (gid * 11 + x * 13 + y * 17) % 256
+       |       + (gid * 19 + x * 23 + y * 29) % 256 AS BIGINT) AS up
+       |  FROM pxy
+       |), bits AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN up
+       |                  THEN CAST(1 AS BIGINT) << CAST(y * 7 + x AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM cmp GROUP BY 1
+       |)
+       |SELECT dhash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+       |FROM bits GROUP BY 1 ORDER BY dhash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dhash" -> (dhash _),
     "multimodal_ahash" -> (ahash _),
     "multimodal_feature_stub" -> (featureStub _),
     "multimodal_frame_sample" -> (frameSample _),
@@ -455,6 +530,7 @@ object Multimodal {
     "multimodal_image_dedup" -> (imageDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_dhash" -> dhashSql,
     "multimodal_ahash" -> ahashSql,
     "multimodal_feature_stub" -> featureStubSql,
     "multimodal_frame_sample" -> frameSampleSql,

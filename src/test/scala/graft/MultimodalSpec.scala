@@ -122,4 +122,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.exists(r => java.lang.Long.bitCount(r.getAs[Long]("ahash_lo"))
       + java.lang.Long.bitCount(r.getAs[Long]("ahash_hi")) > 8))
   }
+
+  test("J8 dHash: real-decode gradient hashes match the procedural formula") {
+    val rows = run("multimodal_dhash").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    def lum(gid: Long, x: Int, y: Int): Long =
+      ((gid * 7 + x * 3 + y * 5) % 256) +
+        ((gid * 11 + x * 13 + y * 17) % 256) +
+        ((gid * 19 + x * 23 + y * 29) % 256)
+    def hashOf(gid: Long): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 7
+           if lum(gid, x + 1, y) > lum(gid, x, y))
+        h |= 1L << (y * 7 + x)
+      h
+    }
+    val got = rows.map(_.getAs[Long]("dhash")).toSet
+    val want = (0L until math.min(100L, nDocs)).map(hashOf).toSet
+    assert(got == want)
+    // gradient structure present, and sign-safe packing (56 bits)
+    assert(rows.forall(_.getAs[Long]("dhash") >= 0L))
+    assert(rows.exists(r =>
+      java.lang.Long.bitCount(r.getAs[Long]("dhash")) > 8))
+  }
 }
