@@ -1042,6 +1042,86 @@ object EventStream {
        |FROM prof WHERE n_train > 0 AND n_test > 0
        |ORDER BY hod""".stripMargin
 
+  /** L24 `events_feature_snapshot` — POINT-IN-TIME-CORRECT training
+    * features (the feature-store discipline that prevents
+    * training-serving skew / label leakage): for every purchase, the
+    * user's behavioral features computed over STRICTLY PRIOR events
+    * only — an `UNBOUNDED PRECEDING .. 1 PRECEDING` frame on the
+    * (ts, event_id) total order, so nothing at-or-after the label
+    * event (including simultaneous rows) ever leaks into its
+    * features. Served columns: prior event / purchase counts, prior
+    * purchase revenue (exact decimal sum → correctly-rounded
+    * double), whole hours active, whole hours since the previous
+    * purchase (null for a first purchase — a REAL feature-vector
+    * null the training pipeline must handle, deliberately not
+    * imputed here), and the label (this purchase's value). First-
+    * ever events have no features and are excluded (n_prior = 0).
+    * Hours come from exact µs integers (unix_micros both engines).
+    * Scale: ONE user-keyed window pass over the stream — the L2
+    * sessionize economics; every feature shares the single frame. */
+  def featureSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_prior_events", count(lit(1)).over(w))
+      .withColumn("n_prior_purchases",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      .withColumn("prior_purchase_value",
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 6)))).over(w),
+          lit(0).cast(DecimalType(28, 6))).cast("double"))
+      .withColumn("first_us", min(col("us")).over(w))
+      .withColumn("prev_buy_us",
+        max(when(col("event_type") === "purchase", col("us"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("n_prior_events") > 0 && col("first_us").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("n_prior_events"), col("n_prior_purchases"),
+        col("prior_purchase_value"),
+        floor((col("us") - col("first_us")) / 3600000000.0)
+          .as("hours_active"),
+        floor((col("us") - col("prev_buy_us")) / 3600000000.0)
+          .as("hours_since_prev_buy"),
+        col("value").cast(DecimalType(18, 6)).cast("double")
+          .as("label_value"))
+      .orderBy(col("event_id"))
+  }
+
+  def featureSnapshotSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      |  FROM events
+      |), feat AS (
+      |  SELECT event_id, user_id, event_type, value, us,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_prior_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER w AS BIGINT) AS n_prior_purchases,
+      |    CAST(CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(value AS DECIMAL(18,6)) END) OVER w, 0) AS VARCHAR)
+      |      AS DOUBLE) AS prior_purchase_value,
+      |    MIN(us) OVER w AS first_us,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN us END) OVER w
+      |      AS prev_buy_us
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, n_prior_events, n_prior_purchases,
+      |  prior_purchase_value,
+      |  CAST(floor(CAST(us - first_us AS DOUBLE) / 3600000000.0)
+      |    AS BIGINT) AS hours_active,
+      |  CAST(floor(CAST(us - prev_buy_us AS DOUBLE) / 3600000000.0)
+      |    AS BIGINT) AS hours_since_prev_buy,
+      |  CAST(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+      |    AS label_value
+      |FROM feat
+      |WHERE event_type = 'purchase' AND n_prior_events > 0
+      |  AND first_us IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   /** L22 `events_burstiness` — inter-event-time statistics + the
     * Goh–Barabási burstiness coefficient per event type: for each
     * (type, user) sequence, the gaps between consecutive events; per
@@ -1245,6 +1325,7 @@ object EventStream {
     "events_markov" -> (markovTransitions _),
     "events_survival" -> ((s: SparkSession, d: String) => survival(s, d)),
     "events_burstiness" -> (burstiness _),
+    "events_feature_snapshot" -> (featureSnapshot _),
     "param_survival" -> ((s: SparkSession, d: String) =>
       survival(s, d, censorDays = 7)),
     "events_cumulative_users" -> (cumulativeUsers _),
@@ -1303,6 +1384,7 @@ object EventStream {
     "events_seasonal_forecast" -> seasonalForecastSql(),
     "events_survival" -> survivalSql(),
     "events_burstiness" -> burstinessSql,
+    "events_feature_snapshot" -> featureSnapshotSql,
     "param_survival" -> survivalSql(censorDays = 7),
     "param_seasonal_forecast" -> seasonalForecastSql(
       cutoff = "2024-01-15", eventType = "view"),

@@ -264,6 +264,98 @@ object Similarity {
        |FROM sel$selectK ORDER BY qid, step""".stripMargin
   }
 
+  /** H22 `sim_rocchio_feedback` — pseudo-relevance-feedback query
+    * expansion (Rocchio 1971, the classic two-round retrieval): round
+    * 1 retrieves each probe's top-k0 by exact quantized dot; the
+    * expanded query q' = k0·q + Σ seeds (integer Rocchio with α=1,
+    * β=1 scaled by k0 so q' stays in exact BIGINT space — any
+    * positive scaling of q' preserves its dot-product ranking);
+    * round 2 re-ranks the WHOLE corpus by dot(q', ·) and serves the
+    * top-k with a `was_seed` flag (how much the expansion merely
+    * confirmed round 1 vs surfaced new neighbors — the
+    * expansion-utility read). All-integer scoring, rank ties by
+    * vec_id — hash-exact cross-engine.
+    * Scale: TWO corpus passes (one per round — the irreducible
+    * pseudo-feedback cost), each with the query side broadcast (H1's
+    * economics); the seed set and expanded queries are
+    * CONTRACT-bounded (NQueries×k0 rows / NQueries arrays), built via
+    * a positional explode over bounded rows and checkpointed so round
+    * 2 never re-plans round 1. */
+  def rocchioFeedback(spark: SparkSession, dir: String,
+                      k0: Int = 10, k: Int = 10): DataFrame = {
+    val emb = quantized(spark, dir)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"))
+    val wR1 = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val r1 = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", vdotQuantizedNative(col("qq"), col("qvec")))
+      .withColumn("rk", row_number().over(wR1))
+      .filter(col("rk") <= k0)
+      .select(col("qid"), col("vec_id"), col("qvec"))
+      .localCheckpoint() // NQueries×k0 seeds; ends the round-1 scan
+    val seedpos = r1
+      .select(col("qid"), posexplode(col("qvec")).as(Seq("pos", "v")))
+      .groupBy(col("qid"), col("pos")).agg(sum(col("v")).as("s"))
+    val qexp = q
+      .select(col("qid"), posexplode(col("qq")).as(Seq("pos", "qv")))
+      .join(seedpos, Seq("qid", "pos"))
+      .withColumn("qe_i", lit(k0.toLong) * col("qv") + col("s"))
+      .groupBy(col("qid"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(pos, qe_i))), x -> x.qe_i)")
+        .as("qe"))
+    val seeds = r1.select(col("qid").as("fq"), col("vec_id").as("fv"),
+      lit(true).as("seed"))
+    val wR2 = Window.partitionBy(col("qid"))
+      .orderBy(col("dot_exp").desc, col("vec_id"))
+    emb.join(broadcast(qexp), col("vec_id") =!= col("qid"))
+      .withColumn("dot_exp", vdotQuantizedNative(col("qe"), col("qvec")))
+      .withColumn("rank", row_number().over(wR2))
+      .filter(col("rank") <= k)
+      .join(broadcast(seeds),
+        col("qid") === col("fq") && col("vec_id") === col("fv"), "left")
+      .select(col("qid"), col("rank"), col("vec_id"), col("dot_exp"),
+        coalesce(col("seed"), lit(false)).as("was_seed"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def rocchioFeedbackSql(k0: Int = 10, k: Int = 10): String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qvec
+       |  FROM embeddings
+       |), probes AS (SELECT vec_id AS qid, qvec AS qq FROM qv
+       |              WHERE vec_id < $NQueries),
+       |r1 AS MATERIALIZED (
+       |  SELECT qid, vec_id, qvec FROM (
+       |    SELECT p.qid, c.vec_id, c.qvec,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${dotSql("p.qq", "c.qvec")} DESC, c.vec_id) AS rk
+       |    FROM probes p JOIN qv c ON c.vec_id <> p.qid)
+       |  WHERE rk <= $k0
+       |), seedpos AS (
+       |  SELECT qid, i AS pos, SUM(qvec[i]) AS s
+       |  FROM r1, unnest(range(1, len(qvec) + 1)) AS t(i)
+       |  GROUP BY 1, 2
+       |), qexp AS (
+       |  SELECT p.qid, list($k0 * p.qq[sp.pos] + sp.s ORDER BY sp.pos) AS qe
+       |  FROM probes p JOIN seedpos sp ON sp.qid = p.qid
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT e.qid, c.vec_id,
+       |    ${dotSql("e.qe", "c.qvec")} AS dot_exp,
+       |    CASE WHEN r.vec_id IS NOT NULL THEN TRUE ELSE FALSE END
+       |      AS was_seed
+       |  FROM qexp e JOIN qv c ON c.vec_id <> e.qid
+       |  LEFT JOIN r1 r ON r.qid = e.qid AND r.vec_id = c.vec_id
+       |)
+       |SELECT qid, rank, vec_id, dot_exp, was_seed FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dot_exp DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** Held-out eval-set size for H18 — a CONTRACT-bounded constant
     * like NQueries (the eval set broadcasts at any corpus scale). */
   private val NEval = 40
@@ -1578,6 +1670,10 @@ object Similarity {
     "sim_pq_adc" -> (pqAdc _),
     "sim_topk_bruteforce" -> (topkBruteforce _),
     "sim_mmr_select" -> ((s: SparkSession, d: String) => mmrSelect(s, d)),
+    "sim_rocchio_feedback" -> ((s: SparkSession, d: String) =>
+      rocchioFeedback(s, d)),
+    "param_rocchio_feedback" -> ((s: SparkSession, d: String) =>
+      rocchioFeedback(s, d, k0 = 5, k = 20)),
     "param_mmr_select" -> ((s: SparkSession, d: String) =>
       mmrSelect(s, d, poolK = 10, selectK = 3)),
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
@@ -1604,6 +1700,8 @@ object Similarity {
     "sim_pq_adc" -> pqAdcSql,
     "sim_topk_bruteforce" -> topkBruteforceSql,
     "sim_mmr_select" -> mmrSelectSql(),
+    "sim_rocchio_feedback" -> rocchioFeedbackSql(),
+    "param_rocchio_feedback" -> rocchioFeedbackSql(k0 = 5, k = 20),
     "param_mmr_select" -> mmrSelectSql(poolK = 10, selectK = 3),
     "sim_knn_classify" -> knnClassifySql(),
     "param_knn_classify" -> knnClassifySql(k = 3, nEval = 20),

@@ -1475,6 +1475,45 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L24 feature snapshot is point-in-time correct: driver replay + no leakage") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    def dec(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (uid, es) =>
+      val s = es.sortBy(e => (e._5, e._1))
+      s.zipWithIndex.collect {
+        case ((id, _, "purchase", v, us), i) if i > 0 =>
+          val prior = s.take(i) // STRICTLY before: the leakage contract
+          val buys = prior.filter(_._3 == "purchase")
+          (id, uid, prior.size.toLong, buys.size.toLong,
+            buys.map(b => dec(b._4)).sum.toDouble,
+            // same floor-of-double-division shape as both engines
+            ((us - prior.map(_._5).min) / 3600000000.0).floor.toLong,
+            if (buys.isEmpty) null
+            else java.lang.Long.valueOf(
+              ((us - buys.map(_._5).max) / 3600000000.0).floor.toLong),
+            dec(v).toDouble)
+      }
+    }.sortBy(_._1)
+    val got = run("events_feature_snapshot").collect().map { r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_prior_events"), r.getAs[Long]("n_prior_purchases"),
+        r.getAs[Double]("prior_purchase_value"),
+        r.getAs[Long]("hours_active"),
+        if (r.isNullAt(6)) null
+        else java.lang.Long.valueOf(r.getAs[Long]("hours_since_prev_buy")),
+        r.getAs[Double]("label_value"))
+    }.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // a first-ever purchase with no prior purchase carries a REAL null
+    assert(got.exists(_._7 == null))
+  }
+
   test("P4 corpus refresh equals a full driver replay of the delta admission") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text", "n_chars").collect()

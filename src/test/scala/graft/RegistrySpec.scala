@@ -41,6 +41,7 @@ class RegistrySpec extends SparkSpecBase {
   private val bnljAllowed = Set(
     // (a) broadcast query/request side, streaming corpus side
     "sim_mmr_select", "param_mmr_select", // H1's broadcast-probe pool build
+    "sim_rocchio_feedback", "param_rocchio_feedback", // broadcast probes round 1, broadcast expanded queries round 2
     "sim_topk_bruteforce", "sim_cosine_pairs", "sim_range_search",
     "sim_maxsim_multivec", "sim_filtered_search", "sim_pooled_search",
     "sim_recall_eval", "sim_mrl_eval",
@@ -381,7 +382,9 @@ class RegistrySpec extends SparkSpecBase {
     "param_contrastive_triplets" -> 5,
     "events_burstiness" -> 3, // (type,user) lag window + type rollup + ordered serve
     "pipeline_corpus_refresh" -> 5, // two shingle distincts + shingle join + delta rollup + hash/doc attaches
-    "param_corpus_refresh" -> 5
+    "param_corpus_refresh" -> 5,
+    "sim_rocchio_feedback" -> 4, // r1 top-k window + seedpos/qexp rollups over contract-bounded rows + r2 window
+    "param_rocchio_feedback" -> 4
 
 )
 

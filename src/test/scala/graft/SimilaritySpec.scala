@@ -66,6 +66,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("H22 Rocchio feedback equals the two-round expansion replayed on the driver") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000.0)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = (0L until 8L).flatMap { qid =>
+      val r1 = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, dot(vecs(qid), vecs(id))))
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1)
+      val qe = vecs(qid).indices.map(i =>
+        10L * vecs(qid)(i) + r1.map(vecs(_)(i)).sum).toArray
+      vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, dot(qe, vecs(id))))
+        .sortBy { case (id, d) => (-d, id) }.take(10).zipWithIndex
+        .map { case ((id, d), i) =>
+          (qid, i + 1, id, d, r1.contains(id)) }
+    }
+    val got = run("sim_rocchio_feedback").collect().map { r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("dot_exp"), r.getAs[Boolean]("was_seed"))
+    }.toSeq
+    assert(got == want)
+    // the expansion surfaces at least one non-seed result somewhere OR
+    // confirms all seeds — either way was_seed must be consistent
+    assert(got.nonEmpty)
+  }
+
   test("H3 LSH ANN: ranked, no self-match, recall beats empty") {
     val ann = run("sim_lsh_ann").cache()
     val brute = run("sim_topk_bruteforce").cache()
