@@ -489,6 +489,62 @@ case class FunnelAgg(anchors: Seq[Long])
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(markovFn)
   }
 
+  case class FeatAgg(n: Long, nBuys: Long, sumBuys: String,
+      firstUs: Long, lastBuyUs: Long)
+
+  case class FeatOut(event_id: Long, user_id: Long, n_prior_events: Long,
+      n_prior_purchases: Long, prior_purchase_value: Double,
+      hours_active: Long, hours_since_prev_buy: Option[Long],
+      label_value: Double)
+
+  /** L24 streaming twin — the ONLINE feature path of
+    * `events_feature_snapshot`, i.e. the online/offline-consistency
+    * proof feature stores exist to provide: per user, state carries
+    * the running behavioral profile (event/purchase counts, exact
+    * decimal revenue as a string, first-seen, last-purchase); every
+    * purchase EMITS its feature row from the state AS IT WAS BEFORE
+    * this event folds in — the same strictly-prior contract as the
+    * batch window frame, so the online features a serving system
+    * would compute at request time equal the offline training
+    * features bit for bit (StreamingSpec proves set equality under
+    * micro-batch splits). Training-serving skew is exactly the
+    * divergence this twin demonstrates to be zero. */
+  def featureSnapshotState(events: Dataset[Event],
+      spark: SparkSession): Dataset[FeatOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(featureFn)
+  }
+
+  private[streaming] def featureFn(key: Long, events: Iterator[Event],
+      state: GroupState[FeatAgg]): Iterator[FeatOut] = {
+    var st = state.getOption.getOrElse(FeatAgg(0L, 0L, "0", Long.MinValue, Long.MinValue))
+    var sum = BigDecimal(st.sumBuys)
+    val out = scala.collection.mutable.ListBuffer.empty[FeatOut]
+    def dec(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val t = us(e.ts)
+      if (e.event_type == "purchase" && st.n > 0) {
+        // features from the state BEFORE this event — strictly prior
+        out += FeatOut(e.event_id, key, st.n, st.nBuys, sum.toDouble,
+          ((t - st.firstUs) / 3600000000.0).floor.toLong,
+          if (st.nBuys == 0) None
+          else Some(((t - st.lastBuyUs) / 3600000000.0).floor.toLong),
+          dec(e.value).toDouble)
+      }
+      if (e.event_type == "purchase") {
+        sum += dec(e.value)
+        st = st.copy(nBuys = st.nBuys + 1, lastBuyUs = t)
+      }
+      st = st.copy(n = st.n + 1,
+        firstUs = if (st.firstUs == Long.MinValue) t else st.firstUs)
+    }
+    state.update(st.copy(sumBuys = sum.toString))
+    out.iterator
+  }
+
   /** Exact sufficient statistics for one (event_type, user) gap
     * stream. Σgap² passes 2^63 at tiny scale (gap ~10¹¹ µs squared),
     * so both sums live as BigInt serialized to String — the state

@@ -660,6 +660,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("L24 streaming online features equal the offline batch snapshot exactly") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.featureSnapshotState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_feat")
+      .outputMode("append").start()
+    runStream(q, ms)
+    val got = spark.table("s_feat").filter(col("user_id") =!= -1L)
+      .collect().map { r =>
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_prior_events"),
+          r.getAs[Long]("n_prior_purchases"),
+          r.getAs[Double]("prior_purchase_value"),
+          r.getAs[Long]("hours_active"),
+          Option(r.getAs[java.lang.Long]("hours_since_prev_buy"))
+            .map(_.longValue),
+          r.getAs[Double]("label_value"))
+      }.sortBy(_._1).toSeq
+    val want = run("events_feature_snapshot").collect().map { r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_prior_events"), r.getAs[Long]("n_prior_purchases"),
+        r.getAs[Double]("prior_purchase_value"),
+        r.getAs[Long]("hours_active"),
+        if (r.isNullAt(6)) None
+        else Some(r.getAs[Long]("hours_since_prev_buy")),
+        r.getAs[Double]("label_value"))
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("L22 streaming gap statistics reduce to the batch burstiness exactly") {
     val ms = MemoryStream[Event]
     val q = StreamOps.gapStatsState(ms.toDS(), spark)
