@@ -1409,7 +1409,92 @@ object Analytics {
        |WHERE confidence >= $minConf
        |ORDER BY lift DESC, antecedent, consequent LIMIT $limit""".stripMargin
 
+  /** K33 `k33_revenue_bridge` — period-over-period revenue-bridge
+    * decomposition (the FP&A "waterfall"): for each customer nation,
+    * the revenue change from year0 to year1 split into a VOLUME
+    * effect (quantity change priced at the period-0 realized rate)
+    * and a PRICE/RATE effect (the remainder), with
+    * delta_rev ≡ volume_effect + price_effect exact by construction
+    * (the price effect is computed as the residual, so the bridge
+    * always reconciles — the property a consumer of a bridge report
+    * actually relies on). Nations present in only one period take the
+    * whole delta as volume (new/lost business at an undefined rate).
+    *
+    * Determinism: the four per-period measures are exact decimal sums
+    * served as correctly-rounded doubles (house `dsum`); every derived
+    * effect is then a fixed shape of IEEE double ops ((q1-q0)*(r0/q0),
+    * r1-r0, and the residual), bit-identical cross-engine given
+    * identical inputs — no rounding slack needed.
+    *
+    * Scale: ONE lineitem scan; the year predicate pushes to the
+    * orders scan and prunes at the parquet level; lineitem⋈orders
+    * shuffles once on orderkey (both sides big at 100 TB); the
+    * customer→nation dim chain broadcasts; the final groupBy is 25
+    * nations — partial aggregation makes that shuffle bytes-trivial.
+    * The same shape serves any bridge dimension (brand, segment,
+    * tenant) by swapping the broadcast dim. */
+  def k33RevenueBridge(spark: SparkSession, dir: String,
+                       year0: Int = 1997, year1: Int = 1998): DataFrame = {
+    val custNation = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === year0 ||
+        year(col("o_orderdate")) === year1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")) === year1).as("is_y1"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val g = Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        dsum(when(!col("is_y1"), col("l_quantity")).otherwise(lit(0.0))).as("qty0"),
+        dsum(when(col("is_y1"), col("l_quantity")).otherwise(lit(0.0))).as("qty1"),
+        dsum(when(!col("is_y1"), rev).otherwise(lit(0.0))).as("rev0"),
+        dsum(when(col("is_y1"), rev).otherwise(lit(0.0))).as("rev1"))
+    val volume = when(col("qty0") === 0.0, col("rev1"))
+      .when(col("qty1") === 0.0, -col("rev0"))
+      .otherwise((col("qty1") - col("qty0")) * (col("rev0") / col("qty0")))
+    g.select(col("nation"), col("qty0"), col("qty1"), col("rev0"), col("rev1"),
+      (col("rev1") - col("rev0")).as("delta_rev"),
+      volume.as("volume_effect"),
+      ((col("rev1") - col("rev0")) - volume).as("price_effect"))
+  }
+
+  def k33Sql(year0: Int = 1997, year1: Int = 1998): String =
+    s"""WITH g AS (
+       |  SELECT n_name AS nation,
+       |    CAST(CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = $year0
+       |      THEN l_quantity ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty0,
+       |    CAST(CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = $year1
+       |      THEN l_quantity ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty1,
+       |    CAST(CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = $year0
+       |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS rev0,
+       |    CAST(CAST(SUM(CAST(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = $year1
+       |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS rev1
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE EXTRACT(YEAR FROM o_orderdate) IN ($year0, $year1)
+       |  GROUP BY 1
+       |)
+       |SELECT nation, qty0, qty1, rev0, rev1,
+       |  rev1 - rev0 AS delta_rev,
+       |  CASE WHEN qty0 = 0.0 THEN rev1
+       |       WHEN qty1 = 0.0 THEN -rev0
+       |       ELSE (qty1 - qty0) * (rev0 / qty0) END AS volume_effect,
+       |  (rev1 - rev0) - (CASE WHEN qty0 = 0.0 THEN rev1
+       |       WHEN qty1 = 0.0 THEN -rev0
+       |       ELSE (qty1 - qty0) * (rev0 / qty0) END) AS price_effect
+       |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k33_revenue_bridge" -> ((s, d) => k33RevenueBridge(s, d)),
+    "param_k33_revenue_bridge" -> ((s, d) => k33RevenueBridge(s, d,
+      year0 = 1999, year1 = 2000)),
     "k30_copurchase_pairs" -> ((s, d) => k30CopurchasePairs(s, d)),
     "k31_association_rules" -> ((s, d) => k31AssociationRules(s, d)),
     "param_k31_association_rules" -> ((s, d) => k31AssociationRules(s, d,
@@ -1463,6 +1548,8 @@ object Analytics {
       from = "1996-07-01", to = "1996-08-01")))
 
   val oracles: Map[String, String] = Map(
+    "k33_revenue_bridge" -> k33Sql(),
+    "param_k33_revenue_bridge" -> k33Sql(year0 = 1999, year1 = 2000),
     "k30_copurchase_pairs" -> k30Sql(),
     "k31_association_rules" -> k31Sql(),
     "param_k31_association_rules" -> k31Sql(
