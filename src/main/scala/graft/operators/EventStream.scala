@@ -1042,6 +1042,166 @@ object EventStream {
        |FROM prof WHERE n_train > 0 AND n_test > 0
        |ORDER BY hod""".stripMargin
 
+  /** L23 `events_seasonal_decompose` — classical additive time-series
+    * decomposition of the daily event-value series:
+    * y = trend + seasonal + residual, with the trend a centered 7-day
+    * moving average (defined only where the full window exists — the
+    * 3 edge days each side serve NULL trend/resid, a real property of
+    * the method, deliberately not imputed), the seasonal component a
+    * per-day-of-week mean of the detrended series CENTERED so the
+    * seven indices sum to zero (the identifiability convention), and
+    * the residual the remainder — the decomposition every anomaly
+    * detector and forecaster (L15, F17, F21) implicitly assumes,
+    * served explicitly.
+    *
+    * Determinism: daily sums are exact decimals; the trend is an
+    * exact 7-term decimal window sum divided by 7.0 in doubles; the
+    * detrended values re-enter decimal space via the house
+    * cast-to-DECIMAL(18,6) (identical round-half-up both engines) so
+    * the per-dow means are exact-sum ratios; every served double is a
+    * fixed IEEE expression shape of those exact quantities.
+    * Day-of-week is epoch-day mod 7 — engine-neutral, unlike
+    * dayofweek()/EXTRACT(DOW) whose origins differ.
+    *
+    * Scale: ONE event scan collapsing to day cardinality (metadata
+    * scale — years of days is thousands of rows); the centered-MA
+    * window and the 7-row seasonal table are post-aggregation
+    * single-partition work by construction (Obs.onePart, the house
+    * pattern for post-LIMIT/metadata-scale windows); the seasonal
+    * attach is a 7-row broadcast. */
+  def seasonalDecompose(spark: SparkSession, dir: String,
+                        eventType: Option[String] = None): DataFrame = {
+    val dec = DecimalType(18, 6)
+    val base = eventType.fold(Tables.events(spark, dir))(t =>
+      Tables.events(spark, dir).filter(col("event_type") === t))
+    val daily = base
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).as("y_dec"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("int"))
+    val w = Window.partitionBy(Obs.onePart(col("day"))).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    // day-cardinality table feeding BOTH the seasonal-index aggregate
+    // and the final serve: eager-materialize once (house discipline
+    // for small fanned-out subtrees) so neither branch re-pays the
+    // event scan + rollup + window
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("trend_raw",
+        when(col("w_n") === 7, sum(col("y_dec")).over(w).cast("double") / 7.0))
+      .withColumn("detr_dec",
+        (col("y_dec").cast("double") - col("trend_raw")).cast(dec))
+      .localCheckpoint()
+    val dowIdx = trended.filter(col("trend_raw").isNotNull)
+      .groupBy(col("dow").as("s_dow"))
+      .agg(sum(col("detr_dec")).as("sd"), count(lit(1)).as("nd"))
+    val grand = dowIdx.agg(sum(col("sd")).as("gs"), sum(col("nd")).as("gn"))
+    val seasonal = dowIdx.crossJoin(broadcast(grand))
+      .select(col("s_dow"),
+        (col("sd").cast("double") / col("nd").cast("double")
+          - col("gs").cast("double") / col("gn").cast("double")).as("s_raw"))
+    trended.join(broadcast(seasonal), col("dow") === col("s_dow"))
+      .select(col("day"), col("dow"), col("n"),
+        col("y_dec").cast("double").as("y"),
+        round(col("trend_raw"), 6).as("trend"),
+        round(col("s_raw"), 6).as("seasonal"),
+        round(col("y_dec").cast("double") - col("trend_raw") - col("s_raw"), 6)
+          .as("resid"))
+  }
+
+  def seasonalDecomposeSql(eventType: Option[String] = None): String = {
+    val filt = eventType.fold("")(t => s"WHERE event_type = '$t'")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       |    SUM(CAST(value AS DECIMAL(18,6))) AS y_dec
+       |  FROM events $filt GROUP BY 1
+       |), trended AS (
+       |  SELECT day,
+       |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow, n, y_dec,
+       |    CASE WHEN COUNT(*) OVER w = 7 THEN
+       |      CAST(CAST(SUM(y_dec) OVER w AS VARCHAR) AS DOUBLE) / 7.0
+       |    END AS trend_raw
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |), detr AS (
+       |  SELECT *, CAST(CAST(CAST(y_dec AS VARCHAR) AS DOUBLE) - trend_raw
+       |    AS DECIMAL(18,6)) AS detr_dec
+       |  FROM trended
+       |), dow_idx AS (
+       |  SELECT dow AS s_dow, SUM(detr_dec) AS sd, COUNT(*) AS nd
+       |  FROM detr WHERE trend_raw IS NOT NULL GROUP BY 1
+       |), grand AS (
+       |  SELECT SUM(sd) AS gs, SUM(nd) AS gn FROM dow_idx
+       |), seasonal AS (
+       |  SELECT s_dow,
+       |    CAST(CAST(sd AS VARCHAR) AS DOUBLE) / CAST(nd AS DOUBLE)
+       |      - CAST(CAST(gs AS VARCHAR) AS DOUBLE) / CAST(gn AS DOUBLE) AS s_raw
+       |  FROM dow_idx CROSS JOIN grand
+       |)
+       |SELECT day, dow, n,
+       |  CAST(CAST(y_dec AS VARCHAR) AS DOUBLE) AS y,
+       |  ROUND(trend_raw, 6) AS trend,
+       |  ROUND(s_raw, 6) AS seasonal,
+       |  ROUND(CAST(CAST(y_dec AS VARCHAR) AS DOUBLE) - trend_raw - s_raw, 6)
+       |    AS resid
+       |FROM detr JOIN seasonal ON dow = s_dow""".stripMargin
+  }
+
+  /** L25 `events_seasonal_anomaly` — seasonal-adjusted anomaly days:
+    * the F21 robust-MAD detector applied to L23's RESIDUAL series
+    * instead of the raw volume — the composition that stops weekly
+    * seasonality from masquerading as anomalies (a quiet Sunday is
+    * normal; a Sunday-sized Tuesday is not). Median and MAD come from
+    * one sorted array pick over the interior (trend-defined) days —
+    * F21's exact two-dependent-medians mechanic, identical to
+    * DuckDB's quantile_disc — and each day serves its residual, the
+    * robust z-score (residual − median)/(1.4826·MAD), and the
+    * |resid − med| > k·MAD flag. All inputs are L23's hash-exact
+    * served doubles; the z is one pinned IEEE shape rounded 6dp.
+    * Scale: L23's economics (day-cardinality after one scan); the
+    * median window is the post-aggregation metadata-scale class. */
+  def seasonalAnomaly(spark: SparkSession, dir: String,
+                      k: Double = 3.5): DataFrame = {
+    val interior = seasonalDecompose(spark, dir)
+      .filter(col("resid").isNotNull)
+    val w = Window.partitionBy(Obs.onePart(col("day")))
+    interior
+      .withColumn("ns", sort_array(collect_list(col("resid")).over(w)))
+      .withColumn("med",
+        expr("element_at(ns, cast((size(ns) + 1) / 2 AS INT))"))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(ns, x -> abs(x - med))), " +
+          "cast((size(ns) + 1) / 2 AS INT))"))
+      .select(col("day"), col("n"), col("y"), col("resid"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        when(col("mad") > 0.0,
+          round((col("resid") - col("med")) / (lit(1.4826) * col("mad")), 6))
+          .as("robust_z"),
+        (abs(col("resid") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
+  def seasonalAnomalySql(k: Double = 3.5): String =
+    s"""WITH sd AS (
+       |${seasonalDecomposeSql()}
+       |), interior AS (
+       |  SELECT day, n, y, resid FROM sd WHERE resid IS NOT NULL
+       |), med AS (
+       |  SELECT quantile_disc(resid, 0.5) AS med FROM interior
+       |), dev AS (
+       |  SELECT interior.*, med, abs(resid - med) AS abs_dev
+       |  FROM interior CROSS JOIN med
+       |), mad AS (
+       |  SELECT quantile_disc(abs_dev, 0.5) AS mad FROM dev
+       |)
+       |SELECT day, n, y, resid,
+       |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+       |  CASE WHEN mad > 0.0
+       |    THEN ROUND((resid - med) / (1.4826 * mad), 6) END AS robust_z,
+       |  abs_dev > $k * mad AS is_anomaly
+       |FROM dev CROSS JOIN mad""".stripMargin
+
   /** L24 `events_feature_snapshot` — POINT-IN-TIME-CORRECT training
     * features (the feature-store discipline that prevents
     * training-serving skew / label leakage): for every purchase, the
@@ -1322,6 +1482,14 @@ object EventStream {
        |ORDER BY lifetime_days""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_decompose" -> ((s: SparkSession, d: String) =>
+      seasonalDecompose(s, d)),
+    "events_seasonal_anomaly" -> ((s: SparkSession, d: String) =>
+      seasonalAnomaly(s, d)),
+    "param_seasonal_anomaly" -> ((s: SparkSession, d: String) =>
+      seasonalAnomaly(s, d, k = 2.0)),
+    "param_seasonal_decompose" -> ((s: SparkSession, d: String) =>
+      seasonalDecompose(s, d, eventType = Some("purchase"))),
     "events_markov" -> (markovTransitions _),
     "events_survival" -> ((s: SparkSession, d: String) => survival(s, d)),
     "events_burstiness" -> (burstiness _),
@@ -1382,6 +1550,11 @@ object EventStream {
     "param_attribution_decay" -> attributionDecaySql(
       lookbackDays = 2, halflifeHours = 6),
     "events_seasonal_forecast" -> seasonalForecastSql(),
+    "events_seasonal_decompose" -> seasonalDecomposeSql(),
+    "events_seasonal_anomaly" -> seasonalAnomalySql(),
+    "param_seasonal_anomaly" -> seasonalAnomalySql(k = 2.0),
+    "param_seasonal_decompose" -> seasonalDecomposeSql(
+      eventType = Some("purchase")),
     "events_survival" -> survivalSql(),
     "events_burstiness" -> burstinessSql,
     "events_feature_snapshot" -> featureSnapshotSql,

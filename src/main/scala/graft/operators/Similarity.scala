@@ -434,6 +434,99 @@ object Similarity {
        |FROM pred GROUP BY 1, 2
        |ORDER BY true_label, pred_label""".stripMargin
 
+  /** H21 `sim_classifier_metrics` — the evaluation layer over H18's
+    * kNN confusion matrix: per-class true/predicted counts, true
+    * positives, precision, recall, F1, and the macro-F1 attached as a
+    * scalar — the report a labeling/curation pipeline reads before
+    * trusting a classifier's output as a corpus filter. Zero-support
+    * classes (never predicted, or absent from truth) serve 0.0 — the
+    * sklearn zero_division=0 convention — via a FULL OUTER join of
+    * the actual and predicted marginals, so a class the classifier
+    * never emits still gets its recall row (the failure mode a
+    * diagonal-only report hides).
+    *
+    * Determinism: counts are exact; precision/recall/F1 are fixed
+    * IEEE shapes over them; macro-F1 averages the ROUNDED per-class
+    * F1s through the house decimal-sum (class count is tiny but the
+    * discipline is uniform). Scale: everything after the H18 matrix
+    * (which pays the eval's ranking cost and caches its quantized
+    * embeddings) is |classes|² rows — metadata scale; the marginal
+    * joins and the macro attach are broadcasts. */
+  def classifierMetrics(spark: SparkSession, dir: String,
+                        k: Int = K, nEval: Int = NEval): DataFrame = {
+    // |classes|²-row matrix feeding both marginals and the serve:
+    // eager-materialize once so the ranking subtree isn't re-paid
+    // per branch (house discipline for small fanned-out subtrees)
+    val conf = knnClassify(spark, dir, k, nEval).localCheckpoint()
+    val act = conf.groupBy(col("true_label").as("label"))
+      .agg(sum(col("n_queries")).as("n_true"),
+        sum(when(col("pred_label") === col("true_label"), col("n_queries"))
+          .otherwise(lit(0L))).as("tp"))
+    val prd = conf.groupBy(col("pred_label").as("plabel"))
+      .agg(sum(col("n_queries")).as("n_pred"))
+    val cls = act.join(prd, col("label") === col("plabel"), "full_outer")
+      .select(coalesce(col("label"), col("plabel")).as("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred").cast("double")).otherwise(0.0)
+    val rec = when(col("n_true") > 0,
+      col("tp").cast("double") / col("n_true").cast("double")).otherwise(0.0)
+    val f1 = when(prec + rec > 0.0, lit(2.0) * prec * rec / (prec + rec))
+      .otherwise(0.0)
+    val m2 = cls.select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(f1, 6).as("f1"))
+    val g = m2.agg((sum(col("f1").cast("decimal(18,6)")).cast("double")
+      / count(lit(1))).as("mf"))
+    m2.crossJoin(broadcast(g))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"), col("f1"),
+        round(col("mf"), 6).as("macro_f1"))
+  }
+
+  def classifierMetricsSql(k: Int = K, nEval: Int = NEval): String =
+    s"""WITH conf AS (
+       |${knnClassifySql(k, nEval)}
+       |), act AS (
+       |  SELECT true_label AS label,
+       |    CAST(SUM(n_queries) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN pred_label = true_label THEN n_queries
+       |                  ELSE 0 END) AS BIGINT) AS tp
+       |  FROM conf GROUP BY 1
+       |), prd AS (
+       |  SELECT pred_label AS plabel, CAST(SUM(n_queries) AS BIGINT) AS n_pred
+       |  FROM conf GROUP BY 1
+       |), cls AS (
+       |  SELECT COALESCE(label, plabel) AS label,
+       |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+       |    COALESCE(tp, 0) AS tp
+       |  FROM act FULL OUTER JOIN prd ON label = plabel
+       |), m AS (
+       |  SELECT label, n_true, n_pred, tp,
+       |    CASE WHEN n_pred > 0
+       |      THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |      ELSE 0.0 END AS prec,
+       |    CASE WHEN n_true > 0
+       |      THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+       |      ELSE 0.0 END AS rec
+       |  FROM cls
+       |), m2 AS (
+       |  SELECT label, n_true, n_pred, tp,
+       |    ROUND(prec, 6) AS precision, ROUND(rec, 6) AS recall,
+       |    ROUND(CASE WHEN prec + rec > 0.0
+       |      THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
+       |  FROM m
+       |), g AS (
+       |  SELECT CAST(CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |    / COUNT(*) AS mf
+       |  FROM m2
+       |)
+       |SELECT label, n_true, n_pred, tp, precision, recall, f1,
+       |  ROUND(mf, 6) AS macro_f1
+       |FROM m2 CROSS JOIN g""".stripMargin
+
   /** H2 `sim_cosine_pairs` — all pairs above a cosine threshold. The
     * O(n^2) version: correctness baseline for the spec's recall
     * checks; production path at scale is H3/H4. */
@@ -1677,6 +1770,9 @@ object Similarity {
     "param_mmr_select" -> ((s: SparkSession, d: String) =>
       mmrSelect(s, d, poolK = 10, selectK = 3)),
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
+    "sim_classifier_metrics" -> ((s, d) => classifierMetrics(s, d)),
+    "param_classifier_metrics" -> ((s, d) => classifierMetrics(s, d,
+      k = 3, nEval = 20)),
     "param_knn_classify" -> ((s, d) => knnClassify(s, d, k = 3, nEval = 20)),
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_lsh_ann" -> (lshAnn _),
@@ -1704,6 +1800,8 @@ object Similarity {
     "param_rocchio_feedback" -> rocchioFeedbackSql(k0 = 5, k = 20),
     "param_mmr_select" -> mmrSelectSql(poolK = 10, selectK = 3),
     "sim_knn_classify" -> knnClassifySql(),
+    "sim_classifier_metrics" -> classifierMetricsSql(),
+    "param_classifier_metrics" -> classifierMetricsSql(k = 3, nEval = 20),
     "param_knn_classify" -> knnClassifySql(k = 3, nEval = 20),
     "sim_cosine_pairs" -> cosinePairsSql,
     "sim_lsh_ann" -> lshAnnSql,

@@ -118,6 +118,167 @@ object TextAnalysis {
       |  FROM documents
       |)""".stripMargin
 
+  /** I28 `text_quality_calibrate` — CROSS-SOURCE calibration of the I2
+    * quality score: a raw quality threshold applied uniformly
+    * over-selects from sources whose score distribution happens to sit
+    * higher (the classic miscalibrated-classifier failure in corpus
+    * curation), so each document is re-scored by its quantile bucket
+    * WITHIN its own source and selection quotas apply per source. The
+    * K29 economics deliberately: bucket boundaries come from one
+    * per-source percentile_disc aggregate (a |sources|-row broadcast)
+    * and every document classifies itself by comparison
+    * (bucket = 1 + Σ quality > q_k) — broadcast + map, NO per-source
+    * global sort / percent_rank over corpus-sized partitions. Serves
+    * doc_id, source, the raw score, the within-source bucket (1..n),
+    * and the keep flag for the top-30% per-source quota.
+    * percentile_disc ≡ DuckDB quantile_disc (both: smallest rank
+    * ≥ p·n — verified including the ceil-boundary cases). */
+  def qualityCalibrate(spark: SparkSession, dir: String,
+                       nBuckets: Int = 10): DataFrame = {
+    val nToks = size(nonEmptyToks).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val stopToks = size(filter(nonEmptyToks,
+      t => t.isin(stopwords.map(lit): _*).cast("boolean"))).cast("double")
+    val punctChars = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double")
+    val wordChars = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val lenScore = least(lit(1.0), nToks / 100.0)
+    val stopRatio = stopToks / nToks
+    val punctRatio = punctChars / nChars
+    val avgWordLen = wordChars / nToks
+    val wordLenScore = when(avgWordLen >= 3.0 && avgWordLen <= 8.0, 1.0).otherwise(0.5)
+    val q = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      (lenScore * 0.3 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+        + wordLenScore * 0.2).as("quality"))
+    val ps = (1 until nBuckets).map(k => f"${k.toDouble / nBuckets}%.6f")
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY quality)")
+        .as(s"d${i + 1}") }
+    val th = q.groupBy(col("source").as("s_src"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bucket = (1 until nBuckets).map(k => (col("quality") > col(s"d$k")).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    val keepMin = (0.7 * nBuckets).toInt + 1
+    q.join(broadcast(th), col("source") === col("s_src"))
+      .select(col("doc_id"), col("source"),
+        round(col("quality"), 6).as("quality"),
+        bucket.as("bucket"),
+        (bucket >= keepMin).as("keep_top"))
+  }
+
+  def qualityCalibrateSql(nBuckets: Int = 10): String = {
+    val ps = (1 until nBuckets).map(k => f"${k.toDouble / nBuckets}%.6f")
+    val thCols = ps.zipWithIndex.map { case (p, i) =>
+      s"quantile_disc(quality, $p) AS d${i + 1}" }.mkString(",\n      |    ")
+    val bucketExpr = "1" + (1 until nBuckets)
+      .map(k => s" + CAST(quality > d$k AS INT)").mkString
+    val keepMin = (0.7 * nBuckets).toInt + 1
+    s"""WITH q AS (
+      |  SELECT doc_id, source,
+      |    least(1.0::DOUBLE, n_tokens / 100.0::DOUBLE) * 0.3::DOUBLE
+      |      + stopword_ratio * 0.3::DOUBLE
+      |      + (1.0::DOUBLE - punct_ratio) * 0.2::DOUBLE
+      |      + (CASE WHEN avg_word_len >= 3.0::DOUBLE AND avg_word_len <= 8.0::DOUBLE
+      |              THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) * 0.2::DOUBLE AS quality
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE AS n_tokens,
+      |      len(list_filter(str_split(text, ' '),
+      |        x -> x IN ('the','a','and','of','is','to','in','for')))::DOUBLE
+      |        / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
+      |        AS stopword_ratio,
+      |      length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+      |        / length(text)::DOUBLE AS punct_ratio,
+      |      length(replace(text, ' ', ''))::DOUBLE
+      |        / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
+      |        AS avg_word_len
+      |    FROM documents
+      |  )
+      |), th AS (
+      |  SELECT source AS s_src,
+      |    $thCols
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT doc_id, source, ROUND(quality, 6) AS quality,
+      |  $bucketExpr AS bucket,
+      |  ($bucketExpr) >= $keepMin AS keep_top
+      |FROM q JOIN th ON source = s_src""".stripMargin
+  }
+
+  /** I29 `text_distinctive_terms` — "fightin' words" distinctive-term
+    * comparison of two sources (Monroe, Colaresi & Quinn 2008):
+    * per-token log-odds-ratio delta between sources A and B with an
+    * INFORMATIVE Dirichlet prior scaled from the full-corpus
+    * distribution (α_w = α₀·y_w/n — the prior is what stops rare
+    * words with 1-vs-0 counts from topping the list, the failure mode
+    * of raw log-odds and of PMI-style contrast), plus the z-score
+    * δ/√(1/(y_A+α_w) + 1/(y_B+α_w)) — the tool for "what vocabulary
+    * distinguishes source A from source B" in corpus triage,
+    * complementing I21/I26 which score distribution distance without
+    * naming the terms responsible.
+    *
+    * Determinism: all counts exact from one token rollup; δ and z are
+    * fixed IEEE shapes (ln/sqrt on identical doubles) rounded 6dp at
+    * serve — the I6/I17 transcendental discipline. Scale: ONE
+    * token-keyed linear shuffle (conditional counts fold A/B/corpus
+    * into the same rollup — no per-source scans), a 1-row totals
+    * attach, everything after at vocabulary cardinality. */
+  def distinctiveTerms(spark: SparkSession, dir: String,
+                       srcA: String = "src0", srcB: String = "src1",
+                       alpha0: Double = 100.0): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(nonEmptyToks).as("token"))
+      .groupBy(col("token")).agg(
+        count(lit(1)).as("y_all"),
+        count(when(col("source") === srcA, lit(1))).as("y_a"),
+        count(when(col("source") === srcB, lit(1))).as("y_b"))
+    val tot = counts.agg(sum(col("y_all")).as("n_all"),
+      sum(col("y_a")).as("n_a"), sum(col("y_b")).as("n_b"))
+    val aw = lit(alpha0) * col("y_all").cast("double") / col("n_all").cast("double")
+    val da = log(col("y_a").cast("double") + aw) -
+      log(col("n_a").cast("double") + lit(alpha0) - col("y_a").cast("double") - aw)
+    val db = log(col("y_b").cast("double") + aw) -
+      log(col("n_b").cast("double") + lit(alpha0) - col("y_b").cast("double") - aw)
+    val sig2 = lit(1.0) / (col("y_a").cast("double") + aw) +
+      lit(1.0) / (col("y_b").cast("double") + aw)
+    counts.crossJoin(broadcast(tot))
+      .filter(col("y_a") + col("y_b") > 0)
+      .select(col("token"), col("y_a"), col("y_b"), col("y_all"),
+        round(da - db, 6).as("log_odds"),
+        round((da - db) / sqrt(sig2), 6).as("z"))
+  }
+
+  def distinctiveTermsSql(srcA: String = "src0", srcB: String = "src1",
+                          alpha0: Double = 100.0): String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents
+       |), counts AS (
+       |  SELECT token, COUNT(*) AS y_all,
+       |    COUNT(CASE WHEN source = '$srcA' THEN 1 END) AS y_a,
+       |    COUNT(CASE WHEN source = '$srcB' THEN 1 END) AS y_b
+       |  FROM t GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(y_all) AS BIGINT) AS n_all,
+       |    CAST(SUM(y_a) AS BIGINT) AS n_a, CAST(SUM(y_b) AS BIGINT) AS n_b
+       |  FROM counts
+       |)
+       |SELECT token, y_a, y_b, y_all,
+       |  ROUND((ln(CAST(y_a AS DOUBLE) + $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |    - ln(CAST(n_a AS DOUBLE) + $alpha0 - CAST(y_a AS DOUBLE) - $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+       |   - (ln(CAST(y_b AS DOUBLE) + $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |    - ln(CAST(n_b AS DOUBLE) + $alpha0 - CAST(y_b AS DOUBLE) - $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))), 6)
+       |    AS log_odds,
+       |  ROUND(((ln(CAST(y_a AS DOUBLE) + $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |    - ln(CAST(n_a AS DOUBLE) + $alpha0 - CAST(y_a AS DOUBLE) - $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+       |   - (ln(CAST(y_b AS DOUBLE) + $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |    - ln(CAST(n_b AS DOUBLE) + $alpha0 - CAST(y_b AS DOUBLE) - $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))))
+       |   / sqrt(1.0 / (CAST(y_a AS DOUBLE) + $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       |        + 1.0 / (CAST(y_b AS DOUBLE) + $alpha0 * CAST(y_all AS DOUBLE) / CAST(n_all AS DOUBLE))), 6) AS z
+       |FROM counts CROSS JOIN tot
+       |WHERE y_a + y_b > 0""".stripMargin
+
   /** I3 `text_token_count` — whitespace tokens plus a BPE-ish regex
     * tokenization (letter runs | digit runs | single symbols), the
     * standard cheap token estimator. */
@@ -2066,6 +2227,14 @@ object TextAnalysis {
     "text_tfidf_top_terms" -> (tfidfTopTerms _),
     "text_lang_id" -> (langId _),
     "text_quality_score" -> (qualityScore _),
+    "text_quality_calibrate" -> ((s: SparkSession, d: String) =>
+      qualityCalibrate(s, d)),
+    "text_distinctive_terms" -> ((s: SparkSession, d: String) =>
+      distinctiveTerms(s, d)),
+    "param_distinctive_terms" -> ((s: SparkSession, d: String) =>
+      distinctiveTerms(s, d, srcA = "src2", srcB = "src3", alpha0 = 50.0)),
+    "param_quality_calibrate" -> ((s: SparkSession, d: String) =>
+      qualityCalibrate(s, d, nBuckets = 4)),
     "text_token_count" -> (tokenCount _),
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
@@ -2104,6 +2273,11 @@ object TextAnalysis {
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,
     "text_quality_score" -> qualityScoreSql,
+    "text_quality_calibrate" -> qualityCalibrateSql(),
+    "text_distinctive_terms" -> distinctiveTermsSql(),
+    "param_distinctive_terms" -> distinctiveTermsSql(
+      srcA = "src2", srcB = "src3", alpha0 = 50.0),
+    "param_quality_calibrate" -> qualityCalibrateSql(nBuckets = 4),
     "text_token_count" -> tokenCountSql,
     "text_rolling_fingerprint" -> rollingFingerprintSql)
 }

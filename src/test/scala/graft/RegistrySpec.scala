@@ -80,7 +80,11 @@ class RegistrySpec extends SparkSpecBase {
     "events_survival", "param_survival", // 1-row horizon attach
     "audit_health_report", "param_audit_health_report", // 1-row window-end/horizon attach
     "text_langid_trained", // bounded langs × charset² model grid + 1-row type-count attach
-    "text_zipf_fit", "param_zipf_fit") // 1-row OLS-fit attach onto the top-K rows
+    "text_zipf_fit", "param_zipf_fit", // 1-row OLS-fit attach onto the top-K rows
+    "events_seasonal_decompose", "param_seasonal_decompose", // 1-row grand-mean attach for centering the 7 dow indices
+    "events_seasonal_anomaly", "param_seasonal_anomaly", // inherits L23's grand-mean attach
+    "sim_classifier_metrics", "param_classifier_metrics", // 1-row macro-F1 attach onto the |classes| rows
+    "text_distinctive_terms", "param_distinctive_terms") // 1-row corpus-totals attach
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -134,6 +138,12 @@ class RegistrySpec extends SparkSpecBase {
     "api_patient_bundle" -> 3, // meta window + two 1-row attachments
     "param_patient_bundle" -> 3,
     "audit_error_spikes" -> 2, // hourly rollup + per-tenant trail window
+    "events_seasonal_decompose" -> 3, // post-checkpoint: dow agg + grand + serve join (trend table is a day-cardinality leaf)
+    "param_seasonal_decompose" -> 3,
+    "events_seasonal_anomaly" -> 4, // L23's 3 + the interior-days median window (day-cardinality)
+    "param_seasonal_anomaly" -> 4,
+    "sim_classifier_metrics" -> 3, // post-checkpoint: two marginal aggs + full-outer over <= |classes| rows
+    "param_classifier_metrics" -> 3,
     "persist_scd2" -> 1, // row_number + lead share one entity window
     "text_bm25_topk" -> 3, // per-doc agg + 1-row stats agg + fused-list rank
     "param_bm25_topk" -> 3,
