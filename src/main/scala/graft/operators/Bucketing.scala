@@ -102,7 +102,10 @@ object Bucketing {
     }
   }
 
-  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+  /** Path of the memoized event_date-partitioned events store —
+    * shared by N2 (static pruning) and N13 (dynamic partition
+    * pruning) so both read the SAME on-disk layout. */
+  private def partitionedEventsPath(spark: SparkSession, dir: String): String = {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
     val entry = memoBuild(partCache,
       s"${System.identityHashCode(spark)}:$dir", mtime) {
@@ -126,8 +129,11 @@ object Bucketing {
       registerTmpPath(p)
       s"$mtime@$p"
     }
-    val path = entry.substring(entry.indexOf('@') + 1)
-    spark.read.parquet(path)
+    entry.substring(entry.indexOf('@') + 1)
+  }
+
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(partitionedEventsPath(spark, dir))
       .filter(col("event_date") === PruneDay)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -140,6 +146,69 @@ object Bucketing {
        |FROM events
        |WHERE CAST(ts AS DATE) = DATE '$PruneDay'
        |GROUP BY 1""".stripMargin
+
+  /** N13 `store_dpp_join` — DYNAMIC partition pruning served
+    * end-to-end: the "hot days" dimension (days whose exact-decimal
+    * value sum exceeds a threshold) is only known at runtime, so no
+    * static filter can prune the detail scan — instead the broadcast
+    * of the day dimension feeds a DynamicPruningExpression into the
+    * partitioned store's scan and Spark skips every cold day's
+    * partition directory at execution time. This is the mechanism
+    * that makes "scan only the partitions the dim selects" work at
+    * 100 TB when the selection is itself a query result (the
+    * static-literal case is N2); BucketingSpec pins the
+    * DynamicPruning filter's presence on the scan so a regression to
+    * a full-store read fails loudly. Day totals are exact decimal
+    * sums; the serve is the per-(day, type) rollup of the surviving
+    * partitions. */
+  def dppJoin(spark: SparkSession, dir: String,
+              factor: Double = 1.02): DataFrame = {
+    val store = spark.read.parquet(partitionedEventsPath(spark, dir))
+    // "hot" is RELATIVE (factor x the average daily sum), so the rule
+    // is scale-free; day-cardinality after the rollup, materialized
+    // once so the scalar pass doesn't re-pay the store scan
+    val daily = store
+      .groupBy(col("event_date"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("day_sum"))
+      .localCheckpoint()
+    // the threshold is a bounded 1-row driver scalar (the sanctioned
+    // runtime-filter pattern, cf. the bloom/sketch builders) — and
+    // deliberately a LITERAL in the dim filter: Spark's
+    // PartitionPruning rule only treats literal comparisons as
+    // selective, so an attribute-vs-attribute threshold filter would
+    // silently disqualify the scan from dynamic pruning. The IEEE
+    // shape factor*(total/nd) matches the oracle's expression exactly.
+    val Array(totalD, ndD) = daily
+      .agg(sum(col("day_sum")).cast("double"), count(lit(1)).cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val hotDays = daily
+      .filter(col("day_sum").cast("double") > lit(factor * (totalD / ndD)))
+      .select(col("event_date").as("hot_date"))
+    store.join(broadcast(hotDays), col("event_date") === col("hot_date"))
+      .groupBy(col("event_date").cast("string").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Analytics.dsum(col("value")).as("value_sum"))
+  }
+
+  def dppJoinSql(factor: Double = 1.02): String =
+    s"""WITH e AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type, value
+       |  FROM events
+       |), daily AS (
+       |  SELECT event_date, SUM(CAST(value AS DECIMAL(18,6))) AS day_sum
+       |  FROM e GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(day_sum) AS total, COUNT(*) AS nd FROM daily
+       |), hot AS (
+       |  SELECT event_date FROM daily CROSS JOIN tot
+       |  WHERE CAST(CAST(day_sum AS VARCHAR) AS DOUBLE) >
+       |    $factor * (CAST(CAST(total AS VARCHAR) AS DOUBLE) / nd)
+       |)
+       |SELECT event_date, event_type, COUNT(*) AS n_events,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
+       |FROM e JOIN hot USING (event_date)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Bits per z-order dimension (8 -> 16-bit z values). */
   private val ZBits = 8
@@ -564,6 +633,9 @@ object Bucketing {
     "param_equidepth_hist" -> ((s, d) => equidepthHist(s, d, buckets = 4)),
     "store_column_stats" -> (columnStats _),
     "store_partition_prune" -> (partitionPrune _),
+    "store_dpp_join" -> ((s: SparkSession, d: String) => dppJoin(s, d)),
+    "param_dpp_join" -> ((s: SparkSession, d: String) =>
+      dppJoin(s, d, factor = 1.1)),
     "store_zorder_layout" -> (zorderLayout _),
     "store_skipping_read" -> (skippingRead _),
     "store_compaction_plan" -> (compactionPlan _))
@@ -576,6 +648,8 @@ object Bucketing {
     "param_equidepth_hist" -> equidepthHistSql(buckets = 4),
     "store_column_stats" -> columnStatsSql,
     "store_partition_prune" -> partitionPruneSql,
+    "store_dpp_join" -> dppJoinSql(),
+    "param_dpp_join" -> dppJoinSql(factor = 1.1),
     "store_zorder_layout" -> zorderLayoutSql,
     "store_skipping_read" -> skippingReadSql,
     "store_compaction_plan" -> compactionPlanSql)

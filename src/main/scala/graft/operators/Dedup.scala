@@ -1403,7 +1403,66 @@ object Dedup {
        |FROM sh JOIN first ON sh.shingle = first.shingle
        |GROUP BY 1""".stripMargin
 
+  /** G27 `dedup_fuzzy_join` — entity-resolution-style fuzzy matching
+    * via BLOCKING + edit-distance verification: distinct part names
+    * (name-level dedup first — 2,000 parts collapse to ~100 distinct
+    * "adjective noun" strings, the ER move that keeps the verify set
+    * at type not token cardinality) are candidate-paired only within
+    * a block (same last token = the head noun, plus the textbook
+    * |len(a)−len(b)| ≤ d length prefilter — a Levenshtein lower
+    * bound), then verified with exact edit distance ≤ d. Serves the
+    * matched pairs with their distance and how many rows each name
+    * represents — the survivorship input. Blocking is the documented
+    * recall trade (cross-block matches are unfindable by
+    * construction; that is what makes the join linear-ish in blocks
+    * instead of quadratic in names). levenshtein() is the same plain
+    * edit distance in Spark and DuckDB — the one string-similarity
+    * primitive both engines share natively.
+    *
+    * Scale: name-distinct rollup is one linear shuffle; the self-join
+    * is equi-keyed on the block (shuffle-hash on block key), with the
+    * quadratic bounded per block; at 100 TB blocks are (noun, length
+    * bucket) and hot blocks split by a salt — the G-family salting
+    * story applies unchanged. */
+  def fuzzyJoin(spark: SparkSession, dir: String,
+                maxDist: Int = 2): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+      .withColumn("len", length(col("name")))
+    val a = names.select(col("name").as("name_a"), col("n_parts").as("n_a"),
+      col("block"), col("len").as("len_a"))
+    val b = names.select(col("name").as("name_b"), col("n_parts").as("n_b"),
+      col("block").as("block_b"), col("len").as("len_b"))
+    a.join(b, col("block") === col("block_b") &&
+        col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
+
+  def fuzzyJoinSql(maxDist: Int = 2): String =
+    s"""WITH names AS (
+       |  SELECT p_name AS name, COUNT(*) AS n_parts,
+       |    str_split(p_name, ' ')[-1] AS block,
+       |    length(p_name) AS len
+       |  FROM part GROUP BY 1
+       |)
+       |SELECT a.name AS name_a, b.name AS name_b,
+       |  levenshtein(a.name, b.name) AS dist,
+       |  a.n_parts AS n_a, b.n_parts AS n_b
+       |FROM names a JOIN names b
+       |  ON a.block = b.block AND a.name < b.name
+       |  AND abs(a.len - b.len) <= $maxDist
+       |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_join" -> ((s: SparkSession, d: String) => fuzzyJoin(s, d)),
+    "param_fuzzy_join" -> ((s: SparkSession, d: String) =>
+      fuzzyJoin(s, d, maxDist = 1)),
     "dedup_novelty_fraction" -> ((s, d) => noveltyFraction(s, d)),
     "dedup_line_level" -> (lineLevel _),
     "dedup_source_overlap" -> ((s: SparkSession, d: String) =>
@@ -1437,6 +1496,8 @@ object Dedup {
       simhashHammingPairs(s, d, maxHamming = 2)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_join" -> fuzzyJoinSql(),
+    "param_fuzzy_join" -> fuzzyJoinSql(maxDist = 1),
     "dedup_novelty_fraction" -> noveltyFractionSql(),
     "dedup_line_level" -> lineLevelSql,
     "dedup_source_overlap" -> sourceOverlapSql(),

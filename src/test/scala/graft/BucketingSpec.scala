@@ -55,6 +55,40 @@ class BucketingSpec extends SparkSpecBase {
     assert(rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap == want)
   }
 
+  test("N13 dpp join: fact scan carries a DynamicPruning partition filter, rollup matches flat recompute") {
+    val df = run("store_dpp_join")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the runtime-only "hot days" dimension cannot prune statically:
+    // the fact-side scan must carry a DynamicPruningExpression in its
+    // PARTITION filters — a regression to a full-store read fails here
+    val scans = flattenPlan(executedPlan(df)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(
+        _.partitionFilters.mkString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning on any scan: ${scans.map(_.partitionFilters.mkString(",")).mkString(" | ")}")
+    // flat-table recompute of the same hot-day rollup
+    val dailyAll = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("day_sum"))
+    val Array(totalD, nd) = dailyAll
+      .agg(sum(col("day_sum")).cast("double"), count(lit(1)).cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val daily = dailyAll
+      .filter(col("day_sum").cast("double") > lit(1.02) * lit(totalD / nd))
+      .select(col("event_date"))
+    val want = Tables.events(spark, sf)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .join(daily, Seq("event_date"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.map(r => (r.getAs[String]("event_date"),
+      r.getAs[String]("event_type")) -> r.getAs[Long]("n_events")).toMap == want)
+  }
+
   test("N3 z-order: every file's rows fit a 32x32 rectangle in both dims") {
     val rows = run("store_zorder_layout").collect()
     assert(rows.nonEmpty)
