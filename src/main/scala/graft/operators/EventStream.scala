@@ -981,6 +981,85 @@ object EventStream {
        |  END AS z_score
        |FROM p""".stripMargin
 
+  /** L26 `events_did` — difference-in-differences readout: the
+    * quasi-experimental companion to L20's randomized A/B. Arms come
+    * from the same salted-hash assignment; periods split at a cutoff;
+    * the effect estimate is the interaction
+    * DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) over
+    * mean purchase value — the design that differences away both the
+    * stable arm-level gap and the common time trend, the read a team
+    * reaches for when the rollout wasn't randomized at exposure time.
+    * Serves the four cell counts and means plus the estimate.
+    *
+    * Determinism: the 2×2 cells fold into ONE global conditional
+    * aggregation (no groupBy, no per-cell scans) with exact decimal
+    * sums; means and the DiD are fixed IEEE shapes rounded 6dp.
+    * Scale: one scan, one 1-row partial-agg collapse — nothing else. */
+  def didAnalysis(spark: SparkSession, dir: String,
+                  salt: String = "exp1",
+                  cutoff: String = "2024-01-15"): DataFrame = {
+    val dec = "decimal(18,6)"
+    val treat = pmod(conv(substring(
+      md5(concat(lit(s"$salt:"), col("user_id").cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(2L)) === 1
+    val post = col("ts") >= lit(cutoff).cast("timestamp")
+    def cell(t: Boolean, p: Boolean) = {
+      val cond = (if (t) treat else !treat) && (if (p) post else !post)
+      (count(when(cond, lit(1))),
+        sum(when(cond, col("value").cast(dec)).otherwise(lit(0).cast(dec))))
+    }
+    val (nc0, sc0) = cell(t = false, p = false)
+    val (nc1, sc1) = cell(t = false, p = true)
+    val (nt0, st0) = cell(t = true, p = false)
+    val (nt1, st1) = cell(t = true, p = true)
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(nc0.as("n_c_pre"), sc0.as("s_c0"), nc1.as("n_c_post"),
+        sc1.as("s_c1"), nt0.as("n_t_pre"), st0.as("s_t0"),
+        nt1.as("n_t_post"), st1.as("s_t1"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val did = (mean("s_t1", "n_t_post") - mean("s_t0", "n_t_pre")) -
+      (mean("s_c1", "n_c_post") - mean("s_c0", "n_c_pre"))
+    g.select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+      round(mean("s_c0", "n_c_pre"), 6).as("mean_c_pre"),
+      round(mean("s_c1", "n_c_post"), 6).as("mean_c_post"),
+      round(mean("s_t0", "n_t_pre"), 6).as("mean_t_pre"),
+      round(mean("s_t1", "n_t_post"), 6).as("mean_t_post"),
+      round(did, 6).as("did"))
+  }
+
+  def didAnalysisSql(salt: String = "exp1",
+                     cutoff: String = "2024-01-15"): String = {
+    def cellSql(t: Boolean, p: Boolean): (String, String) = {
+      val armCmp = if (t) "= 1" else "= 0"
+      val tsCmp = if (p) ">=" else "<"
+      val cond = s"CAST(('0x' || substring(md5('$salt:' || user_id), 1, 15)) AS BIGINT) % 2 $armCmp" +
+        s" AND ts $tsCmp TIMESTAMP '$cutoff 00:00:00'"
+      (s"COUNT(CASE WHEN $cond THEN 1 END)",
+        s"SUM(CASE WHEN $cond THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)")
+    }
+    val (nc0, sc0) = cellSql(t = false, p = false)
+    val (nc1, sc1) = cellSql(t = false, p = true)
+    val (nt0, st0) = cellSql(t = true, p = false)
+    val (nt1, st1) = cellSql(t = true, p = true)
+    def m(s: String, n: String) =
+      s"CAST(CAST($s AS VARCHAR) AS DOUBLE) / CAST($n AS DOUBLE)"
+    s"""WITH g AS (
+       |  SELECT $nc0 AS n_c_pre, $sc0 AS s_c0, $nc1 AS n_c_post, $sc1 AS s_c1,
+       |    $nt0 AS n_t_pre, $st0 AS s_t0, $nt1 AS n_t_post, $st1 AS s_t1
+       |  FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       |  ROUND(${m("s_c0", "n_c_pre")}, 6) AS mean_c_pre,
+       |  ROUND(${m("s_c1", "n_c_post")}, 6) AS mean_c_post,
+       |  ROUND(${m("s_t0", "n_t_pre")}, 6) AS mean_t_pre,
+       |  ROUND(${m("s_t1", "n_t_post")}, 6) AS mean_t_post,
+       |  ROUND((${m("s_t1", "n_t_post")} - ${m("s_t0", "n_t_pre")})
+       |    - (${m("s_c1", "n_c_post")} - ${m("s_c0", "n_c_pre")}), 6) AS did
+       |FROM g""".stripMargin
+  }
+
   /** L15 `events_seasonal_forecast` — seasonal-naive forecasting with
     * holdout evaluation: the hour-of-day profile of purchase values
     * learned on the first three weeks predicts the last; served per
@@ -1486,6 +1565,9 @@ object EventStream {
       seasonalDecompose(s, d)),
     "events_seasonal_anomaly" -> ((s: SparkSession, d: String) =>
       seasonalAnomaly(s, d)),
+    "events_did" -> ((s: SparkSession, d: String) => didAnalysis(s, d)),
+    "param_events_did" -> ((s: SparkSession, d: String) =>
+      didAnalysis(s, d, salt = "exp2", cutoff = "2024-01-20")),
     "param_seasonal_anomaly" -> ((s: SparkSession, d: String) =>
       seasonalAnomaly(s, d, k = 2.0)),
     "param_seasonal_decompose" -> ((s: SparkSession, d: String) =>
@@ -1552,6 +1634,8 @@ object EventStream {
     "events_seasonal_forecast" -> seasonalForecastSql(),
     "events_seasonal_decompose" -> seasonalDecomposeSql(),
     "events_seasonal_anomaly" -> seasonalAnomalySql(),
+    "events_did" -> didAnalysisSql(),
+    "param_events_did" -> didAnalysisSql(salt = "exp2", cutoff = "2024-01-20"),
     "param_seasonal_anomaly" -> seasonalAnomalySql(k = 2.0),
     "param_seasonal_decompose" -> seasonalDecomposeSql(
       eventType = Some("purchase")),

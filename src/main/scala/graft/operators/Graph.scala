@@ -183,6 +183,99 @@ object Graph {
     """edges AS (SELECT src, dst FROM pairs
       |  UNION ALL SELECT dst, src FROM pairs)""".stripMargin
 
+  /** O11 `graph_closeness` — truncated HARMONIC closeness centrality
+    * from a bounded seed set: for each of the nSeeds lowest-keyed
+    * parts of a brand present in the graph, a seed-labeled BFS to
+    * maxHops and the harmonic sum Σ_{v reachable} 1/d(seed, v) —
+    * harmonic (not classic 1/Σd) because it is well-defined under
+    * disconnection, and hop-truncated because that is the only form
+    * a 100 TB graph ever computes (full closeness is a full APSP).
+    * The sum needs NO float accumulation: distances are the hop
+    * integers 1..maxHops, so harmonic = Σ_k n_k/k over the per-level
+    * counts — exact counts, one fixed IEEE shape, round-6 serve.
+    *
+    * Scale: O3's per-level economics with a (seed, node) composite
+    * frontier — each level is one src-keyed equi join + distinct +
+    * anti join against the visited set, level tables eager-
+    * checkpointed (a real job per level), memoized under the
+    * release-on-supersede discipline. Seed count is the CONTRACT
+    * bound (frontier ≤ nSeeds × nodes); per-seed BFS beyond a few
+    * hundred seeds wants the sketch route (HyperBall/HLL counters),
+    * which F9/F15 already provide the primitive for. */
+  def closeness(spark: SparkSession, dir: String, brand: String = "Brand#1",
+                nSeeds: Int = 8, minSupport: Int = 1,
+                maxHops: Int = 3): DataFrame = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val pmtime = graft.Tables.mtime(spark, s"$dir/part.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:closeness:$brand:" +
+      s"$nSeeds:$minSupport:$maxHops"
+    val visited = memoCheckpoint(key, s"$mtime:$pmtime") {
+      val e = directedEdges(spark, dir, minSupport)
+      val nodes = e.select(col("src").as("node")).distinct()
+      val seeds = Tables.part(spark, dir)
+        .filter(col("p_brand") === brand)
+        .select(col("p_partkey").as("node"))
+        .join(nodes, "node")
+        .orderBy(col("node")).limit(nSeeds)
+        .select(col("node").as("seed"), col("node"), lit(0).as("hops"))
+        .localCheckpoint()
+      var acc = seeds
+      var frontier = seeds.select(col("seed"), col("node"))
+      for (h <- 1 to maxHops) {
+        val next = e.join(frontier, e("src") === frontier("node"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(acc.select(col("seed").as("vs"), col("node").as("vn")),
+            col("seed") === col("vs") && col("node") === col("vn"),
+            "left_anti")
+          .localCheckpoint()
+        frontier = next.select(col("seed"), col("node"))
+        acc = acc.union(next.select(col("seed"), col("node"),
+          lit(h).as("hops")))
+      }
+      acc
+    }
+    val harmonic = (1 to maxHops)
+      .map(k => count(when(col("hops") === k, lit(1))).cast("double")
+        / lit(k.toDouble))
+      .reduce(_ + _)
+    visited.filter(col("hops") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        round(harmonic, 6).as("harmonic"))
+      .orderBy(col("seed"))
+  }
+
+  def closenessSql(brand: String = "Brand#1", nSeeds: Int = 8,
+                   minSupport: Int = 1, maxHops: Int = 3): String = {
+    val base =
+      s"""WITH ${pairsSqlCte.format(minSupport)},
+         |$edgesSqlCte,
+         |gnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |h0 AS (SELECT node AS seed, node, 0 AS hops FROM (
+         |  SELECT p.p_partkey AS node FROM part p
+         |  JOIN gnodes g ON g.node = p.p_partkey
+         |  WHERE p.p_brand = '$brand' ORDER BY node LIMIT $nSeeds)),
+         |v0 AS (SELECT seed, node, hops FROM h0)""".stripMargin
+    val steps = (1 to maxHops).map { i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT seed, node, $i AS hops FROM (
+         |    SELECT DISTINCT f.seed, e.dst AS node
+         |    FROM edges e JOIN h${i - 1} f ON e.src = f.node) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
+         |    WHERE p.seed = c.seed AND p.node = c.node)),
+         |v$i AS MATERIALIZED (SELECT seed, node, hops FROM v${i - 1}
+         |        UNION ALL SELECT seed, node, hops FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    val harm = (1 to maxHops)
+      .map(k => s"CAST(COUNT(CASE WHEN hops = $k THEN 1 END) AS DOUBLE) / $k.0")
+      .mkString(" + ")
+    s"""$base,
+       |$steps
+       |SELECT seed, COUNT(*) AS n_reached,
+       |  ROUND($harm, 6) AS harmonic
+       |FROM v$maxHops WHERE hops > 0 GROUP BY 1 ORDER BY seed""".stripMargin
+  }
+
   /** O1 `graph_pagerank` — damped PageRank over the co-purchase
     * graph in BIGINT fixed-point (SCALE = 1e9, d = 0.85), the
     * "importance seed" for recommendation candidates. Unnormalized
@@ -1008,6 +1101,9 @@ object Graph {
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_bfs" -> ((s, d) => bfs(s, d)),
+    "graph_closeness" -> ((s, d) => closeness(s, d)),
+    "param_graph_closeness" -> ((s, d) => closeness(s, d,
+      brand = "Brand#2", nSeeds = 5, maxHops = 2)),
     // iters=20 deliberately DEEP: proves the per-round lineage cut
     // (plan analysis stays linear, not quadratic, in iteration count)
     "param_graph_pagerank" -> ((s, d) => pagerank(s, d,
@@ -1040,6 +1136,9 @@ object Graph {
     "graph_pagerank" -> pagerankSql(),
     "graph_triangles" -> trianglesSql(),
     "graph_bfs" -> bfsSql(),
+    "graph_closeness" -> closenessSql(),
+    "param_graph_closeness" -> closenessSql(
+      brand = "Brand#2", nSeeds = 5, maxHops = 2),
     "param_graph_pagerank" -> pagerankSql(
       minSupport = 2, iters = 20, limit = 40),
     "param_graph_triangles" -> trianglesSql(minSupport = 2, limit = 50),
