@@ -4,6 +4,37 @@ import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpecBase {
 
+  test("k33 bridge: reconciles by construction, effects re-derive from served cells") {
+    val rows = run("k33_revenue_bridge").collect()
+    assert(rows.length == 25) // every nation trades in both years here
+    rows.foreach { r =>
+      val (q0, q1) = (r.getAs[Double]("qty0"), r.getAs[Double]("qty1"))
+      val (r0, r1) = (r.getAs[Double]("rev0"), r.getAs[Double]("rev1"))
+      val delta = r.getAs[Double]("delta_rev")
+      val vol = r.getAs[Double]("volume_effect")
+      val price = r.getAs[Double]("price_effect")
+      // delta is exactly rev1 - rev0 (same doubles, same op)
+      assert(delta == r1 - r0)
+      // the bridge RECONCILES: volume + price recovers delta (price is
+      // the residual; one extra rounding step allows 1-ulp slack)
+      assert(math.abs(delta - (vol + price)) < 1e-6)
+      // volume effect re-derives from the served cells
+      if (q0 > 0.0 && q1 > 0.0) assert(vol == (q1 - q0) * (r0 / q0))
+      assert(q0 > 0.0 && q1 > 0.0 && r0 > 0.0 && r1 > 0.0)
+    }
+    // grand total: the bridge's summed delta equals a direct recompute
+    // of total revenue change between the two years
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def yearRev(y: Int): Double = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")) === y)
+      .agg(operators.Analytics.dsum(rev)).collect().head.getDouble(0)
+    val direct = yearRev(1998) - yearRev(1997)
+    val summed = rows.map(_.getAs[Double]("delta_rev")).sum
+    assert(math.abs(summed - direct) < 1e-4,
+      s"bridge total $summed vs direct $direct")
+  }
+
   test("q1 pricing summary: 6 flag/status groups, counts add up") {
     val rows = run("q1_pricing_summary").collect()
     assert(rows.length == 6)

@@ -880,6 +880,86 @@ class DedupTextSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[String]("pair").length == 2))
   }
 
+  test("G27 fuzzy join: pair set equals a driver blocked-Levenshtein replay") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).groupBy(col("p_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (for {
+      (a, na) <- names.toSeq; (b, nb) <- names.toSeq
+      if a < b && a.split(" ").last == b.split(" ").last
+      if math.abs(a.length - b.length) <= 2
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d, na, nb)).sortBy(p => (p._1, p._2))
+    val got = run("dedup_fuzzy_join").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty) // the corpus really contains fuzzy matches
+  }
+
+  test("I28 quality calibration: buckets are quality-monotone per source, quota holds") {
+    val rows = run("text_quality_calibrate").collect()
+      .map(r => (r.getString(1), r.getAs[Double]("quality"),
+        r.getAs[Int]("bucket"), r.getAs[Boolean]("keep_top")))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      // monotone: a higher bucket never holds a lower-quality max than
+      // the previous bucket's min (ties may straddle)
+      val byBucket = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      val bs = byBucket.keys.toSeq.sorted
+      bs.sliding(2).foreach {
+        case Seq(lo, hi) => assert(byBucket(lo).max <= byBucket(hi).min,
+          s"$src: bucket $lo max > bucket $hi min")
+        case _ =>
+      }
+      // buckets span the range and the keep flag is bucket >= 8
+      assert(bs.head >= 1 && bs.last <= 10)
+      rs.foreach { t => assert(t._4 == (t._3 >= 8)) }
+      // top-30% quota: percentile thresholds bound the keep fraction
+      // (ties can push it past 30% only via equal-quality runs)
+      val kept = rs.count(_._4).toDouble / rs.length
+      assert(kept <= 0.4, s"$src keeps ${kept * 100}%")
+    }
+  }
+
+  test("I29 distinctive terms: delta/z re-derive from served counts, A/B antisymmetry") {
+    val rows = run("text_distinctive_terms").collect()
+    assert(rows.nonEmpty)
+    val nAll = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count().toDouble
+    val Seq(na, nb) = Seq("src0", "src1").map(s =>
+      Tables.documents(spark, sf).filter(col("source") === s)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "").count().toDouble)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (ya, yb, yAll) = (r.getAs[Long]("y_a").toDouble,
+        r.getAs[Long]("y_b").toDouble, r.getAs[Long]("y_all").toDouble)
+      val aw = 100.0 * yAll / nAll
+      val da = math.log(ya + aw) - math.log(na + 100.0 - ya - aw)
+      val db = math.log(yb + aw) - math.log(nb + 100.0 - yb - aw)
+      val sig2 = 1.0 / (ya + aw) + 1.0 / (yb + aw)
+      // java Math.log == the engine's codegen path: exact replay
+      assert(r.getAs[Double]("log_odds") == r6(da - db))
+      assert(r.getAs[Double]("z") == r6((da - db) / math.sqrt(sig2)))
+    }
+    // antisymmetry: a token heavier in A scores positive, and the
+    // sign flips when the sources swap roles — spot-check via counts
+    rows.foreach { r =>
+      if (r.getAs[Long]("y_a") > 3 * (r.getAs[Long]("y_b") + 1))
+        assert(r.getAs[Double]("log_odds") > 0.0)
+    }
+  }
+
   test("G22 novelty fraction: matches a driver recount, earliest doc fully novel") {
     val rows = run("dedup_novelty_fraction").collect()
     val sh = Tables.documents(spark, sf)

@@ -82,6 +82,30 @@ class GraphSpec extends SparkSpecBase {
     assert(got.map(_._2).sum <= adj.size)
   }
 
+  test("O11 closeness equals a per-seed labeled BFS replayed on the driver") {
+    val seeds = Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey")).collect().map(_.getLong(0))
+      .filter(adj.contains).sorted.take(8)
+    val expected = seeds.toSeq.map { s =>
+      var visited = Map(s -> 0)
+      var frontier = Set(s)
+      for (h <- 1 to 3) {
+        val next = frontier.flatMap(adj(_)).diff(visited.keySet)
+        visited ++= next.map(_ -> h)
+        frontier = next
+      }
+      val byHop = visited.values.groupBy(identity).view.mapValues(_.size).toMap
+      // same left-fold shape as the engine: (n1/1 + n2/2) + n3/3
+      val harm = (1 to 3).map(k => byHop.getOrElse(k, 0).toDouble / k).sum
+      (s, (visited.size - 1).toLong,
+        BigDecimal(harm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = run("graph_closeness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   test("O4 components equal driver union-find (the 10 rounds truly converge)") {
     // union-find ground truth over the minSupport=2 graph
     val items = Tables.lineitem(spark, sf)

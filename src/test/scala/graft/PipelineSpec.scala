@@ -1270,6 +1270,84 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("L26 DiD: cell counts, means and the estimate match a driver replay") {
+    val cutoffMs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    def treated(u: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2 == 1
+    }
+    def cell(t: Boolean, p: Boolean): (Long, Double) = {
+      val es = evs.filter(e => treated(e._1) == t && (e._2 >= cutoffMs) == p)
+      (es.length.toLong,
+        es.map(e => BigDecimal(e._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }
+    val (nc0, sc0) = cell(t = false, p = false)
+    val (nc1, sc1) = cell(t = false, p = true)
+    val (nt0, st0) = cell(t = true, p = false)
+    val (nt1, st1) = cell(t = true, p = true)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = run("events_did").collect().head
+    assert(row.getAs[Long]("n_c_pre") == nc0 && row.getAs[Long]("n_c_post") == nc1)
+    assert(row.getAs[Long]("n_t_pre") == nt0 && row.getAs[Long]("n_t_post") == nt1)
+    assert(row.getAs[Double]("mean_c_pre") == r6(sc0 / nc0))
+    assert(row.getAs[Double]("mean_t_post") == r6(st1 / nt1))
+    assert(row.getAs[Double]("did") ==
+      r6((st1 / nt1 - st0 / nt0) - (sc1 / nc1 - sc0 / nc0)))
+    // all four cells populated — the readout is a real 2x2
+    assert(nc0 > 0 && nc1 > 0 && nt0 > 0 && nt1 > 0)
+  }
+
+  test("L23 decomposition laws: edge NULLs, additive identity, weighted-centered seasonal") {
+    val rows = run("events_seasonal_decompose").collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    // exactly the 3 edge days each side lack a trend (and thus a resid)
+    val (nullT, defT) = rows.partition(_.isNullAt(rows.head.fieldIndex("trend")))
+    assert(nullT.length == 6 && defT.length == rows.length - 6)
+    assert(rows.take(3).forall(_.isNullAt(rows.head.fieldIndex("trend"))))
+    assert(rows.takeRight(3).forall(_.isNullAt(rows.head.fieldIndex("trend"))))
+    // interior: y = trend + seasonal + resid within serve-rounding slack
+    defT.foreach { r =>
+      val lhs = r.getAs[Double]("y")
+      val rhs = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(lhs - rhs) < 5e-6, s"additive identity off: $lhs vs $rhs")
+    }
+    // seasonal indices are centered: the count-weighted sum over the
+    // interior days is 0 (per-dow index x interior-day count)
+    val weighted = defT.groupBy(_.getAs[Int]("dow")).map { case (_, rs) =>
+      rs.head.getAs[Double]("seasonal") * rs.length
+    }.sum
+    assert(math.abs(weighted) < 5e-5, s"seasonal not centered: $weighted")
+  }
+
+  test("L25 anomaly flags recompute from the served residual/med/mad columns") {
+    val rows = run("events_seasonal_anomaly").collect()
+    assert(rows.nonEmpty)
+    // med/mad identical on every row (global series statistics)
+    assert(rows.map(_.getAs[Double]("med")).distinct.length == 1)
+    val med = rows.head.getAs[Double]("med")
+    val mad = rows.head.getAs[Double]("mad")
+    // serve-rounded med/mad can flip a borderline flag by at most the
+    // rounding grain — recompute with slack and demand agreement for
+    // every non-borderline row
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Double]("resid") - med)
+      val flag = r.getAs[Boolean]("is_anomaly")
+      if (dev > 3.5 * mad + 1e-5) assert(flag)
+      if (dev < 3.5 * mad - 1e-5) assert(!flag)
+    }
+    // the median really is central: at most half the days deviate above it
+    assert(rows.count(_.getAs[Double]("resid") > med) <= (rows.length + 1) / 2)
+  }
+
   test("L20 A/B test: arm assignment and report match a driver replay") {
     val evs = Tables.events(spark, sf)
       .select("user_id", "event_type", "value").collect()

@@ -501,6 +501,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.map(_._3).sum == q.length.toLong)
   }
 
+  test("H21 classifier metrics: trace/marginal laws and the macro-F1 re-derive") {
+    val conf = run("sim_knn_classify").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val rows = run("sim_classifier_metrics").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // marginals and TP re-derive from the confusion matrix
+    val nTrue = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nPred = conf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tp = conf.filter(c => c._1 == c._2).map(c => c._1 -> c._3).toMap
+    var f1s = List.empty[Double]
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(r.getAs[Long]("n_true") == nTrue.getOrElse(l, 0L))
+      assert(r.getAs[Long]("n_pred") == nPred.getOrElse(l, 0L))
+      assert(r.getAs[Long]("tp") == tp.getOrElse(l, 0L))
+      val p = if (r.getAs[Long]("n_pred") > 0)
+        r.getAs[Long]("tp").toDouble / r.getAs[Long]("n_pred") else 0.0
+      val rc = if (r.getAs[Long]("n_true") > 0)
+        r.getAs[Long]("tp").toDouble / r.getAs[Long]("n_true") else 0.0
+      assert(r.getAs[Double]("precision") == r6(p))
+      assert(r.getAs[Double]("recall") == r6(rc))
+      val f1 = if (p + rc > 0.0) 2.0 * p * rc / (p + rc) else 0.0
+      assert(r.getAs[Double]("f1") == r6(f1))
+      f1s ::= r.getAs[Double]("f1")
+    }
+    // macro-F1 = exact-decimal mean of the served per-class F1s
+    val macroF1 = r6(f1s.map(BigDecimal(_).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / f1s.length)
+    assert(rows.forall(_.getAs[Double]("macro_f1") == macroF1))
+    // trace conservation: sum of TPs = correctly classified queries
+    assert(rows.map(_.getAs[Long]("tp")).sum ==
+      conf.filter(c => c._1 == c._2).map(_._3).sum)
+  }
+
   test("H19 kNN graph: bucketed all-corpus top-k matches a driver replay") {
     val rows = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
