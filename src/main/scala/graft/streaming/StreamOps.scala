@@ -545,6 +545,53 @@ case class FunnelAgg(anchors: Seq[Long])
     out.iterator
   }
 
+  /** Exact per-cell accumulators for the DiD 2×2: purchase count and
+    * the exact scale-6 decimal value sum serialized to String — the
+    * state stays EXACT under any micro-batch split, and the DiD
+    * estimate is a pure function of the four emitted cells. */
+  case class DidAgg(n: Long, s: String)
+
+  case class DidCellOut(treated: Boolean, post: Boolean, n: Long,
+      value_sum: String)
+
+  /** Same salted-md5 arm assignment as the batch L20/L26 readouts. */
+  private[streaming] def treatedOf(salt: String, u: Long): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$u".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 2 == 1
+  }
+
+  /** L26 streaming twin — the DiD readout as a LIVE experiment
+    * monitor: purchases fold into four (arm, period) cells keyed by
+    * the same salted-hash assignment and cutoff as the batch
+    * operator, each cell carrying (n, exact Σvalue). The estimate is
+    * computed OUTSIDE the state as a pure function of the emitted
+    * sufficient statistics — StreamingSpec proves final stream cells
+    * ≡ batch `events_did` exactly under arbitrary micro-batch
+    * splits. Additive counters only: no per-key event retention, so
+    * state is four rows regardless of stream length. */
+  def didCellState(events: Dataset[Event], spark: SparkSession,
+      salt: String = "exp1", cutoffUs: Long): Dataset[DidCellOut] = {
+    import spark.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(e => (treatedOf(salt, e.user_id), us(e.ts) >= cutoffUs))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(didFn)
+  }
+
+  private[streaming] def didFn(key: (Boolean, Boolean),
+      events: Iterator[Event], state: GroupState[DidAgg]): DidCellOut = {
+    var st = state.getOption.getOrElse(DidAgg(0L, "0"))
+    var s = BigDecimal(st.s)
+    events.foreach { e =>
+      s += BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      st = st.copy(n = st.n + 1)
+    }
+    st = st.copy(s = s.toString)
+    state.update(st)
+    DidCellOut(key._1, key._2, st.n, st.s)
+  }
+
   /** Exact sufficient statistics for one (event_type, user) gap
     * stream. Σgap² passes 2^63 at tiny scale (gap ~10¹¹ µs squared),
     * so both sums live as BigInt serialized to String — the state

@@ -690,6 +690,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("L26 streaming DiD cells equal the batch readout under micro-batch splits") {
+    val cutoffUs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime * 1000L
+    val ms = MemoryStream[Event]
+    val q = StreamOps.didCellState(ms.toDS(), spark, "exp1", cutoffUs)
+      .writeStream.format("memory").queryName("s_did")
+      .outputMode("update").start()
+    runStream(q, ms)
+    // n is monotone per cell: the max-n update is the final state
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("treated"), col("post")).orderBy(col("n").desc)
+    val cells = spark.table("s_did")
+      .withColumn("rn", row_number().over(wKey)).filter(col("rn") === 1)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getLong(2), BigDecimal(r.getString(3)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mean(t: Boolean, p: Boolean): Double = {
+      val (n, s) = cells((t, p)); s.toDouble / n
+    }
+    val row = run("events_did").collect().head
+    assert(cells((false, false))._1 == row.getAs[Long]("n_c_pre"))
+    assert(cells((false, true))._1 == row.getAs[Long]("n_c_post"))
+    assert(cells((true, false))._1 == row.getAs[Long]("n_t_pre"))
+    assert(cells((true, true))._1 == row.getAs[Long]("n_t_post"))
+    assert(r6(mean(t = true, p = true)) == row.getAs[Double]("mean_t_post"))
+    assert(r6(mean(t = false, p = false)) == row.getAs[Double]("mean_c_pre"))
+    // the estimate is a pure function of the emitted cells
+    assert(r6((mean(t = true, p = true) - mean(t = true, p = false)) -
+      (mean(t = false, p = true) - mean(t = false, p = false))) ==
+      row.getAs[Double]("did"))
+  }
+
   test("L22 streaming gap statistics reduce to the batch burstiness exactly") {
     val ms = MemoryStream[Event]
     val q = StreamOps.gapStatsState(ms.toDS(), spark)
