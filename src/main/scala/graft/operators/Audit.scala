@@ -969,6 +969,79 @@ object Audit {
        |FROM trailed""".stripMargin
   }
 
+  /** F25 `audit_alert_hysteresis` — flap-suppressed alerting over
+    * F17's EWMA series: the alarm ENTERS when the hour mean exceeds
+    * 2× the trailing EWMA (F17's regression predicate, with its own
+    * minN volume guard — F17's corpus-scale floor suppresses every
+    * enter at small SF) and EXITS only when it falls back below the
+    * baseline (1×) — the
+    * two-threshold state machine every production alerting system
+    * uses so a signal oscillating around one threshold doesn't page
+    * on every crossing. Hours in the dead band (1×–2×, or too
+    * quiet to judge) HOLD the previous state. The recurrence
+    * alarm(t) = enter(t) ∨ (alarm(t−1) ∧ ¬exit(t)) is served
+    * without an iterative loop: enter forces true, exit forces
+    * false, dead-band rows are NULL, and a running
+    * last_value(ignore nulls) carries the last forced state forward
+    * — the gaps-and-islands form of a state machine, one window
+    * pass. `alarm_start` (off→on edges) is the actual page signal.
+    *
+    * Exactness: both thresholds are cross-multiplied pure-BIGINT
+    * predicates (the F17/F18 discipline — no float ever decides an
+    * alert); 2× is `dur_sum·den > num·n·2`, 1× is
+    * `dur_sum·den < num·n`. Scale: F17's hourly rollup + the
+    * same service-keyed window, twice (state carry + edge detect) —
+    * the second pass rides the first's exchange. */
+  def alertHysteresis(spark: SparkSession, dir: String,
+      memory: Int = EwmaMemory, minN: Long = 5L): DataFrame = {
+    val t = ewmaAlarm(spark, dir, memory)
+    val enter = col("ewma_den") > 0 && col("n") >= minN &&
+      col("dur_sum") * col("ewma_den") > col("ewma_num") * col("n") * 2
+    val exit = col("ewma_den") > 0 &&
+      col("dur_sum") * col("ewma_den") < col("ewma_num") * col("n")
+    val sig = when(enter, lit(true)).when(exit, lit(false))
+    val wRun = Window.partitionBy(col("service"))
+      .orderBy(col("audit_date"), col("audit_hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("service"))
+      .orderBy(col("audit_date"), col("audit_hour"))
+    t.withColumn("enter_hot", enter)
+      .withColumn("exit_cold", exit)
+      .withColumn("alarm",
+        coalesce(last(sig, ignoreNulls = true).over(wRun), lit(false)))
+      .withColumn("alarm_start",
+        col("alarm") && !coalesce(lag(col("alarm"), 1).over(wLag), lit(false)))
+      .select(col("service"), col("audit_date"), col("audit_hour"), col("n"),
+        col("hour_mean_ms"), col("ewma_ms"), col("enter_hot"),
+        col("exit_cold"), col("alarm"), col("alarm_start"))
+  }
+
+  def alertHysteresisSql(memory: Int = EwmaMemory, minN: Long = 5L): String =
+    s"""WITH f AS (
+       |${ewmaAlarmSql(memory)}
+       |), sig AS (
+       |  SELECT *,
+       |    (ewma_den > 0 AND n >= $minN
+       |      AND dur_sum * ewma_den > ewma_num * n * 2) AS enter_hot,
+       |    (ewma_den > 0
+       |      AND dur_sum * ewma_den < ewma_num * n) AS exit_cold
+       |  FROM f
+       |), st AS (
+       |  SELECT *,
+       |    COALESCE(LAST_VALUE(CASE WHEN enter_hot THEN true
+       |                             WHEN exit_cold THEN false END IGNORE NULLS)
+       |      OVER (PARTITION BY service ORDER BY audit_date, audit_hour
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      false) AS alarm
+       |  FROM sig
+       |)
+       |SELECT service, audit_date, audit_hour, n, hour_mean_ms, ewma_ms,
+       |  enter_hot, exit_cold, alarm,
+       |  (alarm AND NOT COALESCE(LAG(alarm, 1)
+       |    OVER (PARTITION BY service ORDER BY audit_date, audit_hour),
+       |    false)) AS alarm_start
+       |FROM st""".stripMargin
+
   /** F18 `audit_slo_burn` — SLO error-budget BURN-RATE alerting
     * (Google SRE workbook's multiwindow multi-burn-rate alerts —
     * public): per (tenant, hour), the 1-hour and trailing-6-hour
@@ -1472,6 +1545,10 @@ object Audit {
     "audit_changepoint" -> (changepoint _),
     "audit_error_spikes" -> (errorSpikes _),
     "audit_ewma_alarm" -> ((s: SparkSession, d: String) => ewmaAlarm(s, d)),
+    "audit_alert_hysteresis" -> ((s: SparkSession, d: String) =>
+      alertHysteresis(s, d)),
+    "param_alert_hysteresis" -> ((s: SparkSession, d: String) =>
+      alertHysteresis(s, d, memory = 4, minN = 10L)),
     "param_ewma_alarm" -> ((s: SparkSession, d: String) =>
       ewmaAlarm(s, d, memory = 4)),
     "audit_slo_burn" -> ((s: SparkSession, d: String) => sloBurn(s, d)),
@@ -1508,6 +1585,8 @@ object Audit {
     "audit_changepoint" -> changepointSql,
     "audit_error_spikes" -> errorSpikesSql,
     "audit_ewma_alarm" -> ewmaAlarmSql(),
+    "audit_alert_hysteresis" -> alertHysteresisSql(),
+    "param_alert_hysteresis" -> alertHysteresisSql(memory = 4, minN = 10L),
     "param_ewma_alarm" -> ewmaAlarmSql(memory = 4),
     "audit_slo_burn" -> sloBurnSql(),
     "param_slo_burn" -> sloBurnSql(budgetPer10k = 10L),
