@@ -1491,7 +1491,105 @@ object Analytics {
        |       ELSE (qty1 - qty0) * (rev0 / qty0) END) AS price_effect
        |FROM g""".stripMargin
 
+  /** K34 `k34_revenue_concentration` — customer revenue concentration
+    * as a decile Lorenz curve + Gini coefficient: per revenue decile
+    * (1 = lightest spenders), the customer count, exact-decimal
+    * revenue, revenue share, cumulative share, and the grouped-data
+    * Gini 1 − Σ f_k·(cum_k + cum_{k−1}) (trapezoid form) attached as
+    * a scalar — the "what fraction of customers drive the revenue"
+    * read behind every whale-risk / 80-20 analysis. Deliberately
+    * DECILE-GRAINED, not a per-customer running share: the exact
+    * Lorenz curve needs a global sort of every customer, which at
+    * 100 TB is the one thing this report must not do — decile
+    * boundaries come from one percentile_disc aggregate (a 1-row
+    * broadcast, K29's mechanics), every customer classifies itself
+    * by comparison, and the cumulative pass runs over TEN rows.
+    * Shares/Gini are fixed IEEE shapes over exact decimal sums and
+    * BIGINT counts, rounded 6dp. */
+  def k34RevenueConcentration(spark: SparkSession, dir: String,
+                              nBuckets: Int = 10): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("rev"))
+    val ps = (1 until nBuckets).map(k => f"${k.toDouble / nBuckets}%.6f")
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY rev)").as(s"d${i + 1}") }
+    val th = perCust.agg(aggs.head, aggs.tail: _*)
+    val bucket = (1 until nBuckets).map(k => (col("rev") > col(s"d$k")).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    // nBuckets rows feeding the totals attach, the cumulative window,
+    // the Gini aggregate AND the serve — eager-materialize once so no
+    // branch re-pays the customer rollup (house fan-out discipline)
+    val byDecile = perCust.crossJoin(broadcast(th))
+      .groupBy(bucket.as("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_dec"))
+      .localCheckpoint()
+    val tot = byDecile.agg(sum(col("rev_dec")).as("rev_tot"),
+      sum(col("n_customers")).as("n_tot"))
+    val w = Window.partitionBy(Obs.onePart(col("decile"))).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val share = col("rev_dec").cast("double") / col("rev_tot").cast("double")
+    val cum = sum(col("rev_dec")).over(w).cast("double") /
+      col("rev_tot").cast("double")
+    val fk = col("n_customers").cast("double") / col("n_tot").cast("double")
+    val staged = byDecile.crossJoin(broadcast(tot))
+      .withColumn("share_raw", share)
+      .withColumn("cum_raw", cum)
+      .withColumn("gini_term", fk * (col("cum_raw") * 2 - col("share_raw")))
+    val gini = staged.agg(
+      (lit(1.0) - sum(col("gini_term").cast(DecimalType(18, 9))).cast("double"))
+        .as("g"))
+    staged.crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_customers"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("share_raw"), 6).as("rev_share"),
+        round(col("cum_raw"), 6).as("cum_share"),
+        round(col("g"), 6).as("gini"))
+  }
+
+  def k34Sql(nBuckets: Int = 10): String = {
+    val ps = (1 until nBuckets).map(k => f"${k.toDouble / nBuckets}%.6f")
+    val thCols = ps.zipWithIndex.map { case (p, i) =>
+      s"quantile_disc(rev, $p) AS d${i + 1}" }.mkString(", ")
+    val bucketExpr = "1" + (1 until nBuckets)
+      .map(k => s" + CAST(rev > d$k AS INT)").mkString
+    s"""WITH pc AS (
+       |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+       |  FROM orders GROUP BY 1
+       |), th AS (
+       |  SELECT $thCols FROM pc
+       |), bd AS (
+       |  SELECT $bucketExpr AS decile, COUNT(*) AS n_customers,
+       |    SUM(rev) AS rev_dec
+       |  FROM pc CROSS JOIN th GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(rev_dec) AS rev_tot, CAST(SUM(n_customers) AS BIGINT) AS n_tot FROM bd
+       |), staged AS (
+       |  SELECT decile, n_customers,
+       |    CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS rev_dec_d,
+       |    CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(rev_tot AS VARCHAR) AS DOUBLE) AS share_raw,
+       |    CAST(CAST(SUM(rev_dec) OVER (ORDER BY decile
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(rev_tot AS VARCHAR) AS DOUBLE) AS cum_raw,
+       |    CAST(n_customers AS DOUBLE) / CAST(n_tot AS DOUBLE) AS fk
+       |  FROM bd CROSS JOIN tot
+       |), g AS (
+       |  SELECT 1.0 - CAST(CAST(SUM(CAST(fk * (cum_raw * 2 - share_raw)
+       |    AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS gini
+       |  FROM staged
+       |)
+       |SELECT decile, n_customers, rev_dec_d AS revenue,
+       |  ROUND(share_raw, 6) AS rev_share,
+       |  ROUND(cum_raw, 6) AS cum_share,
+       |  ROUND(gini, 6) AS gini
+       |FROM staged CROSS JOIN g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k34_revenue_concentration" -> ((s, d) => k34RevenueConcentration(s, d)),
+    "param_k34_revenue_concentration" -> ((s, d) =>
+      k34RevenueConcentration(s, d, nBuckets = 4)),
     "k33_revenue_bridge" -> ((s, d) => k33RevenueBridge(s, d)),
     "param_k33_revenue_bridge" -> ((s, d) => k33RevenueBridge(s, d,
       year0 = 1999, year1 = 2000)),
@@ -1548,6 +1646,8 @@ object Analytics {
       from = "1996-07-01", to = "1996-08-01")))
 
   val oracles: Map[String, String] = Map(
+    "k34_revenue_concentration" -> k34Sql(),
+    "param_k34_revenue_concentration" -> k34Sql(nBuckets = 4),
     "k33_revenue_bridge" -> k33Sql(),
     "param_k33_revenue_bridge" -> k33Sql(year0 = 1999, year1 = 2000),
     "k30_copurchase_pairs" -> k30Sql(),

@@ -84,7 +84,8 @@ class RegistrySpec extends SparkSpecBase {
     "events_seasonal_decompose", "param_seasonal_decompose", // 1-row grand-mean attach for centering the 7 dow indices
     "events_seasonal_anomaly", "param_seasonal_anomaly", // inherits L23's grand-mean attach
     "sim_classifier_metrics", "param_classifier_metrics", // 1-row macro-F1 attach onto the |classes| rows
-    "text_distinctive_terms", "param_distinctive_terms") // 1-row corpus-totals attach
+    "text_distinctive_terms", "param_distinctive_terms", // 1-row corpus-totals attach
+    "k34_revenue_concentration", "param_k34_revenue_concentration") // 1-row threshold + totals + gini attaches onto <=10 rows
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -142,6 +143,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_seasonal_decompose" -> 3,
     "events_seasonal_anomaly" -> 4, // L23's 3 + the interior-days median window (day-cardinality)
     "param_seasonal_anomaly" -> 4,
+    "k34_revenue_concentration" -> 5, // post-checkpoint: totals + cum window + gini + serve attaches, all over <= 10 rows
+    "param_k34_revenue_concentration" -> 5,
     "sim_classifier_metrics" -> 3, // post-checkpoint: two marginal aggs + full-outer over <= |classes| rows
     "param_classifier_metrics" -> 3,
     "persist_scd2" -> 1, // row_number + lead share one entity window
