@@ -935,8 +935,15 @@ object Audit {
         when(col("ewma_den") > 0,
           round(col("ewma_num").cast("double") / col("ewma_den"), 6))
           .as("ewma_ms"),
+        // cross-multiply widened through DECIMAL(38,0): dur_sum·den
+        // reaches ~1e24 at the 100 TB design point (1e13 ms-sum x
+        // 255-weighted 1e9 counts) — a raw BIGINT product wraps
+        // silently in non-ANSI Spark (the PageRank x85 / F24 class)
         (col("ewma_den") > 0 && col("n") >= EwmaMinHourEvents &&
-          col("dur_sum") * col("ewma_den") > col("ewma_num") * col("n") * 2)
+          col("dur_sum").cast(DecimalType(38, 0)) *
+            col("ewma_den").cast(DecimalType(38, 0)) >
+          col("ewma_num").cast(DecimalType(38, 0)) *
+            (col("n") * 2).cast(DecimalType(38, 0)))
           .as("is_regression"))
   }
 
@@ -965,7 +972,9 @@ object Audit {
        |  CASE WHEN ewma_den > 0
        |       THEN ROUND(CAST(ewma_num AS DOUBLE) / ewma_den, 6) END AS ewma_ms,
        |  (ewma_den > 0 AND n >= $EwmaMinHourEvents
-       |    AND dur_sum * ewma_den > ewma_num * n * 2) AS is_regression
+       |    AND CAST(dur_sum AS DECIMAL(38,0)) * CAST(ewma_den AS DECIMAL(38,0))
+       |      > CAST(ewma_num AS DECIMAL(38,0)) * CAST(n * 2 AS DECIMAL(38,0)))
+       |    AS is_regression
        |FROM trailed""".stripMargin
   }
 
@@ -986,19 +995,25 @@ object Audit {
     * — the gaps-and-islands form of a state machine, one window
     * pass. `alarm_start` (off→on edges) is the actual page signal.
     *
-    * Exactness: both thresholds are cross-multiplied pure-BIGINT
-    * predicates (the F17/F18 discipline — no float ever decides an
-    * alert); 2× is `dur_sum·den > num·n·2`, 1× is
-    * `dur_sum·den < num·n`. Scale: F17's hourly rollup + the
+    * Exactness: both thresholds are cross-multiplied pure-integer
+    * predicates widened through DECIMAL(38,0) (the F17/F24
+    * discipline — no float ever decides an alert, and no BIGINT
+    * product wraps at 100 TB magnitudes); 2× is `dur_sum·den >
+    * num·n·2`, 1× is `dur_sum·den < num·n`. Scale: F17's hourly rollup + the
     * same service-keyed window, twice (state carry + edge detect) —
     * the second pass rides the first's exchange. */
   def alertHysteresis(spark: SparkSession, dir: String,
       memory: Int = EwmaMemory, minN: Long = 5L): DataFrame = {
     val t = ewmaAlarm(spark, dir, memory)
+    // same DECIMAL(38,0) widening as F17: no BIGINT product may
+    // decide an alert at 100 TB magnitudes
+    val d38 = DecimalType(38, 0)
     val enter = col("ewma_den") > 0 && col("n") >= minN &&
-      col("dur_sum") * col("ewma_den") > col("ewma_num") * col("n") * 2
+      col("dur_sum").cast(d38) * col("ewma_den").cast(d38) >
+        col("ewma_num").cast(d38) * (col("n") * 2).cast(d38)
     val exit = col("ewma_den") > 0 &&
-      col("dur_sum") * col("ewma_den") < col("ewma_num") * col("n")
+      col("dur_sum").cast(d38) * col("ewma_den").cast(d38) <
+        col("ewma_num").cast(d38) * col("n").cast(d38)
     val sig = when(enter, lit(true)).when(exit, lit(false))
     val wRun = Window.partitionBy(col("service"))
       .orderBy(col("audit_date"), col("audit_hour"))
@@ -1022,9 +1037,13 @@ object Audit {
        |), sig AS (
        |  SELECT *,
        |    (ewma_den > 0 AND n >= $minN
-       |      AND dur_sum * ewma_den > ewma_num * n * 2) AS enter_hot,
+       |      AND CAST(dur_sum AS DECIMAL(38,0)) * CAST(ewma_den AS DECIMAL(38,0))
+       |        > CAST(ewma_num AS DECIMAL(38,0)) * CAST(n * 2 AS DECIMAL(38,0)))
+       |      AS enter_hot,
        |    (ewma_den > 0
-       |      AND dur_sum * ewma_den < ewma_num * n) AS exit_cold
+       |      AND CAST(dur_sum AS DECIMAL(38,0)) * CAST(ewma_den AS DECIMAL(38,0))
+       |        < CAST(ewma_num AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+       |      AS exit_cold
        |  FROM f
        |), st AS (
        |  SELECT *,

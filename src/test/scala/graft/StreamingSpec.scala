@@ -570,7 +570,10 @@ class StreamingSpec extends SparkSpecBase {
     val gotFlag = fin.select(col("service"), col("audit_date"),
         col("audit_hour"),
         (col("ewma_den") > 0 && col("n") >= 20L &&
-          col("dur_sum") * col("ewma_den") > col("ewma_num") * col("n") * 2)
+          col("dur_sum").cast("decimal(38,0)") *
+            col("ewma_den").cast("decimal(38,0)") >
+          col("ewma_num").cast("decimal(38,0)") *
+            (col("n") * 2).cast("decimal(38,0)"))
           .as("is_regression"))
       .collect().map(_.toSeq).toSet
     val wantFlag = run("audit_ewma_alarm")
