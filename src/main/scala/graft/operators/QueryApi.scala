@@ -154,6 +154,65 @@ object QueryApi {
        |  WHERE ${tenantSqlPred(tenant)}
        |) WHERE rn = 1""".stripMargin
 
+  /** E15 `api_obs_stats` — the per-(patient, code) observation
+    * SUMMARY read (the GraphQL "stats" resolver shape): count,
+    * min/max, exact-decimal mean, and the latest observation
+    * (value + event id + epoch-µs time on the unique (ts, id)
+    * order) — the dashboard companion to E3's row-level latest.
+    * Deliberately ONE partial-aggregable rollup and NO window:
+    * latest-per-key rides a max(struct(us, id, value)) aggregate
+    * (K6's argmax form — map-side combinable, so the shuffle
+    * carries one partial row per key, not the observation stream),
+    * where E3's row_number answers the row-level question. On the
+    * D2b bucketed layout this plan needs no exchange at all.
+    * Mean = exact decimal sum / count, rounded 6dp (house davg). */
+  def obsStats(spark: SparkSession, dir: String,
+               tenant: String = "t1"): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(tenantPred(tenant))
+      .select(Obs.tenant.as("tenant_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .groupBy(col("tenant_id"), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_value"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("last"))
+      .select(col("tenant_id"), col("user_id"), col("event_type"),
+        col("n_obs"), col("min_value"), col("max_value"), col("avg_value"),
+        col("last.us").as("latest_us"),
+        col("last.event_id").as("latest_event_id"),
+        col("last.value").as("latest_value"))
+  }
+
+  def obsStatsSql(tenant: String = "t1"): String =
+    s"""WITH base AS (
+       |  SELECT 't' || (user_id % 4) AS tenant_id, user_id, event_type,
+       |    epoch_us(ts) AS us, event_id, value
+       |  FROM events WHERE ${tenantSqlPred(tenant)}
+       |), stats AS (
+       |  SELECT tenant_id, user_id, event_type, COUNT(*) AS n_obs,
+       |    MIN(value) AS min_value, MAX(value) AS max_value,
+       |    ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*), 6) AS avg_value
+       |  FROM base GROUP BY 1, 2, 3
+       |), latest AS (
+       |  SELECT tenant_id, user_id, event_type,
+       |    us AS latest_us, event_id AS latest_event_id,
+       |    value AS latest_value
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY tenant_id, user_id, event_type
+       |      ORDER BY us DESC, event_id DESC) AS rn
+       |    FROM base) WHERE rn = 1
+       |)
+       |SELECT s.tenant_id, s.user_id, s.event_type, n_obs, min_value,
+       |  max_value, avg_value, latest_us, latest_event_id, latest_value
+       |FROM stats s JOIN latest l
+       |  ON s.tenant_id = l.tenant_id AND s.user_id = l.user_id
+       |  AND s.event_type = l.event_type""".stripMargin
+
   /** E4 `api_obs_page_after` — keyset pagination: the page after
     * cursor (ts0, id0) for one (tenant, patient), strictly ordered by
     * the unique (ts, event_id) chain. Equivalent of the reference's
@@ -718,6 +777,8 @@ object QueryApi {
       tenant = "t2", code = "view", from = "2024-01-08 00:00:00",
       to = "2024-01-28 00:00:00")),
     "api_latest_observation" -> ((s, d) => latestObservation(s, d)),
+    "api_obs_stats" -> ((s, d) => obsStats(s, d)),
+    "param_obs_stats" -> ((s, d) => obsStats(s, d, tenant = "t2")),
     "api_obs_page_after" -> ((s, d) => obsPageAfter(s, d)),
     "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
     "api_obs_by_code" -> ((s, d) => obsByCode(s, d)),
@@ -759,6 +820,8 @@ object QueryApi {
     "param_obs_gapfill" -> obsGapfillSql(tenant = "t2", code = "view",
       from = "2024-01-08 00:00:00", to = "2024-01-28 00:00:00"),
     "api_latest_observation" -> latestObservationSql(),
+    "api_obs_stats" -> obsStatsSql(),
+    "param_obs_stats" -> obsStatsSql(tenant = "t2"),
     "api_obs_page_after" -> obsPageAfterSql(),
     "api_obs_asof_join" -> obsAsofJoinSql(),
     "api_obs_by_code" -> obsByCodeSql(),
