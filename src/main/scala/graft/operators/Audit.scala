@@ -152,6 +152,11 @@ object Audit {
     * joins per-tenant aggregates — metadata-scale. */
   def healthReport(spark: SparkSession, dir: String,
                    windowMin: Int = 1440): DataFrame = {
+    // Clamp bounds mirror handler.ts:93 exactly; the NO-ARGUMENT default
+    // deliberately differs (reference defaults 15 — a dashboard's "last
+    // quarter hour"; this registry pins the full-day window so the sf0.01
+    // slice exercises every tenant). `param_audit_health_report` pins a
+    // non-default windowMin through the same clamp.
     val w = math.max(5, math.min(windowMin, 1440)) // handler.ts:93
     val ev = Tables.events(spark, dir)
     val ends = ev.agg(max(col("ts")).as("end_ts"))
@@ -212,8 +217,11 @@ object Audit {
        |dinv AS (
        |  SELECT 't' || (CAST(d.patient_id AS BIGINT) % 4) AS tenant_id,
        |    COUNT(*) AS dto_invalid_count
-       |  FROM dto d CROSS JOIN ends
-       |  WHERE d.effective > end_ts - INTERVAL ($w) MINUTE
+       |  FROM dto d
+       |    JOIN (SELECT event_id AS ev_id, ts AS raw_ts FROM events) ev
+       |      ON d.event_id = ev.ev_id
+       |    CROSS JOIN ends
+       |  WHERE ev.raw_ts > end_ts - INTERVAL ($w) MINUTE
        |    AND NOT (${Normalize.isValidSql})
        |  GROUP BY 1
        |)

@@ -196,6 +196,7 @@ object Similarity {
               col("qid") === col("q2") && col("sa") === col("selv"))
             .groupBy(col("qid"), col("sb").as("vec_id"))
             .agg(max(col("sim")).as("maxsim"))
+          val prevStep = s
           s = s.union(cand
             .join(s.select(col("qid").as("q3"), col("vec_id").as("v3")),
               col("qid") === col("q3") && col("vec_id") === col("v3"),
@@ -208,7 +209,15 @@ object Similarity {
             .select(col("qid"), col("vec_id"), lit(t).as("step"),
               col("score").as("mmr_score")))
             .localCheckpoint()
+          // eager checkpoint above materialized the union — the
+          // superseded per-step blocks are dead; release-on-supersede
+          // (the pagerank discipline, per r9 ADVICE)
+          Graph.releaseCheckpoint(prevStep)
         }
+        // the final selection is self-contained; the pool and pairwise
+        // sim scaffolding blocks are no longer referenced
+        Graph.releaseCheckpoint(pool)
+        Graph.releaseCheckpoint(sims)
         (mtime, s)
       })._2
     sel.select(col("qid"), col("step"), col("vec_id"),

@@ -39,7 +39,14 @@ class ParamSpec extends SparkSpecBase {
     // decimal→double cast (SCALING_r09.md §1). Spark's parser requires
     // a length on VARCHAR; STRING is its exact equivalent and Spark's
     // decimal→string→double is correctly rounded the same way.
-    val viaSql = canon(spark.sql(sql.replace("AS VARCHAR)", "AS STRING)")))
+    // The rewrite applies only OUTSIDE single-quoted string literals
+    // (segments at even index after splitting on '), so a future literal
+    // that happens to contain "AS VARCHAR)" can never be rewritten
+    // silently — only genuine cast type tokens are touched.
+    val rewritten = sql.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 0) seg.replace("AS VARCHAR)", "AS STRING)") else seg
+    }.mkString("'")
+    val viaSql = canon(spark.sql(rewritten))
     assert(viaApi == viaSql,
       s"$label: DataFrame API and parameterized SQL disagree " +
         s"(${viaApi.length} vs ${viaSql.length} rows; " +
