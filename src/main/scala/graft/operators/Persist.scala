@@ -186,7 +186,15 @@ object Persist {
     * at 100 TB the nightly upsert re-read costs no shuffle at all.
     * Results are identical to `persist_upsert_version` and checked
     * against the same oracle. */
-  def upsertVersionBucketed(spark: SparkSession, dir: String): DataFrame = {
+  def upsertVersionBucketed(spark: SparkSession, dir: String): DataFrame =
+    upsertVersionFrom(appliedFrom(bucketedEvents(spark, dir)))
+
+  /** The memoized bucketed events table itself (hashpartitioning on
+    * user_id, sorted within buckets) — the storage layout every
+    * entity-keyed read can plan against with zero Exchange. Public so
+    * specs (and other operators) can pin plans on the SAME layout D2b
+    * serves from rather than re-writing their own bucket table. */
+  def bucketedEvents(spark: SparkSession, dir: String): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/events.parquet")
     val table = bucketedCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$dir:$mtime", _ => {
@@ -202,7 +210,7 @@ object Persist {
           name, "user_id", 8, Seq("user_id", "event_type", "ts", "event_id"))
         name
       })
-    upsertVersionFrom(appliedFrom(spark.table(table)))
+    spark.table(table)
   }
 
   /** The oracle-side `applied` CTE — SINGLE source of truth for the

@@ -167,8 +167,15 @@ object QueryApi {
     * D2b bucketed layout this plan needs no exchange at all.
     * Mean = exact decimal sum / count, rounded 6dp (house davg). */
   def obsStats(spark: SparkSession, dir: String,
-               tenant: String = "t1"): DataFrame = {
-    Tables.events(spark, dir)
+               tenant: String = "t1"): DataFrame =
+    obsStatsFrom(Tables.events(spark, dir), tenant)
+
+  /** E15 over any events-shaped frame — the seam BucketingSpec uses to
+    * pin the zero-Exchange claim on the D2b bucketed layout
+    * (hashpartitioning(user_id) ⊆ the rollup's grouping keys, so the
+    * partial agg is already co-located and no exchange plans). */
+  def obsStatsFrom(events: DataFrame, tenant: String = "t1"): DataFrame = {
+    events
       .filter(tenantPred(tenant))
       .select(Obs.tenant.as("tenant_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"), col("event_id"), col("value"))

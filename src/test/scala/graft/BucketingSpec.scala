@@ -33,6 +33,21 @@ class BucketingSpec extends SparkSpecBase {
     assert(shuffles == 0, s"bucketed upsert should not shuffle, got $shuffles")
   }
 
+  test("E15 stats read on the D2b bucketed layout: same results, zero Exchange") {
+    // the SURVEY §2 claim "zero-exchange on the D2b bucketed layout":
+    // hashpartitioning(user_id, 8) from the bucketed scan is a subset
+    // of the rollup's grouping keys, so the one partial-aggregable
+    // rollup plans with no shuffle at all
+    val onBuckets = operators.QueryApi.obsStatsFrom(
+      operators.Persist.bucketedEvents(spark, sf))
+    val flat = run("api_obs_stats")
+    assert(onBuckets.except(flat).count() == 0 &&
+      flat.except(onBuckets).count() == 0)
+    val shuffles = flattenPlan(executedPlan(onBuckets)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles == 0, s"bucketed stats read should not shuffle, got $shuffles")
+  }
+
   test("N2 partition prune: executed scan reads only the queried day's files") {
     val df = run("store_partition_prune")
     val rows = df.collect()
