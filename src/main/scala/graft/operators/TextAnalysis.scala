@@ -2185,7 +2185,319 @@ object TextAnalysis {
        |ORDER BY textrank_fp DESC, word LIMIT $limit""".stripMargin
   }
 
+  /** I30 `text_quality_classifier` — TRAINED model-based quality
+    * filter (the DCLM / FineWeb-Edu production shape: an expensive
+    * corpus-global label distilled into a cheap per-doc classifier so
+    * day-2 filtering needs no corpus-wide pass). The teacher label is
+    * I6's unigram-LM surprisal — a corpus-global quantity (token
+    * counts over the whole corpus) — split at its 30th/70th
+    * percentiles: confident-clean (y=1, low surprisal) vs
+    * confident-noisy (y=0, high surprisal), the middle band excluded
+    * from training (standard confident-extremes distillation) but
+    * still scored at serve. The student is a linear model over five
+    * PER-DOC signals (I2's length/stopword/punctuation ratios, I22's
+    * type-token ratio, and the top-[[QcVocabK]]-vocab hit rate —
+    * the vocab list is a K-row broadcast artifact), trained by
+    * [[QcEpochs]] epochs of full-batch delta-rule gradient descent
+    * with the ALGEBRAIC sigmoid link σ(m) = ½(1 + m/(1+|m|)).
+    *
+    * Determinism (why this hash-matches DuckDB): the link is
+    * RATIONAL — every training-loop operation is IEEE +,-,*,/ or
+    * abs, each correctly rounded and therefore bit-identical in both
+    * engines — so unlike exp/ln there is NO transcendental in the
+    * iterated path at all; the only transcendental anywhere is the
+    * teacher's one-shot per-token ln, which follows I21's
+    * round(·,9)→DECIMAL(18,9)→decimal-sum discipline. Per-doc
+    * gradient contributions are round(·,12)→DECIMAL(30,12) and
+    * decimal-summed (order-insensitive), weights re-round to 12 dp
+    * each epoch, feature means (train slice only) follow the same
+    * rule, and the label thresholds are percentile_disc (an actual
+    * data point — exact both engines). The oracle unrolls the epochs
+    * as a CTE chain over a MATERIALIZED feature table.
+    *
+    * Scale: ONE token-keyed shuffle for corpus counts (linear), three
+    * doc-keyed rollups (surprisal, vocab hits, features), then every
+    * training epoch is one partial-aggregable pass over a
+    * checkpointed doc×6 feature table — 1-row gradient, 1-row weight
+    * update, broadcast back (epochs × linear, epochs fixed).
+    * Weights/means/thresholds/vocab together are a few hundred bytes:
+    * INFERENCE on new documents is broadcast-attach + per-row map —
+    * exactly the shuffle-free day-2 filter the distillation buys.
+    * Memoized per (dir, params) with release-on-supersede. */
+  private val QcEpochs = 16
+  private val QcLr = 4.0
+  private val QcVocabK = 10
+  private val QcScale = 10.0
+
+  private val qcReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private def qcFeatureCols: Seq[(String, Column)] = {
+    val nToks = size(nonEmptyToks).cast("double")
+    Seq(
+      "x1" -> least(lit(1.0), nToks / lit(100.0)),
+      "x2" -> (size(filter(nonEmptyToks,
+        t => t.isin(stopwords.map(lit): _*).cast("boolean"))).cast("double") / nToks),
+      "x3" -> (size(array_distinct(nonEmptyToks)).cast("double") / nToks),
+      "x4" -> (length(regexp_replace(col("text"), " ", "")).cast("double")
+        / nToks / lit(10.0)))
+  }
+
+  /** The memoized build: per-doc (doc_id, y, score, pred) with y NULL
+    * on the excluded middle band. Serve + eval both read this. */
+  private def qualityClassifierBuild(spark: SparkSession, dir: String,
+                                     epochs: Int, lr: Double,
+                                     vocabK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val mtime = Tables.mtime(spark, s"$dir/documents.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:qc:$epochs:$lr:$vocabK"
+    qcReg.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        if (prev != null) Graph.releaseCheckpoint(prev._2)
+        val dec = DecimalType(30, 12)
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(nonEmptyToks).as("token"))
+        val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum(col("c")).cast("double").as("n_corpus"))
+        val vocab = cnt.orderBy(col("c").desc, col("token")).limit(vocabK)
+          .select(col("token"), lit(1).as("inv"))
+        // teacher: I6's mean token surprisal per doc (I21 discipline)
+        val surp = toks.join(cnt, Seq("token"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round(-log(col("c").cast("double") / col("n_corpus")), 9)
+              .cast(DecimalType(18, 9)).as("lt"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("lt")).cast("double") / count(lit(1)), 9).as("s"))
+        val th = surp.agg(
+          expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY s)").as("t30"),
+          expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY s)").as("t70"))
+        val vhit = toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy(col("doc_id"))
+          .agg((sum(when(col("inv").isNotNull, 1).otherwise(0)).cast("double")
+            / count(lit(1)).cast("double")).as("x5"))
+        val feat = Tables.documents(spark, dir)
+          .select(col("doc_id") +: qcFeatureCols.map { case (n, c) => c.as(n) }: _*)
+          .join(vhit, Seq("doc_id"))
+          .join(surp, Seq("doc_id"))
+          .crossJoin(broadcast(th))
+          .select(col("doc_id"), col("x1"), col("x2"), col("x3"), col("x4"),
+            col("x5"),
+            when(col("s") <= col("t30"), 1)
+              .when(col("s") >= col("t70"), 0).as("y"))
+        val xs = (1 to 5).map(j => s"x$j")
+        // centering means over the TRAIN slice only (round-then-decimal)
+        val m = feat.filter(col("y").isNotNull)
+          .agg(count(lit(1)).as("ntr"), xs.map(x =>
+            sum(round(col(x), 12).cast(dec)).as(s"s_$x")): _*)
+          .select(xs.map(x =>
+            round(col(s"s_$x").cast("double") / col("ntr"), 12).as(s"m_$x")): _*)
+        val z = feat.crossJoin(broadcast(m))
+          .select(col("doc_id") +: col("y") +: xs.zipWithIndex.map {
+            case (x, i) =>
+              ((col(x) - col(s"m_$x")) * lit(QcScale)).as(s"z${i + 1}")
+          }: _*)
+          .localCheckpoint()
+        val ztr = z.filter(col("y").isNotNull)
+        def marginOf(w: String => Column): Column =
+          w("w0") + w("w1") * col("z1") + w("w2") * col("z2") +
+            w("w3") * col("z3") + w("w4") * col("z4") + w("w5") * col("z5")
+        def sigmoid(mg: Column): Column =
+          round(lit(0.5) * (lit(1.0) + mg / (lit(1.0) + abs(mg))), 12)
+        var w = spark.range(1)
+          .select((0 to 5).map(j => lit(0.0).as(s"w$j")): _*)
+          .localCheckpoint()
+        for (_ <- 1 to epochs) {
+          val joined = ztr.crossJoin(broadcast(w))
+          val g = joined
+            .select((sigmoid(marginOf(col)) - col("y")).as("d"),
+              col("z1"), col("z2"), col("z3"), col("z4"), col("z5"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("d"), 12).cast(dec)).as("s0"),
+              sum(round(col("d") * col("z1"), 12).cast(dec)).as("s1"),
+              sum(round(col("d") * col("z2"), 12).cast(dec)).as("s2"),
+              sum(round(col("d") * col("z3"), 12).cast(dec)).as("s3"),
+              sum(round(col("d") * col("z4"), 12).cast(dec)).as("s4"),
+              sum(round(col("d") * col("z5"), 12).cast(dec)).as("s5"))
+            .select(col("n") +: (0 to 5).map(j =>
+              col(s"s$j").cast("double").as(s"g$j")): _*)
+          val prevW = w
+          w = prevW.crossJoin(broadcast(g))
+            .select((0 to 5).map(j =>
+              round(col(s"w$j") - lit(lr) * col(s"g$j") / col("n"), 12)
+                .as(s"w$j")): _*)
+            .localCheckpoint()
+          Graph.releaseCheckpoint(prevW)
+        }
+        val p = sigmoid(marginOf(col))
+        val serve = z.crossJoin(broadcast(w))
+          .select(col("doc_id"), col("y"),
+            round(p, 6).as("score"),
+            when(p >= lit(0.5), 1).otherwise(0).as("pred"))
+          .localCheckpoint()
+        Graph.releaseCheckpoint(z)
+        Graph.releaseCheckpoint(w)
+        (mtime, serve)
+      })._2
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String,
+                        epochs: Int = QcEpochs, lr: Double = QcLr,
+                        vocabK: Int = QcVocabK): DataFrame =
+    qualityClassifierBuild(spark, dir, epochs, lr, vocabK)
+      .orderBy(col("doc_id"))
+
+  /** Confusion matrix + metrics over the train slice (H21's eval
+    * discipline applied to the classifier's own labels). */
+  def qualityClassifierEval(spark: SparkSession, dir: String,
+                            epochs: Int = QcEpochs, lr: Double = QcLr,
+                            vocabK: Int = QcVocabK): DataFrame = {
+    val b = qualityClassifierBuild(spark, dir, epochs, lr, vocabK)
+      .filter(col("y").isNotNull)
+    b.agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"),
+        round(col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
+        round(lit(2.0) * (col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"))
+          * (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          / (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+            + col("tp").cast("double") / (col("tp") + col("fn")).cast("double")),
+          6).as("f1"))
+  }
+
+  /** Shared oracle CTE chain: features, label, centering, and the
+    * unrolled epoch ladder; `fin` holds per-doc (doc_id, y, score,
+    * pred). Every double literal is ::DOUBLE (a bare 0.5 is DECIMAL
+    * in DuckDB) and every decimal-sum serve rides the VARCHAR cast. */
+  private def qcSqlCtes(epochs: Int, lr: Double, vocabK: Int): String = {
+    val sc = s"${QcScale}::DOUBLE"
+    val gsum = (j: Int, e: String) =>
+      s"CAST(CAST(SUM(CAST(ROUND($e, 12) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS g$j"
+    val steps = (1 to epochs).map { t =>
+      s"""g$t AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n,
+         |    ${gsum(0, "d")},
+         |    ${gsum(1, "d*z1")}, ${gsum(2, "d*z2")}, ${gsum(3, "d*z3")},
+         |    ${gsum(4, "d*z4")}, ${gsum(5, "d*z5")}
+         |  FROM (
+         |    SELECT ROUND(0.5::DOUBLE*(1.0::DOUBLE + m/(1.0::DOUBLE + abs(m))), 12) - y AS d,
+         |      z1, z2, z3, z4, z5
+         |    FROM (
+         |      SELECT y, z1, z2, z3, z4, z5,
+         |        w.w0 + w.w1*z1 + w.w2*z2 + w.w3*z3 + w.w4*z4 + w.w5*z5 AS m
+         |      FROM ztr CROSS JOIN w${t - 1} w))
+         |),
+         |w$t AS MATERIALIZED (
+         |  SELECT ${(0 to 5).map(j =>
+                s"ROUND(w.w$j - ${lr}::DOUBLE*g.g$j/g.n, 12) AS w$j").mkString(", ")}
+         |  FROM w${t - 1} w CROSS JOIN g$t g)""".stripMargin
+    }.mkString(",\n")
+    val msum = (x: String) =>
+      s"ROUND(CAST(CAST(SUM(CAST(ROUND($x, 12) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)/COUNT(*), 12) AS m_$x"
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents
+       |), cnt AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_corpus FROM cnt),
+       |vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT $vocabK),
+       |surp AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    ROUND(CAST(CAST(SUM(CAST(ROUND(-ln(CAST(c AS DOUBLE)/n_corpus), 9)
+       |        AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)/COUNT(*), 9) AS s
+       |  FROM t JOIN cnt USING (token) CROSS JOIN tot GROUP BY 1
+       |), th AS (
+       |  SELECT quantile_disc(s, 0.3) AS t30, quantile_disc(s, 0.7) AS t70
+       |  FROM surp
+       |), vhit AS (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS x5
+       |  FROM t LEFT JOIN vocab v USING (token) GROUP BY 1
+       |), featbase AS (
+       |  SELECT doc_id,
+       |    least(1.0::DOUBLE,
+       |      len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
+       |        / 100.0::DOUBLE) AS x1,
+       |    len(list_filter(str_split(text, ' '),
+       |      x -> x IN (${stopwords.map(s => s"'$s'").mkString(",")})))::DOUBLE
+       |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE AS x2,
+       |    len(list_distinct(list_filter(str_split(text, ' '), x -> x <> '')))::DOUBLE
+       |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE AS x3,
+       |    length(replace(text, ' ', ''))::DOUBLE
+       |      / len(list_filter(str_split(text, ' '), x -> x <> ''))::DOUBLE
+       |      / 10.0::DOUBLE AS x4
+       |  FROM documents
+       |), feat AS MATERIALIZED (
+       |  SELECT f.doc_id, x1, x2, x3, x4, x5,
+       |    CASE WHEN s <= t30 THEN 1 WHEN s >= t70 THEN 0 END AS y
+       |  FROM featbase f JOIN vhit USING (doc_id) JOIN surp USING (doc_id)
+       |    CROSS JOIN th
+       |), m AS (
+       |  SELECT ${(1 to 5).map(j => msum(s"x$j")).mkString(", ")}
+       |  FROM feat WHERE y IS NOT NULL
+       |), z AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    ${(1 to 5).map(j => s"(x$j - m_x$j)*$sc AS z$j").mkString(", ")}
+       |  FROM feat CROSS JOIN m
+       |), ztr AS (SELECT * FROM z WHERE y IS NOT NULL),
+       |w0 AS (SELECT ${(0 to 5).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")}),
+       |$steps,
+       |fin AS (
+       |  SELECT doc_id, y, ROUND(p, 6) AS score,
+       |    CASE WHEN p >= 0.5::DOUBLE THEN 1 ELSE 0 END AS pred
+       |  FROM (
+       |    SELECT doc_id, y,
+       |      ROUND(0.5::DOUBLE*(1.0::DOUBLE + m/(1.0::DOUBLE + abs(m))), 12) AS p
+       |    FROM (
+       |      SELECT doc_id, y,
+       |        w.w0 + w.w1*z1 + w.w2*z2 + w.w3*z3 + w.w4*z4 + w.w5*z5 AS m
+       |      FROM z CROSS JOIN w$epochs w))
+       |)""".stripMargin
+  }
+
+  def qualityClassifierSql(epochs: Int = QcEpochs, lr: Double = QcLr,
+                           vocabK: Int = QcVocabK): String =
+    s"""WITH ${qcSqlCtes(epochs, lr, vocabK)}
+       |SELECT doc_id, y, score, pred FROM fin ORDER BY doc_id""".stripMargin
+
+  def qualityClassifierEvalSql(epochs: Int = QcEpochs, lr: Double = QcLr,
+                               vocabK: Int = QcVocabK): String =
+    s"""WITH ${qcSqlCtes(epochs, lr, vocabK)}
+       |SELECT n, tp, fp, fn, tn,
+       |  ROUND(CAST(tp + tn AS DOUBLE)/CAST(n AS DOUBLE), 6) AS accuracy,
+       |  ROUND(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) AS precision,
+       |  ROUND(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) AS recall,
+       |  ROUND(2.0::DOUBLE
+       |      * (CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE))
+       |      * (CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE))
+       |    / (CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE)
+       |      + CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE)), 6) AS f1
+       |FROM (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM fin WHERE y IS NOT NULL)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> ((s: SparkSession, d: String) =>
+      qualityClassifier(s, d)),
+    "param_quality_classifier" -> ((s: SparkSession, d: String) =>
+      qualityClassifier(s, d, epochs = 8, lr = 2.0)),
+    "text_quality_classifier_eval" -> ((s: SparkSession, d: String) =>
+      qualityClassifierEval(s, d)),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
     "param_zipf_fit" -> ((s: SparkSession, d: String) =>
       zipfFit(s, d, topK = 20)),
@@ -2239,6 +2551,9 @@ object TextAnalysis {
     "text_rolling_fingerprint" -> (rollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_quality_classifier" -> qualityClassifierSql(),
+    "param_quality_classifier" -> qualityClassifierSql(epochs = 8, lr = 2.0),
+    "text_quality_classifier_eval" -> qualityClassifierEvalSql(),
     "text_zipf_fit" -> zipfFitSql(),
     "param_zipf_fit" -> zipfFitSql(topK = 20),
     "text_vocab_growth" -> vocabGrowthSql(),

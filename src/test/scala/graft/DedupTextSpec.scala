@@ -5,6 +5,90 @@ import org.apache.spark.sql.functions._
 /** Specs for the LLM-pipeline slices G (dedup) and I (text analysis). */
 class DedupTextSpec extends SparkSpecBase {
 
+  test("I30 quality classifier: driver replay of the full training loop") {
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = Set("the", "a", "and", "of", "is", "to", "in", "for")
+    case class Doc(id: Long, text: String, ws: Array[String])
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1),
+        r.getString(1).split(" ").filter(_.nonEmpty)))
+      .sortBy(_.id)
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.ws.foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1))
+    val nCorpus = cnt.values.sum.toDouble
+    val vocab = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    val surp = docs.map { d =>
+      val s = d.ws.map(w => BigDecimal(rnd(-math.log(cnt(w) / nCorpus), 9))).sum
+      d.id -> rnd(s.toDouble / d.ws.length, 9)
+    }.toMap
+    val svals = surp.values.toSeq.sorted
+    def pdisc(p: Double) = svals(math.ceil(p * svals.size).toInt - 1)
+    val (t30, t70) = (pdisc(0.3), pdisc(0.7))
+    // per-doc features exactly in the engine's expression shapes
+    val feats = docs.map { d =>
+      val n = d.ws.length.toDouble
+      val x = Array(
+        math.min(1.0, n / 100.0),
+        d.ws.count(stop) / n,
+        d.ws.distinct.length / n,
+        d.text.replace(" ", "").length / n / 10.0,
+        d.ws.count(vocab).toDouble / n)
+      val s = surp(d.id)
+      val y: Option[Int] =
+        if (s <= t30) Some(1) else if (s >= t70) Some(0) else None
+      (d.id, y, x)
+    }
+    val train = feats.filter(_._2.isDefined)
+    val ntr = train.length
+    val means = (0 until 5).map(j =>
+      rnd(train.map(f => BigDecimal(rnd(f._3(j), 12))).sum.toDouble / ntr, 12))
+    def zOf(x: Array[Double]): Array[Double] =
+      (0 until 5).map(j => (x(j) - means(j)) * 10.0).toArray
+    def sig(m: Double): Double = rnd(0.5 * (1.0 + m / (1.0 + math.abs(m))), 12)
+    var w = Array.fill(6)(0.0)
+    for (_ <- 1 to 16) {
+      val g = Array.fill(6)(BigDecimal(0))
+      train.foreach { case (_, y, x) =>
+        val z = zOf(x)
+        val m = w(0) + w(1) * z(0) + w(2) * z(1) + w(3) * z(2) +
+          w(4) * z(3) + w(5) * z(4)
+        val d = sig(m) - y.get
+        g(0) += BigDecimal(rnd(d, 12))
+        for (j <- 0 until 5) g(j + 1) += BigDecimal(rnd(d * z(j), 12))
+      }
+      w = (0 to 5).map(j => rnd(w(j) - 4.0 * g(j).toDouble / ntr, 12)).toArray
+    }
+    val want = feats.map { case (id, y, x) =>
+      val z = zOf(x)
+      val m = w(0) + w(1) * z(0) + w(2) * z(1) + w(3) * z(2) +
+        w(4) * z(3) + w(5) * z(4)
+      val p = sig(m)
+      (id, y, rnd(p, 6), if (p >= 0.5) 1 else 0)
+    }.toSeq
+    val got = run("text_quality_classifier").collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getDouble(2), r.getInt(3))
+    }.toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // confusion matrix + metrics re-derive (and the classifier is GOOD:
+    // the distilled per-doc signals recover the corpus-global label)
+    val tp = want.count(r => r._2.contains(1) && r._4 == 1)
+    val fp = want.count(r => r._2.contains(0) && r._4 == 1)
+    val fn = want.count(r => r._2.contains(1) && r._4 == 0)
+    val tn = want.count(r => r._2.contains(0) && r._4 == 0)
+    val ev = run("text_quality_classifier_eval").collect().head
+    assert((ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3),
+      ev.getLong(4)) == ((ntr.toLong, tp.toLong, fp.toLong, fn.toLong,
+      tn.toLong)))
+    assert(ev.getAs[Double]("accuracy") ==
+      rnd((tp + tn).toDouble / ntr.toDouble, 6))
+    assert(ev.getAs[Double]("accuracy") >= 0.75,
+      s"trained classifier should beat 0.75 on the extremes, got ${ev.getAs[Double]("accuracy")}")
+    // weights moved away from init: training actually happened
+    assert(w.exists(math.abs(_) > 0.1), w.mkString(","))
+  }
+
   test("G1/G2: every doc accounted for, keeper is min doc_id") {
     val docs = Tables.documents(spark, sf).count()
     assert(run("dedup_exact").agg(sum("n_copies")).head.getLong(0) == docs)
