@@ -840,6 +840,82 @@ case class FunnelAgg(anchors: Seq[Long])
     }.iterator
   }
 
+  case class HystOut(service: String, audit_date: String, audit_hour: Int,
+      seen: Long, n: Long, dur_sum: Long, ewma_num: Long, ewma_den: Long,
+      enter_hot: Boolean, exit_cold: Boolean, alarm: Boolean,
+      alarm_start: Boolean)
+
+  case class HystState(seen: Long, hours: Map[(String, Int), (Long, Long)])
+
+  /** F25 streaming — the live flap-suppressed alert (twin of the
+    * batch `audit_alert_hysteresis`, closing the alarm family's one
+    * batch-only member beside the F14/F17/F18 twins): per-SERVICE
+    * state is exactly (hourly (n, dur_sum) counters) — the EWMA
+    * twin's state — and each trigger folds the batch's events in,
+    * then REPLAYS the whole two-threshold recurrence
+    * alarm(t) = enter(t) ∨ (alarm(t−1) ∧ ¬exit(t)) over the ordered
+    * present hours. Thresholds are the batch's cross-multiplied
+    * integer predicates computed in BigInt (the DECIMAL(38,0)
+    * widening's exact-arithmetic twin — no product may wrap at
+    * 100 TB magnitudes, and no float ever decides an alert).
+    *
+    * Unlike the counter twins, the DERIVED booleans are NOT
+    * componentwise monotone across re-emissions (a later batch can
+    * flip an earlier hour's alarm through the chain), so each
+    * emission carries `seen` — the state's total fold count, strictly
+    * increasing per trigger — and the final row per hour is the
+    * max-`seen` emission (an update-mode sink's keep-latest
+    * semantics, made explicit for the replay spec). Production
+    * prunes state past `memory` present hours by watermark; unbounded
+    * here because the spec replays history. */
+  def hysteresisState(events: Dataset[Event], spark: SparkSession,
+      memory: Int = 8, minN: Long = 5L): Dataset[HystOut] = {
+    import spark.implicits._
+    events.groupByKey(e =>
+      if (e.event_type == "signup" || e.event_type == "click" ||
+        e.event_type == "view") "ingest"
+      else if (e.event_type == "purchase") "persist"
+      else "dlq")
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(hysteresisFn(memory, minN))
+  }
+
+  private[streaming] def hysteresisFn(memory: Int, minN: Long)(
+      service: String, events: Iterator[Event],
+      state: GroupState[HystState]): Iterator[HystOut] = {
+    var hours = state.getOption.map(_.hours).getOrElse(Map.empty)
+    var seen = state.getOption.map(_.seen).getOrElse(0L)
+    events.foreach { e =>
+      val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      val key = (utcFmt.format(inst),
+        inst.atZone(java.time.ZoneOffset.UTC).getHour)
+      val (n, ds) = hours.getOrElse(key, (0L, 0L))
+      val dur = java.lang.Math.floorMod(
+        e.event_id * 7919L + e.user_id * 104729L, 5000L)
+      hours += key -> (n + 1L, ds + dur)
+      seen += 1L
+    }
+    state.update(HystState(seen, hours))
+    val ordered = hours.toSeq.sortBy(_._1)
+    var alarm = false
+    ordered.zipWithIndex.map { case (((date, hr), (n, ds)), i) =>
+      val lags = (1 to memory).map { k =>
+        if (i - k >= 0) ordered(i - k)._2 else (0L, 0L)
+      }
+      val num = lags.zipWithIndex.map { case ((_, dsk), j) =>
+        dsk * (1L << (memory - (j + 1))) }.sum
+      val den = lags.zipWithIndex.map { case ((nk, _), j) =>
+        nk * (1L << (memory - (j + 1))) }.sum
+      val enter = den > 0 && n >= minN &&
+        BigInt(ds) * BigInt(den) > BigInt(num) * BigInt(n) * 2
+      val exit = den > 0 && BigInt(ds) * BigInt(den) < BigInt(num) * BigInt(n)
+      val prev = alarm
+      alarm = if (enter) true else if (exit) false else alarm
+      HystOut(service, date, hr, seen, n, ds, num, den,
+        enter, exit, alarm, alarm && !prev)
+    }.iterator
+  }
+
   case class SpikeCount(tenant_id: String, audit_date: String,
       audit_hour: Int, n_total: Long, n_err: Long,
       trail_total: Long, trail_err: Long)

@@ -540,6 +540,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(gotFlag == wantFlag)
   }
 
+  test("F25 streaming hysteresis alert converges to the batch state machine") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.hysteresisState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_hyst")
+      .outputMode("update").start()
+    // three UNEVEN micro-batches (arbitrary splits per the contract);
+    // no sentinel — its event_type would route to the dlq service
+    val (a, rest) = batchEvents.splitAt(batchEvents.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 5)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    ms.addData(c); q.processAllAvailable()
+    q.stop()
+    // derived booleans are NOT monotone across re-emissions (a later
+    // batch can flip an earlier hour's alarm through the chain): the
+    // final row per hour is the max-`seen` emission — update-mode
+    // keep-latest semantics made explicit
+    val fin = spark.table("s_hyst")
+      .groupBy("service", "audit_date", "audit_hour")
+      .agg(max(struct(col("seen"), col("n"), col("dur_sum"),
+        col("ewma_num"), col("ewma_den"), col("enter_hot"),
+        col("exit_cold"), col("alarm"), col("alarm_start"))).as("s"))
+      .select(col("service"), col("audit_date"), col("audit_hour"),
+        col("s.n"), col("s.enter_hot"), col("s.exit_cold"),
+        col("s.alarm"), col("s.alarm_start"))
+    val got = fin.collect().map(_.toSeq).toSet
+    val want = run("audit_alert_hysteresis")
+      .select("service", "audit_date", "audit_hour", "n",
+        "enter_hot", "exit_cold", "alarm", "alarm_start")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming hysteresis diverges from batch F25")
+    // the stream actually alarms somewhere on this data, and every
+    // alarm_start is an off->on edge of the served alarm sequence
+    val byService = run("audit_alert_hysteresis")
+      .select("service", "audit_date", "audit_hour", "alarm", "alarm_start")
+      .collect().groupBy(_.getString(0))
+    byService.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r.getString(1), r.getInt(2)))
+      var prev = false
+      ordered.foreach { r =>
+        assert(r.getBoolean(4) == (r.getBoolean(3) && !prev))
+        prev = r.getBoolean(3)
+      }
+    }
+  }
+
   test("F17 streaming EWMA monitor converges to the batch regression alarm") {
     val ms = MemoryStream[Event]
     val q = StreamOps.ewmaCounters(ms.toDS(), spark)
