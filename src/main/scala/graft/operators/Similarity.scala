@@ -667,15 +667,28 @@ object Similarity {
     * Shared by the hash-picked (H4) and k-means-trained (H6) indexes
     * — one implementation, so tie-breaks/probe counts cannot drift
     * between them. */
-  private def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame = {
+  /** One IVF list-assignment pass: each vector keys itself to its
+    * best (quantized-cosine argmax) centroid. Per-row independent —
+    * the property the H23 incremental refresh rests on: assigning
+    * base ∪ delta in one pass ≡ assigning each slice separately
+    * against the SAME frozen centroids and unioning the lists. */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         cosineQ(vdotQuantizedNative(col("qvec"), col("cq")), col("nsq"), col("cn")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("qvec"), col("nsq"), col("cent_id").as("cell"))
+  }
+
+  private def ivfSearch(emb: DataFrame, cents: DataFrame): DataFrame =
+    searchAssigned(emb, cents, assignTo(emb, cents))
+
+  /** The probe tail over an already-built inverted file. */
+  private def searchAssigned(emb: DataFrame, cents: DataFrame,
+                             assigned: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qcent_cos").desc, col("cent_id"))
     val probes = emb.filter(col("vec_id") < NQueries)
@@ -741,6 +754,139 @@ object Similarity {
        |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
        |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
        |), ${ivfTailSql("cents")}""".stripMargin
+
+  /** H23 `sim_index_refresh` — INCREMENTAL ANN-index maintenance
+    * (P4's day-2 discipline applied to the H family, per the r9
+    * verdict ask): the day-1 index — hash-picked centroids trained on
+    * the BASE slice (first [[RefreshSplitPct]]% of vec_ids) plus the
+    * base inverted lists — is a FROZEN, checkpointed artifact; a
+    * corpus refresh re-encodes ONLY the delta slice against the
+    * frozen centroids (one O(|delta|·k) broadcast assignment — the
+    * scan carries a pushed vec_id ≥ split filter, so delta cost is
+    * O(|delta|), never a corpus rescan) and the served index is the
+    * list-level MERGE base ∪ delta. Probes search the merged file
+    * with H4's exact tail; each hit reports which slice it lives in.
+    *
+    * Correctness hinge (spec-pinned): list assignment is per-row
+    * independent, so merge-after-delta-encode ≡ full rebuild under
+    * the same frozen codebook — the oracle recomputes the full
+    * rebuild from scratch and must hash-match the incremental serve.
+    * This is the standard production IVF shape (FAISS/SPANN-style
+    * segment merge): codebooks retrain rarely and offline; daily
+    * ingest only appends encoded postings. */
+  private val RefreshSplitPct = 80
+
+  private val refreshReg = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Long, DataFrame, DataFrame))]()
+
+  /** Frozen day-1 artifacts: (splitId, centroids, base inverted
+    * lists), memoized per (dir, splitPct) with the house lifecycle. */
+  private[graft] def refreshBaseParts(spark: SparkSession, dir: String,
+      splitPct: Int): (Long, DataFrame, DataFrame) = {
+    val mtime = Tables.mtime(spark, s"$dir/embeddings.parquet")
+    refreshReg.compute(
+      s"${System.identityHashCode(spark)}:$dir:refresh:$splitPct",
+      (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) {
+            Graph.releaseCheckpoint(prev._2._2)
+            Graph.releaseCheckpoint(prev._2._3)
+          }
+          val emb = quantized(spark, dir)
+          // bounded 1-row driver scalars (the ivfK/DPP-threshold
+          // pattern): corpus size -> split boundary and base-sized k
+          val n = emb.count()
+          val splitId = n * splitPct / 100
+          val base = emb.filter(col("vec_id") < splitId)
+          val kb = math.min(MaxCentroids,
+            math.max(8, math.ceil(math.sqrt(splitId.toDouble)).toInt))
+          val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(kb)
+            .select(col("vec_id").as("cent_id"), col("qvec").as("cq"),
+              col("nsq").as("cn"))
+            .localCheckpoint() // the frozen codebook
+          val baseIdx = assignTo(base, cents)
+            .localCheckpoint() // the persisted day-1 inverted file
+          (mtime, (splitId, cents, baseIdx))
+        })._2
+  }
+
+  def indexRefresh(spark: SparkSession, dir: String,
+                   splitPct: Int = RefreshSplitPct): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (splitId, cents, baseIdx) = refreshBaseParts(spark, dir, splitPct)
+    // day-2 work: encode ONLY the delta against the frozen codebook
+    val deltaIdx = assignTo(emb.filter(col("vec_id") >= splitId), cents)
+    val merged = baseIdx.union(deltaIdx)
+    searchAssigned(emb, cents, merged)
+      .withColumn("src",
+        when(col("vec_id") < splitId, lit("base")).otherwise(lit("delta")))
+  }
+
+  /** Spec seam: the full-rebuild search under the SAME frozen
+    * codebook — one assignment pass over the whole corpus. The H23
+    * spec pins incremental-merge ≡ this. */
+  private[graft] def fullRebuildSearch(spark: SparkSession, dir: String,
+      splitPct: Int): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (_, cents, _) = refreshBaseParts(spark, dir, splitPct)
+    searchAssigned(emb, cents, assignTo(emb, cents))
+  }
+
+  /** Spec seam: the delta-encode subtree over the RAW parquet scan
+    * (the cached quantized table hides pushdown behind its
+    * InMemoryTableScan), proving the day-2 encode reads only the
+    * delta slice — the vec_id ≥ split predicate reaches the scan. */
+  private[graft] def deltaEncodePlanProbe(spark: SparkSession,
+      dir: String, splitPct: Int): DataFrame = {
+    val (splitId, cents, _) = refreshBaseParts(spark, dir, splitPct)
+    val raw = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), vquantize(col("embedding"), 10000.0).as("qvec"))
+      .select(col("vec_id"), col("qvec"),
+        vdotQuantizedNative(col("qvec"), col("qvec")).as("nsq"))
+    assignTo(raw, cents)
+  }
+
+  def indexRefreshSql(splitPct: Int = RefreshSplitPct): String =
+    s"""WITH $qnSqlCte, sp AS (
+       |  SELECT (COUNT(*) * $splitPct) // 100 AS split_id FROM embeddings
+       |), base AS (
+       |  SELECT q.* FROM qnn q CROSS JOIN sp WHERE vec_id < split_id
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM base)
+       |), assigned AS (
+       |  SELECT vec_id, qvec, nsq, cell FROM (
+       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |  ) WHERE arn = 1
+       |), probes AS (
+       |  SELECT qid, qq, qn, cell FROM (
+       |    SELECT e.vec_id AS qid, e.qvec AS qq, e.nsq AS qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS prn
+       |    FROM qnn e CROSS JOIN cents c WHERE e.vec_id < $NQueries
+       |  ) WHERE prn <= $NProbeCells
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} AS cosine,
+       |    p.cell
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |)
+       |SELECT qid, rank, vec_id, cosine, cell,
+       |  CASE WHEN vec_id < split_id THEN 'base' ELSE 'delta' END AS src
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand
+       |) CROSS JOIN sp WHERE rank <= $K""".stripMargin
 
   private val KmeansIters = 2
 
@@ -1786,6 +1932,9 @@ object Similarity {
     "sim_cosine_pairs" -> (cosinePairs _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_probe" -> (ivfProbe _),
+    "sim_index_refresh" -> ((s: SparkSession, d: String) => indexRefresh(s, d)),
+    "param_index_refresh" -> ((s: SparkSession, d: String) =>
+      indexRefresh(s, d, splitPct = 60)),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_recall_eval" -> (recallEval _),
@@ -1815,6 +1964,8 @@ object Similarity {
     "sim_cosine_pairs" -> cosinePairsSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_probe" -> ivfProbeSql,
+    "sim_index_refresh" -> indexRefreshSql(),
+    "param_index_refresh" -> indexRefreshSql(splitPct = 60),
     "sim_ivf_kmeans" -> ivfKmeansSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_recall_eval" -> recallEvalSql,

@@ -48,6 +48,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_knn_classify", "param_knn_classify", // broadcast held-out eval set, streaming train corpus
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
     "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
+    "sim_index_refresh", "param_index_refresh", // bounded frozen-codebook crossJoin (delta encode + probe assign)
     "sim_sq8", // broadcast query codes, streaming corpus codes
     "sim_binary_quantized", // broadcast query fingerprints, streaming corpus scan
     "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
@@ -151,6 +152,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_bm25_topk" -> 3, // per-doc agg + 1-row stats agg + fused-list rank
     "param_bm25_topk" -> 3,
     "sim_hybrid_rrf" -> 5, // BM25's 3 + union-groupBy fusion
+    "sim_index_refresh" -> 3, // delta-assign window + probe window + rank window (base lists are a checkpoint leaf)
+    "param_index_refresh" -> 3,
     "audit_distinct_users_sketch" -> 2,
     "audit_hll_sketch_store" -> 4, // day-sketch agg + tenant merge + exact twin + join
     "store_compaction_plan" -> 3, // manifest agg + metadata-only global cumsum + bin agg

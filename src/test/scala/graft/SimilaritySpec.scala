@@ -536,6 +536,43 @@ class SimilaritySpec extends SparkSpecBase {
       conf.filter(c => c._1 == c._2).map(_._3).sum)
   }
 
+  test("H23 index refresh: merged index == full rebuild, delta encode is O(|delta|)") {
+    val served = run("sim_index_refresh")
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // (a) incremental merge == full rebuild under the frozen codebook:
+    // re-assign the WHOLE corpus against the same frozen centroids in
+    // one pass and search — must equal the served base∪delta merge
+    val (splitId, cents, _) =
+      operators.Similarity.refreshBaseParts(spark, sf, 80)
+    val emb = Tables.embeddings(spark, sf).count()
+    assert(splitId == emb * 80 / 100)
+    val full = operators.Similarity.fullRebuildSearch(spark, sf, 80)
+    assert(served.drop("src").except(full).count() == 0 &&
+      full.except(served.drop("src")).count() == 0,
+      "incremental merge diverges from full rebuild")
+    // (b) the day-2 delta encode reads ONLY the delta slice: its scan
+    // carries the pushed vec_id >= split filter
+    val deltaPlan = operators.Similarity
+      .deltaEncodePlanProbe(spark, sf, 80)
+    val scan = flattenPlan(executedPlan(deltaPlan)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(vec_id"),
+      s"delta scan filter not pushed: $pushed")
+    // (c) the refreshed index actually serves delta hits, and every
+    // src flag is consistent with the split boundary
+    rows.foreach { r =>
+      val isBase = r.getAs[Long]("vec_id") < splitId
+      assert(r.getAs[String]("src") == (if (isBase) "base" else "delta"))
+    }
+    assert(rows.exists(_.getAs[String]("src") == "delta"),
+      "no delta vector reachable through the merged index")
+    // the frozen codebook is base-only: no centroid id in the delta
+    assert(cents.filter(col("cent_id") >= splitId).count() == 0)
+  }
+
   test("H19 kNN graph: bucketed all-corpus top-k matches a driver replay") {
     val rows = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
