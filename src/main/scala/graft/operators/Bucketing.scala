@@ -391,6 +391,132 @@ object Bucketing {
     "l_returnflag" -> None, "l_linestatus" -> None,
     "l_shipdate" -> Some("EPOCH")) // sentinel: epoch-micros projection
 
+  /** N14 `store_stats_incremental` — PER-PARTITION mergeable column
+    * stats (the incremental companion the r9 verdict asked for: N7
+    * rescans the table; this is ANALYZE as a maintained store). The
+    * STORE holds one row per (shipdate-month, column): exact
+    * min/max/null/row counters plus a DataSketches HLL sketch of the
+    * column's values — F15's sketch-store discipline applied to table
+    * stats. The READ merges at query time: min-of-mins, max-of-maxes,
+    * counter sums, and hll_union_agg over the partition sketches,
+    * with N7's two-tier NDV discipline (exact distinct is the
+    * hash-compared answer; the merged-sketch estimate is served as an
+    * in-band boolean the oracle pins TRUE, band ±15%+1).
+    *
+    * Why it scales: after a P4-style delta admission only the NEW
+    * months' rows are profiled (the spec pins the pushed
+    * l_shipdate ≥ cutoff scan filter) and appended to the store —
+    * re-profiling is O(|delta partitions|), never a table rescan —
+    * and merge ≡ full-scan is exact for every counter by algebra
+    * (min/max/sum are associative-commutative; spec-pinned by hash).
+    * The HLL union is the sketch's native merge but its ESTIMATE is
+    * not bit-stable across partition splits (DataSketches union
+    * order/mode effects) — which is exactly why the serve exposes
+    * only the in-band boolean, never the raw estimate; the spec pins
+    * the incremental path's estimate to the same band contract.
+    * Store build is ONE pass (single grouped
+    * aggregate over all profiled columns, checkpointed at partition
+    * cardinality); the served read runs over |months|×|columns| rows
+    * — metadata-scale. */
+  private val IncStatCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "l_orderkey",
+    "l_quantity" -> "l_quantity",
+    "l_extendedprice" -> "l_extendedprice",
+    "l_shipdate" -> "EPOCH")
+
+  private def incNum(name: String, proj: String): org.apache.spark.sql.Column =
+    if (proj == "EPOCH") unix_micros(col(name)).cast("double")
+    else col(proj).cast("double")
+
+  /** One-pass per-partition stats build over any lineitem-shaped
+    * slice — the seam the delta admission (and its spec) reuses. */
+  private[graft] def statsStoreFrom(li: DataFrame,
+      partFmt: String = "yyyy-MM"): DataFrame = {
+    val aggs = IncStatCols.flatMap { case (name, proj) =>
+      val n = incNum(name, proj)
+      Seq(min(n).as(s"min_$name"), max(n).as(s"max_$name"),
+        (count(lit(1)) - count(col(name))).as(s"nulls_$name"),
+        // hll_sketch_agg takes int/long/string/binary: feed the
+        // canonical string rendering of the numeric projection
+        // (injective, so sketch NDV == value NDV within band)
+        hll_sketch_agg(n.cast("string")).as(s"hll_$name"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = li
+      .groupBy(date_format(col("l_shipdate"), partFmt).as("part_key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // partition cardinality; one scan feeds all columns
+    IncStatCols.map { case (name, _) =>
+      wide.select(col("part_key"), lit(name).as("column_name"),
+        col(s"min_$name").as("min_v"), col(s"max_$name").as("max_v"),
+        col(s"nulls_$name").as("n_nulls"), col("n_rows"),
+        col(s"hll_$name").as("hll"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private val statsStoreReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  /** The persisted stats store, memoized per (dir, granularity). */
+  private[graft] def statsStore(spark: SparkSession, dir: String,
+      partFmt: String = "yyyy-MM"): DataFrame = {
+    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    statsStoreReg.compute(
+      s"${System.identityHashCode(spark)}:$dir:stats:$partFmt", (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) graft.operators.Graph.releaseCheckpoint(prev._2)
+          (mtime,
+            statsStoreFrom(Tables.lineitem(spark, dir), partFmt)
+              .localCheckpoint())
+        })._2
+  }
+
+  /** The merged read over any store frame (base, delta, or union). */
+  private[graft] def statsMergedRead(store: DataFrame): DataFrame =
+    store.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        sum(col("n_nulls")).as("n_nulls"), sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("ndv_est"))
+
+  def statsIncremental(spark: SparkSession, dir: String,
+      partFmt: String = "yyyy-MM"): DataFrame = {
+    val merged = statsMergedRead(statsStore(spark, dir, partFmt))
+    // exact NDV attach — the band pin (N7's two-tier discipline); a
+    // production read serves ndv_est alone and skips this scan
+    val li = Tables.lineitem(spark, dir)
+    val exact = li
+      .agg(countDistinct(incNum(IncStatCols.head._1, IncStatCols.head._2))
+          .as(s"ndv_${IncStatCols.head._1}"),
+        IncStatCols.tail.map { case (name, proj) =>
+          countDistinct(incNum(name, proj)).as(s"ndv_$name") }: _*)
+      .selectExpr(s"stack(${IncStatCols.size}, " +
+        IncStatCols.map { case (name, _) => s"'$name', ndv_$name" }
+          .mkString(", ") + ") AS (column_name, ndv)")
+    merged.join(broadcast(exact), Seq("column_name"))
+      .select(col("column_name"), col("n_parts"), col("min_v"), col("max_v"),
+        col("n_nulls"), col("n_rows"), col("ndv"),
+        (abs(col("ndv_est") - col("ndv")) <= col("ndv") * 0.15 + 1)
+          .as("ndv_sketch_in_band"))
+      .orderBy(col("column_name"))
+  }
+
+  def statsIncrementalSql(partFmt: String = "yyyy-MM"): String = {
+    val duckFmt = if (partFmt == "yyyy") "%Y" else "%Y-%m"
+    IncStatCols.map { case (name, proj) =>
+      val num = if (proj == "EPOCH") s"CAST(epoch_us($name) AS DOUBLE)"
+        else s"CAST($proj AS DOUBLE)"
+      s"""SELECT '$name' AS column_name,
+         |  COUNT(DISTINCT strftime(l_shipdate, '$duckFmt')) AS n_parts,
+         |  MIN($num) AS min_v, MAX($num) AS max_v,
+         |  COUNT(*) - COUNT($name) AS n_nulls,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT $num) AS ndv,
+         |  TRUE AS ndv_sketch_in_band
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+
   /** N7 `store_column_stats` — the table-stats collection pass behind
     * ANALYZE TABLE / CBO and the N3 skipping manifest: per column,
     * value range (numeric columns; timestamps as epoch micros — exact
@@ -632,6 +758,10 @@ object Bucketing {
     "store_equidepth_hist" -> ((s, d) => equidepthHist(s, d)),
     "param_equidepth_hist" -> ((s, d) => equidepthHist(s, d, buckets = 4)),
     "store_column_stats" -> (columnStats _),
+    "store_stats_incremental" -> ((s: org.apache.spark.sql.SparkSession,
+      d: String) => statsIncremental(s, d)),
+    "param_stats_incremental" -> ((s: org.apache.spark.sql.SparkSession,
+      d: String) => statsIncremental(s, d, partFmt = "yyyy")),
     "store_partition_prune" -> (partitionPrune _),
     "store_dpp_join" -> ((s: SparkSession, d: String) => dppJoin(s, d)),
     "param_dpp_join" -> ((s: SparkSession, d: String) =>
@@ -647,6 +777,8 @@ object Bucketing {
     "store_equidepth_hist" -> equidepthHistSql(),
     "param_equidepth_hist" -> equidepthHistSql(buckets = 4),
     "store_column_stats" -> columnStatsSql,
+    "store_stats_incremental" -> statsIncrementalSql(),
+    "param_stats_incremental" -> statsIncrementalSql(partFmt = "yyyy"),
     "store_partition_prune" -> partitionPruneSql,
     "store_dpp_join" -> dppJoinSql(),
     "param_dpp_join" -> dppJoinSql(factor = 1.1),

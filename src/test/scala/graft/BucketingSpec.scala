@@ -48,6 +48,52 @@ class BucketingSpec extends SparkSpecBase {
     assert(shuffles == 0, s"bucketed stats read should not shuffle, got $shuffles")
   }
 
+  test("N14 incremental stats: delta-admitted store merges to the full-scan answer") {
+    val served = run("store_stats_incremental").collect()
+    assert(served.length == 4 &&
+      served.forall(_.getAs[Boolean]("ndv_sketch_in_band")))
+    // P4-style delta admission on a month boundary: profile the base
+    // and the delta separately, union the STORES, merge at read —
+    // must equal the full-store merged read row for row (exact
+    // counters AND the merged HLL estimate: same per-month sketch
+    // rows on both paths)
+    val li = Tables.lineitem(spark, sf)
+    val cutoff = lit("1997-01-01").cast("date")
+    val baseStore = operators.Bucketing.statsStoreFrom(
+      li.filter(col("l_shipdate") < cutoff))
+    val deltaSlice = li.filter(col("l_shipdate") >= cutoff)
+    val deltaStore = operators.Bucketing.statsStoreFrom(deltaSlice)
+    assert(deltaStore.count() > 0 && baseStore.count() > 0)
+    val mergedInc = operators.Bucketing
+      .statsMergedRead(baseStore.unionAll(deltaStore)).collect()
+    val mergedFull = operators.Bucketing
+      .statsMergedRead(operators.Bucketing.statsStore(spark, sf)).collect()
+    // exact counters merge identically by algebra (min/max/sum/count)
+    def exactPart(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.dropRight(1)).toSet // all but ndv_est
+    assert(exactPart(mergedInc) == exactPart(mergedFull),
+      "delta-admitted store read diverges from the full store")
+    // the sketch estimate is NOT bit-stable across partition splits
+    // (DataSketches HLL union order/mode effects) — that is WHY the
+    // serve exposes only the in-band boolean; pin the incremental
+    // path's estimate to the same +-15%+1 contract against exact NDV
+    val exactNdv = served.map(r =>
+      r.getAs[String]("column_name") -> r.getAs[Long]("ndv")).toMap
+    mergedInc.foreach { r =>
+      val ndv = exactNdv(r.getAs[String]("column_name"))
+      assert(math.abs(r.getAs[Long]("ndv_est") - ndv) <= ndv * 0.15 + 1,
+        s"incremental sketch out of band: $r vs exact $ndv")
+    }
+    // the delta profile reads ONLY the delta slice: the shipdate
+    // cutoff is pushed into the parquet scan
+    val scan = flattenPlan(executedPlan(deltaSlice)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"delta scan filter not pushed: $pushed")
+  }
+
   test("N2 partition prune: executed scan reads only the queried day's files") {
     val df = run("store_partition_prune")
     val rows = df.collect()

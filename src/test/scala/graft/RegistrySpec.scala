@@ -154,6 +154,8 @@ class RegistrySpec extends SparkSpecBase {
     "sim_hybrid_rrf" -> 5, // BM25's 3 + union-groupBy fusion
     "sim_index_refresh" -> 3, // delta-assign window + probe window + rank window (base lists are a checkpoint leaf)
     "param_index_refresh" -> 3,
+    "store_stats_incremental" -> 4, // store-merge agg + exact-NDV expand (partial/final over 4-col distinct) + attach; store itself is a checkpoint leaf
+    "param_stats_incremental" -> 4,
     "audit_distinct_users_sketch" -> 2,
     "audit_hll_sketch_store" -> 4, // day-sketch agg + tenant merge + exact twin + join
     "store_compaction_plan" -> 3, // manifest agg + metadata-only global cumsum + bin agg
