@@ -61,6 +61,22 @@ def fetch(cursor):
 def main(sf_dir, out_dir, names=None, json_path=None):
     report = {}
     con = duckdb.connect()
+    # an in-memory connection has NO temp_directory, so large sorts/
+    # joins cannot spill and abort with OOM at the 100x replica —
+    # point spilling at a disk path (same engine semantics, just
+    # out-of-core execution for oracle queries that exceed RAM)
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP",
+                         f"/tmp/graft_duckdb_spill_{os.getpid()}")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET preserve_insertion_order=false")
+    # peak memory scales with threads x per-operator buffers: the 100x
+    # replica checks run fewer, fatter threads (default 32 exhausts
+    # the 100 GiB limit before spilling kicks in)
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: a directory of parts
