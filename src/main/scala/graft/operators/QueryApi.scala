@@ -220,6 +220,59 @@ object QueryApi {
        |  ON s.tenant_id = l.tenant_id AND s.user_id = l.user_id
        |  AND s.event_type = l.event_type""".stripMargin
 
+  /** E16 `api_obs_trend` — per-(patient, code) RATE-OF-CHANGE read
+    * (the GraphQL "trend" resolver shape, the delta companion to
+    * E15's summary): each observation paired with its predecessor on
+    * the unique (µs, event_id) order, serving the value delta, the
+    * µs gap, and the per-hour slope — the "is this patient's lab
+    * drifting and how fast" dashboard read. Zero-dt successors
+    * (duplicate capture at the same µs) carry no slope and are
+    * excluded. Exactness: dv is an IEEE double subtraction and the
+    * slope a double multiply-divide of exact integer µs gaps — the
+    * same shape both engines, rounded 6dp at serve. Scale: ONE
+    * entity-keyed window (lag rides the same (tenant, patient, code)
+    * exchange every E-read pays; zero-Exchange on the D2b bucketed
+    * layout like E15). */
+  def obsTrend(spark: SparkSession, dir: String,
+               tenant: String = "t1"): DataFrame = {
+    val w = Window
+      .partitionBy(col("tenant_id"), col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(tenantPred(tenant))
+      .select(Obs.tenant.as("tenant_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_us").isNotNull && col("us") > col("prev_us"))
+      .select(col("tenant_id"), col("user_id"), col("event_type"),
+        col("event_id"), col("us"), col("value"),
+        col("prev_value"), (col("us") - col("prev_us")).as("dt_us"),
+        round((col("value") - col("prev_value")) * lit(3600000000.0)
+          / (col("us") - col("prev_us")).cast("double"), 6)
+          .as("slope_per_hr"))
+  }
+
+  def obsTrendSql(tenant: String = "t1"): String =
+    s"""WITH base AS (
+       |  SELECT 't' || (user_id % 4) AS tenant_id, user_id, event_type,
+       |    epoch_us(ts) AS us, event_id, value
+       |  FROM events WHERE ${tenantSqlPred(tenant)}
+       |), lagged AS (
+       |  SELECT *,
+       |    LAG(us, 1) OVER w AS prev_us,
+       |    LAG(value, 1) OVER w AS prev_value
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY tenant_id, user_id, event_type
+       |               ORDER BY us, event_id)
+       |)
+       |SELECT tenant_id, user_id, event_type, event_id, us, value,
+       |  prev_value, us - prev_us AS dt_us,
+       |  ROUND((value - prev_value) * 3600000000.0::DOUBLE
+       |    / CAST(us - prev_us AS DOUBLE), 6) AS slope_per_hr
+       |FROM lagged
+       |WHERE prev_us IS NOT NULL AND us > prev_us""".stripMargin
+
   /** E4 `api_obs_page_after` — keyset pagination: the page after
     * cursor (ts0, id0) for one (tenant, patient), strictly ordered by
     * the unique (ts, event_id) chain. Equivalent of the reference's
@@ -785,6 +838,8 @@ object QueryApi {
       to = "2024-01-28 00:00:00")),
     "api_latest_observation" -> ((s, d) => latestObservation(s, d)),
     "api_obs_stats" -> ((s, d) => obsStats(s, d)),
+    "api_obs_trend" -> ((s, d) => obsTrend(s, d)),
+    "param_obs_trend" -> ((s, d) => obsTrend(s, d, tenant = "t3")),
     "param_obs_stats" -> ((s, d) => obsStats(s, d, tenant = "t2")),
     "api_obs_page_after" -> ((s, d) => obsPageAfter(s, d)),
     "api_obs_asof_join" -> ((s, d) => obsAsofJoin(s, d)),
@@ -828,6 +883,8 @@ object QueryApi {
       from = "2024-01-08 00:00:00", to = "2024-01-28 00:00:00"),
     "api_latest_observation" -> latestObservationSql(),
     "api_obs_stats" -> obsStatsSql(),
+    "api_obs_trend" -> obsTrendSql(),
+    "param_obs_trend" -> obsTrendSql(tenant = "t3"),
     "param_obs_stats" -> obsStatsSql(tenant = "t2"),
     "api_obs_page_after" -> obsPageAfterSql(),
     "api_obs_asof_join" -> obsAsofJoinSql(),

@@ -848,6 +848,88 @@ object Similarity {
     assignTo(raw, cents)
   }
 
+  /** H24 `sim_index_tombstone` — tombstone-aware (soft-delete) index
+    * READ: deletions are excluded by a posting-level filter at query
+    * time, never by rebuilding — the FAISS IDSelector / Lucene
+    * live-docs shape, and the missing half of H23's day-2 story
+    * (refresh admits vectors; this retires them). The delete set is
+    * deterministic (vec_id ≡ tombR mod tombMod, ~1/tombMod of the
+    * corpus); the served search runs over the SAME frozen codebook
+    * and merged inverted file as H23 with tombstoned postings
+    * filtered out. Probes are unchanged — query vectors are external
+    * to the index.
+    *
+    * Correctness hinge (spec-pinned): under a frozen codebook,
+    * assignment is per-row independent, so filter-after-assign ≡
+    * assign-after-filter — the soft-deleted read equals an index
+    * REBUILT from the surviving corpus. Scale: the filter is a
+    * posting-level predicate pushed into the index scan; delete cost
+    * is O(0) at write time and one cheap predicate at read — no
+    * rebuild, no compaction required until tombstone density
+    * warrants it. */
+  def indexTombstone(spark: SparkSession, dir: String,
+      splitPct: Int = RefreshSplitPct,
+      tombMod: Int = 7, tombR: Int = 3): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (splitId, cents, baseIdx) = refreshBaseParts(spark, dir, splitPct)
+    val deltaIdx = assignTo(emb.filter(col("vec_id") >= splitId), cents)
+    val live = baseIdx.union(deltaIdx)
+      .filter(pmod(col("vec_id"), lit(tombMod)) =!= tombR)
+    searchAssigned(emb, cents, live)
+  }
+
+  /** Spec seam: the index REBUILT from the surviving corpus under the
+    * same frozen codebook — one assignment pass over the filtered
+    * corpus. H24's spec pins soft-delete-read ≡ this. */
+  private[graft] def tombstoneRebuildProbe(spark: SparkSession, dir: String,
+      splitPct: Int = RefreshSplitPct,
+      tombMod: Int = 7, tombR: Int = 3): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (_, cents, _) = refreshBaseParts(spark, dir, splitPct)
+    searchAssigned(emb, cents,
+      assignTo(emb.filter(pmod(col("vec_id"), lit(tombMod)) =!= tombR), cents))
+  }
+
+  def indexTombstoneSql(splitPct: Int = RefreshSplitPct,
+      tombMod: Int = 7, tombR: Int = 3): String =
+    s"""WITH $qnSqlCte, sp AS (
+       |  SELECT (COUNT(*) * $splitPct) // 100 AS split_id FROM embeddings
+       |), base AS (
+       |  SELECT q.* FROM qnn q CROSS JOIN sp WHERE vec_id < split_id
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM base)
+       |), assigned AS (
+       |  SELECT vec_id, qvec, nsq, cell FROM (
+       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |    WHERE (e.vec_id % $tombMod) <> $tombR
+       |  ) WHERE arn = 1
+       |), probes AS (
+       |  SELECT qid, qq, qn, cell FROM (
+       |    SELECT e.vec_id AS qid, e.qvec AS qq, e.nsq AS qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS prn
+       |    FROM qnn e CROSS JOIN cents c WHERE e.vec_id < $NQueries
+       |  ) WHERE prn <= $NProbeCells
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} AS cosine,
+       |    p.cell
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |)
+       |SELECT qid, rank, vec_id, cosine, cell FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand
+       |) WHERE rank <= $K""".stripMargin
+
   def indexRefreshSql(splitPct: Int = RefreshSplitPct): String =
     s"""WITH $qnSqlCte, sp AS (
        |  SELECT (COUNT(*) * $splitPct) // 100 AS split_id FROM embeddings
@@ -1935,6 +2017,10 @@ object Similarity {
     "sim_index_refresh" -> ((s: SparkSession, d: String) => indexRefresh(s, d)),
     "param_index_refresh" -> ((s: SparkSession, d: String) =>
       indexRefresh(s, d, splitPct = 60)),
+    "sim_index_tombstone" -> ((s: SparkSession, d: String) =>
+      indexTombstone(s, d)),
+    "param_index_tombstone" -> ((s: SparkSession, d: String) =>
+      indexTombstone(s, d, tombMod = 5, tombR = 0)),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_recall_eval" -> (recallEval _),
@@ -1966,6 +2052,8 @@ object Similarity {
     "sim_ivf_probe" -> ivfProbeSql,
     "sim_index_refresh" -> indexRefreshSql(),
     "param_index_refresh" -> indexRefreshSql(splitPct = 60),
+    "sim_index_tombstone" -> indexTombstoneSql(),
+    "param_index_tombstone" -> indexTombstoneSql(tombMod = 5, tombR = 0),
     "sim_ivf_kmeans" -> ivfKmeansSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_recall_eval" -> recallEvalSql,

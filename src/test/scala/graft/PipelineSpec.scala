@@ -849,6 +849,41 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.exists(r => r.isNullAt(r.fieldIndex("value_filled"))))
   }
 
+  test("E16 trend read: slopes match a driver recompute over the lag chain") {
+    val rows = run("api_obs_trend").collect()
+    assert(rows.nonEmpty)
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .collect()
+      .filter(_.getLong(0) % 4 == 1) // tenant t1
+      .map(r => (r.getLong(0), r.getString(1), us(r.getTimestamp(2)),
+        r.getLong(3), r.getDouble(4)))
+    val want = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, g) =>
+      val s = g.sortBy(e => (e._3, e._4))
+      s.zip(s.drop(1)).collect {
+        case (p, c) if c._3 > p._3 =>
+          c._4 -> (p._5, c._3 - p._3,
+            rnd6((c._5 - p._5) * 3600000000.0 / (c._3 - p._3).toDouble))
+      }
+    }.toMap
+    assert(rows.length == want.size, s"${rows.length} vs ${want.size}")
+    rows.foreach { r =>
+      val (pv, dt, slope) = want(r.getAs[Long]("event_id"))
+      assert(r.getAs[Double]("prev_value") == pv &&
+        r.getAs[Long]("dt_us") == dt &&
+        r.getAs[Double]("slope_per_hr") == slope, s"bad trend row $r")
+    }
+    // a trend read never crosses (patient, code) boundaries: every
+    // pair's predecessor is in the same series by construction of the
+    // recompute above; and the tenant slice is structural
+    assert(rows.forall(_.getAs[String]("tenant_id") == "t1"))
+  }
+
   test("E14 OHLC: bucket laws hold and match a driver recompute") {
     val rows = run("api_obs_ohlc").collect()
     assert(rows.nonEmpty)

@@ -49,6 +49,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_pq_adc", "sim_lsh_ann", "sim_ivf_probe", "sim_ivf_kmeans",
     "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
     "sim_index_refresh", "param_index_refresh", // bounded frozen-codebook crossJoin (delta encode + probe assign)
+    "sim_index_tombstone", "param_index_tombstone", // same codebook crossJoin, postings filtered at read
     "sim_sq8", // broadcast query codes, streaming corpus codes
     "sim_binary_quantized", // broadcast query fingerprints, streaming corpus scan
     "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
@@ -156,6 +157,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_index_refresh" -> 3,
     "store_stats_incremental" -> 4, // store-merge agg + exact-NDV expand (partial/final over 4-col distinct) + attach; store itself is a checkpoint leaf
     "param_stats_incremental" -> 4,
+    "sim_index_tombstone" -> 3, // H23's shape: delta-assign + probe + rank windows
+    "param_index_tombstone" -> 3,
     "audit_distinct_users_sketch" -> 2,
     "audit_hll_sketch_store" -> 4, // day-sketch agg + tenant merge + exact twin + join
     "store_compaction_plan" -> 3, // manifest agg + metadata-only global cumsum + bin agg

@@ -573,6 +573,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cents.filter(col("cent_id") >= splitId).count() == 0)
   }
 
+  test("H24 tombstone read: soft delete == rebuild on survivors, frozen codebook") {
+    val served = run("sim_index_tombstone")
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // no tombstoned posting can surface through the soft-deleted read
+    assert(rows.forall(_.getAs[Long]("vec_id") % 7 != 3))
+    // filter-after-assign == assign-after-filter: the posting-level
+    // delete filter serves exactly what a rebuild on the surviving
+    // corpus (same frozen codebook) would
+    val rebuilt = operators.Similarity.tombstoneRebuildProbe(spark, sf)
+    assert(served.except(rebuilt).count() == 0 &&
+      rebuilt.except(served).count() == 0,
+      "soft-deleted read diverges from rebuild on survivors")
+    // the delete is live: at least one H23 result row was a casualty
+    val undeleted = run("sim_index_refresh").drop("src")
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet != undeleted,
+      "tombstones removed nothing from the served top-k")
+  }
+
   test("H19 kNN graph: bucketed all-corpus top-k matches a driver replay") {
     val rows = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
