@@ -799,8 +799,15 @@ object Similarity {
           val n = emb.count()
           val splitId = n * splitPct / 100
           val base = emb.filter(col("vec_id") < splitId)
+          // k from the ACTUAL base row count, not from splitId:
+          // vec_ids are dense at the driver SFs but OFFSET per
+          // replica at the scale layouts, where count(vec_id <
+          // splitId) != splitId — deriving k from the threshold
+          // trained a different codebook than the oracle's (caught
+          // by the 10x answer gate in r10)
+          val baseCount = base.count()
           val kb = math.min(MaxCentroids,
-            math.max(8, math.ceil(math.sqrt(splitId.toDouble)).toInt))
+            math.max(8, math.ceil(math.sqrt(baseCount.toDouble)).toInt))
           val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(kb)
             .select(col("vec_id").as("cent_id"), col("qvec").as("cq"),
               col("nsq").as("cn"))
