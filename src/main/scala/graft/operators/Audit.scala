@@ -1069,6 +1069,98 @@ object Audit {
        |    false)) AS alarm_start
        |FROM st""".stripMargin
 
+  /** F26 `audit_incidents` — INCIDENT grouping over F25's
+    * flap-suppressed alarm series: operators don't read alarm-hours,
+    * they read incidents — maximal runs of alarm hours per service
+    * where quiet gaps ≤ `mergeGap` hours merge into one incident (the
+    * alert-fatigue consolidation every paging system applies above
+    * its alert rules; PagerDuty/Opsgenie "grouping window"). Served
+    * per incident: 1-based id (per service, in time order), start/end
+    * (date, hour), the span in hours, the alarm-hour count inside,
+    * and the page count (F25 `alarm_start` edges swallowed by the
+    * group — n_pages > 1 is exactly the re-page noise the grouping
+    * absorbs).
+    *
+    * Shape: gaps-and-islands over the alarm hours — absolute hour
+    * index (exact integer: epoch-days×24+hour), island break when the
+    * gap to the previous alarm hour exceeds mergeGap+1, incident id =
+    * running sum of breaks. All integer arithmetic; no floats
+    * anywhere. Scale: rides F25's service-keyed hourly rollup; the
+    * island window and the final (service, incident) aggregate both
+    * cluster on service, so nothing re-shuffles after F25's own
+    * exchange. */
+  def incidents(spark: SparkSession, dir: String,
+                mergeGap: Int = 2, memory: Int = EwmaMemory,
+                minN: Long = 5L): DataFrame = {
+    val hy = alertHysteresis(spark, dir, memory, minN)
+    val absHour = (datediff(to_date(col("audit_date")),
+      lit("1970-01-01").cast("date")) * 24 + col("audit_hour"))
+      .cast("long")
+    val wSvc = Window.partitionBy(col("service")).orderBy(col("abs_hour"))
+    val al = hy.filter(col("alarm"))
+      .select(col("service"), col("audit_date"), col("audit_hour"),
+        absHour.as("abs_hour"), col("alarm_start"))
+      .withColumn("brk",
+        when(lag(col("abs_hour"), 1).over(wSvc).isNull ||
+          col("abs_hour") - lag(col("abs_hour"), 1).over(wSvc) >
+            lit(mergeGap + 1), 1L).otherwise(0L))
+      .withColumn("incident_id",
+        sum(col("brk")).over(wSvc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    al.groupBy(col("service"), col("incident_id"))
+      .agg(
+        min(struct(col("abs_hour"), col("audit_date"), col("audit_hour")))
+          .as("s"),
+        max(struct(col("abs_hour"), col("audit_date"), col("audit_hour")))
+          .as("e"),
+        count(lit(1)).as("n_alarm_hours"),
+        sum(when(col("alarm_start"), 1L).otherwise(0L)).as("n_pages"))
+      .select(col("service"), col("incident_id"),
+        col("s.audit_date").as("start_date"),
+        col("s.audit_hour").as("start_hour"),
+        col("e.audit_date").as("end_date"),
+        col("e.audit_hour").as("end_hour"),
+        (col("e.abs_hour") - col("s.abs_hour") + 1).as("span_hours"),
+        col("n_alarm_hours"), col("n_pages"))
+      .orderBy(col("service"), col("incident_id"))
+  }
+
+  def incidentsSql(mergeGap: Int = 2, memory: Int = EwmaMemory,
+                   minN: Long = 5L): String =
+    s"""WITH hy AS (
+       |  SELECT * FROM (
+       |${alertHysteresisSql(memory, minN)}
+       |  ) WHERE alarm
+       |), al AS (
+       |  SELECT service, audit_date, audit_hour,
+       |    date_diff('day', DATE '1970-01-01', CAST(audit_date AS DATE)) * 24
+       |      + audit_hour AS abs_hour,
+       |    alarm_start
+       |  FROM hy
+       |), isl AS (
+       |  SELECT *,
+       |    CASE WHEN LAG(abs_hour, 1) OVER w IS NULL
+       |           OR abs_hour - LAG(abs_hour, 1) OVER w > ${mergeGap + 1}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM al
+       |  WINDOW w AS (PARTITION BY service ORDER BY abs_hour)
+       |), inc AS (
+       |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY service ORDER BY abs_hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS incident_id
+       |  FROM isl
+       |)
+       |SELECT service, incident_id,
+       |  MIN({'a': abs_hour, 'd': audit_date, 'h': audit_hour}).d AS start_date,
+       |  MIN({'a': abs_hour, 'd': audit_date, 'h': audit_hour}).h AS start_hour,
+       |  MAX({'a': abs_hour, 'd': audit_date, 'h': audit_hour}).d AS end_date,
+       |  MAX({'a': abs_hour, 'd': audit_date, 'h': audit_hour}).h AS end_hour,
+       |  MAX(abs_hour) - MIN(abs_hour) + 1 AS span_hours,
+       |  COUNT(*) AS n_alarm_hours,
+       |  CAST(SUM(CASE WHEN alarm_start THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pages
+       |FROM inc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** F18 `audit_slo_burn` — SLO error-budget BURN-RATE alerting
     * (Google SRE workbook's multiwindow multi-burn-rate alerts —
     * public): per (tenant, hour), the 1-hour and trailing-6-hour
@@ -1572,6 +1664,9 @@ object Audit {
     "audit_changepoint" -> (changepoint _),
     "audit_error_spikes" -> (errorSpikes _),
     "audit_ewma_alarm" -> ((s: SparkSession, d: String) => ewmaAlarm(s, d)),
+    "audit_incidents" -> ((s: SparkSession, d: String) => incidents(s, d)),
+    "param_audit_incidents" -> ((s: SparkSession, d: String) =>
+      incidents(s, d, mergeGap = 0)),
     "audit_alert_hysteresis" -> ((s: SparkSession, d: String) =>
       alertHysteresis(s, d)),
     "param_alert_hysteresis" -> ((s: SparkSession, d: String) =>
@@ -1612,6 +1707,8 @@ object Audit {
     "audit_changepoint" -> changepointSql,
     "audit_error_spikes" -> errorSpikesSql,
     "audit_ewma_alarm" -> ewmaAlarmSql(),
+    "audit_incidents" -> incidentsSql(),
+    "param_audit_incidents" -> incidentsSql(mergeGap = 0),
     "audit_alert_hysteresis" -> alertHysteresisSql(),
     "param_alert_hysteresis" -> alertHysteresisSql(memory = 4, minN = 10L),
     "param_ewma_alarm" -> ewmaAlarmSql(memory = 4),

@@ -504,6 +504,56 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("F26 incidents: island grouping replays on the driver from the F25 series") {
+    // sf0.001 is too quiet for the default minN=5 volume guard --
+    // drive the library functions at minN=1 (registry defaults are
+    // driver-gated at sf0.01 where they alarm)
+    val inc = operators.Audit.incidents(spark, sf, minN = 1L).collect()
+    assert(inc.nonEmpty)
+    // replay: group the served F25 alarm hours into gap<=2 islands
+    val hy = operators.Audit.alertHysteresis(spark, sf, minN = 1L).collect()
+      .filter(_.getAs[Boolean]("alarm"))
+      .map { r =>
+        val d = java.time.LocalDate.parse(r.getAs[String]("audit_date"))
+        (r.getAs[String]("service"),
+          d.toEpochDay * 24 + r.getAs[Int]("audit_hour"),
+          r.getAs[Boolean]("alarm_start"))
+      }
+    val want = hy.groupBy(_._1).toSeq.flatMap { case (svc, rows) =>
+      val s = rows.sortBy(_._2)
+      var id = 0L; var prev = Long.MinValue
+      val grouped = s.map { case (_, ah, st) =>
+        if (prev == Long.MinValue || ah - prev > 3) id += 1
+        prev = ah
+        (id, ah, st)
+      }
+      grouped.groupBy(_._1).map { case (i, g) =>
+        (svc, i, g.map(_._2).min, g.map(_._2).max,
+          g.map(_._2).max - g.map(_._2).min + 1, g.length.toLong,
+          g.count(_._3).toLong)
+      }
+    }.toSet
+    val got = inc.map { r =>
+      val sd = java.time.LocalDate.parse(r.getAs[String]("start_date"))
+      val ed = java.time.LocalDate.parse(r.getAs[String]("end_date"))
+      (r.getAs[String]("service"), r.getAs[Long]("incident_id"),
+        sd.toEpochDay * 24 + r.getAs[Int]("start_hour"),
+        ed.toEpochDay * 24 + r.getAs[Int]("end_hour"),
+        r.getAs[Long]("span_hours"), r.getAs[Long]("n_alarm_hours"),
+        r.getAs[Long]("n_pages"))
+    }.toSet
+    assert(got == want, s"incident grouping diverges: $got vs $want")
+    // pages are conserved (every alarm_start lands in exactly one
+    // incident — a zero-page incident is legitimate: F25's lag is
+    // over PRESENT hours, so an alarm can carry across absent hours
+    // into a new island without a fresh page), and ids are 1..n
+    assert(inc.map(_.getAs[Long]("n_pages")).sum == hy.count(_._3))
+    inc.groupBy(_.getAs[String]("service")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("incident_id")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+    }
+  }
+
   test("F14 error spikes: trailing sums and flags match a driver sliding-window recount") {
     import org.apache.spark.sql.functions._
     val rows = run("audit_error_spikes")
