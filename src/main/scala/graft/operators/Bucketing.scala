@@ -431,7 +431,15 @@ object Bucketing {
   /** One-pass per-partition stats build over any lineitem-shaped
     * slice — the seam the delta admission (and its spec) reuses. */
   private[graft] def statsStoreFrom(li: DataFrame,
-      partFmt: String = "yyyy-MM"): DataFrame = {
+      partFmt: String = "yyyy-MM"): DataFrame =
+    statsStoreFromWide(li, partFmt)._1
+
+  /** As statsStoreFrom, but also hands back the inner checkpointed
+    * wide frame so a caller that re-checkpoints the union (statsStore)
+    * can release the wide blocks instead of pinning them for the
+    * session once its own checkpoint has materialized. */
+  private def statsStoreFromWide(li: DataFrame,
+      partFmt: String): (DataFrame, DataFrame) = {
     val aggs = IncStatCols.flatMap { case (name, proj) =>
       val n = incNum(name, proj)
       Seq(min(n).as(s"min_$name"), max(n).as(s"max_$name"),
@@ -445,12 +453,12 @@ object Bucketing {
       .groupBy(date_format(col("l_shipdate"), partFmt).as("part_key"))
       .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint() // partition cardinality; one scan feeds all columns
-    IncStatCols.map { case (name, _) =>
+    (IncStatCols.map { case (name, _) =>
       wide.select(col("part_key"), lit(name).as("column_name"),
         col(s"min_$name").as("min_v"), col(s"max_$name").as("max_v"),
         col(s"nulls_$name").as("n_nulls"), col("n_rows"),
         col(s"hll_$name").as("hll"))
-    }.reduce(_.unionAll(_))
+    }.reduce(_.unionAll(_)), wide)
   }
 
   private val statsStoreReg =
@@ -465,9 +473,13 @@ object Bucketing {
         if (prev != null && prev._1 == mtime) prev
         else {
           if (prev != null) graft.operators.Graph.releaseCheckpoint(prev._2)
-          (mtime,
-            statsStoreFrom(Tables.lineitem(spark, dir), partFmt)
-              .localCheckpoint())
+          val (union, wide) =
+            statsStoreFromWide(Tables.lineitem(spark, dir), partFmt)
+          val outer = union.localCheckpoint()
+          // the outer checkpoint materialized the union: the inner wide
+          // blocks would otherwise stay pinned for the session
+          graft.operators.Graph.releaseCheckpoint(wide)
+          (mtime, outer)
         })._2
   }
 
@@ -506,8 +518,12 @@ object Bucketing {
     IncStatCols.map { case (name, proj) =>
       val num = if (proj == "EPOCH") s"CAST(epoch_us($name) AS DOUBLE)"
         else s"CAST($proj AS DOUBLE)"
+      // n_parts: COUNT(DISTINCT) ignores NULLs but the Spark store
+      // materializes a NULL part_key group row — count it explicitly
+      // so the oracle stays correct if a layout ever has NULL l_shipdate
       s"""SELECT '$name' AS column_name,
-         |  COUNT(DISTINCT strftime(l_shipdate, '$duckFmt')) AS n_parts,
+         |  COUNT(DISTINCT strftime(l_shipdate, '$duckFmt'))
+         |    + MAX(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_parts,
          |  MIN($num) AS min_v, MAX($num) AS max_v,
          |  COUNT(*) - COUNT($name) AS n_nulls,
          |  COUNT(*) AS n_rows,

@@ -2363,16 +2363,25 @@ object TextAnalysis {
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
         round((col("tp") + col("tn")).cast("double") / col("n").cast("double"), 6)
           .as("accuracy"),
-        round(col("tp").cast("double")
-          / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
-        round(col("tp").cast("double")
-          / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
-        round(lit(2.0) * (col("tp").cast("double")
-            / (col("tp") + col("fp")).cast("double"))
-          * (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
-          / (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
-            + col("tp").cast("double") / (col("tp") + col("fn")).cast("double")),
-          6).as("f1"))
+        // degenerate guards: Spark div-by-zero yields NULL while
+        // DuckDB IEEE float div yields inf/nan — make the NULL
+        // explicit on BOTH engine sides (tp=0 with nonzero
+        // denominators → precision=recall=0, f1 defined as 0)
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0,
+            lit(null).cast("double"))
+          .when(col("tp") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * (col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double"))
+            * (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            / (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+              + col("tp").cast("double") / (col("tp") + col("fn")).cast("double")),
+            6)).as("f1"))
   }
 
   /** Shared oracle CTE chain: features, label, centering, and the
@@ -2476,13 +2485,17 @@ object TextAnalysis {
     s"""WITH ${qcSqlCtes(epochs, lr, vocabK)}
        |SELECT n, tp, fp, fn, tn,
        |  ROUND(CAST(tp + tn AS DOUBLE)/CAST(n AS DOUBLE), 6) AS accuracy,
-       |  ROUND(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) AS precision,
-       |  ROUND(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) AS recall,
-       |  ROUND(2.0::DOUBLE
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE ROUND(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE ROUND(CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE), 6) END AS recall,
+       |  CASE WHEN tp + fp = 0 OR tp + fn = 0 THEN NULL
+       |    WHEN tp = 0 THEN 0.0::DOUBLE
+       |    ELSE ROUND(2.0::DOUBLE
        |      * (CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE))
        |      * (CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE))
        |    / (CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE)
-       |      + CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE)), 6) AS f1
+       |      + CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE)), 6) END AS f1
        |FROM (
        |  SELECT COUNT(*) AS n,
        |    CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
