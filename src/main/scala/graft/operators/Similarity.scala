@@ -977,6 +977,112 @@ object Similarity {
        |  FROM cand
        |) CROSS JOIN sp WHERE rank <= $K""".stripMargin
 
+  /** H25 `sim_index_compaction` — compaction PLANNER for the H23/H24
+    * ANN index, closing the lifecycle (build → refresh → soft-delete
+    * → compact). H24's doc says "no rebuild required until tombstone
+    * density warrants it"; this operator SERVES that decision with
+    * N4's planning discipline applied to the inverted file: per cell,
+    * posting count, base/delta segment composition, tombstone count,
+    * live count, tombstone density, and the needs_compaction flag —
+    * a cell is flagged when its tombstone density reaches the
+    * threshold (tauBp basis points). Flagged cells are the rebuild
+    * work list; unflagged cells keep serving through H24's read-time
+    * live-docs filter. This is the FAISS IndexIVF reclaim /
+    * Lucene segment-merge-policy shape (merge a segment when its
+    * deleted-doc ratio crosses the policy threshold).
+    *
+    * Exactness: the flag is decided in pure integer arithmetic
+    * (n_tomb·10⁴ ≥ n_postings·tauBp) so the work list is
+    * bit-identical cross-engine — the rounded density column is
+    * display-only, never the decision input. Scale: one linear pass
+    * over the inverted file (the same O(n·k) broadcast assignment
+    * H23 already pays, memoized) and a cell-keyed aggregation at
+    * codebook cardinality (≤ MaxCentroids rows out) — the planner is
+    * metadata-scale regardless of corpus size.
+    *
+    * Correctness hinge (spec-pinned): physically rebuilding the
+    * flagged cells (dropping tombstoned postings) and unioning the
+    * kept cells under the read-time filter serves EXACTLY the H24
+    * soft-deleted read — compaction is a pure storage move, by the
+    * same per-row-independence argument as H23/H24. */
+  def indexCompaction(spark: SparkSession, dir: String,
+      splitPct: Int = RefreshSplitPct,
+      tombMod: Int = 7, tombR: Int = 3,
+      tauBp: Int = 1500): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (splitId, cents, baseIdx) = refreshBaseParts(spark, dir, splitPct)
+    val deltaIdx = assignTo(emb.filter(col("vec_id") >= splitId), cents)
+    baseIdx.union(deltaIdx)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_postings"),
+        sum(when(col("vec_id") < splitId, 1L).otherwise(0L)).as("n_base"),
+        sum(when(pmod(col("vec_id"), lit(tombMod)) === tombR, 1L)
+          .otherwise(0L)).as("n_tomb"))
+      .select(col("cell"), col("n_postings"), col("n_base"),
+        (col("n_postings") - col("n_base")).as("n_delta"),
+        col("n_tomb"),
+        (col("n_postings") - col("n_tomb")).as("n_live"),
+        round(col("n_tomb").cast("double")
+          / col("n_postings").cast("double"), 6).as("tomb_density"),
+        (col("n_tomb") * 10000L >= col("n_postings") * tauBp.toLong)
+          .as("needs_compaction"))
+      .orderBy(col("cell"))
+  }
+
+  /** Spec seam: the physically-compacted read — flagged cells rebuilt
+    * with their tombstoned postings DROPPED (no read filter), kept
+    * cells still under H24's read-time live filter. Equality with
+    * indexTombstone proves compaction never changes an answer. */
+  private[graft] def compactedReadProbe(spark: SparkSession, dir: String,
+      splitPct: Int = RefreshSplitPct,
+      tombMod: Int = 7, tombR: Int = 3,
+      tauBp: Int = 1500): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (splitId, cents, baseIdx) = refreshBaseParts(spark, dir, splitPct)
+    val merged = baseIdx.union(
+      assignTo(emb.filter(col("vec_id") >= splitId), cents))
+    val flaggedCells = broadcast(
+      indexCompaction(spark, dir, splitPct, tombMod, tombR, tauBp)
+        .filter(col("needs_compaction")).select(col("cell")))
+    val live = pmod(col("vec_id"), lit(tombMod)) =!= tombR
+    // rebuilt segment: tombstones physically gone, served as-is
+    val rebuilt = merged.join(flaggedCells, Seq("cell")).filter(live)
+    // kept segment: untouched postings behind the read-time filter
+    val kept = merged.join(flaggedCells, Seq("cell"), "left_anti").filter(live)
+    searchAssigned(emb, cents, rebuilt.union(kept))
+  }
+
+  def indexCompactionSql(splitPct: Int = RefreshSplitPct,
+      tombMod: Int = 7, tombR: Int = 3, tauBp: Int = 1500): String =
+    s"""WITH $qnSqlCte, sp AS (
+       |  SELECT (COUNT(*) * $splitPct) // 100 AS split_id FROM embeddings
+       |), base AS (
+       |  SELECT q.* FROM qnn q CROSS JOIN sp WHERE vec_id < split_id
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM base)
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |  ) WHERE arn = 1
+       |), stats AS (
+       |  SELECT cell, COUNT(*) AS n_postings,
+       |    CAST(SUM(CASE WHEN vec_id < split_id THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN (vec_id % $tombMod) = $tombR THEN 1 ELSE 0 END) AS BIGINT) AS n_tomb
+       |  FROM assigned CROSS JOIN sp GROUP BY cell, split_id
+       |)
+       |SELECT cell, n_postings, n_base, n_postings - n_base AS n_delta,
+       |  n_tomb, n_postings - n_tomb AS n_live,
+       |  ROUND(CAST(n_tomb AS DOUBLE) / CAST(n_postings AS DOUBLE), 6) AS tomb_density,
+       |  n_tomb * 10000 >= n_postings * $tauBp AS needs_compaction
+       |FROM stats ORDER BY cell""".stripMargin
+
   private val KmeansIters = 2
 
   /** Shared k (≈sqrt(n) capped) — see ivfKCache. */
@@ -2028,6 +2134,10 @@ object Similarity {
       indexTombstone(s, d)),
     "param_index_tombstone" -> ((s: SparkSession, d: String) =>
       indexTombstone(s, d, tombMod = 5, tombR = 0)),
+    "sim_index_compaction" -> ((s: SparkSession, d: String) =>
+      indexCompaction(s, d)),
+    "param_index_compaction" -> ((s: SparkSession, d: String) =>
+      indexCompaction(s, d, tombMod = 5, tombR = 0, tauBp = 2000)),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_recall_eval" -> (recallEval _),
@@ -2061,6 +2171,9 @@ object Similarity {
     "param_index_refresh" -> indexRefreshSql(splitPct = 60),
     "sim_index_tombstone" -> indexTombstoneSql(),
     "param_index_tombstone" -> indexTombstoneSql(tombMod = 5, tombR = 0),
+    "sim_index_compaction" -> indexCompactionSql(),
+    "param_index_compaction" -> indexCompactionSql(
+      tombMod = 5, tombR = 0, tauBp = 2000),
     "sim_ivf_kmeans" -> ivfKmeansSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_recall_eval" -> recallEvalSql,

@@ -593,6 +593,35 @@ class SimilaritySpec extends SparkSpecBase {
       "tombstones removed nothing from the served top-k")
   }
 
+  test("H25 compaction planner: integer-exact flags, conservation, compacted read == soft-deleted read") {
+    val plan = run("sim_index_compaction")
+    val rows = plan.collect()
+    assert(rows.nonEmpty)
+    // conservation per cell, and the flag is the pure integer decision
+    rows.foreach { r =>
+      val (np, nb, nd) = (r.getAs[Long]("n_postings"),
+        r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"))
+      val (nt, nl) = (r.getAs[Long]("n_tomb"), r.getAs[Long]("n_live"))
+      assert(np == nb + nd && np == nt + nl)
+      assert(r.getAs[Boolean]("needs_compaction") == (nt * 10000L >= np * 1500L))
+    }
+    // posting totals reconcile with the corpus: every vector lives in
+    // exactly one cell
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_postings")).sum == n)
+    // the threshold discriminates at this layout (a work list that
+    // flags everything or nothing proves nothing)
+    val flags = rows.map(_.getAs[Boolean]("needs_compaction")).toSet
+    assert(flags == Set(true, false), s"degenerate work list: $flags")
+    // the hinge: physically rebuilding flagged cells + read-filtering
+    // kept cells serves exactly the H24 soft-deleted read
+    val compacted = operators.Similarity.compactedReadProbe(spark, sf)
+    val soft = run("sim_index_tombstone")
+    assert(compacted.except(soft).count() == 0 &&
+      soft.except(compacted).count() == 0,
+      "compacted read diverges from the soft-deleted read")
+  }
+
   test("H19 kNN graph: bucketed all-corpus top-k matches a driver replay") {
     val rows = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
