@@ -1010,7 +1010,23 @@ object Corpus {
     * and nothing pairwise ever forms. */
   def corpusRefresh(spark: SparkSession, dir: String,
                     minNovelty: Double = 0.3,
-                    minChars: Long = 64L): DataFrame = {
+                    minChars: Long = 64L): DataFrame =
+    refreshAnnotated(spark, dir)
+      .withColumn("verdict",
+        when(col("in_base").isNotNull, "exact_dup")
+          .when(col("n_chars") < minChars, "low_quality")
+          .when(col("novelty_frac") < minNovelty, "near_dup")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_chars"), col("n_shingles"),
+        col("n_novel"), col("novelty_frac"), col("verdict"))
+      .orderBy(col("doc_id"))
+
+  /** The shared P4 admission skeleton: delta docs annotated with the
+    * base content-hash hit and the frozen-base novelty stats —
+    * everything but the quality gate, so P4 (heuristic) and P4b
+    * (trained) differ in exactly one rule. */
+  private def refreshAnnotated(spark: SparkSession,
+                               dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -1025,7 +1041,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
     delta
-      .select(col("doc_id"), col("n_chars"),
+      .select(col("doc_id"), col("n_chars"), col("text"),
         md5(col("text").cast("binary")).as("h"))
       .join(baseHashes, Seq("h"), "left")
       .join(novelty, Seq("doc_id"), "left")
@@ -1034,15 +1050,82 @@ object Corpus {
         when(col("n_shingles") === 0, lit(1.0))
           .otherwise(round(col("n_novel").cast("double")
             / col("n_shingles"), 6)))
+  }
+
+  /** P4b `pipeline_corpus_refresh_trained` — P4's admission composite
+    * with the quality gate DISTILLED: the low-quality rule is the I30
+    * trained classifier's per-row inference (TextAnalysis.qcInferCols
+    * — model weights/means/vocab as broadcast-scale literals, zero
+    * classifier-side joins or shuffles in the serve plan) instead of
+    * the n_chars heuristic. This closes the distillation loop the I30
+    * doc promises: train once on the corpus-global teacher, then day-2
+    * admission consumes the student at per-row cost — the
+    * DCLM/FineWeb-Edu production shape, end-to-end in ONE plan.
+    * Verdict order keeps M9's first-failing-rule discipline:
+    * exact_dup → low_quality (pred = 0) → near_dup → keep. The spec
+    * pins (a) expression-inference ≡ the build's served scores and
+    * (b) the gate swap moves verdicts ONLY through the low_quality
+    * rule (exact-dup set and novelty columns identical to P4).
+    * Scale: identical to P4 — hash-keyed + shingle-keyed delta joins,
+    * O(|delta|) — plus a per-row expression; the training cost lives
+    * in the memoized I30 build, exactly like a production model
+    * registry. */
+  def corpusRefreshTrained(spark: SparkSession, dir: String,
+                           minNovelty: Double = 0.3): DataFrame = {
+    val model = TextAnalysis.qcModelBuild(spark, dir)
+    val (score, pred) = TextAnalysis.qcInferCols(model)
+    refreshAnnotated(spark, dir)
+      .withColumn("score", score)
       .withColumn("verdict",
         when(col("in_base").isNotNull, "exact_dup")
-          .when(col("n_chars") < minChars, "low_quality")
+          .when(pred === 0, "low_quality")
           .when(col("novelty_frac") < minNovelty, "near_dup")
           .otherwise("keep"))
-      .select(col("doc_id"), col("n_chars"), col("n_shingles"),
+      .select(col("doc_id"), col("score"), col("n_shingles"),
         col("n_novel"), col("novelty_frac"), col("verdict"))
       .orderBy(col("doc_id"))
   }
+
+  def corpusRefreshTrainedSql(minNovelty: Double = 0.3): String =
+    s"""WITH ${TextAnalysis.qcDefaultCtes},
+       |rtoks AS (
+       |  SELECT doc_id,
+       |    list_filter(str_split(text, ' '), x -> x <> '')[:60] AS w
+       |  FROM documents
+       |), rsh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM rtoks WHERE len(w) >= 3
+       |), base_hashes AS (
+       |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+       |), base_shingles AS (
+       |  SELECT DISTINCT shingle FROM rsh WHERE doc_id % 3 <> 0
+       |), novelty AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN b.shingle IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM rsh s LEFT JOIN base_shingles b ON s.shingle = b.shingle
+       |  WHERE s.doc_id % 3 = 0 GROUP BY 1
+       |)
+       |SELECT d.doc_id, f.score,
+       |  COALESCE(n.n_shingles, 0) AS n_shingles,
+       |  COALESCE(n.n_novel, 0) AS n_novel,
+       |  CASE WHEN COALESCE(n.n_shingles, 0) = 0 THEN 1.0::DOUBLE
+       |       ELSE ROUND(CAST(n.n_novel AS DOUBLE) / n.n_shingles, 6)
+       |  END AS novelty_frac,
+       |  CASE WHEN bh.h IS NOT NULL THEN 'exact_dup'
+       |       WHEN f.pred = 0 THEN 'low_quality'
+       |       WHEN (CASE WHEN COALESCE(n.n_shingles, 0) = 0 THEN 1.0::DOUBLE
+       |             ELSE ROUND(CAST(n.n_novel AS DOUBLE) / n.n_shingles, 6)
+       |             END) < ${minNovelty}::DOUBLE THEN 'near_dup'
+       |       ELSE 'keep' END AS verdict
+       |FROM documents d
+       |JOIN fin f ON d.doc_id = f.doc_id
+       |LEFT JOIN base_hashes bh ON md5(d.text) = bh.h
+       |LEFT JOIN novelty n ON d.doc_id = n.doc_id
+       |WHERE d.doc_id % 3 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Distinct trigram shingles (the G19 definition: 60-token cap). */
   private def shingleSet(docs: DataFrame): DataFrame = {
@@ -1101,6 +1184,10 @@ object Corpus {
     "pipeline_corpus_refresh" -> ((s, d) => corpusRefresh(s, d)),
     "param_corpus_refresh" -> ((s, d) =>
       corpusRefresh(s, d, minNovelty = 0.8, minChars = 120L)),
+    "pipeline_corpus_refresh_trained" -> ((s, d) =>
+      corpusRefreshTrained(s, d)),
+    "param_corpus_refresh_trained" -> ((s, d) =>
+      corpusRefreshTrained(s, d, minNovelty = 0.8)),
     "corpus_contrastive_triplets" -> ((s, d) => contrastiveTriplets(s, d)),
     "param_contrastive_triplets" -> ((s, d) =>
       contrastiveTriplets(s, d, t = 0.7, bucketChars = 32)),
@@ -1129,6 +1216,9 @@ object Corpus {
     "pipeline_corpus_refresh" -> corpusRefreshSql(),
     "param_corpus_refresh" ->
       corpusRefreshSql(minNovelty = 0.8, minChars = 120L),
+    "pipeline_corpus_refresh_trained" -> corpusRefreshTrainedSql(),
+    "param_corpus_refresh_trained" ->
+      corpusRefreshTrainedSql(minNovelty = 0.8),
     "corpus_contrastive_triplets" -> contrastiveTripletsSql(),
     "param_contrastive_triplets" ->
       contrastiveTripletsSql(t = 0.7, bucketChars = 32),

@@ -2229,8 +2229,16 @@ object TextAnalysis {
   private val QcVocabK = 10
   private val QcScale = 10.0
 
+  /** The distilled model a day-2 filter actually ships: final weights,
+    * train-slice feature means, and the top-K vocab — a few hundred
+    * bytes, collected once at build time (bounded driver scalars, the
+    * ivfK/DPP-threshold pattern) so INFERENCE can run as pure per-row
+    * expressions with zero joins and zero shuffles. */
+  private[operators] final case class QcModel(serve: DataFrame,
+      w: Array[Double], m: Array[Double], vocab: Array[String])
+
   private val qcReg =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, QcModel)]()
 
   private def qcFeatureCols: Seq[(String, Column)] = {
     val nToks = size(nonEmptyToks).cast("double")
@@ -2247,14 +2255,20 @@ object TextAnalysis {
     * on the excluded middle band. Serve + eval both read this. */
   private def qualityClassifierBuild(spark: SparkSession, dir: String,
                                      epochs: Int, lr: Double,
-                                     vocabK: Int): DataFrame = {
+                                     vocabK: Int): DataFrame =
+    qcModelBuild(spark, dir, epochs, lr, vocabK).serve
+
+  private[operators] def qcModelBuild(spark: SparkSession, dir: String,
+                                      epochs: Int = QcEpochs,
+                                      lr: Double = QcLr,
+                                      vocabK: Int = QcVocabK): QcModel = {
     import org.apache.spark.sql.types.DecimalType
     val mtime = Tables.mtime(spark, s"$dir/documents.parquet")
     val key = s"${System.identityHashCode(spark)}:$dir:qc:$epochs:$lr:$vocabK"
     qcReg.compute(key, (_, prev) =>
       if (prev != null && prev._1 == mtime) prev
       else {
-        if (prev != null) Graph.releaseCheckpoint(prev._2)
+        if (prev != null) Graph.releaseCheckpoint(prev._2.serve)
         val dec = DecimalType(30, 12)
         val toks = Tables.documents(spark, dir)
           .select(col("doc_id"), explode(nonEmptyToks).as("token"))
@@ -2336,10 +2350,42 @@ object TextAnalysis {
             round(p, 6).as("score"),
             when(p >= lit(0.5), 1).otherwise(0).as("pred"))
           .localCheckpoint()
+        // distill the shippable model: three bounded driver fetches
+        // (1 row of weights, 1 row of means, K vocab tokens) — the
+        // artifacts per-row inference needs (qcInferCols)
+        val wRow = w.head()
+        val wArr = (0 to 5).map(wRow.getDouble).toArray
+        val mRow = m.head()
+        val mArr = (0 until 5).map(mRow.getDouble).toArray
+        val vocabArr = vocab.agg(collect_list(col("token")))
+          .head().getSeq[String](0).sorted.toArray
         Graph.releaseCheckpoint(z)
         Graph.releaseCheckpoint(w)
-        (mtime, serve)
+        (mtime, QcModel(serve, wArr, mArr, vocabArr))
       })._2
+  }
+
+  /** Shuffle-free inference (the payoff the I30 distillation buys):
+    * (score, pred) as PURE per-row expressions over a `text` column —
+    * model weights/means/vocab embedded as literals, so a day-2
+    * filter plan carries ZERO classifier-side joins or shuffles.
+    * Reproduces the build's served score/pred bit-exactly: identical
+    * feature expressions, identical (x−m)·scale centering, identical
+    * left-associated margin sum and rational-sigmoid rounding ladder
+    * — every op IEEE +,-,*,/ or abs on the same doubles
+    * (TextAnalysisSpec pins expression-inference ≡ build serve). */
+  private[operators] def qcInferCols(model: QcModel): (Column, Column) = {
+    val toks = nonEmptyToks
+    val nT = size(toks).cast("double")
+    val xs: Seq[Column] = qcFeatureCols.map(_._2) :+
+      (size(filter(toks, t =>
+        array_contains(lit(model.vocab), t))).cast("double") / nT)
+    val zs = xs.zipWithIndex.map { case (x, i) =>
+      (x - lit(model.m(i))) * lit(QcScale) }
+    val margin = zs.zipWithIndex.foldLeft(lit(model.w(0)): Column) {
+      case (acc, (z, i)) => acc + lit(model.w(i + 1)) * z }
+    val p = round(lit(0.5) * (lit(1.0) + margin / (lit(1.0) + abs(margin))), 12)
+    (round(p, 6), when(p >= lit(0.5), 1).otherwise(0))
   }
 
   def qualityClassifier(spark: SparkSession, dir: String,
@@ -2388,6 +2434,11 @@ object TextAnalysis {
     * unrolled epoch ladder; `fin` holds per-doc (doc_id, y, score,
     * pred). Every double literal is ::DOUBLE (a bare 0.5 is DECIMAL
     * in DuckDB) and every decimal-sum serve rides the VARCHAR cast. */
+  /** The default-parameter CTE chain, exposed for composites whose
+    * oracle embeds the trained classifier (P4b in Corpus). */
+  private[operators] def qcDefaultCtes: String =
+    qcSqlCtes(QcEpochs, QcLr, QcVocabK)
+
   private def qcSqlCtes(epochs: Int, lr: Double, vocabK: Int): String = {
     val sc = s"${QcScale}::DOUBLE"
     val gsum = (j: Int, e: String) =>

@@ -1712,6 +1712,54 @@ class PipelineSpec extends SparkSpecBase {
     assert(got.count(_._6 == "keep") > 0)
   }
 
+  test("P4b trained-gate refresh: per-row inference == build scores, gate swap moves only the low_quality rule") {
+    val trained = run("pipeline_corpus_refresh_trained").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Double]("score"),
+        r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+        r.getAs[Double]("novelty_frac"), r.getAs[String]("verdict"))
+    }.toMap
+    assert(trained.nonEmpty)
+    // (a) the shuffle-free expression inference reproduces the I30
+    // build's served score bit-exactly on every delta doc, and the
+    // low_quality slice is exactly the classifier's pred=0 slice
+    // (minus docs already caught by the earlier exact_dup rule)
+    val clf = run("text_quality_classifier").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Double]("score"),
+        r.getAs[Int]("pred"))
+    }.toMap
+    trained.foreach { case (id, (score, _, _, _, verdict)) =>
+      assert(score == clf(id)._1, s"doc $id: inference score drifts")
+      if (verdict != "exact_dup")
+        assert((verdict == "low_quality") == (clf(id)._2 == 0),
+          s"doc $id: gate disagrees with classifier pred")
+    }
+    // (b) the gate swap changes ONLY the low_quality rule: the
+    // annotation columns and the exact_dup set match P4 per doc, and
+    // any verdict difference involves low_quality on exactly one side
+    val heur = run("pipeline_corpus_refresh").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_frac"),
+        r.getAs[String]("verdict"))
+    }.toMap
+    assert(trained.keySet == heur.keySet)
+    var moved = 0
+    trained.foreach { case (id, (_, nSh, nNov, nf, v)) =>
+      val (hSh, hNov, hNf, hv) = heur(id)
+      assert((nSh, nNov, nf) == (hSh, hNov, hNf),
+        s"doc $id: annotation columns drifted under the gate swap")
+      assert((v == "exact_dup") == (hv == "exact_dup"))
+      if (v != hv) {
+        moved += 1
+        assert(v == "low_quality" || hv == "low_quality",
+          s"doc $id: $hv -> $v moved outside the low_quality rule")
+      }
+    }
+    // the swap is live at this layout (teacher and heuristic disagree
+    // somewhere), and both gates still admit documents
+    assert(moved > 0, "trained gate identical to heuristic: vacuous swap")
+    assert(trained.values.count(_._5 == "keep") > 0)
+  }
+
   test("L22 burstiness equals the Goh-Barabasi replay on the driver") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("user_id"), col("event_id"),

@@ -50,6 +50,7 @@ class RegistrySpec extends SparkSpecBase {
     "sim_ivfpq_residual", // bounded centroid + residual-codebook crossJoins
     "sim_index_refresh", "param_index_refresh", // bounded frozen-codebook crossJoin (delta encode + probe assign)
     "sim_index_tombstone", "param_index_tombstone", // same codebook crossJoin, postings filtered at read
+    "sim_index_compaction", "param_index_compaction", // same codebook crossJoin on the delta-encode side of the merged file
     "sim_sq8", // broadcast query codes, streaming corpus codes
     "sim_binary_quantized", // broadcast query fingerprints, streaming corpus scan
     "sim_rerank_pipeline", // stage 1 is sim_pq_adc's codebook crossJoin
@@ -404,6 +405,10 @@ class RegistrySpec extends SparkSpecBase {
     "events_burstiness" -> 3, // (type,user) lag window + type rollup + ordered serve
     "pipeline_corpus_refresh" -> 5, // two shingle distincts + shingle join + delta rollup + hash/doc attaches
     "param_corpus_refresh" -> 5,
+    "pipeline_corpus_refresh_trained" -> 5, // P4's skeleton; the trained gate is a per-row expression (zero classifier-side exchanges)
+    "param_corpus_refresh_trained" -> 5,
+    "sim_index_compaction" -> 3, // delta-assign window + cell rollup + ordered serve (base lists are a checkpoint leaf)
+    "param_index_compaction" -> 3,
     "sim_rocchio_feedback" -> 4, // r1 top-k window + seedpos/qexp rollups over contract-bounded rows + r2 window
     "param_rocchio_feedback" -> 4
 
