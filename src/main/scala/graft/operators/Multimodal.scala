@@ -520,7 +520,127 @@ object Multimodal {
        |SELECT dhash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
        |FROM bits GROUP BY 1 ORDER BY dhash""".stripMargin
 
+  case class PhashRow(doc_id: Long, phash: Long)
+
+  /** The fixed-point DCT-II basis, scaled by [[PhScale]]:
+    * Ct(u)(x) = round(cos(π·(2x+1)·u / 16) · 10⁶). Computed once on
+    * the driver and embedded as literals in BOTH engines (the oracle
+    * SQL is generated from this same array), so the transform is
+    * bit-identical by construction — no transcendental ever runs
+    * inside either engine. */
+  private val PhScale = 1000000L
+  private val PhCos: Array[Array[Long]] = Array.tabulate(ImgH, ImgW)(
+    (u, x) => math.round(
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * ImgW)) * PhScale))
+
+  /** J9 `multimodal_phash` — perceptual DCT hash, completing the
+    * aHash/dHash/pHash trio production image dedup actually ANDs
+    * (pHash keys on the low-frequency SPECTRUM, so it survives the
+    * rescaling/blur that move J7's mean bits and J8's local
+    * gradients). Standard pHash resamples to 32×32 then keeps the
+    * top-left 8×8 DCT block; the 8×8 synth images here are already
+    * at grid size (J7's convention), so the transform is a direct
+    * 8×8 DCT-II and the hash keeps the top-left 4×4 low-frequency
+    * block. Integer-exact route (the r10 verdict's prescription):
+    * luminance is the integer channel sum (0..765), the DCT is an
+    * exact integer bilinear form over the [[PhCos]] fixed-point
+    * cosine table (|coef| ≤ 765·10¹²·64 ≈ 4.9·10¹⁶ — comfortably in
+    * a BIGINT), and the bit threshold is the EXACT MEDIAN of the 15
+    * AC coefficients (DC excluded as in every production pHash — it
+    * only encodes brightness): with an odd count the median is an
+    * actual data point (the F21 exact-median trick), so bit
+    * boundaries cannot drift between engines. Bit (u·4+v) set iff
+    * coef > median; 15 bits, one sign-safe BIGINT. Same
+    * mapPartitions + grouped(BatchSize) codec seam as J5/J7/J8;
+    * downstream is G1's shape (synth reuses ~5 copies per image
+    * group) and G18's bit_count(xor) hamming mechanic applies. */
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ct = PhCos // avoid capturing `this` in the task closure
+    val hashed: Dataset[PhashRow] =
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(BatchSize).flatMap { batch =>
+            batch.map { id =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(synthPng(id % ImgGroups)))
+              val lum = Array.tabulate(ImgH, ImgW) { (y, x) =>
+                val rgb = img.getRGB(x, y)
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+              }
+              // 15 AC coefficients of the top-left 4x4 block
+              val coefs = for {
+                u <- 0 until 4; v <- 0 until 4 if u != 0 || v != 0
+              } yield {
+                var c = 0L
+                var y = 0
+                while (y < ImgH) {
+                  var x = 0
+                  while (x < ImgW) {
+                    c += lum(y)(x) * ct(u)(x) * ct(v)(y)
+                    x += 1
+                  }
+                  y += 1
+                }
+                (u * 4 + v, c)
+              }
+              val median = coefs.map(_._2).sorted.apply(coefs.size / 2)
+              var h = 0L
+              coefs.foreach { case (bit, c) =>
+                if (c > median) h |= 1L << bit
+              }
+              PhashRow(id, h)
+            }
+          }
+        }
+    hashed.toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("phash"))
+  }
+
+  def phashSql: String = {
+    // the SAME fixed-point cosine table, as a VALUES relation — the
+    // oracle's transform is literal-identical to the engine's
+    val ctRows = (for (u <- 0 until 4; x <- 0 until ImgW)
+      yield s"($u, $x, ${PhCos(u)(x)})").mkString(", ")
+    s"""WITH px AS (
+       |  SELECT doc_id, doc_id % $ImgGroups AS gid,
+       |    unnest(range(0, $ImgW)) AS x
+       |  FROM documents
+       |), pxy AS (
+       |  SELECT doc_id, gid, x, unnest(range(0, $ImgH)) AS y FROM px
+       |), lum AS (
+       |  SELECT doc_id, x, y,
+       |    CAST((gid * 7 + x * 3 + y * 5) % 256
+       |       + (gid * 11 + x * 13 + y * 17) % 256
+       |       + (gid * 19 + x * 23 + y * 29) % 256 AS BIGINT) AS l
+       |  FROM pxy
+       |), ct(u, x, c) AS (VALUES $ctRows),
+       |coef AS (
+       |  SELECT l.doc_id, tu.u, tv.u AS v,
+       |    CAST(SUM(l.l * tu.c * tv.c) AS BIGINT) AS cval
+       |  FROM lum l
+       |  JOIN ct tu ON tu.x = l.x
+       |  JOIN ct tv ON tv.x = l.y
+       |  WHERE NOT (tu.u = 0 AND tv.u = 0)
+       |  GROUP BY 1, 2, 3
+       |), med AS (
+       |  SELECT doc_id, quantile_disc(cval, 0.5) AS m FROM coef GROUP BY 1
+       |), bits AS (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(CASE WHEN c.cval > m.m
+       |                  THEN CAST(1 AS BIGINT) << CAST(c.u * 4 + c.v AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS phash
+       |  FROM coef c JOIN med m ON c.doc_id = m.doc_id GROUP BY 1
+       |)
+       |SELECT phash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+       |FROM bits GROUP BY 1 ORDER BY phash""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (phash _),
     "multimodal_dhash" -> (dhash _),
     "multimodal_ahash" -> (ahash _),
     "multimodal_feature_stub" -> (featureStub _),
@@ -530,6 +650,7 @@ object Multimodal {
     "multimodal_image_dedup" -> (imageDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> phashSql,
     "multimodal_dhash" -> dhashSql,
     "multimodal_ahash" -> ahashSql,
     "multimodal_feature_stub" -> featureStubSql,

@@ -146,4 +146,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.exists(r =>
       java.lang.Long.bitCount(r.getAs[Long]("dhash")) > 8))
   }
+
+  test("J9 pHash: real-decode DCT hashes match the fixed-point replay") {
+    val rows = run("multimodal_phash").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    def lum(gid: Long, x: Int, y: Int): Long =
+      ((gid * 7 + x * 3 + y * 5) % 256) +
+        ((gid * 11 + x * 13 + y * 17) % 256) +
+        ((gid * 19 + x * 23 + y * 29) % 256)
+    // the same fixed-point table construction as the operator
+    val ct = Array.tabulate(8, 8)((u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1000000.0))
+    def hashOf(gid: Long): Long = {
+      val coefs = for (u <- 0 until 4; v <- 0 until 4 if u != 0 || v != 0)
+        yield (u * 4 + v,
+          (for (y <- 0 until 8; x <- 0 until 8)
+            yield lum(gid, x, y) * ct(u)(x) * ct(v)(y)).sum)
+      val median = coefs.map(_._2).sorted.apply(7)
+      coefs.foldLeft(0L) { case (h, (bit, c)) =>
+        if (c > median) h | (1L << bit) else h }
+    }
+    val got = rows.map(_.getAs[Long]("phash")).toSet
+    val want = (0L until math.min(100L, nDocs)).map(hashOf).toSet
+    assert(got == want)
+    // 15 AC bits at positions 1..15 (DC position 0 never set), and
+    // strict-majority thresholding: with an exact-median threshold at
+    // most 7 of 15 coefficients can exceed it
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("phash")
+      h >= 0L && (h & 1L) == 0L && h < (1L << 16) &&
+        java.lang.Long.bitCount(h) <= 7
+    })
+    // the spectrum discriminates: many distinct hashes across groups
+    assert(rows.length > 50)
+  }
 }
