@@ -401,7 +401,219 @@ object Normalize {
        |  MAX(CASE WHEN rn = 1 THEN ingest_hash END) AS latest_ingest_hash
        |FROM ranked GROUP BY 1, 2""".stripMargin
 
+  /** C7 `normalize_validate_envelope` — envelope-SCHEMA validation as
+    * a served reject class (reference: libs/contracts/src/validate.ts
+    * :13-26, which AJV-validates `ingest.raw.v1` /
+    * `etl.persisted.v1` envelopes at every hop). The engine's typed
+    * columns make a malformed envelope unrepresentable INTERNALLY;
+    * this operator covers the remaining real-user path — FOREIGN
+    * JSON arriving over the wire — by validating an actual JSON
+    * envelope stream with JSON-schema-equivalent predicates:
+    * `const` schema tag, `required` keys (envelope and nested
+    * levels), `additionalProperties: false` (an exact key-set
+    * check), `minLength` string bounds, `format: date-time`, and
+    * payload `minProperties: 1` — each schema keyword one predicate,
+    * evaluated in a FIXED first-failing order (C2/C6's verdict
+    * discipline; AJV reports allErrors but the reference joins them
+    * into one reject, validate.ts:22).
+    *
+    * Defects are injected by event_id residue classes disjoint from
+    * the B/C-family classes (89/109/113/127/131/137 for ingest;
+    * 139/149/151/157 for persisted), so both envelope kinds carry
+    * every reject reason at any SF. Scale: construct + validate are
+    * per-row expressions over one events scan; the rollup is a
+    * ≤12-row group-by — entirely map-side until the final count. */
+  def validateEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val s = (c: Column) => c.cast("string")
+    val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    val m = (k: Int) => pmod(col("event_id"), lit(k)) === 0
+
+    // --- ingest.raw.v1: construct the wire JSON with injected defects
+    val ingMeta = concat(
+      lit("\"tenantId\":\"t-"), s(pmod(col("user_id"), lit(4))),
+      lit("\",\"source\":\"labx\",\"ingestedAt\":\""),
+      when(m(127), lit("not-a-date")).otherwise(iso), lit("\""),
+      when(m(109), lit("")).otherwise(concat(
+        lit(",\"idempotencyKey\":\""),
+        when(m(113), lit("ab")).otherwise(concat(lit("idk-"), s(col("event_id")))),
+        lit("\""))),
+      lit(",\"contentHash\":\""), md5(s(col("event_id"))), lit("\""))
+    val ingPayload = when(m(131), lit("{}")).otherwise(concat(
+      lit("{\"patientId\":\""), s(col("user_id")),
+      lit("\",\"eventType\":\""), col("event_type"), lit("\"}")))
+    val ingEnv = concat(
+      lit("{\"schema\":\""),
+      when(m(89), lit("ingest.raw.v2")).otherwise(lit("ingest.raw.v1")),
+      lit("\",\"metadata\":{"), ingMeta, lit("},\"payload\":"), ingPayload,
+      when(m(137), lit(",\"extra\":1")).otherwise(lit("")), lit("}"))
+
+    // --- etl.persisted.v1: the post-persist event envelope
+    val perMeta = concat(
+      lit("\"tenantId\":\"t-"), s(pmod(col("user_id"), lit(4))),
+      lit("\",\"persistedAt\":\""),
+      when(m(157), lit("never")).otherwise(iso), lit("\""),
+      when(m(149), lit("")).otherwise(concat(
+        lit(",\"traceId\":\"tr-"), s(col("event_id")), lit("\""))))
+    val perRecord = concat(
+      lit("{\"pk\":\"TENANT#t-"), s(pmod(col("user_id"), lit(4))),
+      lit("\",\"sk\":\"EVT#"), s(col("event_id")),
+      lit("\",\"gsi1pk\":\"TYPE#"), col("event_type"), lit("\""),
+      when(m(151), lit("")).otherwise(concat(
+        lit(",\"gsi1sk\":\""), iso, lit("\""))),
+      lit(",\"entityType\":\"observation\",\"entityId\":\""),
+      s(col("event_id")), lit("\"}"))
+    val perEnv = concat(
+      lit("{\"schema\":\""),
+      when(m(139), lit("etl.persisted.v0")).otherwise(lit("etl.persisted.v1")),
+      lit("\",\"metadata\":{"), perMeta, lit("},\"record\":"), perRecord,
+      lit("}"))
+
+    // --- the JSON-schema-equivalent predicate ladders
+    def g(path: String) = get_json_object(col("env"), path)
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    val ingReason =
+      when(g("$.schema").isNull || g("$.schema") =!= "ingest.raw.v1",
+        "schema_mismatch")
+      .when(g("$.metadata").isNull || g("$.payload").isNull ||
+        g("$.metadata.tenantId").isNull || g("$.metadata.source").isNull ||
+        g("$.metadata.ingestedAt").isNull ||
+        g("$.metadata.idempotencyKey").isNull, "missing_required")
+      .when(json_object_keys(col("env")) =!=
+        array(lit("schema"), lit("metadata"), lit("payload")),
+        "additional_property")
+      .when(length(g("$.metadata.tenantId")) < 1 ||
+        length(g("$.metadata.source")) < 1 ||
+        length(g("$.metadata.idempotencyKey")) < 4 ||
+        (g("$.metadata.contentHash").isNotNull &&
+          length(g("$.metadata.contentHash")) < 16), "field_too_short")
+      .when(try_to_timestamp(g("$.metadata.ingestedAt"), lit(tsFmt)).isNull,
+        "bad_timestamp")
+      .when(size(json_object_keys(g("$.payload"))) < 1, "payload_empty")
+      .otherwise("valid")
+    val perReason =
+      when(g("$.schema").isNull || g("$.schema") =!= "etl.persisted.v1",
+        "schema_mismatch")
+      .when(g("$.metadata").isNull || g("$.record").isNull ||
+        g("$.metadata.tenantId").isNull || g("$.metadata.persistedAt").isNull ||
+        g("$.metadata.traceId").isNull, "missing_required")
+      .when(g("$.record.pk").isNull || g("$.record.sk").isNull ||
+        g("$.record.gsi1pk").isNull || g("$.record.gsi1sk").isNull ||
+        g("$.record.entityType").isNull || g("$.record.entityId").isNull,
+        "missing_record_key")
+      .when(json_object_keys(col("env")) =!=
+        array(lit("schema"), lit("metadata"), lit("record")),
+        "additional_property")
+      .when(try_to_timestamp(g("$.metadata.persistedAt"), lit(tsFmt)).isNull,
+        "bad_timestamp")
+      .otherwise("valid")
+
+    ev.select(lit("ingest.raw.v1").as("envelope"), ingEnv.as("env"))
+      .withColumn("reason", ingReason)
+      .unionAll(
+        ev.select(lit("etl.persisted.v1").as("envelope"), perEnv.as("env"))
+          .withColumn("reason", perReason))
+      .groupBy(col("envelope"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("envelope"), col("reason"))
+  }
+
+  def validateEnvelopeSql: String = {
+    val iso = "strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')"
+    s"""WITH ing AS (
+       |  SELECT event_id,
+       |    '{"schema":"'
+       |    || CASE WHEN event_id % 89 = 0 THEN 'ingest.raw.v2'
+       |            ELSE 'ingest.raw.v1' END
+       |    || '","metadata":{"tenantId":"t-' || CAST(user_id % 4 AS VARCHAR)
+       |    || '","source":"labx","ingestedAt":"'
+       |    || CASE WHEN event_id % 127 = 0 THEN 'not-a-date' ELSE $iso END
+       |    || '"'
+       |    || CASE WHEN event_id % 109 = 0 THEN ''
+       |            ELSE ',"idempotencyKey":"'
+       |              || CASE WHEN event_id % 113 = 0 THEN 'ab'
+       |                      ELSE 'idk-' || CAST(event_id AS VARCHAR) END
+       |              || '"' END
+       |    || ',"contentHash":"' || md5(CAST(event_id AS VARCHAR))
+       |    || '"},"payload":'
+       |    || CASE WHEN event_id % 131 = 0 THEN '{}'
+       |            ELSE '{"patientId":"' || CAST(user_id AS VARCHAR)
+       |              || '","eventType":"' || event_type || '"}' END
+       |    || CASE WHEN event_id % 137 = 0 THEN ',"extra":1' ELSE '' END
+       |    || '}' AS env
+       |  FROM events
+       |), per AS (
+       |  SELECT event_id,
+       |    '{"schema":"'
+       |    || CASE WHEN event_id % 139 = 0 THEN 'etl.persisted.v0'
+       |            ELSE 'etl.persisted.v1' END
+       |    || '","metadata":{"tenantId":"t-' || CAST(user_id % 4 AS VARCHAR)
+       |    || '","persistedAt":"'
+       |    || CASE WHEN event_id % 157 = 0 THEN 'never' ELSE $iso END
+       |    || '"'
+       |    || CASE WHEN event_id % 149 = 0 THEN ''
+       |            ELSE ',"traceId":"tr-' || CAST(event_id AS VARCHAR) || '"' END
+       |    || '},"record":{"pk":"TENANT#t-' || CAST(user_id % 4 AS VARCHAR)
+       |    || '","sk":"EVT#' || CAST(event_id AS VARCHAR)
+       |    || '","gsi1pk":"TYPE#' || event_type || '"'
+       |    || CASE WHEN event_id % 151 = 0 THEN ''
+       |            ELSE ',"gsi1sk":"' || $iso || '"' END
+       |    || ',"entityType":"observation","entityId":"'
+       |    || CAST(event_id AS VARCHAR) || '"}}' AS env
+       |  FROM events
+       |), labeled AS (
+       |  SELECT 'ingest.raw.v1' AS envelope,
+       |    CASE
+       |      WHEN json_extract_string(env, '$$.schema') IS NULL
+       |        OR json_extract_string(env, '$$.schema') <> 'ingest.raw.v1' THEN 'schema_mismatch'
+       |      WHEN json_extract_string(env, '$$.metadata') IS NULL OR json_extract_string(env, '$$.payload') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.tenantId') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.source') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.ingestedAt') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.idempotencyKey') IS NULL
+       |        THEN 'missing_required'
+       |      WHEN json_keys(env) <> ['schema', 'metadata', 'payload']
+       |        THEN 'additional_property'
+       |      WHEN length(json_extract_string(env, '$$.metadata.tenantId')) < 1
+       |        OR length(json_extract_string(env, '$$.metadata.source')) < 1
+       |        OR length(json_extract_string(env, '$$.metadata.idempotencyKey')) < 4
+       |        OR (json_extract_string(env, '$$.metadata.contentHash') IS NOT NULL
+       |            AND length(json_extract_string(env, '$$.metadata.contentHash')) < 16)
+       |        THEN 'field_too_short'
+       |      WHEN try_strptime(json_extract_string(env, '$$.metadata.ingestedAt'),
+       |                        '%Y-%m-%dT%H:%M:%S.%fZ') IS NULL
+       |        THEN 'bad_timestamp'
+       |      WHEN len(json_keys(env, '$$.payload')) < 1 THEN 'payload_empty'
+       |      ELSE 'valid' END AS reason
+       |  FROM ing
+       |  UNION ALL
+       |  SELECT 'etl.persisted.v1' AS envelope,
+       |    CASE
+       |      WHEN json_extract_string(env, '$$.schema') IS NULL
+       |        OR json_extract_string(env, '$$.schema') <> 'etl.persisted.v1' THEN 'schema_mismatch'
+       |      WHEN json_extract_string(env, '$$.metadata') IS NULL OR json_extract_string(env, '$$.record') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.tenantId') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.persistedAt') IS NULL
+       |        OR json_extract_string(env, '$$.metadata.traceId') IS NULL THEN 'missing_required'
+       |      WHEN json_extract_string(env, '$$.record.pk') IS NULL OR json_extract_string(env, '$$.record.sk') IS NULL
+       |        OR json_extract_string(env, '$$.record.gsi1pk') IS NULL
+       |        OR json_extract_string(env, '$$.record.gsi1sk') IS NULL
+       |        OR json_extract_string(env, '$$.record.entityType') IS NULL
+       |        OR json_extract_string(env, '$$.record.entityId') IS NULL THEN 'missing_record_key'
+       |      WHEN json_keys(env) <> ['schema', 'metadata', 'record']
+       |        THEN 'additional_property'
+       |      WHEN try_strptime(json_extract_string(env, '$$.metadata.persistedAt'),
+       |                        '%Y-%m-%dT%H:%M:%S.%fZ') IS NULL
+       |        THEN 'bad_timestamp'
+       |      ELSE 'valid' END AS reason
+       |  FROM per
+       |)
+       |SELECT envelope, reason, COUNT(*) AS n
+       |FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "normalize_validate_envelope" -> (validateEnvelope _),
     "pipeline_end_to_end" -> (endToEnd _),
     "normalize_unit_canonical" -> (unitCanonical _),
     "normalize_validate_dto" -> (validateDto _),
@@ -411,6 +623,7 @@ object Normalize {
     "normalize_entity_id" -> (entityId _))
 
   val oracles: Map[String, String] = Map(
+    "normalize_validate_envelope" -> validateEnvelopeSql,
     "pipeline_end_to_end" -> endToEndSql,
     "normalize_unit_canonical" -> unitCanonicalSql,
     "normalize_validate_dto" -> validateDtoSql,

@@ -86,6 +86,39 @@ class PipelineSpec extends SparkSpecBase {
       .filter(col("value_quantity") === Double.PositiveInfinity).count() == 0)
   }
 
+  test("C7 envelope validation: reject counts equal the residue-ladder replay") {
+    val got = run("normalize_validate_envelope").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val ids = Tables.events(spark, sf).select("event_id")
+      .collect().map(_.getLong(0))
+    // each injected defect trips exactly its schema keyword; overlaps
+    // resolve by the operator's fixed first-failing ladder
+    def ingest(id: Long): String =
+      if (id % 89 == 0) "schema_mismatch"
+      else if (id % 109 == 0) "missing_required"
+      else if (id % 137 == 0) "additional_property"
+      else if (id % 113 == 0) "field_too_short"
+      else if (id % 127 == 0) "bad_timestamp"
+      else if (id % 131 == 0) "payload_empty"
+      else "valid"
+    def persisted(id: Long): String =
+      if (id % 139 == 0) "schema_mismatch"
+      else if (id % 149 == 0) "missing_required"
+      else if (id % 151 == 0) "missing_record_key"
+      else if (id % 157 == 0) "bad_timestamp"
+      else "valid"
+    val want =
+      ids.groupBy(id => ("ingest.raw.v1", ingest(id)))
+        .map { case (k, v) => k -> v.length.toLong } ++
+      ids.groupBy(id => ("etl.persisted.v1", persisted(id)))
+        .map { case (k, v) => k -> v.length.toLong }
+    assert(got == want)
+    // every reject class fires at this layout, and the stream is
+    // mostly valid (defect classes are sparse residues)
+    assert(got.keys.count(_._2 != "valid") >= 9)
+    assert(got(("ingest.raw.v1", "valid")) > ids.length * 9L / 10)
+  }
+
   test("A1 envelope: content_hash is sha256 hex and unique per event") {
     val df = run("ingest_envelope")
     val n = df.count()
