@@ -1025,4 +1025,86 @@ case class FunnelAgg(anchors: Seq[Long])
     state.update(agg)
     UserStateOut(userId, agg.lastType, toTs(agg.lastTs), agg.lastValue, agg.n, agg.sum)
   }
+
+  case class OccOut(writer_id: String, txn_date: String, txn_hour: Int,
+      seen: Long, start_us: Long, commit_us: Long, n_keys: Long,
+      n_conflicts: Long, must_retry: Boolean, first_conflict_writer: String)
+
+  /** seen: applied-write count (monotone — the spec's keep-latest
+    * key, since a conflict verdict can change while the attempt's own
+    * columns don't); seqIk: per-(user, event_type) last applied
+    * idempotency key (the D2 conditional-write dedup); keys:
+    * per-(writer, date, hour, event_type) applied-write window in
+    * micros. */
+  case class OccState(seen: Long, seqIk: Map[String, Long],
+      keys: Map[(String, String, Int, String), (Long, Long)])
+
+  /** D11 streaming — the LIVE optimistic-concurrency commit monitor
+    * (twin of batch `persist_conflict_check`, the persist family's
+    * one batch-only analytical member until now). The stream is the
+    * table's COMMIT LOG — a single serialized order by protocol
+    * (Delta/Iceberg OCC validates against one log), so the state
+    * keys on the log itself (one group): per-(writer, date, hour,
+    * key) applied-write windows plus the per-(user, key) last-ik
+    * registers that replay D2's conditional-write dedup. Each
+    * trigger folds the batch's commits in LOG ORDER (entries are
+    * sorted by (ts, event_id) before folding — iterator order inside
+    * a trigger is not arrival order) and re-emits every attempt row
+    * with windows, write-set size, and the first-committer-wins
+    * conflict verdict recomputed — exactly the batch candidate rule
+    * (shared key, committed inside the in-flight window, earlier in
+    * (commit ts, writer) order). Stays metadata-scale for the same
+    * reason batch D11 does: state is O(writers × hours × keys +
+    * users × keys), never O(rows); production ages out hours past
+    * the watermark. Spec-equal to batch under uneven micro-batch
+    * splits (StreamingSpec). */
+  def occState(events: Dataset[Event], spark: SparkSession): Dataset[OccOut] = {
+    import spark.implicits._
+    events.groupByKey(_ => "commitlog")
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(occFn)
+  }
+
+  private[streaming] def occFn(log: String, events: Iterator[Event],
+      state: GroupState[OccState]): Iterator[OccOut] = {
+    var seqIk = state.getOption.map(_.seqIk).getOrElse(Map.empty[String, Long])
+    var keys = state.getOption.map(_.keys)
+      .getOrElse(Map.empty[(String, String, Int, String), (Long, Long)])
+    var seen = state.getOption.map(_.seen).getOrElse(0L)
+    // restore log order within the trigger
+    events.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+      val ik = java.lang.Math.floorMod(e.event_id, 5L)
+      val seqKey = s"${e.user_id}:${e.event_type}"
+      if (!seqIk.get(seqKey).contains(ik)) { // conditional write applies
+        seqIk += seqKey -> ik
+        seen += 1L
+        val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+        val k = ("t" + java.lang.Math.floorMod(e.user_id, 4L),
+          utcFmt.format(inst),
+          inst.atZone(java.time.ZoneOffset.UTC).getHour, e.event_type)
+        val t = us(e.ts)
+        val (lo, hi) = keys.getOrElse(k, (Long.MaxValue, Long.MinValue))
+        keys += k -> (math.min(lo, t), math.max(hi, t))
+      }
+    }
+    state.update(OccState(seen, seqIk, keys))
+    val attempts = keys.toSeq
+      .groupBy { case ((w, d, h, _), _) => (w, d, h) }
+      .map { case ((w, d, h), ks) =>
+        (w, d, h) -> (ks.map(_._2._1).min, ks.map(_._2._2).max, ks.size.toLong)
+      }
+    attempts.toSeq.sortBy(_._1).map { case ((xw, d, h), (xs, xc, nKeys)) =>
+      val conflicting = keys.keysIterator
+        .filter { case (w, kd, kh, t) =>
+          w != xw && kd == d && kh == h && keys.contains((xw, d, h, t)) }
+        .map(_._1)
+        .filter { yw =>
+          val yc = attempts((yw, d, h))._2
+          yc >= xs && (yc < xc || (yc == xc && yw < xw))
+        }.toSeq.distinct
+      OccOut(xw, d, h, seen, xs, xc, nKeys, conflicting.size.toLong,
+        conflicting.nonEmpty,
+        if (conflicting.isEmpty) null else conflicting.min)
+    }.iterator
+  }
 }

@@ -586,6 +586,44 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("D11 streaming OCC monitor converges to the batch conflict check") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.occState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_occ")
+      .outputMode("update").start()
+    // three UNEVEN micro-batches in commit-log order (the contract);
+    // no sentinel — the log has no watermark state to flush
+    val (a, rest) = batchEvents.splitAt(batchEvents.size / 4)
+    val (b, c) = rest.splitAt(rest.size / 3)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    ms.addData(c); q.processAllAvailable()
+    q.stop()
+    // a verdict can change while the attempt's own columns don't
+    // (another writer commits into its window) — keep-latest by the
+    // monotone global `seen` counter
+    val fin = spark.table("s_occ")
+      .groupBy("writer_id", "txn_date", "txn_hour")
+      .agg(max(struct(col("seen"), col("start_us"), col("commit_us"),
+        col("n_keys"), col("n_conflicts"), col("must_retry"),
+        col("first_conflict_writer"))).as("s"))
+      .select(col("writer_id"), col("txn_date"), col("txn_hour"),
+        col("s.start_us"), col("s.commit_us"), col("s.n_keys"),
+        col("s.n_conflicts"), col("s.must_retry"),
+        col("s.first_conflict_writer"))
+    val got = fin.collect().map(_.toSeq).toSet
+    val want = run("persist_conflict_check")
+      .select(col("writer_id"), col("txn_date"), col("txn_hour"),
+        expr("unix_micros(start_ts)"), expr("unix_micros(commit_ts)"),
+        col("n_keys"), col("n_conflicts"), col("must_retry"),
+        col("first_conflict_writer"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming OCC monitor diverges from batch D11")
+    // conflicts are live on this data, and never self-referential
+    assert(got.exists(_(7) == true))
+    assert(got.forall(r => r(8) == null || r(8) != r(0)))
+  }
+
   test("F17 streaming EWMA monitor converges to the batch regression alarm") {
     val ms = MemoryStream[Event]
     val q = StreamOps.ewmaCounters(ms.toDS(), spark)
