@@ -202,14 +202,16 @@ object Graph {
     * bound (frontier ≤ nSeeds × nodes); per-seed BFS beyond a few
     * hundred seeds wants the sketch route (HyperBall/HLL counters),
     * which F9/F15 already provide the primitive for. */
-  def closeness(spark: SparkSession, dir: String, brand: String = "Brand#1",
-                nSeeds: Int = 8, minSupport: Int = 1,
-                maxHops: Int = 3): DataFrame = {
+  /** The memoized seed-labeled BFS table (seed, node, hops) O11 and
+    * O12 both serve from (private[graft]: the O12 spec replays it). */
+  private[graft] def closenessVisited(spark: SparkSession, dir: String,
+      brand: String, nSeeds: Int, minSupport: Int,
+      maxHops: Int): DataFrame = {
     val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
     val pmtime = graft.Tables.mtime(spark, s"$dir/part.parquet")
     val key = s"${System.identityHashCode(spark)}:$dir:closeness:$brand:" +
       s"$nSeeds:$minSupport:$maxHops"
-    val visited = memoCheckpoint(key, s"$mtime:$pmtime") {
+    memoCheckpoint(key, s"$mtime:$pmtime") {
       val e = directedEdges(spark, dir, minSupport)
       val nodes = e.select(col("src").as("node")).distinct()
       val seeds = Tables.part(spark, dir)
@@ -234,6 +236,13 @@ object Graph {
       }
       acc
     }
+  }
+
+  def closeness(spark: SparkSession, dir: String, brand: String = "Brand#1",
+                nSeeds: Int = 8, minSupport: Int = 1,
+                maxHops: Int = 3): DataFrame = {
+    val visited = closenessVisited(spark, dir, brand, nSeeds, minSupport,
+      maxHops)
     val harmonic = (1 to maxHops)
       .map(k => count(when(col("hops") === k, lit(1))).cast("double")
         / lit(k.toDouble))
@@ -275,6 +284,101 @@ object Graph {
        |  ROUND($harm, 6) AS harmonic
        |FROM v$maxHops WHERE hops > 0 GROUP BY 1 ORDER BY seed""".stripMargin
   }
+
+  /** O12 `graph_closeness_hyperball` — HyperBall (Boldi–Vigna):
+    * the SKETCH route O11's doc names as the beyond-contract path,
+    * now served. Every node carries an HLL counter of its radius-t
+    * ball; one iteration unions each node's counter with its
+    * neighbors' (B_t(v) = B_{t-1}(v) ∪ ⋃_{v→w} B_{t-1}(w)), so
+    * ALL-nodes neighborhood functions cost O(iters × edges) with
+    * counter-sized state — the only way closeness runs on a 100 TB
+    * graph (per-seed BFS is bounded by the seed contract; HyperBall
+    * has no seed bound). Ball-size estimates then give harmonic
+    * centrality from the sketch DELTAS Σ_t (|B_t|−|B_{t-1}|)/t.
+    *
+    * Serve discipline (F9/F15's): DataSketches union ESTIMATES are
+    * not bit-stable across partition splits, so the hash-compared
+    * columns are O11's exact BFS answers on the bounded seed slice,
+    * and the sketch route is served as `sketch_in_band` — TRUE iff
+    * every radius's estimated ball size is within ±15%+1 of the
+    * exact ball size (HLL lgK=12, rsd ≈1.6%, band = ~9σ) — which the
+    * oracle pins TRUE. The sketch table itself is computed over the
+    * WHOLE graph (the real algorithm), not just the seeds; the seed
+    * slice is where exactness can be proven. */
+  def closenessHyperball(spark: SparkSession, dir: String,
+      brand: String = "Brand#1", nSeeds: Int = 8, minSupport: Int = 1,
+      maxHops: Int = 3): DataFrame = {
+    val visited = closenessVisited(spark, dir, brand, nSeeds, minSupport,
+      maxHops)
+    val seedEsts = hyperballSeedEsts(spark, dir, visited, brand, nSeeds,
+      minSupport, maxHops)
+    val exactBalls = (1 to maxHops).map(t =>
+      visited.groupBy(col("seed"))
+        .agg(count(when(col("hops") <= t, lit(1))).as("exact_ball"))
+        .withColumn("t", lit(t))).reduce(_ unionAll _)
+    val inBand = seedEsts.join(exactBalls, Seq("seed", "t"))
+      .groupBy(col("seed"))
+      .agg(bool_and(abs(col("est") - col("exact_ball"))
+        <= col("exact_ball").cast("double") * 0.15 + 1.0)
+        .as("sketch_in_band"))
+    closeness(spark, dir, brand, nSeeds, minSupport, maxHops)
+      .join(inBand, Seq("seed"))
+      .select(col("seed"), col("n_reached"), col("harmonic"),
+        col("sketch_in_band"))
+      .orderBy(col("seed"))
+  }
+
+  /** The HyperBall iteration itself: all-nodes ball counters, seed
+    * slice estimated per radius — (seed, t, est), bounded
+    * nSeeds × maxHops rows, memoized. private[graft] so the spec can
+    * band-check the raw estimates the serve folds into its boolean. */
+  private[graft] def hyperballSeedEsts(spark: SparkSession, dir: String,
+      visited: DataFrame, brand: String, nSeeds: Int, minSupport: Int,
+      maxHops: Int): DataFrame = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val pmtime = graft.Tables.mtime(spark, s"$dir/part.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:hyperball:$brand:" +
+      s"$nSeeds:$minSupport:$maxHops"
+    memoCheckpoint(key, s"$mtime:$pmtime") {
+      val e = directedEdges(spark, dir, minSupport)
+      val seeds = broadcast(
+        visited.filter(col("hops") === 0).select(col("seed")))
+      var balls = e.select(col("src").as("node")).distinct()
+        .groupBy(col("node"))
+        .agg(hll_sketch_agg(col("node")).as("sk")) // B_0(v) = {v}
+        .localCheckpoint()
+      val rounds = scala.collection.mutable.ListBuffer(balls)
+      var ests: DataFrame = null
+      for (t <- 1 to maxHops) {
+        val nbr = e.join(balls, e("dst") === balls("node"))
+          .select(e("src").as("bnode"), col("sk"))
+          .groupBy(col("bnode"))
+          .agg(hll_union_agg(col("sk")).as("nsk"))
+        val prev = balls
+        balls = prev.join(nbr, prev("node") === nbr("bnode"), "left")
+          .select(prev("node"),
+            when(col("nsk").isNull, prev("sk"))
+              .otherwise(hll_union(prev("sk"), col("nsk"))).as("sk"))
+          .localCheckpoint()
+        rounds += balls
+        val est = balls.join(seeds, balls("node") === seeds("seed"))
+          .select(col("seed"), lit(t).as("t"),
+            hll_sketch_estimate(col("sk")).as("est"))
+        ests = if (ests == null) est else ests.unionAll(est)
+      }
+      val out = ests.localCheckpoint()
+      // the bounded est table is materialized: the per-round sketch
+      // tables (node × counter — the expensive blocks) can go
+      rounds.foreach(releaseCheckpoint)
+      out
+    }
+  }
+
+  def closenessHyperballSql(brand: String = "Brand#1", nSeeds: Int = 8,
+      minSupport: Int = 1, maxHops: Int = 3): String =
+    s"""SELECT seed, n_reached, harmonic, TRUE AS sketch_in_band FROM (
+       |${closenessSql(brand, nSeeds, minSupport, maxHops)}
+       |) ORDER BY seed""".stripMargin
 
   /** O1 `graph_pagerank` — damped PageRank over the co-purchase
     * graph in BIGINT fixed-point (SCALE = 1e9, d = 0.85), the
@@ -1102,6 +1206,9 @@ object Graph {
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_bfs" -> ((s, d) => bfs(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
+    "graph_closeness_hyperball" -> ((s, d) => closenessHyperball(s, d)),
+    "param_closeness_hyperball" -> ((s, d) =>
+      closenessHyperball(s, d, brand = "Brand#2", nSeeds = 5, maxHops = 2)),
     "param_graph_closeness" -> ((s, d) => closeness(s, d,
       brand = "Brand#2", nSeeds = 5, maxHops = 2)),
     // iters=20 deliberately DEEP: proves the per-round lineage cut
@@ -1137,6 +1244,9 @@ object Graph {
     "graph_triangles" -> trianglesSql(),
     "graph_bfs" -> bfsSql(),
     "graph_closeness" -> closenessSql(),
+    "graph_closeness_hyperball" -> closenessHyperballSql(),
+    "param_closeness_hyperball" -> closenessHyperballSql(
+      brand = "Brand#2", nSeeds = 5, maxHops = 2),
     "param_graph_closeness" -> closenessSql(
       brand = "Brand#2", nSeeds = 5, maxHops = 2),
     "param_graph_pagerank" -> pagerankSql(

@@ -106,6 +106,39 @@ class GraphSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("O12 HyperBall: sketch ball sizes band-track the exact BFS, serve anchors to O11") {
+    val served = run("graph_closeness_hyperball").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    // the hash-anchored columns ARE O11's exact answers
+    val o11 = run("graph_closeness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served.map(t => (t._1, t._2, t._3)) == o11)
+    assert(served.forall(_._4), "a sketch ball left the ±15%+1 band")
+    // band-check the raw estimates against the exact driver BFS balls
+    val visited = operators.Graph.closenessVisited(spark, sf, "Brand#1",
+      8, 1, 3)
+    val exact = visited.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues { rows =>
+        (1 to 3).map(t => rows.count(_._3 <= t).toLong)
+      }.toMap
+    val ests = operators.Graph.hyperballSeedEsts(spark, sf, visited,
+      "Brand#1", 8, 1, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toDouble))
+    assert(ests.length == exact.size * 3)
+    ests.foreach { case (seed, t, est) =>
+      val ex = exact(seed)(t - 1)
+      assert(math.abs(est - ex) <= ex * 0.15 + 1.0,
+        s"seed $seed radius $t: est $est vs exact $ex")
+    }
+    // estimates are monotone in the radius (balls only grow)
+    ests.groupBy(_._1).values.foreach { rs =>
+      val byT = rs.sortBy(_._2).map(_._3)
+      assert(byT.zip(byT.drop(1)).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("O4 components equal driver union-find (the 10 rounds truly converge)") {
     // union-find ground truth over the minSupport=2 graph
     val items = Tables.lineitem(spark, sf)

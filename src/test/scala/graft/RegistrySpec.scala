@@ -409,6 +409,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_corpus_refresh_trained" -> 5,
     "sim_index_compaction" -> 3, // delta-assign window + cell rollup + ordered serve (base lists are a checkpoint leaf)
     "param_index_compaction" -> 3,
+    "graph_closeness_hyperball" -> 6, // per-radius exact-ball rollups over the BFS leaf + band rollup + O11 serve rollup + ordered join (sketch iteration is a checkpoint leaf)
+    "param_closeness_hyperball" -> 6,
     "sim_rocchio_feedback" -> 4, // r1 top-k window + seedpos/qexp rollups over contract-bounded rows + r2 window
     "param_rocchio_feedback" -> 4
 
