@@ -469,50 +469,66 @@ object Normalize {
       lit("\",\"metadata\":{"), perMeta, lit("},\"record\":"), perRecord,
       lit("}"))
 
-    // --- the JSON-schema-equivalent predicate ladders
-    def g(path: String) = get_json_object(col("env"), path)
+    // --- the JSON-schema-equivalent predicate ladders. Each row is
+    // parsed exactly TWICE (one from_json for every field predicate,
+    // one json_object_keys for additionalProperties): per-path
+    // get_json_object would re-parse the document per predicate
+    // (~16 parses/row — measured 4.9 s vs ~1 s at sf0.1). from_json's
+    // PERMISSIVE null-on-missing is exactly AJV's `required` check,
+    // and a map-typed payload makes minProperties a size() call.
     val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    val ingSchema = "schema string, metadata struct<tenantId:string, " +
+      "source:string, ingestedAt:string, idempotencyKey:string, " +
+      "contentHash:string>, payload map<string,string>"
+    val perSchema = "schema string, metadata struct<tenantId:string, " +
+      "persistedAt:string, traceId:string>, record struct<pk:string, " +
+      "sk:string, gsi1pk:string, gsi1sk:string, entityType:string, " +
+      "entityId:string>"
+    val j = col("j")
     val ingReason =
-      when(g("$.schema").isNull || g("$.schema") =!= "ingest.raw.v1",
+      when(j("schema").isNull || j("schema") =!= "ingest.raw.v1",
         "schema_mismatch")
-      .when(g("$.metadata").isNull || g("$.payload").isNull ||
-        g("$.metadata.tenantId").isNull || g("$.metadata.source").isNull ||
-        g("$.metadata.ingestedAt").isNull ||
-        g("$.metadata.idempotencyKey").isNull, "missing_required")
+      .when(j("metadata").isNull || j("payload").isNull ||
+        j("metadata").getField("tenantId").isNull || j("metadata").getField("source").isNull ||
+        j("metadata").getField("ingestedAt").isNull ||
+        j("metadata").getField("idempotencyKey").isNull, "missing_required")
       .when(json_object_keys(col("env")) =!=
         array(lit("schema"), lit("metadata"), lit("payload")),
         "additional_property")
-      .when(length(g("$.metadata.tenantId")) < 1 ||
-        length(g("$.metadata.source")) < 1 ||
-        length(g("$.metadata.idempotencyKey")) < 4 ||
-        (g("$.metadata.contentHash").isNotNull &&
-          length(g("$.metadata.contentHash")) < 16), "field_too_short")
-      .when(try_to_timestamp(g("$.metadata.ingestedAt"), lit(tsFmt)).isNull,
+      .when(length(j("metadata").getField("tenantId")) < 1 ||
+        length(j("metadata").getField("source")) < 1 ||
+        length(j("metadata").getField("idempotencyKey")) < 4 ||
+        (j("metadata").getField("contentHash").isNotNull &&
+          length(j("metadata").getField("contentHash")) < 16), "field_too_short")
+      .when(try_to_timestamp(j("metadata").getField("ingestedAt"), lit(tsFmt)).isNull,
         "bad_timestamp")
-      .when(size(json_object_keys(g("$.payload"))) < 1, "payload_empty")
+      .when(size(j("payload")) < 1, "payload_empty")
       .otherwise("valid")
     val perReason =
-      when(g("$.schema").isNull || g("$.schema") =!= "etl.persisted.v1",
+      when(j("schema").isNull || j("schema") =!= "etl.persisted.v1",
         "schema_mismatch")
-      .when(g("$.metadata").isNull || g("$.record").isNull ||
-        g("$.metadata.tenantId").isNull || g("$.metadata.persistedAt").isNull ||
-        g("$.metadata.traceId").isNull, "missing_required")
-      .when(g("$.record.pk").isNull || g("$.record.sk").isNull ||
-        g("$.record.gsi1pk").isNull || g("$.record.gsi1sk").isNull ||
-        g("$.record.entityType").isNull || g("$.record.entityId").isNull,
+      .when(j("metadata").isNull || j("record").isNull ||
+        j("metadata").getField("tenantId").isNull || j("metadata").getField("persistedAt").isNull ||
+        j("metadata").getField("traceId").isNull, "missing_required")
+      .when(j("record").getField("pk").isNull || j("record").getField("sk").isNull ||
+        j("record").getField("gsi1pk").isNull || j("record").getField("gsi1sk").isNull ||
+        j("record").getField("entityType").isNull || j("record").getField("entityId").isNull,
         "missing_record_key")
       .when(json_object_keys(col("env")) =!=
         array(lit("schema"), lit("metadata"), lit("record")),
         "additional_property")
-      .when(try_to_timestamp(g("$.metadata.persistedAt"), lit(tsFmt)).isNull,
+      .when(try_to_timestamp(j("metadata").getField("persistedAt"), lit(tsFmt)).isNull,
         "bad_timestamp")
       .otherwise("valid")
 
     ev.select(lit("ingest.raw.v1").as("envelope"), ingEnv.as("env"))
-      .withColumn("reason", ingReason)
+      .withColumn("j", from_json(col("env"), ingSchema, Map.empty[String, String]))
+      .select(col("envelope"), ingReason.as("reason"))
       .unionAll(
         ev.select(lit("etl.persisted.v1").as("envelope"), perEnv.as("env"))
-          .withColumn("reason", perReason))
+          .withColumn("j", from_json(col("env"), perSchema,
+            Map.empty[String, String]))
+          .select(col("envelope"), perReason.as("reason")))
       .groupBy(col("envelope"), col("reason"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("envelope"), col("reason"))
