@@ -343,9 +343,15 @@ object Graph {
       val e = directedEdges(spark, dir, minSupport)
       val seeds = broadcast(
         visited.filter(col("hops") === 0).select(col("seed")))
+      // lgK = 10 (rsd 3.25%, ~4.6σ inside the ±15%+1 band): the
+      // counter SIZE is the shuffle-volume control of the relational
+      // HyperBall — every iteration shuffles edges × counter bytes,
+      // and the default lgK=12 (4 KB max/counter) measured 4× the
+      // spill of lgK=10 at the 10× replica (filled a 65 GB /tmp)
+      val lgK = 10
       var balls = e.select(col("src").as("node")).distinct()
         .groupBy(col("node"))
-        .agg(hll_sketch_agg(col("node")).as("sk")) // B_0(v) = {v}
+        .agg(hll_sketch_agg(col("node"), lgK).as("sk")) // B_0(v) = {v}
         .localCheckpoint()
       val rounds = scala.collection.mutable.ListBuffer(balls)
       var ests: DataFrame = null
