@@ -1180,7 +1180,59 @@ object Corpus {
        |WHERE d.doc_id % 3 = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** M17 `corpus_cluster_sample` — cluster-balanced diversity
+    * sampling over the embedding space: assign every vector to its
+    * trained k-means cell (H6's exact-integer codebook, reused via
+    * the Similarity seams) and keep a DETERMINISTIC per-cluster cap
+    * (the M5 per-source-cap discipline with LEARNED strata) — the
+    * density-flattening selection of cluster-based data pruning
+    * (Sorscher et al. 2022, "Beyond neural scaling laws") and the
+    * selection stage SemDeDup-style pipelines run after dedup: every
+    * semantic region contributes at most `cap` examples, so dense
+    * modes stop dominating the mixture. Pick order inside a cluster
+    * is the hash order md5(vec_id) (M10's deterministic-shuffle
+    * rule), so the sample is reproducible and unbiased by ingest
+    * order. Served row = (cluster, n_members, vec_id, pick_rank);
+    * n_members beside each pick makes the flattening auditable
+    * (kept = min(cap, n_members) per cluster).
+    * Scale: the codebook is bounded (≤256), training is H6's
+    * broadcast Lloyd rounds; assignment is one O(n·k) broadcast
+    * pass; the cap is one cluster-keyed window — no corpus
+    * self-join, nothing pairwise. */
+  def clusterSample(spark: SparkSession, dir: String,
+                    cap: Int = 8): DataFrame = {
+    val assigned = Similarity.kmeansAssignments(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    assigned
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= cap)
+      .join(sizes, Seq("cell"))
+      .select(col("cell").as("cluster"), col("n_members"),
+        col("vec_id"), col("pick_rank"))
+      .orderBy(col("cluster"), col("pick_rank"))
+  }
+
+  def clusterSampleSql(cap: Int = 8): String =
+    s"""WITH ${Similarity.kmeansCtesSql},
+       |${Similarity.kmeansAsgSqlCte},
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+       |  FROM kasg
+       |), sizes AS (SELECT cell, COUNT(*) AS n_members FROM kasg GROUP BY 1)
+       |SELECT r.cell AS cluster, s.n_members, r.vec_id, r.pick_rank
+       |FROM ranked r JOIN sizes s ON r.cell = s.cell
+       |WHERE pick_rank <= $cap
+       |ORDER BY cluster, pick_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cluster_sample" -> ((s, d) => clusterSample(s, d)),
+    "param_cluster_sample" -> ((s, d) => clusterSample(s, d, cap = 3)),
     "pipeline_corpus_refresh" -> ((s, d) => corpusRefresh(s, d)),
     "param_corpus_refresh" -> ((s, d) =>
       corpusRefresh(s, d, minNovelty = 0.8, minChars = 120L)),
@@ -1213,6 +1265,8 @@ object Corpus {
     "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_cluster_sample" -> clusterSampleSql(),
+    "param_cluster_sample" -> clusterSampleSql(cap = 3),
     "pipeline_corpus_refresh" -> corpusRefreshSql(),
     "param_corpus_refresh" ->
       corpusRefreshSql(minNovelty = 0.8, minChars = 120L),

@@ -1112,6 +1112,15 @@ object Similarity {
     * here the corpus is small enough to train on directly. */
   def ivfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
+    ivfSearch(emb, kmeansCents(spark, dir))
+  }
+
+  /** The trained (KmeansIters Lloyd rounds, exact integer) centroid
+    * table H6 searches with — exposed as its own seam so M17's
+    * cluster-balanced sampling reuses the SAME codebook recipe. */
+  private[operators] def kmeansCents(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
     val k = ivfK(spark, dir, emb)
     var cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
       .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
@@ -1136,10 +1145,37 @@ object Similarity {
           s => s.getField("m")).as("cq"))
         .withColumn("cn", vdotQuantizedNative(col("cq"), col("cq")))
     }
-    ivfSearch(emb, cents)
+    cents
   }
 
-  def ivfKmeansSql: String = {
+  private val kmeansAsgReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  /** Every corpus vector keyed to its trained k-means cell — the
+    * cluster map M17's balanced sampling consumes. Checkpointed and
+    * memoized (house lifecycle): M17 fans it out to two consumers
+    * (sizes + ranked picks), which would otherwise re-plan the whole
+    * Lloyd training subtree per branch. */
+  private[operators] def kmeansAssignments(spark: SparkSession,
+      dir: String): DataFrame = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/embeddings.parquet")
+    kmeansAsgReg.compute(
+      s"${System.identityHashCode(spark)}:$dir:kasg", (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else {
+          if (prev != null) Graph.releaseCheckpoint(prev._2)
+          (mtime, assignTo(quantized(spark, dir), kmeansCents(spark, dir))
+            .select(col("vec_id"), col("cell")).localCheckpoint())
+        })._2
+  }
+
+  def ivfKmeansSql: String =
+    s"""WITH $kmeansCtesSql,
+       |${ivfTailSql("c2")}""".stripMargin
+
+  /** The trained-centroid CTE chain (qnn … c2) shared by H6's oracle
+    * and M17's. */
+  private[operators] def kmeansCtesSql: String = {
     // one Lloyd iteration as a CTE pair: assignment against `prev`,
     // then element-wise floor-mean rebuild
     def iter(prev: String, a: String, u: String, next: String): String =
@@ -1163,15 +1199,27 @@ object Similarity {
          |    CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
          |  FROM (SELECT cent_id, list(m ORDER BY pos) AS cq FROM $u GROUP BY 1)
          |)""".stripMargin
-    s"""WITH $qnSqlCte, c0 AS (
+    s"""$qnSqlCte, c0 AS (
        |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
        |  FROM qnn ORDER BY md5(CAST(vec_id AS VARCHAR))
        |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
        |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings)
        |), ${iter("c0", "a1", "u1", "c1")},
-       |${iter("c1", "a2", "u2", "c2")},
-       |${ivfTailSql("c2")}""".stripMargin
+       |${iter("c1", "a2", "u2", "c2")}""".stripMargin
   }
+
+  /** The exact-cosine assignment CTE over the trained codebook —
+    * appended after [[kmeansCtesSql]]; yields `kasg(vec_id, cell)`. */
+  private[operators] def kmeansAsgSqlCte: String =
+    s"""kasg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN c2 c
+       |  ) WHERE arn = 1
+       |)""".stripMargin
 
 
   private val PqM = 8      // subspaces

@@ -1717,6 +1717,72 @@ object TextAnalysis {
        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY 1""".stripMargin
 
+  /** I31 `text_tokenizer_eval` — tokenizer-efficiency report by
+    * source under the trained BPE (I15/I18's dictionary): the eval a
+    * tokenizer change actually ships on — per source, FERTILITY
+    * (BPE symbols per whitespace word; the sentencepiece/HF metric),
+    * CHARS-PER-TOKEN (compression — what a token budget buys), and
+    * OOV RATE (byte-fallback share, the out-of-dictionary fraction).
+    * A 100 TB corpus prices its token budget (M11) and its packing
+    * (M4) off exactly these three numbers, and regressions here are
+    * how tokenizer swaps get caught before a training run.
+    * Exactness: all five counters are exact integer sums; the three
+    * ratios are single IEEE divisions of those sums, round-6 — the
+    * house fixed-shape rule. Scale: I18's economics unchanged — one
+    * token explode (map-side), a vocab-keyed dictionary equi join
+    * (word TYPES, not occurrences), one source-keyed rollup; the
+    * training cost is I15's bounded metadata pass, memoized. */
+  def tokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeTrained(spark, dir)._1
+      .select(col("token").as("t"),
+        expr("(length(repr) - length(replace(repr, chr(1), ''))) div 2")
+          .as("n_sym"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(nonEmptyToks).as("t"))
+      .join(dict, Seq("t"), "left_outer")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_ws_tokens"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_bpe_tokens"),
+        sum(length(col("t")).cast("long")).as("n_chars"),
+        sum(when(col("n_sym").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_docs"), col("n_ws_tokens"),
+        col("n_bpe_tokens"), col("n_chars"), col("n_oov"),
+        round(col("n_bpe_tokens").cast("double")
+          / col("n_ws_tokens").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double")
+          / col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"),
+        round(col("n_oov").cast("double")
+          / col("n_ws_tokens").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  def tokenizerEvalSql: String =
+    s"""WITH $bpeSqlCtes, toks AS (
+       |  SELECT doc_id, source, unnest(list_filter(str_split(text, ' '),
+       |    x -> x <> '')) AS t
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, source, length(t) AS n_ch,
+       |    CASE WHEN r.token IS NULL THEN NULL
+       |         ELSE (length(repr) - length(replace(repr, chr(1), ''))) // 2
+       |    END AS n_sym
+       |  FROM toks LEFT JOIN rep$BpeTrainMerges r ON t = r.token
+       |)
+       |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_ws_tokens,
+       |  CAST(SUM(COALESCE(n_sym, 1)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CASE WHEN n_sym IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  ROUND(CAST(SUM(COALESCE(n_sym, 1)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       |  ROUND(CAST(SUM(n_ch) AS DOUBLE)
+       |    / CAST(SUM(COALESCE(n_sym, 1)) AS DOUBLE), 6) AS chars_per_token,
+       |  ROUND(CAST(SUM(CASE WHEN n_sym IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+       |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val RakeStop = Seq("the", "a", "of", "and", "in", "to", "is",
     "for", "with", "on")
 
@@ -2574,6 +2640,7 @@ object TextAnalysis {
     "param_kneser_ney" -> ((s, d) => kneserNey(s, d, minCount = 5, limit = 30)),
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_tokenizer_eval" -> (tokenizerEval _),
     "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "param_pmi_collocations" -> ((s, d) =>
       pmiCollocations(s, d, minCount = 10, k = 20)),
@@ -2628,6 +2695,7 @@ object TextAnalysis {
     "param_kneser_ney" -> kneserNeySql(minCount = 5, limit = 30),
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
+    "text_tokenizer_eval" -> tokenizerEvalSql,
     "text_pmi_collocations" -> pmiCollocationsSql(),
     "param_pmi_collocations" -> pmiCollocationsSql(minCount = 10, k = 20),
     "text_entropy" -> entropyStatsSql,

@@ -5,6 +5,34 @@ import org.apache.spark.sql.functions._
 /** Specs for the training-corpus preparation slice (SURVEY §2.M). */
 class CorpusSpec extends SparkSpecBase {
 
+  test("M17 cluster sample: balanced caps, deterministic prefix picks, full-cover strata") {
+    val rows = run("corpus_cluster_sample").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("pick_rank")))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (c, g) =>
+      val n = g.head._2
+      assert(g.forall(_._2 == n), s"cluster $c: inconsistent n_members")
+      // kept = min(cap, n_members), ranks contiguous from 1
+      assert(g.map(_._4).sorted.toSeq == (1 to math.min(8L, n).toInt))
+      // no vector sampled twice
+      assert(g.map(_._3).distinct.length == g.length)
+    }
+    // strata cover the corpus: members across clusters = all vectors
+    assert(byCluster.values.map(_.head._2).sum ==
+      Tables.embeddings(spark, sf).count())
+    // density flattening is live: some cluster was capped
+    assert(byCluster.values.exists(_.head._2 > 8))
+    // determinism: the cap-3 sample is EXACTLY the pick_rank<=3 prefix
+    // of the cap-8 sample (same codebook, same hash order)
+    val small = run("param_cluster_sample").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("pick_rank"))).toSet
+    val prefix = rows.filter(_._4 <= 3).map(t => (t._1, t._3, t._4)).toSet
+    assert(small == prefix, "cap-3 picks are not a prefix of cap-8 picks")
+  }
+
   test("M1 pii redact: no email/phone survives, counts match injections") {
     val df = run("corpus_pii_redact").cache()
     assert(df.filter(col("redacted").rlike("@")).count() == 0)

@@ -591,6 +591,40 @@ class DedupTextSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("I31 tokenizer eval: per-source counters reconcile with the I18 per-doc encode") {
+    val evalRows = run("text_tokenizer_eval").collect().map { r =>
+      r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_oov"),
+        r.getAs[Double]("fertility"), r.getAs[Double]("chars_per_token"),
+        r.getAs[Double]("oov_rate"))
+    }.toMap
+    assert(evalRows.nonEmpty)
+    // counters reconcile with the per-doc encode (I18, itself
+    // driver-replayed) rolled up by source on the driver
+    val docSrc = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc = run("text_bpe_encode").collect()
+      .map(r => (docSrc(r.getAs[Long]("doc_id")),
+        r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens")))
+      .groupBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    enc.foreach { case (src, g) =>
+      val (nd, ws, bpe) = (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+      val e = evalRows(src)
+      assert((e._1, e._2, e._3) == (nd, ws, bpe),
+        s"$src: counters diverge from the I18 rollup")
+      assert(e._6 == r6(bpe.toDouble / ws))
+      assert(e._8 == r6(e._5.toDouble / ws))
+      assert(e._7 == r6(e._4.toDouble / bpe))
+    }
+    assert(evalRows.keySet == enc.keySet)
+    // the tokenizer compresses: every source's fertility >= 1 (a word
+    // is at least one symbol) and chars_per_token >= 1
+    assert(evalRows.values.forall(e => e._6 >= 1.0 && e._7 >= 1.0))
+  }
+
   test("I18 BPE encode: per-doc symbol counts match a driver re-encode") {
     val rows = run("text_bpe_encode").collect()
     assert(rows.length == Tables.documents(spark, sf).count())

@@ -74,6 +74,7 @@ class RegistrySpec extends SparkSpecBase {
     "text_bigram_surprisal", // vocab-size scalar attach
     "text_bpe_train", // 1-row argmax-merge broadcast per unrolled iteration
     "text_bpe_encode", // same training fold inside; encode join is equi
+    "text_tokenizer_eval", // I18's dictionary (same training fold); eval join is equi
     "text_pmi_collocations", "param_pmi_collocations", // 1-row corpus-totals attach
     "text_kneser_ney", "param_kneser_ney", // 1-row bigram-type-total attach
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
@@ -354,6 +355,7 @@ class RegistrySpec extends SparkSpecBase {
     "text_bigram_lm" -> 2,
     "text_bpe_train" -> 5, // corpus→vocab agg + one vocab-keyed pair agg per unrolled merge (merge picks are 1-row TakeOrdered broadcasts)
     "text_bpe_encode" -> 17, // the training fold re-expands per consumer (vocab-sized metadata shuffles, never corpus rows) + token-keyed encode join + doc rollup
+    "text_tokenizer_eval" -> 17, // I18's shape with a source rollup instead of the doc rollup
     "text_pmi_collocations" -> 6, // unigram agg + bigram agg + two word-key marginal joins + totals + TakeOrdered
     "param_pmi_collocations" -> 6,
     "text_entropy" -> 4, // (doc,unit) agg + doc agg, for chars and for words; the final join reuses the doc partitioning
@@ -411,6 +413,8 @@ class RegistrySpec extends SparkSpecBase {
     "param_index_compaction" -> 3,
     "graph_closeness_hyperball" -> 6, // per-radius exact-ball rollups over the BFS leaf + band rollup + O11 serve rollup + ordered join (sketch iteration is a checkpoint leaf)
     "param_closeness_hyperball" -> 6,
+    "corpus_cluster_sample" -> 4, // cluster window + sizes rollup + join + ordered serve over the checkpointed assignment leaf
+    "param_cluster_sample" -> 4,
     "sim_rocchio_feedback" -> 4, // r1 top-k window + seedpos/qexp rollups over contract-bounded rows + r2 window
     "param_rocchio_feedback" -> 4
 
