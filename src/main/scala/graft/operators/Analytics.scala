@@ -1282,6 +1282,142 @@ object Analytics {
       |  r_score || '-' || f_score || '-' || m_score AS segment
       |FROM scored""".stripMargin
 
+  /** K35 `k35_segment_migration` — RFM segment-MIGRATION matrix: the
+    * before/after readout every retention program ships on top of
+    * K29's scoring — customers are RFM-scored independently in two
+    * order periods (split at `cutoff`; thresholds re-learned PER
+    * period, the honest design — a fixed global threshold would mark
+    * everyone "less recent" in the later period by construction) and
+    * the serve is the migration matrix (segment_from, segment_to,
+    * n_customers), with NEW (no period-1 orders) and GONE (no
+    * period-2 orders) as explicit marginal rows. Bounded output
+    * (≤ (64+1)² cells), the form a dashboard reads.
+    *
+    * Shape: ONE per-customer rollup with conditional aggregation
+    * over the cutoff (L15's CASE collapse — no two filtered scans,
+    * no self-join), one 1-row percentile agg per period broadcast
+    * back (K29's no-global-ntile rule), map-side scoring, then the
+    * bounded matrix rollup. Exactness: recency quantiles on epoch
+    * micros (BIGINT), monetary through the dsum decimal discipline;
+    * zero-order periods are NULLed so each period's quartiles see
+    * only its own customers. */
+  def segmentMigration(spark: SparkSession, dir: String,
+                       cutoff: String = "1998-07-01"): DataFrame = {
+    val isP1 = col("o_orderdate") < lit(cutoff).cast("timestamp")
+    val dv = col("o_totalprice").cast("decimal(18,6)")
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(isP1, col("o_orderdate"))).as("rec1"),
+        count(when(isP1, lit(1))).as("freq1_raw"),
+        sum(when(isP1, dv)).as("mon1_d"),
+        max(when(!isP1, col("o_orderdate"))).as("rec2"),
+        count(when(!isP1, lit(1))).as("freq2_raw"),
+        sum(when(!isP1, dv)).as("mon2_d"))
+      .select(col("o_custkey"),
+        unix_micros(col("rec1")).as("r1"),
+        when(col("freq1_raw") === 0, lit(null)).otherwise(col("freq1_raw"))
+          .cast("long").as("f1"),
+        col("mon1_d").cast("double").as("m1"),
+        unix_micros(col("rec2")).as("r2"),
+        when(col("freq2_raw") === 0, lit(null)).otherwise(col("freq2_raw"))
+          .cast("long").as("f2"),
+        col("mon2_d").cast("double").as("m2"))
+    def pd(c: String, p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+    val th = base.agg(
+      pd("r1", 0.25).as("r1a"), pd("r1", 0.5).as("r1b"),
+      pd("r1", 0.75).as("r1c"),
+      pd("f1", 0.25).as("f1a"), pd("f1", 0.5).as("f1b"),
+      pd("f1", 0.75).as("f1c"),
+      pd("m1", 0.25).as("m1a"), pd("m1", 0.5).as("m1b"),
+      pd("m1", 0.75).as("m1c"),
+      pd("r2", 0.25).as("r2a"), pd("r2", 0.5).as("r2b"),
+      pd("r2", 0.75).as("r2c"),
+      pd("f2", 0.25).as("f2a"), pd("f2", 0.5).as("f2b"),
+      pd("f2", 0.75).as("f2c"),
+      pd("m2", 0.25).as("m2a"), pd("m2", 0.5).as("m2b"),
+      pd("m2", 0.75).as("m2c"))
+    def score(c: Column, a: Column, b: Column, cc: Column) =
+      lit(1) + (c > a).cast("int") + (c > b).cast("int") +
+        (c > cc).cast("int")
+    def seg(r: Column, f: Column, m: Column, present: Column) =
+      when(!present, lit(null))
+        .otherwise(concat(r, lit("-"), f, lit("-"), m))
+    base.crossJoin(broadcast(th))
+      .withColumn("seg1", seg(
+        score(col("r1"), col("r1a"), col("r1b"), col("r1c")),
+        score(col("f1"), col("f1a"), col("f1b"), col("f1c")),
+        score(col("m1"), col("m1a"), col("m1b"), col("m1c")),
+        col("f1").isNotNull))
+      .withColumn("seg2", seg(
+        score(col("r2"), col("r2a"), col("r2b"), col("r2c")),
+        score(col("f2"), col("f2a"), col("f2b"), col("f2c")),
+        score(col("m2"), col("m2a"), col("m2b"), col("m2c")),
+        col("f2").isNotNull))
+      .select(coalesce(col("seg1"), lit("NEW")).as("segment_from"),
+        coalesce(col("seg2"), lit("GONE")).as("segment_to"))
+      .groupBy(col("segment_from"), col("segment_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("segment_from"), col("segment_to"))
+  }
+
+  def segmentMigrationSql(cutoff: String = "1998-07-01"): String =
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |    epoch_us(MAX(CASE WHEN o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+       |      THEN o_orderdate END)) AS r1,
+       |    NULLIF(COUNT(CASE WHEN o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+       |      THEN 1 END), 0) AS f1,
+       |    CAST(CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+       |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR)
+       |      AS DOUBLE) AS m1,
+       |    epoch_us(MAX(CASE WHEN o_orderdate >= TIMESTAMP '$cutoff 00:00:00'
+       |      THEN o_orderdate END)) AS r2,
+       |    NULLIF(COUNT(CASE WHEN o_orderdate >= TIMESTAMP '$cutoff 00:00:00'
+       |      THEN 1 END), 0) AS f2,
+       |    CAST(CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '$cutoff 00:00:00'
+       |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR)
+       |      AS DOUBLE) AS m2
+       |  FROM orders GROUP BY 1
+       |), th AS (
+       |  SELECT
+       |    quantile_disc(r1, 0.25) AS r1a, quantile_disc(r1, 0.5) AS r1b,
+       |    quantile_disc(r1, 0.75) AS r1c,
+       |    quantile_disc(f1, 0.25) AS f1a, quantile_disc(f1, 0.5) AS f1b,
+       |    quantile_disc(f1, 0.75) AS f1c,
+       |    quantile_disc(m1, 0.25) AS m1a, quantile_disc(m1, 0.5) AS m1b,
+       |    quantile_disc(m1, 0.75) AS m1c,
+       |    quantile_disc(r2, 0.25) AS r2a, quantile_disc(r2, 0.5) AS r2b,
+       |    quantile_disc(r2, 0.75) AS r2c,
+       |    quantile_disc(f2, 0.25) AS f2a, quantile_disc(f2, 0.5) AS f2b,
+       |    quantile_disc(f2, 0.75) AS f2c,
+       |    quantile_disc(m2, 0.25) AS m2a, quantile_disc(m2, 0.5) AS m2b,
+       |    quantile_disc(m2, 0.75) AS m2c
+       |  FROM base
+       |), scored AS (
+       |  SELECT
+       |    CASE WHEN f1 IS NULL THEN NULL ELSE
+       |      (1 + CAST(r1 > r1a AS INT) + CAST(r1 > r1b AS INT)
+       |         + CAST(r1 > r1c AS INT)) || '-' ||
+       |      (1 + CAST(f1 > f1a AS INT) + CAST(f1 > f1b AS INT)
+       |         + CAST(f1 > f1c AS INT)) || '-' ||
+       |      (1 + CAST(m1 > m1a AS INT) + CAST(m1 > m1b AS INT)
+       |         + CAST(m1 > m1c AS INT)) END AS seg1,
+       |    CASE WHEN f2 IS NULL THEN NULL ELSE
+       |      (1 + CAST(r2 > r2a AS INT) + CAST(r2 > r2b AS INT)
+       |         + CAST(r2 > r2c AS INT)) || '-' ||
+       |      (1 + CAST(f2 > f2a AS INT) + CAST(f2 > f2b AS INT)
+       |         + CAST(f2 > f2c AS INT)) || '-' ||
+       |      (1 + CAST(m2 > m2a AS INT) + CAST(m2 > m2b AS INT)
+       |         + CAST(m2 > m2c AS INT)) END AS seg2
+       |  FROM base, th
+       |)
+       |SELECT COALESCE(seg1, 'NEW') AS segment_from,
+       |  COALESCE(seg2, 'GONE') AS segment_to,
+       |  COUNT(*) AS n_customers
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** K30 `k30_copurchase_pairs` — market-basket co-occurrence: pairs
     * of parts appearing together in the same order, with order-count
     * support, thresholded and served as a deterministic top-k — the
@@ -1600,6 +1736,10 @@ object Analytics {
     "param_k30_copurchase_pairs" -> ((s, d) => k30CopurchasePairs(s, d,
       minSupport = 3, limit = 20)),
     "k29_rfm_segmentation" -> (rfmSegmentation _),
+    "k35_segment_migration" -> ((s: SparkSession, d: String) =>
+      segmentMigration(s, d)),
+    "param_k35_segment_migration" -> ((s: SparkSession, d: String) =>
+      segmentMigration(s, d, cutoff = "1997-01-01")),
     "k23_product_profit" -> ((s, d) => k23ProductProfit(s, d)),
     "k24_important_stock" -> ((s, d) => k24ImportantStock(s, d)),
     "k25_part_promotion" -> ((s, d) => k25PartPromotion(s, d)),
@@ -1656,6 +1796,9 @@ object Analytics {
       minSupport = 3, minConf = 0.1, limit = 30),
     "param_k30_copurchase_pairs" -> k30Sql(minSupport = 3, limit = 20),
     "k29_rfm_segmentation" -> rfmSegmentationSql,
+    "k35_segment_migration" -> segmentMigrationSql(),
+    "param_k35_segment_migration" -> segmentMigrationSql(
+      cutoff = "1997-01-01"),
     "k23_product_profit" -> k23Sql(),
     "k24_important_stock" -> k24Sql(),
     "k25_part_promotion" -> k25Sql(),

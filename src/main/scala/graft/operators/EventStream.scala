@@ -1121,6 +1121,85 @@ object EventStream {
        |FROM prof WHERE n_train > 0 AND n_test > 0
        |ORDER BY hod""".stripMargin
 
+  /** L27 `events_forecast_backtest` — ROLLING-ORIGIN backtest of the
+    * L15 seasonal-naive model (Tashman 2000's rolling-origin
+    * evaluation — the eval a forecaster actually ships on, where L15
+    * is one fixed cutoff): for every origin day past a `minTrainDays`
+    * warm-up, each hour of that day is forecast from the expanding
+    * hour-of-day profile of all PRIOR days, and the serve is the full
+    * per-(origin, hour) backtest table — n_train, n_test, forecast,
+    * actual, APE — the table an MAPE dashboard or a model-selection
+    * harness aggregates. Deliberately served per-row: averaging
+    * round-6 doubles would re-introduce the float-sum order hazard
+    * the house bans; every served ratio is a single IEEE shape over
+    * exact sums.
+    *
+    * Shape: ONE scan to the (day, hod) rollup (exact counts +
+    * decimal sums), then an expanding hod-partitioned ROWS window
+    * (1-row-per-day partitions — no tie ambiguity) for the train
+    * profile — no per-origin rescan, no self-join; the backtest over
+    * k origins costs the same one shuffle as L15's single cutoff.
+    * APE is NULL-guarded on a zero actual (the ADVICE r10 rule). */
+  def forecastBacktest(spark: SparkSession, dir: String,
+                       eventType: String = "purchase",
+                       minTrainDays: Int = 7): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_test"), sum(v).as("s_test"))
+    val wh = Window.partitionBy(col("hod")).orderBy(col("day"))
+    val wTrain = wh.rowsBetween(Window.unboundedPreceding, -1)
+    val f = col("s_train").cast("double") / col("n_train").cast("double")
+    val a = col("s_test").cast("double") / col("n_test").cast("double")
+    daily
+      .withColumn("n_train", sum(col("n_test")).over(wTrain))
+      .withColumn("s_train", sum(col("s_test")).over(wTrain))
+      .withColumn("day_rank", row_number().over(wh))
+      .filter(col("day_rank") > minTrainDays && col("n_train") > 0)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("origin_day"),
+        col("hod"), col("n_train"), col("n_test"),
+        round(f, 6).as("forecast"),
+        round(a, 6).as("actual"),
+        when(a === 0, lit(null).cast("double"))
+          .otherwise(round(abs(a - f) / a, 6)).as("ape"))
+      .orderBy(col("origin_day"), col("hod"))
+  }
+
+  def forecastBacktestSql(eventType: String = "purchase",
+                          minTrainDays: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hod,
+       |    COUNT(*) AS n_test,
+       |    SUM(CAST(value AS DECIMAL(18,6))) AS s_test
+       |  FROM events WHERE event_type = '$eventType'
+       |  GROUP BY 1, 2
+       |), expanded AS (
+       |  SELECT day, hod, n_test, s_test,
+       |    SUM(n_test) OVER w AS n_train,
+       |    SUM(s_test) OVER w AS s_train,
+       |    ROW_NUMBER() OVER (PARTITION BY hod ORDER BY day) AS day_rank
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY hod ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT strftime(day, '%Y-%m-%d') AS origin_day, CAST(hod AS INT)
+       |    AS hod,
+       |  CAST(n_train AS BIGINT) AS n_train, n_test,
+       |  ROUND(CAST(s_train AS DOUBLE) / CAST(n_train AS DOUBLE), 6)
+       |    AS forecast,
+       |  ROUND(CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+       |    AS actual,
+       |  CASE WHEN CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE) = 0
+       |       THEN NULL
+       |       ELSE ROUND(ABS(CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE)
+       |              - CAST(s_train AS DOUBLE) / CAST(n_train AS DOUBLE))
+       |            / (CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE)), 6)
+       |       END AS ape
+       |FROM expanded
+       |WHERE day_rank > $minTrainDays AND n_train > 0
+       |ORDER BY origin_day, hod""".stripMargin
+
   /** L23 `events_seasonal_decompose` — classical additive time-series
     * decomposition of the daily event-value series:
     * y = trend + seasonal + residual, with the trend a centered 7-day
@@ -1597,6 +1676,10 @@ object EventStream {
       seasonalForecast(s, d)),
     "param_seasonal_forecast" -> ((s: SparkSession, d: String) =>
       seasonalForecast(s, d, cutoff = "2024-01-15", eventType = "view")),
+    "events_forecast_backtest" -> ((s: SparkSession, d: String) =>
+      forecastBacktest(s, d)),
+    "param_forecast_backtest" -> ((s: SparkSession, d: String) =>
+      forecastBacktest(s, d, eventType = "view", minTrainDays = 14)),
     "events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "events_session_paths" -> ((s: SparkSession, d: String) =>
       sessionPaths(s, d)),
@@ -1632,6 +1715,9 @@ object EventStream {
     "param_attribution_decay" -> attributionDecaySql(
       lookbackDays = 2, halflifeHours = 6),
     "events_seasonal_forecast" -> seasonalForecastSql(),
+    "events_forecast_backtest" -> forecastBacktestSql(),
+    "param_forecast_backtest" -> forecastBacktestSql(
+      eventType = "view", minTrainDays = 14),
     "events_seasonal_decompose" -> seasonalDecomposeSql(),
     "events_seasonal_anomaly" -> seasonalAnomalySql(),
     "events_did" -> didAnalysisSql(),

@@ -386,6 +386,176 @@ object Graph {
        |${closenessSql(brand, nSeeds, minSupport, maxHops)}
        |) ORDER BY seed""".stripMargin
 
+  // --------------------------------------------------------------- O13
+  /** Fixed-point scale of the Brandes dependency accumulation (1e9 —
+    * O1's PageRank discipline). Magnitude audit at maxHops = 3:
+    * σ ≤ ~1e6 (hop-3 path counts), δ̂ ≤ succ × SCALE ≤ ~1e12, per-term
+    * product σ·(SCALE+δ̂) ≤ ~1e15, seed-summed serve ≤ ~1e16 — two
+    * orders inside Long range, and BIGINT→DOUBLE at the serve is
+    * below 2^53 only after the /1e9, which both engines perform in
+    * the same single IEEE shape. */
+  private val BetwScale = 1000000000L
+
+  /** O13 `graph_betweenness` — truncated BETWEENNESS centrality from
+    * a bounded seed set (source-sampled Brandes; Brandes 2001,
+    * Brandes–Pich 2007): completes the centrality trio next to O1's
+    * PageRank and O11's closeness. Forward: the O11 seed-labeled BFS,
+    * but each level carries σ(seed, v) — the COUNT of shortest paths
+    * — as an exact BIGINT (σ_v = Σ σ_u over its previous-level
+    * predecessors: the BFS join becomes a (seed, dst) SUM instead of
+    * a DISTINCT — same shuffle shape). Backward: Brandes' dependency
+    * accumulation δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w)), one
+    * level at a time from the truncation depth down, in BIGINT
+    * FIXED-POINT (δ̂ = δ·1e9, integer div — all operands positive, so
+    * Spark `div` ≡ DuckDB `//`): integer sums are order-independent,
+    * so the one float hazard of Brandes (summing path-ratio fractions
+    * in nondeterministic partition order) never exists. Hop
+    * truncation is the k-betweenness every 100 TB graph computes
+    * (full Brandes is all-sources APSP); the seed set is the CONTRACT
+    * bound, and per-seed work is O(maxHops × edges).
+    *
+    * Scale: forward = O3/O11's per-level economics (src-keyed equi
+    * join + (seed, dst)-keyed rollup + anti join, level tables
+    * eager-checkpointed, released once the bounded δ tables are
+    * materialized); backward = per level one src-keyed join to the
+    * next level's (σ, δ̂) and one (seed, node) rollup — linear in
+    * level edges, never quadratic. Serve: top-`limit` by the exact
+    * fixed-point total (ties by node), with the round-6 double
+    * beside it. */
+  private[graft] def betweennessDeltas(spark: SparkSession, dir: String,
+      brand: String, nSeeds: Int, minSupport: Int,
+      maxHops: Int): DataFrame = {
+    val mtime = graft.Tables.mtime(spark, s"$dir/lineitem.parquet")
+    val pmtime = graft.Tables.mtime(spark, s"$dir/part.parquet")
+    val key = s"${System.identityHashCode(spark)}:$dir:betweenness:" +
+      s"$brand:$nSeeds:$minSupport:$maxHops"
+    memoCheckpoint(key, s"$mtime:$pmtime") {
+      val e = directedEdges(spark, dir, minSupport)
+      val nodes = e.select(col("src").as("node")).distinct()
+      val seeds = Tables.part(spark, dir)
+        .filter(col("p_brand") === brand)
+        .select(col("p_partkey").as("node"))
+        .join(nodes, "node")
+        .orderBy(col("node")).limit(nSeeds)
+        .select(col("node").as("seed"), col("node"), lit(1L).as("sigma"))
+        .localCheckpoint()
+      // forward: levels(h) = (seed, node, sigma) first reached at hop h
+      var levels = Vector(seeds)
+      var visited = seeds.select(col("seed"), col("node"))
+      for (_ <- 1 to maxHops) {
+        val prev = levels.last
+          .select(col("seed"), col("node").as("pn"), col("sigma"))
+        val next = e.join(prev, e("src") === col("pn"))
+          .groupBy(col("seed"), col("dst"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("seed"), col("dst").as("node"), col("sigma"))
+          .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+            col("seed") === col("vs") && col("node") === col("vn"),
+            "left_anti")
+          .localCheckpoint()
+        levels = levels :+ next
+        visited = visited.union(next.select(col("seed"), col("node")))
+      }
+      // backward: δ̂(level maxHops) = 0; accumulate down to level 1
+      var deltaNext = levels(maxHops)
+        .select(col("seed"), col("node"), lit(0L).as("delta_fp"))
+      var acc: DataFrame = null
+      for (h <- (maxHops - 1) to 1 by -1) {
+        val lv = levels(h)
+        val succ = levels(h + 1)
+          .select(col("seed").as("ws"), col("node").as("wn"),
+            col("sigma").as("wsig"))
+          .join(deltaNext.select(col("seed").as("ds"),
+            col("node").as("dn"), col("delta_fp")),
+            col("ws") === col("ds") && col("wn") === col("dn"))
+          .select(col("ws"), col("wn"), col("wsig"), col("delta_fp"))
+        val dH = lv.join(e, e("src") === lv("node"))
+          .join(succ, lv("seed") === succ("ws") && e("dst") === succ("wn"))
+          .select(lv("seed"), lv("node"),
+            expr(s"(sigma * ($BetwScale + delta_fp)) div wsig").as("c"))
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(col("c")).as("delta_fp"))
+          .localCheckpoint()
+        acc = if (acc == null) dH else acc.union(dH)
+        // next round needs δ̂ for EVERY level-h node (0 when no succ)
+        deltaNext = lv.select(col("seed"), col("node"))
+          .join(dH.select(col("seed").as("ds2"), col("node").as("dn2"),
+            col("delta_fp")),
+            col("seed") === col("ds2") && col("node") === col("dn2"),
+            "left_outer")
+          .select(col("seed"), col("node"),
+            coalesce(col("delta_fp"), lit(0L)).as("delta_fp"))
+      }
+      // the bounded δ tables are materialized: the forward level
+      // blocks (the expensive ones) can go (the ADVICE r10 lesson —
+      // release every checkpoint the returned union does not carry)
+      levels.foreach(releaseCheckpoint)
+      acc
+    }
+  }
+
+  def betweenness(spark: SparkSession, dir: String,
+      brand: String = "Brand#1", nSeeds: Int = 8, minSupport: Int = 1,
+      maxHops: Int = 3, limit: Int = 100): DataFrame =
+    betweennessDeltas(spark, dir, brand, nSeeds, minSupport, maxHops)
+      .groupBy(col("node"))
+      .agg(countDistinct(col("seed")).as("n_seeds"),
+        sum(col("delta_fp")).as("betweenness_fp"))
+      .select(col("node"), col("n_seeds"), col("betweenness_fp"),
+        round(col("betweenness_fp").cast("double")
+          / lit(BetwScale.toDouble), 6).as("betweenness"))
+      .orderBy(col("betweenness_fp").desc, col("node")).limit(limit)
+
+  def betweennessSql(brand: String = "Brand#1", nSeeds: Int = 8,
+      minSupport: Int = 1, maxHops: Int = 3, limit: Int = 100): String = {
+    val base =
+      s"""WITH ${pairsSqlCte.format(minSupport)},
+         |$edgesSqlCte,
+         |gnodes AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS MATERIALIZED (SELECT node AS seed, node,
+         |  CAST(1 AS BIGINT) AS sigma FROM (
+         |  SELECT p.p_partkey AS node FROM part p
+         |  JOIN gnodes g ON g.node = p.p_partkey
+         |  WHERE p.p_brand = '$brand' ORDER BY node LIMIT $nSeeds)),
+         |v0 AS (SELECT seed, node FROM l0)""".stripMargin
+    val fwd = (1 to maxHops).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT seed, node, CAST(SUM(sigma) AS BIGINT) AS sigma FROM (
+         |    SELECT f.seed, e.dst AS node, f.sigma
+         |    FROM edges e JOIN l${i - 1} f ON e.src = f.node) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
+         |    WHERE p.seed = c.seed AND p.node = c.node)
+         |  GROUP BY 1, 2),
+         |v$i AS MATERIALIZED (SELECT seed, node FROM v${i - 1}
+         |        UNION ALL SELECT seed, node FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((maxHops - 1) to 1 by -1).map { h =>
+      val dNext = if (h == maxHops - 1) "(SELECT seed, node, " +
+        s"CAST(0 AS BIGINT) AS delta_fp FROM l$maxHops)"
+      else s"d${h + 1}"
+      s"""d$h AS MATERIALIZED (
+         |  SELECT v.seed, v.node,
+         |    CAST(SUM((v.sigma * ($BetwScale + COALESCE(d.delta_fp, 0)))
+         |      // w.sigma) AS BIGINT) AS delta_fp
+         |  FROM l$h v JOIN edges e ON e.src = v.node
+         |  JOIN l${h + 1} w ON w.seed = v.seed AND w.node = e.dst
+         |  LEFT JOIN $dNext d ON d.seed = w.seed AND d.node = w.node
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val unions = ((maxHops - 1) to 1 by -1)
+      .map(h => s"SELECT seed, node, delta_fp FROM d$h")
+      .mkString(" UNION ALL ")
+    s"""$base,
+       |$fwd,
+       |$bwd
+       |SELECT node, COUNT(DISTINCT seed) AS n_seeds,
+       |  CAST(SUM(delta_fp) AS BIGINT) AS betweenness_fp,
+       |  ROUND(CAST(SUM(delta_fp) AS DOUBLE) / $BetwScale.0, 6)
+       |    AS betweenness
+       |FROM ($unions) GROUP BY 1
+       |ORDER BY betweenness_fp DESC, node LIMIT $limit""".stripMargin
+  }
+
   /** O1 `graph_pagerank` — damped PageRank over the co-purchase
     * graph in BIGINT fixed-point (SCALE = 1e9, d = 0.85), the
     * "importance seed" for recommendation candidates. Unnormalized
@@ -1212,6 +1382,9 @@ object Graph {
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_bfs" -> ((s, d) => bfs(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
+    "graph_betweenness" -> ((s, d) => betweenness(s, d)),
+    "param_graph_betweenness" -> ((s, d) => betweenness(s, d,
+      brand = "Brand#2", nSeeds = 5, maxHops = 2, limit = 50)),
     "graph_closeness_hyperball" -> ((s, d) => closenessHyperball(s, d)),
     "param_closeness_hyperball" -> ((s, d) =>
       closenessHyperball(s, d, brand = "Brand#2", nSeeds = 5, maxHops = 2)),
@@ -1250,6 +1423,9 @@ object Graph {
     "graph_triangles" -> trianglesSql(),
     "graph_bfs" -> bfsSql(),
     "graph_closeness" -> closenessSql(),
+    "graph_betweenness" -> betweennessSql(),
+    "param_graph_betweenness" -> betweennessSql(
+      brand = "Brand#2", nSeeds = 5, maxHops = 2, limit = 50),
     "graph_closeness_hyperball" -> closenessHyperballSql(),
     "param_closeness_hyperball" -> closenessHyperballSql(
       brand = "Brand#2", nSeeds = 5, maxHops = 2),

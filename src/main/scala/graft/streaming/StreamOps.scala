@@ -916,6 +916,58 @@ case class FunnelAgg(anchors: Seq[Long])
     }.iterator
   }
 
+  case class IncidentOut(service: String, seen: Long, incident_id: Long,
+      start_date: String, start_hour: Int, end_date: String, end_hour: Int,
+      span_hours: Long, n_alarm_hours: Long, n_pages: Long)
+
+  /** F26 streaming — the live INCIDENT feed (twin of the batch
+    * `audit_incidents`): shares the F25 twin's per-service state
+    * (hourly (n, dur_sum) counters — [[HystState]], same fold), and
+    * each trigger replays the hysteresis recurrence then regroups the
+    * alarm hours into gaps-and-islands incidents. Incident ids are
+    * NOT stable across triggers (a new alarm hour can merge two
+    * earlier islands — exactly the PagerDuty regroup behavior), so
+    * like the hysteresis twin every emission carries `seen` and the
+    * consumer keeps the max-`seen` incident SET per service
+    * (update-mode keep-latest, made explicit for the replay spec). */
+  def incidentState(events: Dataset[Event], spark: SparkSession,
+      mergeGap: Int = 2, memory: Int = 8,
+      minN: Long = 5L): Dataset[IncidentOut] = {
+    import spark.implicits._
+    events.groupByKey(e =>
+      if (e.event_type == "signup" || e.event_type == "click" ||
+        e.event_type == "view") "ingest"
+      else if (e.event_type == "purchase") "persist"
+      else "dlq")
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(incidentFn(mergeGap, memory, minN))
+  }
+
+  private[streaming] def incidentFn(mergeGap: Int, memory: Int, minN: Long)(
+      service: String, events: Iterator[Event],
+      state: GroupState[HystState]): Iterator[IncidentOut] = {
+    val hyst = hysteresisFn(memory, minN)(service, events, state).toSeq
+    val alarms = hyst.filter(_.alarm)
+      .map(h => (java.time.LocalDate.parse(h.audit_date).toEpochDay * 24L +
+        h.audit_hour, h))
+      .sortBy(_._1)
+    var inc = 0L
+    var prev = Long.MinValue
+    val withId = alarms.map { case (ah, h) =>
+      if (prev == Long.MinValue || ah - prev > mergeGap + 1) inc += 1
+      prev = ah
+      (inc, ah, h)
+    }
+    withId.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, rows) =>
+      val s = rows.minBy(_._2)
+      val e = rows.maxBy(_._2)
+      IncidentOut(service, s._3.seen, id,
+        s._3.audit_date, s._3.audit_hour, e._3.audit_date, e._3.audit_hour,
+        e._2 - s._2 + 1, rows.size.toLong,
+        rows.count(_._3.alarm_start).toLong)
+    }.iterator
+  }
+
   case class SpikeCount(tenant_id: String, audit_date: String,
       audit_hour: Int, n_total: Long, n_err: Long,
       trail_total: Long, trail_err: Long)

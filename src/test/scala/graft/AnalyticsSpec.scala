@@ -4,6 +4,40 @@ import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpecBase {
 
+  test("k35 migration matrix: totals reconcile, marginals match the period counts") {
+    val rows = run("k35_segment_migration").collect()
+      .map(r => (r.getAs[String]("segment_from"),
+        r.getAs[String]("segment_to"), r.getAs[Long]("n_customers")))
+    assert(rows.nonEmpty)
+    // labels are RFM triples or the two explicit marginals; a customer
+    // with >=1 order can never be absent from both periods
+    val segRe = "^[1-4]-[1-4]-[1-4]$".r
+    rows.foreach { case (f, t, n) =>
+      assert(f == "NEW" || segRe.findFirstIn(f).isDefined)
+      assert(t == "GONE" || segRe.findFirstIn(t).isDefined)
+      assert(!(f == "NEW" && t == "GONE"))
+      assert(n > 0)
+    }
+    // the matrix partitions the customer base exactly
+    val orders = Tables.orders(spark, sf)
+    val cutoff = "1998-07-01"
+    assert(rows.map(_._3).sum ==
+      orders.select("o_custkey").distinct().count())
+    assert(rows.filter(_._1 == "NEW").map(_._3).sum ==
+      orders.groupBy("o_custkey")
+        .agg(min(col("o_orderdate")).as("first"))
+        .filter(col("first") >= lit(cutoff).cast("timestamp")).count())
+    assert(rows.filter(_._2 == "GONE").map(_._3).sum ==
+      orders.groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last"))
+        .filter(col("last") < lit(cutoff).cast("timestamp")).count())
+    // the matrix is a real readout: retained customers exist, and the
+    // per-period quartile scoring spreads across more than one segment
+    assert(rows.exists(r => r._1 != "NEW" && r._2 != "GONE"))
+    assert(rows.map(_._1).distinct.length > 2)
+    assert(rows.map(_._2).distinct.length > 2)
+  }
+
   test("k33 bridge: reconciles by construction, effects re-derive from served cells") {
     val rows = run("k33_revenue_bridge").collect()
     assert(rows.length == 25) // every nation trades in both years here

@@ -5,6 +5,41 @@ import org.apache.spark.sql.functions._
 /** Specs for the training-corpus preparation slice (SURVEY §2.M). */
 class CorpusSpec extends SparkSpecBase {
 
+  test("M18 secret scan: flagged set equals the injected truth, near-misses stay dark") {
+    val got = run("corpus_secret_scan").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_docs_flagged"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_injected"),
+        Option(r.getAs[java.lang.Double]("flag_ratio")).map(_.toDouble)))
+    assert(got.nonEmpty)
+    // the detector hits EXACTLY the injected docs: no missed leak, no
+    // near-miss false positive (the planted too-short key bodies)
+    got.foreach { case (src, rule, flagged, hits, injected, ratio) =>
+      assert(flagged == injected, s"($src,$rule): flagged != injected")
+      assert(hits == injected, s"($src,$rule): multi-hit or miss")
+      assert(injected == 0 || ratio.contains(1.0))
+      assert(injected > 0 || ratio.isEmpty)
+    }
+    // per-rule totals equal the modular injection law
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val byRule = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(byRule("aws_key") == ids.count(_ % 7 == 0))
+    assert(byRule("private_key") == ids.count(_ % 11 == 0))
+    assert(byRule("hex_token") == ids.count(_ % 13 == 0))
+    // every (source, rule) cell is served, even all-zero ones
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(got.length == nSources * 3)
+    // the relaxed param threshold (32-hex) still flags exactly the
+    // planted 40-hex tokens: the 16-hex near-miss stays dark
+    val p = run("param_secret_scan").collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[Long]("n_docs_flagged"),
+        r.getAs[Long]("n_injected")))
+      .filter(_._1 == "hex_token")
+    assert(p.nonEmpty && p.forall(t => t._2 == t._3))
+  }
+
   test("M17 cluster sample: balanced caps, deterministic prefix picks, full-cover strata") {
     val rows = run("corpus_cluster_sample").collect()
       .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),

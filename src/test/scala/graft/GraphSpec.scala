@@ -106,6 +106,62 @@ class GraphSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("O13 betweenness equals the fixed-point Brandes replay on the driver") {
+    val seeds = Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey")).collect().map(_.getLong(0))
+      .filter(adj.contains).sorted.take(8)
+    val Scale = 1000000000L
+    val maxHops = 3
+    val deltaTot = scala.collection.mutable.Map[Long, Long]()
+    val seedsBy = scala.collection.mutable.Map[Long, Set[Long]]()
+    seeds.foreach { s =>
+      // forward BFS with exact shortest-path counts
+      var dist = Map(s -> 0)
+      var sigma = Map(s -> 1L)
+      var frontier = Seq(s)
+      for (h <- 1 to maxHops) {
+        val nxt = scala.collection.mutable.Map[Long, Long]()
+        frontier.foreach { u =>
+          adj(u).foreach { v =>
+            if (!dist.contains(v)) nxt(v) = nxt.getOrElse(v, 0L) + sigma(u)
+          }
+        }
+        dist ++= nxt.keys.map(_ -> h)
+        sigma ++= nxt
+        frontier = nxt.keys.toSeq
+      }
+      // backward fixed-point dependency accumulation (integer div —
+      // the engine's exact recurrence, including the floor)
+      var delta = Map[Long, Long]().withDefaultValue(0L)
+      for (h <- (maxHops - 1) to 1 by -1) {
+        val dH = scala.collection.mutable.Map[Long, Long]()
+        dist.filter(_._2 == h).keys.foreach { v =>
+          adj(v).foreach { w =>
+            if (dist.get(w).contains(h + 1))
+              dH(v) = dH.getOrElse(v, 0L) +
+                (sigma(v) * (Scale + delta(w))) / sigma(w)
+          }
+        }
+        dH.foreach { case (v, d) =>
+          deltaTot(v) = deltaTot.getOrElse(v, 0L) + d
+          seedsBy(v) = seedsBy.getOrElse(v, Set.empty) + s
+        }
+        delta = Map[Long, Long]().withDefaultValue(0L) ++ dH
+      }
+    }
+    val expected = deltaTot.toSeq.map { case (n, d) =>
+      (n, seedsBy(n).size.toLong, d,
+        BigDecimal(d.toDouble / Scale.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (-t._3, t._1)).take(100)
+    val got = run("graph_betweenness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.head._3 > 0L)
+  }
+
   test("O12 HyperBall: sketch ball sizes band-track the exact BFS, serve anchors to O11") {
     val served = run("graph_closeness_hyperball").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),

@@ -1423,6 +1423,45 @@ class PipelineSpec extends SparkSpecBase {
     assert(nc0 > 0 && nc1 > 0 && nt0 > 0 && nt1 > 0)
   }
 
+  test("L27 backtest: expanding-window forecasts equal a driver replay, warm-up enforced") {
+    // the exact (day, hod) rollup the operator windows over
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Int]("hod"),
+        r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("s"))))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.groupBy(_._2).toSeq.flatMap { case (hod, rows) =>
+      val ordered = rows.sortBy(_._1)
+      ordered.zipWithIndex.drop(7).flatMap { case ((day, _, n, s), i) =>
+        val train = ordered.take(i)
+        val nT = train.map(_._3).sum
+        if (nT == 0) None else {
+          val sT = train.map(_._4).sum
+          val f = sT.toDouble / nT.toDouble
+          val a = s.toDouble / n.toDouble
+          Some((day, hod, nT, n, r6(f), r6(a),
+            if (a == 0) None else Some(r6(math.abs(a - f) / a))))
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("events_forecast_backtest").collect()
+      .map(r => (r.getAs[String]("origin_day"), r.getAs[Int]("hod"),
+        r.getAs[Long]("n_train"), r.getAs[Long]("n_test"),
+        r.getAs[Double]("forecast"), r.getAs[Double]("actual"),
+        Option(r.getAs[java.lang.Double]("ape")).map(_.toDouble))).toSeq
+    assert(got == expected)
+    // warm-up: no origin inside the first minTrainDays days of a hod
+    assert(got.nonEmpty)
+    val firstDays = daily.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted.take(7).toSet).toMap
+    assert(got.forall(t => !firstDays(t._2).contains(t._1)))
+  }
+
   test("L23 decomposition laws: edge NULLs, additive identity, weighted-centered seasonal") {
     val rows = run("events_seasonal_decompose").collect()
       .sortBy(_.getAs[java.sql.Date]("day").getTime)

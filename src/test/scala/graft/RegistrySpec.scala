@@ -89,7 +89,8 @@ class RegistrySpec extends SparkSpecBase {
     "events_seasonal_anomaly", "param_seasonal_anomaly", // inherits L23's grand-mean attach
     "sim_classifier_metrics", "param_classifier_metrics", // 1-row macro-F1 attach onto the |classes| rows
     "text_distinctive_terms", "param_distinctive_terms", // 1-row corpus-totals attach
-    "k34_revenue_concentration", "param_k34_revenue_concentration") // 1-row threshold + totals + gini attaches onto <=10 rows
+    "k34_revenue_concentration", "param_k34_revenue_concentration", // 1-row threshold + totals + gini attaches onto <=10 rows
+    "k35_segment_migration", "param_k35_segment_migration") // K29's 1-row per-period quartile-threshold attach
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -191,6 +192,10 @@ class RegistrySpec extends SparkSpecBase {
     "param_apss_prefix" -> 6,
     "dedup_lsh_recall" -> 5, // truth/candidate pair-set join + band rollup (APSS state is cached)
     "k29_rfm_segmentation" -> 3, // customer rollup + 1-row quartile agg + threshold attach
+    "k35_segment_migration" -> 4, // K29's 3 (both periods fold into ONE rollup/agg) + the bounded matrix serve sort
+    "param_k35_segment_migration" -> 4,
+    "events_forecast_backtest" -> 3, // (day,hod) rollup + hod-keyed expanding window + ordered serve
+    "param_forecast_backtest" -> 3,
     "events_funnel" -> 3, // user-key window + distinct expand + tenant rollup
     "param_events_funnel" -> 3,
     "events_cohort_retention" -> 3, // cohort agg + user-key join + distinct rollup

@@ -586,6 +586,41 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("F26 streaming incident feed converges to the batch grouping") {
+    val ms = MemoryStream[Event]
+    // sf0.001 is too quiet for the default minN=5 volume guard — drive
+    // both sides at minN=1, the batch F26 spec's convention
+    val q = StreamOps.incidentState(ms.toDS(), spark, minN = 1L)
+      .writeStream.format("memory").queryName("s_inc")
+      .outputMode("update").start()
+    // three UNEVEN micro-batches (arbitrary splits per the contract);
+    // no sentinel — its event_type would route to the dlq service
+    val (a, rest) = batchEvents.splitAt(batchEvents.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 4)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    ms.addData(c); q.processAllAvailable()
+    q.stop()
+    // incident ids are NOT stable across triggers (a later alarm hour
+    // can merge two earlier islands): the final answer is the
+    // max-`seen` emission SET per service — keep-latest semantics
+    val t = spark.table("s_inc")
+    val maxSeen = t.groupBy(col("service").as("msvc"))
+      .agg(max("seen").as("mseen"))
+    val fin = t.join(maxSeen,
+      t("service") === col("msvc") && t("seen") === col("mseen"))
+      .select(t("service"), col("incident_id"), col("start_date"),
+        col("start_hour"), col("end_date"), col("end_hour"),
+        col("span_hours"), col("n_alarm_hours"), col("n_pages"))
+    val got = fin.collect().map(_.toSeq).toSet
+    val want = operators.Audit.incidents(spark, sf, minN = 1L)
+      .select("service", "incident_id", "start_date", "start_hour",
+        "end_date", "end_hour", "span_hours", "n_alarm_hours", "n_pages")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streaming incidents diverge from batch F26")
+    assert(got.nonEmpty, "the replay produced no incidents at all")
+  }
+
   test("D11 streaming OCC monitor converges to the batch conflict check") {
     val ms = MemoryStream[Event]
     val q = StreamOps.occState(ms.toDS(), spark)
