@@ -1139,7 +1139,21 @@ object EventStream {
     * (1-row-per-day partitions — no tie ambiguity) for the train
     * profile — no per-origin rescan, no self-join; the backtest over
     * k origins costs the same one shuffle as L15's single cutoff.
-    * APE is NULL-guarded on a zero actual (the ADVICE r10 rule). */
+    * APE is NULL-guarded on a zero actual (the ADVICE r10 rule).
+    *
+    * Exactness — the 10× gate's r11 catch: hour-level counts are
+    * often 2^a·5^b (320 at the 10× replica), so a profile mean can
+    * land EXACTLY on a round-6 decimal midpoint (…1875), where
+    * Spark's correctly-rounded double HALF_UP and DuckDB's
+    * multiply-by-1e6 ROUND/CAST paths disagree by one last digit.
+    * So no served ratio is ever rounded FROM a double: each round-6
+    * ratio is computed in exact BIGINT micro-units via integer
+    * half-up — round(p/q) = (2p+q) div 2q on the exact scaled sums
+    * (O1's fixed-point discipline) — and served as the exact
+    * `*_micro` BIGINT with the human double (one IEEE division of
+    * exactly-representable ints) beside it. APE re-derives from the
+    * SERVED micro columns, so the table is self-consistent by
+    * construction. */
   def forecastBacktest(spark: SparkSession, dir: String,
                        eventType: String = "purchase",
                        minTrainDays: Int = 7): DataFrame = {
@@ -1150,19 +1164,28 @@ object EventStream {
       .agg(count(lit(1)).as("n_test"), sum(v).as("s_test"))
     val wh = Window.partitionBy(col("hod")).orderBy(col("day"))
     val wTrain = wh.rowsBetween(Window.unboundedPreceding, -1)
-    val f = col("s_train").cast("double") / col("n_train").cast("double")
-    val a = col("s_test").cast("double") / col("n_test").cast("double")
     daily
       .withColumn("n_train", sum(col("n_test")).over(wTrain))
       .withColumn("s_train", sum(col("s_test")).over(wTrain))
       .withColumn("day_rank", row_number().over(wh))
       .filter(col("day_rank") > minTrainDays && col("n_train") > 0)
+      .withColumn("p_train",
+        (col("s_train") * lit(1000000)).cast("long"))
+      .withColumn("p_test", (col("s_test") * lit(1000000)).cast("long"))
+      .withColumn("forecast_micro", expr(
+        "(2 * p_train + n_train) div (2 * n_train)"))
+      .withColumn("actual_micro", expr(
+        "(2 * p_test + n_test) div (2 * n_test)"))
+      .withColumn("ape_micro", expr(
+        """CASE WHEN actual_micro = 0 THEN NULL
+          |ELSE (2 * abs(actual_micro - forecast_micro) * 1000000
+          |      + actual_micro) div (2 * actual_micro) END""".stripMargin))
       .select(date_format(col("day"), "yyyy-MM-dd").as("origin_day"),
         col("hod"), col("n_train"), col("n_test"),
-        round(f, 6).as("forecast"),
-        round(a, 6).as("actual"),
-        when(a === 0, lit(null).cast("double"))
-          .otherwise(round(abs(a - f) / a, 6)).as("ape"))
+        col("forecast_micro"), col("actual_micro"), col("ape_micro"),
+        (col("forecast_micro").cast("double") / lit(1e6)).as("forecast"),
+        (col("actual_micro").cast("double") / lit(1e6)).as("actual"),
+        (col("ape_micro").cast("double") / lit(1e6)).as("ape"))
       .orderBy(col("origin_day"), col("hod"))
   }
 
@@ -1182,22 +1205,30 @@ object EventStream {
        |  FROM daily
        |  WINDOW w AS (PARTITION BY hod ORDER BY day
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), micro AS (
+       |  SELECT day, hod, CAST(n_train AS BIGINT) AS n_train, n_test,
+       |    CAST((2 * CAST(s_train * 1000000 AS BIGINT)
+       |          + CAST(n_train AS BIGINT))
+       |      // (2 * CAST(n_train AS BIGINT)) AS BIGINT) AS forecast_micro,
+       |    CAST((2 * CAST(s_test * 1000000 AS BIGINT) + n_test)
+       |      // (2 * n_test) AS BIGINT) AS actual_micro
+       |  FROM expanded
+       |  WHERE day_rank > $minTrainDays AND n_train > 0
        |)
        |SELECT strftime(day, '%Y-%m-%d') AS origin_day, CAST(hod AS INT)
        |    AS hod,
-       |  CAST(n_train AS BIGINT) AS n_train, n_test,
-       |  ROUND(CAST(s_train AS DOUBLE) / CAST(n_train AS DOUBLE), 6)
-       |    AS forecast,
-       |  ROUND(CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
-       |    AS actual,
-       |  CASE WHEN CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE) = 0
-       |       THEN NULL
-       |       ELSE ROUND(ABS(CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE)
-       |              - CAST(s_train AS DOUBLE) / CAST(n_train AS DOUBLE))
-       |            / (CAST(s_test AS DOUBLE) / CAST(n_test AS DOUBLE)), 6)
-       |       END AS ape
-       |FROM expanded
-       |WHERE day_rank > $minTrainDays AND n_train > 0
+       |  n_train, n_test, forecast_micro, actual_micro,
+       |  CAST(CASE WHEN actual_micro = 0 THEN NULL
+       |       ELSE (2 * abs(actual_micro - forecast_micro) * 1000000
+       |             + actual_micro) // (2 * actual_micro) END AS BIGINT)
+       |    AS ape_micro,
+       |  CAST(forecast_micro AS DOUBLE) / 1000000.0 AS forecast,
+       |  CAST(actual_micro AS DOUBLE) / 1000000.0 AS actual,
+       |  CAST(CASE WHEN actual_micro = 0 THEN NULL
+       |       ELSE (2 * abs(actual_micro - forecast_micro) * 1000000
+       |             + actual_micro) // (2 * actual_micro) END AS DOUBLE)
+       |    / 1000000.0 AS ape
+       |FROM micro
        |ORDER BY origin_day, hod""".stripMargin
 
   /** L23 `events_seasonal_decompose` — classical additive time-series

@@ -1433,8 +1433,8 @@ class PipelineSpec extends SparkSpecBase {
       .collect()
       .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Int]("hod"),
         r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("s"))))
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // integer half-up of p/q in micro-units — the engine's exact rule
+    def halfUp(p: BigInt, q: BigInt): Long = ((2 * p + q) / (2 * q)).toLong
     val expected = daily.groupBy(_._2).toSeq.flatMap { case (hod, rows) =>
       val ordered = rows.sortBy(_._1)
       ordered.zipWithIndex.drop(7).flatMap { case ((day, _, n, s), i) =>
@@ -1442,16 +1442,20 @@ class PipelineSpec extends SparkSpecBase {
         val nT = train.map(_._3).sum
         if (nT == 0) None else {
           val sT = train.map(_._4).sum
-          val f = sT.toDouble / nT.toDouble
-          val a = s.toDouble / n.toDouble
-          Some((day, hod, nT, n, r6(f), r6(a),
-            if (a == 0) None else Some(r6(math.abs(a - f) / a))))
+          val fm = halfUp((sT * 1000000).toBigInt, BigInt(nT))
+          val am = halfUp((s * 1000000).toBigInt, BigInt(n))
+          val ape = if (am == 0) None
+            else Some(halfUp(BigInt(math.abs(am - fm)) * 1000000, BigInt(am)))
+          Some((day, hod, nT, n, fm, am, ape,
+            fm.toDouble / 1e6, am.toDouble / 1e6, ape.map(_.toDouble / 1e6)))
         }
       }
     }.sortBy(t => (t._1, t._2))
     val got = run("events_forecast_backtest").collect()
       .map(r => (r.getAs[String]("origin_day"), r.getAs[Int]("hod"),
         r.getAs[Long]("n_train"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("forecast_micro"), r.getAs[Long]("actual_micro"),
+        Option(r.getAs[java.lang.Long]("ape_micro")).map(_.toLong),
         r.getAs[Double]("forecast"), r.getAs[Double]("actual"),
         Option(r.getAs[java.lang.Double]("ape")).map(_.toDouble))).toSeq
     assert(got == expected)
