@@ -767,7 +767,159 @@ object Bucketing {
        |  MIN(dollar) AS lo_dollar, MAX(dollar) AS hi_dollar
        |FROM cums GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- N15
+  private val BloomFileRows = 1250L // events per ingest-order "file"
+  private val BloomTraceSpan = 20L // events per trace (the lookup key)
+  private val BloomK = 3 // hash functions
+  private val BloomProbes = 50 // present point-lookup keys
+  private val BloomAbsent = 25 // planted absent keys
+
+  /** N15 `store_bloom_prune` — file-level BLOOM-FILTER pruning for
+    * point lookups on a HASH-VALUED column, served as an
+    * effectiveness eval against the zone maps that fail there
+    * (reference-shape: Parquet column bloom filters / Delta bloom
+    * index / ClickHouse bloom skip index): the events table is cut
+    * into ingest-order files; the lookup key is a trace_id (md5 of
+    * the 20-event ingest burst — clustered in arrival order like real
+    * trace/request ids, but hex-valued, so every file's min/max spans
+    * the whole key space and zone maps prune NOTHING: exactly the
+    * unclustered-point-lookup hole blooms exist for). Each file's
+    * bloom is represented RELATIONALLY as its (file_id, set-bit
+    * position) table with k=3 md5-derived hashes mod `bits` —
+    * bit-for-bit the bloom semantics (position collisions = false
+    * positives) while staying exactly comparable cross-engine. The
+    * probe workload is 50 hash-ordered present trace_ids plus 25
+    * planted ABSENT ids (md5 of negative ints — lexically in-range,
+    * so zone maps pass them too). Served per probe: files passing
+    * zone maps (all of them — the documented failure), files passing
+    * the bloom (never below the true count — the no-false-negative
+    * law the spec pins), true files (1–2: traces are ingest-
+    * clustered), and the false-positive count the `bits` knob
+    * controls (`param_` runs bits=512 to make the FP/size tradeoff
+    * visible in the same shape).
+    *
+    * Scale: the set-bit relation is bounded by files × bits (the
+    * bloom INDEX, metadata-scale — at 100 TB this table IS what a
+    * scheduler consults before assigning file reads, k O(1) lookups
+    * per probe); membership is one pos-keyed equi join + a (probe,
+    * file) rollup; the probe × file grid is a bounded broadcast
+    * attach. Every count is an exact integer — no sketch bands
+    * needed, unlike F9/F15, because the bloom is exact set
+    * arithmetic over planted hashes. */
+  def bloomPrune(spark: SparkSession, dir: String, bits: Long = 4096L,
+                 fileRows: Long = BloomFileRows): DataFrame = {
+    def pos(c: org.apache.spark.sql.Column, i: Int) =
+      pmod(conv(substring(md5(concat(c, lit(s":$i")).cast("binary")),
+        1, 15), 16, 10).cast("long"), lit(bits))
+    val ev = Tables.events(spark, dir)
+      .select(expr(s"event_id div $fileRows").as("file_id"),
+        md5(expr(s"event_id div $BloomTraceSpan").cast("string")
+          .cast("binary")).as("trace_id"))
+    val files = ev.groupBy(col("file_id"))
+      .agg(min(col("trace_id")).as("t_min"), max(col("trace_id")).as("t_max"))
+    val bitRel = ev.select(col("file_id"),
+        explode(array((1 to BloomK).map(i => pos(col("trace_id"), i)): _*))
+          .as("pos"))
+      .distinct()
+    val present = ev.select(col("trace_id")).distinct()
+      .orderBy(col("trace_id"))
+      .limit(BloomProbes)
+      .select(col("trace_id"), lit(true).as("present"))
+    val absent = spark.range(1, BloomAbsent + 1L)
+      .select(md5((-col("id")).cast("string").cast("binary"))
+        .as("trace_id"), lit(false).as("present"))
+    val probes = present.unionAll(absent)
+    val ppos = probes.select(col("trace_id"),
+        explode(array((1 to BloomK).map(i => pos(col("trace_id"), i)): _*))
+          .as("pos"))
+      .distinct()
+    val need = ppos.groupBy(col("trace_id")).agg(count(lit(1)).as("dq"))
+    val bm = ppos.join(bitRel, Seq("pos"))
+      .groupBy(col("trace_id"), col("file_id"))
+      .agg(count(lit(1)).as("matched"))
+    val tru = probes.join(ev, Seq("trace_id"))
+      .select(col("trace_id"), col("file_id")).distinct()
+      .withColumn("t", lit(1L))
+    probes.crossJoin(broadcast(files))
+      .join(bm, Seq("trace_id", "file_id"), "left_outer")
+      .join(need, Seq("trace_id"))
+      .join(tru, Seq("trace_id", "file_id"), "left_outer")
+      .select(col("trace_id"), col("present"),
+        (col("trace_id") >= col("t_min") && col("trace_id") <= col("t_max"))
+          .cast("long").as("zp"),
+        (coalesce(col("matched"), lit(0L)) === col("dq"))
+          .cast("long").as("bp"),
+        coalesce(col("t"), lit(0L)).as("th"))
+      .groupBy(col("trace_id"), col("present"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("zp")).as("n_zone_pass"),
+        sum(col("bp")).as("n_bloom_pass"),
+        sum(col("th")).as("n_true_files"))
+      .withColumn("n_false_pos",
+        col("n_bloom_pass") - col("n_true_files"))
+      .orderBy(col("trace_id"))
+  }
+
+  def bloomPruneSql(bits: Long = 4096L): String = {
+    def posSql(src: String, i: Int): String =
+      s"CAST(('0x' || substring(md5($src.trace_id || ':$i'), 1, 15)) " +
+        s"AS BIGINT) % $bits"
+    val evPos = (1 to BloomK).map(i =>
+      s"SELECT file_id, ${posSql("ev", i)} AS pos FROM ev ev")
+      .mkString("\n    UNION ALL\n    ")
+    val prPos = (1 to BloomK).map(i =>
+      s"SELECT trace_id, ${posSql("p", i)} AS pos FROM probes p")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH ev AS (
+       |  SELECT event_id // $BloomFileRows AS file_id,
+       |    md5(CAST(event_id // $BloomTraceSpan AS VARCHAR)) AS trace_id
+       |  FROM events),
+       |files AS (
+       |  SELECT file_id, MIN(trace_id) AS t_min, MAX(trace_id) AS t_max
+       |  FROM ev GROUP BY 1),
+       |bits AS (
+       |  SELECT DISTINCT file_id, pos FROM (
+       |    $evPos)),
+       |present AS (
+       |  SELECT trace_id, TRUE AS present FROM (
+       |    SELECT DISTINCT trace_id FROM ev
+       |    ORDER BY trace_id LIMIT $BloomProbes)),
+       |absent AS (
+       |  SELECT md5(CAST(-i AS VARCHAR)) AS trace_id, FALSE AS present
+       |  FROM range(1, ${BloomAbsent + 1}) t(i)),
+       |probes AS (SELECT * FROM present UNION ALL SELECT * FROM absent),
+       |ppos AS (
+       |  SELECT DISTINCT trace_id, pos FROM (
+       |    $prPos)),
+       |need AS (SELECT trace_id, COUNT(*) AS dq FROM ppos GROUP BY 1),
+       |bm AS (
+       |  SELECT pp.trace_id, b.file_id, COUNT(*) AS matched
+       |  FROM ppos pp JOIN bits b ON b.pos = pp.pos GROUP BY 1, 2),
+       |tru AS (
+       |  SELECT DISTINCT p.trace_id, e.file_id
+       |  FROM probes p JOIN ev e USING (trace_id))
+       |SELECT g.trace_id, g.present, COUNT(*) AS n_files,
+       |  CAST(SUM(CASE WHEN g.trace_id BETWEEN g.t_min AND g.t_max
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zone_pass,
+       |  CAST(SUM(CASE WHEN COALESCE(bm.matched, 0) = n.dq
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       |  CAST(SUM(CASE WHEN t.trace_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true_files,
+       |  CAST(SUM(CASE WHEN COALESCE(bm.matched, 0) = n.dq
+       |    THEN 1 ELSE 0 END)
+       |    - SUM(CASE WHEN t.trace_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_pos
+       |FROM (SELECT p.trace_id, p.present, f.file_id, f.t_min, f.t_max
+       |      FROM probes p, files f) g
+       |JOIN need n ON n.trace_id = g.trace_id
+       |LEFT JOIN bm ON bm.trace_id = g.trace_id AND bm.file_id = g.file_id
+       |LEFT JOIN tru t ON t.trace_id = g.trace_id AND t.file_id = g.file_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
+    "param_bloom_prune" -> ((s, d) => bloomPrune(s, d, bits = 512L)),
     "store_schema_evolution" -> (schemaEvolution _),
     "store_skew_report" -> ((s, d) => skewReport(s, d)),
     "param_skew_report" -> ((s, d) => skewReport(s, d, hotFactor = 10)),
@@ -787,6 +939,8 @@ object Bucketing {
     "store_compaction_plan" -> (compactionPlan _))
 
   val oracles: Map[String, String] = Map(
+    "store_bloom_prune" -> bloomPruneSql(),
+    "param_bloom_prune" -> bloomPruneSql(bits = 512L),
     "store_schema_evolution" -> schemaEvolutionSql,
     "store_skew_report" -> skewReportSql(),
     "param_skew_report" -> skewReportSql(hotFactor = 10),

@@ -270,6 +270,54 @@ object Persist {
       |  event_id
       |FROM applied""".stripMargin
 
+  /** D15 `persist_vacuum_plan` — version-retention VACUUM planner,
+    * the last missing day-2 op of the persist store's lifecycle
+    * (upsert → compact → tombstone → changefeed → export → VACUUM;
+    * reference-shape: Delta VACUUM / Iceberg expire_snapshots): a
+    * stored version object is safe to delete iff it was SUPERSEDED at
+    * or before the retention horizon — every as-of read at any
+    * t ≥ horizon then resolves to a newer version by construction, so
+    * time travel inside the retention window is provably unaffected
+    * (the D4 safety law, pinned by the spec). The latest version of
+    * an entity is never eligible (its superseded_at is NULL and NULL
+    * fails the predicate — the guard is the three-valued logic
+    * itself). Served as the deletion WORK LIST (entity_id, version,
+    * applied_at, superseded_at), the form a storage reaper consumes —
+    * H25's planner discipline applied to the commit log.
+    *
+    * Scale: ONE window over the applied-write log keyed exactly like
+    * D3's version rank (the lead() rides the same exchange+sort), a
+    * map-side horizon filter, no further shuffle — the plan is
+    * O(commit log), metadata-scale next to the data it reaps. */
+  def vacuumPlan(spark: SparkSession, dir: String,
+                 horizon: String = "2024-01-15 00:00:00"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    applied(spark, dir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("superseded_at", lead(col("ts"), 1).over(w))
+      .filter(col("superseded_at") <= lit(horizon).cast("timestamp"))
+      .select(
+        concat(col("user_id"), lit(":"), col("event_type")).as("entity_id"),
+        col("version"), col("ts").as("applied_at"), col("superseded_at"))
+      .orderBy(col("entity_id"), col("version"))
+  }
+
+  def vacuumPlanSql(horizon: String = "2024-01-15 00:00:00"): String =
+    s"""WITH $appliedSqlCte,
+       |log AS (
+       |  SELECT user_id || ':' || event_type AS entity_id,
+       |    CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       |    CAST(ts AS TIMESTAMP) AS applied_at,
+       |    LEAD(CAST(ts AS TIMESTAMP), 1) OVER w AS superseded_at
+       |  FROM applied
+       |  WINDOW w AS (PARTITION BY user_id, event_type
+       |               ORDER BY ts, event_id)
+       |)
+       |SELECT entity_id, version, applied_at, superseded_at
+       |FROM log WHERE superseded_at <= TIMESTAMP '$horizon'
+       |ORDER BY entity_id, version""".stripMargin
+
   /** Snapshot cutoff for D4 — mid-range of the synthetic event window. */
   private val SnapshotTs = "2024-01-08 00:00:00"
 
@@ -967,6 +1015,10 @@ object Persist {
     "persist_upsert_version" -> (upsertVersion _),
     "persist_upsert_bucketed" -> (upsertVersionBucketed _),
     "persist_commit_log" -> (commitLog _),
+    "persist_vacuum_plan" -> ((s: SparkSession, d: String) =>
+      vacuumPlan(s, d)),
+    "param_vacuum_plan" -> ((s: SparkSession, d: String) =>
+      vacuumPlan(s, d, horizon = "2024-01-08 00:00:00")),
     "persist_patient_meta" -> (patientMeta _),
     "persist_compacted_upsert" -> (compactedUpsert _),
     "persist_scd2" -> (scd2History _),
@@ -989,6 +1041,8 @@ object Persist {
     "persist_upsert_version" -> upsertVersionSql,
     "persist_upsert_bucketed" -> upsertVersionSql,
     "persist_commit_log" -> commitLogSql,
+    "persist_vacuum_plan" -> vacuumPlanSql(),
+    "param_vacuum_plan" -> vacuumPlanSql(horizon = "2024-01-08 00:00:00"),
     "persist_patient_meta" -> patientMetaSql,
     // the incremental path must reproduce the FULL replay bit-for-bit
     "persist_compacted_upsert" -> upsertVersionSql,

@@ -214,6 +214,52 @@ class BucketingSpec extends SparkSpecBase {
       s"stats branches must scan single columns, got ${scans.map(_.size).toSeq}")
   }
 
+  test("N15 bloom prune: no false negatives, zone maps blind, bits knob moves only FPs") {
+    // fileRows=100 so sf0.001's 1000 events make 10 files (the
+    // registry default 1250 would make pruning trivially 1-file here)
+    val rows = operators.Bucketing.bloomPrune(spark, sf, fileRows = 100L)
+      .collect()
+      .map(r => (r.getAs[String]("trace_id"), r.getAs[Boolean]("present"),
+        r.getAs[Long]("n_files"), r.getAs[Long]("n_zone_pass"),
+        r.getAs[Long]("n_bloom_pass"), r.getAs[Long]("n_true_files"),
+        r.getAs[Long]("n_false_pos")))
+    assert(rows.length == 75)
+    val nFiles = rows.head._3
+    assert(nFiles == 10)
+    rows.foreach { case (id, present, nf, _, bp, tf, fp) =>
+      assert(nf == nFiles)
+      // THE bloom law: never below the true count (no false negatives)
+      assert(bp >= tf, s"$id: bloom false negative")
+      assert(fp == bp - tf)
+      if (present) assert(tf >= 1, s"$id: present probe finds no file")
+      else assert(tf == 0, s"$id: planted absent probe has a true file")
+    }
+    // traces are ingest-clustered: 1-2 true files each
+    assert(rows.filter(_._2).forall(_._6 <= 2))
+    // zone maps are blind on the hash key (5-trace files still span
+    // ~2/3 of hex space: E[max-min] = (n-1)/(n+1)): they pass more
+    // than half of everything and 3x what the bloom passes
+    assert(rows.map(_._4).sum * 2 > rows.map(_._3).sum)
+    assert(rows.map(_._4).sum > 3 * rows.map(_._5).sum)
+    // the bloom actually prunes: passes well under half the files
+    assert(rows.map(_._5).sum * 2 < rows.map(_._3).sum)
+    // the bits knob is monotone: shrinking the filter can only ADD
+    // false positives, never lose a true file
+    val small = operators.Bucketing
+      .bloomPrune(spark, sf, bits = 16L, fileRows = 100L).collect()
+      .map(r => (r.getAs[String]("trace_id"), r.getAs[Long]("n_bloom_pass"),
+        r.getAs[Long]("n_true_files")))
+    val big = rows.map(r => (r._1, r._5)).toMap
+    small.foreach { case (id, bp, tf) =>
+      assert(bp >= big(id), s"$id: smaller filter pruned MORE")
+      assert(bp >= tf)
+    }
+    // at 16 bits a ~15-position file filter saturates — false
+    // positives must actually appear (the knob is live)
+    assert(small.map(t => t._2 - t._3).sum >
+      rows.map(_._7).sum)
+  }
+
   test("N3b skipping read: consult really skips files, result matches the full-scan filter") {
     val res = run("store_skipping_read").cache()
     assert(res.count() > 0)

@@ -1423,6 +1423,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(nc0 > 0 && nc1 > 0 && nt0 > 0 && nt1 > 0)
   }
 
+  test("D15 vacuum plan: replay from the commit log, time travel at the horizon provably safe") {
+    val plan = run("persist_vacuum_plan").collect()
+      .map(r => (r.getAs[String]("entity_id"), r.getAs[Int]("version")))
+      .toSeq
+    // replay: a version is eligible iff its SUCCESSOR committed at or
+    // before the horizon
+    val h = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val log = run("persist_commit_log").collect()
+      .map(r => (r.getAs[String]("entity_id"), r.getAs[Int]("version"),
+        r.getAs[java.sql.Timestamp]("applied_at")))
+    val want = log.groupBy(_._1).toSeq.flatMap { case (e, vs) =>
+      val s = vs.sortBy(_._2)
+      s.zip(s.drop(1)).filter { case (_, nxt) => !nxt._3.after(h) }
+        .map { case (v, _) => (e, v._2) }
+    }.sortBy(identity)
+    assert(plan.sortBy(identity) == want && plan.nonEmpty)
+    // the serve order is the work-list order
+    assert(plan == plan.sortBy(identity))
+    // the latest version of an entity is never eligible
+    val latest = log.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(plan.forall { case (e, v) => v < latest(e) })
+    // D4 safety law at the param horizon (= the D4 snapshot cutoff):
+    // per entity the eligible versions are EXACTLY 1..v_H-1 where v_H
+    // is the as-of version at the horizon — the version a time-travel
+    // read at the horizon serves is always retained, earlier ones are
+    // all reclaimable, later ones are untouchable
+    val pplan = run("param_vacuum_plan").collect()
+      .map(r => (r.getAs[String]("entity_id"), r.getAs[Int]("version")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val snapV = run("persist_asof_snapshot").collect()
+      .map(r => (r.getAs[Long]("user_id") + ":" +
+        r.getAs[String]("event_type"), r.getAs[Long]("version_asof"))).toMap
+    snapV.foreach { case (e, vH) =>
+      assert(pplan.getOrElse(e, Seq.empty) == (1 until vH.toInt).toSeq,
+        s"$e: eligible set is not exactly 1..${vH - 1}")
+    }
+    // and no entity outside the snapshot has an eligible version
+    assert(pplan.keySet.subsetOf(snapV.keySet))
+  }
+
   test("L27 backtest: expanding-window forecasts equal a driver replay, warm-up enforced") {
     // the exact (day, hod) rollup the operator windows over
     val daily = Tables.events(spark, sf)

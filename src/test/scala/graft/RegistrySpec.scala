@@ -90,7 +90,8 @@ class RegistrySpec extends SparkSpecBase {
     "sim_classifier_metrics", "param_classifier_metrics", // 1-row macro-F1 attach onto the |classes| rows
     "text_distinctive_terms", "param_distinctive_terms", // 1-row corpus-totals attach
     "k34_revenue_concentration", "param_k34_revenue_concentration", // 1-row threshold + totals + gini attaches onto <=10 rows
-    "k35_segment_migration", "param_k35_segment_migration") // K29's 1-row per-period quartile-threshold attach
+    "k35_segment_migration", "param_k35_segment_migration", // K29's 1-row per-period quartile-threshold attach
+    "store_bloom_prune", "param_bloom_prune") // bounded probe x file-manifest broadcast grid (75 x files)
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -194,6 +195,11 @@ class RegistrySpec extends SparkSpecBase {
     "k29_rfm_segmentation" -> 3, // customer rollup + 1-row quartile agg + threshold attach
     "k35_segment_migration" -> 4, // K29's 3 (both periods fold into ONE rollup/agg) + the bounded matrix serve sort
     "param_k35_segment_migration" -> 4,
+    // eval over 6 derived relations (files/bits/probes/ppos/bm/tru):
+    // only 3 exchanges carry event-scale data (file rollup, set-bit
+    // distinct, true-hit distinct); the rest are probe-scale
+    "store_bloom_prune" -> 10,
+    "param_bloom_prune" -> 10,
     "events_forecast_backtest" -> 3, // (day,hod) rollup + hod-keyed expanding window + ordered serve
     "param_forecast_backtest" -> 3,
     "events_funnel" -> 3, // user-key window + distinct expand + tenant rollup
