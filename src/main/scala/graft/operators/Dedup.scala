@@ -1459,7 +1459,152 @@ object Dedup {
        |  AND abs(a.len - b.len) <= $maxDist
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
 
+  // ---------------------------------------------------------------- G28
+  /** Deterministic URL synthesis — the corpus has no URL column, so
+    * each doc gets one built from its id (the M1/M18/C7 injection
+    * discipline), with every real-world variant class planted by
+    * modular arithmetic: scheme (http/https, every 19th uppercase
+    * host), www prefix, explicit default port, a REAL query param
+    * that must SURVIVE canonicalization (?id=7), tracking params that
+    * must NOT (utm_*), fragments, and trailing slashes. Group
+    * structure: (site, path) repeats every 200 ids, so genuine
+    * duplicate clusters exist at every SF. */
+  private[graft] def rawUrl: Column = {
+    val up = pmod(col("doc_id"), lit(19)) === 0
+    val https = pmod(col("doc_id"), lit(2)) === 0
+    concat(
+      when(https, lit("https://")).otherwise(lit("http://")),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      when(up, concat(lit("SITE"), pmod(col("doc_id"), lit(50)),
+        lit(".EXAMPLE.com")))
+        .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(50)),
+          lit(".example.com"))),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        when(https, lit(":443")).otherwise(lit(":80"))).otherwise(lit("")),
+      concat(lit("/p/"), pmod(col("doc_id"), lit(200))),
+      when(pmod(col("doc_id"), lit(17)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("?id=7"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("&utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0, lit("#sec2"))
+        .otherwise(lit("")))
+  }
+
+  /** The canonicalization chain, shared batch semantics with the
+    * oracle: lowercase → strip scheme → strip www. → strip explicit
+    * default port → strip fragment → (optionally) strip utm_*
+    * tracking params → merge the path/query slash → strip the
+    * trailing slash. Backreference-free regexes (Java `$1` vs RE2
+    * `\\1` replacement syntax diverges — plain `replace` covers the
+    * port/slash merges instead). */
+  private[graft] def canonicalUrl(url: Column, stripUtm: Boolean): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noPort = regexp_replace(regexp_replace(noWww,
+      ":443/", "/"), ":80/", "/")
+    val noFrag = split_part(noPort, lit("#"), lit(1))
+    val noUtm = if (stripUtm)
+      regexp_replace(noFrag, "[?&]utm_[a-z]+=[^&#]*", "") else noFrag
+    regexp_replace(regexp_replace(noUtm, "/\\?", "?"), "/$", "")
+  }
+
+  /** G28 `dedup_url_canonical` — URL canonicalization + dedup, the
+    * FIRST dedup stage of every web-scale corpus pipeline (CCNet /
+    * RefinedWeb / C4 run it before any content hash touches bytes —
+    * it's the only dedup that costs one string kernel per row): raw
+    * URLs collapse to a canonical form (lowercase, scheme/www/default-
+    * port/fragment/trailing-slash stripped, utm_* tracking params
+    * removed, REAL params kept), and documents group by it — served
+    * per canonical URL with the doc count, distinct raw variant
+    * count, the deterministic keeper (min doc_id — G1's rule), and
+    * per-rule variant counters so a canonicalization regression is
+    * visible as a counter move. `param_` runs the CONSERVATIVE mode
+    * (tracking params kept) — strictly fewer merges, the knob's
+    * safety direction. Scale: one codegen'd string pass + one
+    * canonical-keyed rollup — no shingles, no pairs, the cheapest
+    * member of the G family by construction. */
+  def urlCanonical(spark: SparkSession, dir: String,
+                   stripUtm: Boolean = true): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), rawUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        canonicalUrl(col("url"), stripUtm).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_variants"),
+        min(col("doc_id")).as("keeper_doc_id"),
+        sum(when(col("url").rlike("^https?://www\\.|^https?://WWW\\."), 1L)
+          .otherwise(0L)).as("n_www"),
+        sum(when(col("url").rlike(":(443|80)/"), 1L).otherwise(0L))
+          .as("n_port"),
+        sum(when(col("url").rlike("[?&]utm_"), 1L).otherwise(0L))
+          .as("n_utm"),
+        sum(when(col("url").contains("#"), 1L).otherwise(0L))
+          .as("n_fragment"))
+      .orderBy(col("canonical_url"))
+
+  def urlCanonicalSql(stripUtm: Boolean = true): String = {
+    val utmStep = if (stripUtm)
+      "regexp_replace(nofrag, '[?&]utm_[a-z]+=[^&#]*', '', 'g')"
+    else "nofrag"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+       |    || (CASE WHEN doc_id % 19 = 0
+       |        THEN 'SITE' || (doc_id % 50) || '.EXAMPLE.com'
+       |        ELSE 'site' || (doc_id % 50) || '.example.com' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN
+       |          CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+       |        ELSE '' END)
+       |    || '/p/' || (doc_id % 200)
+       |    || (CASE WHEN doc_id % 17 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN doc_id % 11 = 0 THEN '?id=7' ELSE '' END)
+       |    || (CASE WHEN doc_id % 7 = 0 THEN
+       |          CASE WHEN doc_id % 11 = 0
+       |            THEN '&utm_source=feed&utm_campaign=x'
+       |            ELSE '?utm_source=feed&utm_campaign=x' END
+       |        ELSE '' END)
+       |    || (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END) AS url
+       |  FROM documents
+       |), canon AS (
+       |  SELECT doc_id, url,
+       |    regexp_replace(regexp_replace($utmStep, '/\\?', '?'), '/$$', '')
+       |      AS canonical_url
+       |  FROM (
+       |    SELECT doc_id, url,
+       |      split_part(
+       |        replace(replace(
+       |          regexp_replace(regexp_replace(lower(url),
+       |            '^https?://', ''), '^www\\.', ''),
+       |          ':443/', '/'), ':80/', '/'),
+       |        '#', 1) AS nofrag
+       |    FROM raw)
+       |)
+       |SELECT canonical_url, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT url) AS n_raw_variants,
+       |  MIN(doc_id) AS keeper_doc_id,
+       |  CAST(SUM(CASE WHEN regexp_matches(url,
+       |    '^https?://www\\.|^https?://WWW\\.') THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_www,
+       |  CAST(SUM(CASE WHEN regexp_matches(url, ':(443|80)/')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_port,
+       |  CAST(SUM(CASE WHEN regexp_matches(url, '[?&]utm_')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_utm,
+       |  CAST(SUM(CASE WHEN contains(url, '#') THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_fragment
+       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonical" -> ((s, d) => urlCanonical(s, d)),
+    "param_url_canonical" -> ((s, d) => urlCanonical(s, d,
+      stripUtm = false)),
     "dedup_fuzzy_join" -> ((s: SparkSession, d: String) => fuzzyJoin(s, d)),
     "param_fuzzy_join" -> ((s: SparkSession, d: String) =>
       fuzzyJoin(s, d, maxDist = 1)),
@@ -1496,6 +1641,8 @@ object Dedup {
       simhashHammingPairs(s, d, maxHamming = 2)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_url_canonical" -> urlCanonicalSql(),
+    "param_url_canonical" -> urlCanonicalSql(stripUtm = false),
     "dedup_fuzzy_join" -> fuzzyJoinSql(),
     "param_fuzzy_join" -> fuzzyJoinSql(maxDist = 1),
     "dedup_novelty_fraction" -> noveltyFractionSql(),

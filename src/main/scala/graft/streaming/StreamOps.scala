@@ -1017,6 +1017,76 @@ case class FunnelAgg(anchors: Seq[Long])
     }.iterator
   }
 
+  case class CpState(seen: Long, hours: Map[(String, Int), Long])
+
+  case class CpOut(service: String, seen: Long, split_date: String,
+      split_hour: Int, n_hours_before: Long, n_hours_after: Long,
+      s_before: Long, s_after: Long, direction: String)
+
+  /** F24 streaming — the live changepoint LOCATOR (twin of the batch
+    * `audit_changepoint`): per-service state is the hourly volume
+    * counters; each trigger folds events in and replays the exact
+    * single-split CUSUM argmax over the ordered present hours with
+    * the statistic |T·S_k − k·S_T| in BigInt (the DECIMAL(38,0)
+    * widening's exact twin — no product wraps at 100 TB counts), ties
+    * to the earliest hour, direction by the cross-multiplied integer
+    * means — so no float ever locates or classifies the shift. The
+    * located split MOVES as data arrives (that is the point of a live
+    * regression locator), so emissions carry the strictly-increasing
+    * `seen` fold counter and the final row per service is the
+    * max-`seen` one. Emits nothing until a service has ≥ 2 present
+    * hours (batch requires a non-empty right segment). Production
+    * prunes state by watermark; unbounded here for the replay spec. */
+  def changepointState(events: Dataset[Event],
+      spark: SparkSession): Dataset[CpOut] = {
+    import spark.implicits._
+    events.groupByKey(e =>
+      if (e.event_type == "signup" || e.event_type == "click" ||
+        e.event_type == "view") "ingest"
+      else if (e.event_type == "purchase") "persist"
+      else "dlq")
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(changepointFn)
+  }
+
+  private[streaming] def changepointFn(service: String,
+      events: Iterator[Event],
+      state: GroupState[CpState]): Iterator[CpOut] = {
+    var hours = state.getOption.map(_.hours).getOrElse(Map.empty)
+    var seen = state.getOption.map(_.seen).getOrElse(0L)
+    events.foreach { e =>
+      val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      val key = (utcFmt.format(inst),
+        inst.atZone(java.time.ZoneOffset.UTC).getHour)
+      hours += key -> (hours.getOrElse(key, 0L) + 1L)
+      seen += 1L
+    }
+    state.update(CpState(seen, hours))
+    val ordered = hours.toSeq.sortBy(_._1)
+    val t = ordered.length
+    if (t < 2) Iterator.empty
+    else {
+      val sT = ordered.map(_._2).sum
+      var sK = 0L
+      var bestStat: BigInt = null
+      var bestK = 0
+      ordered.zipWithIndex.dropRight(1).foreach { case ((_, n), i) =>
+        sK += n
+        val k = i + 1
+        val stat = (BigInt(t) * BigInt(sK) - BigInt(k) * BigInt(sT)).abs
+        if (bestStat == null || stat > bestStat) {
+          bestStat = stat; bestK = k
+        }
+      }
+      val sBefore = ordered.take(bestK).map(_._2).sum
+      val ((d, h), _) = ordered(bestK - 1)
+      val dir = if (BigInt(sT - sBefore) * BigInt(bestK) >
+        BigInt(sBefore) * BigInt(t - bestK)) "up" else "down"
+      Iterator.single(CpOut(service, seen, d, h, bestK.toLong,
+        (t - bestK).toLong, sBefore, sT - sBefore, dir))
+    }
+  }
+
   case class CdcRec(user_id: Long, event_type: String, version: Long,
       n_deletes: Long, last_op: String, last_value: Double)
 

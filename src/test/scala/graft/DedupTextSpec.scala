@@ -89,6 +89,52 @@ class DedupTextSpec extends SparkSpecBase {
     assert(w.exists(math.abs(_) > 0.1), w.mkString(","))
   }
 
+  test("G28 url canonical: injection law, idempotence, conservative mode only splits") {
+    val rows = run("dedup_url_canonical").collect()
+      .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_raw_variants"), r.getAs[Long]("keeper_doc_id"),
+        r.getAs[Long]("n_www"), r.getAs[Long]("n_port"),
+        r.getAs[Long]("n_utm"), r.getAs[Long]("n_fragment")))
+    assert(rows.nonEmpty)
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // totals reconcile with the modular injection law
+    assert(rows.map(_._2).sum == ids.length)
+    assert(rows.map(_._5).sum == ids.count(_ % 3 == 0))
+    assert(rows.map(_._6).sum == ids.count(_ % 5 == 0))
+    assert(rows.map(_._7).sum == ids.count(_ % 7 == 0))
+    assert(rows.map(_._8).sum == ids.count(_ % 13 == 0))
+    // dedup is real (clusters exist) and nothing non-canonical leaks
+    assert(rows.exists(_._2 > 1))
+    rows.foreach { case (c, _, _, keeper, _, _, _, _) =>
+      assert(!c.matches("^https?://.*") && !c.startsWith("www."))
+      assert(!c.contains("#") && !c.contains("utm_") && !c.endsWith("/"))
+      assert(!c.contains(":443") && !c.contains(":80"))
+      // real params survive, and only on the planted docs
+      if (c.contains("?id=7")) assert(keeper % 11 == 0)
+    }
+    // idempotence: canonicalizing a canonical URL is a no-op
+    import spark.implicits._
+    val canon = rows.map(_._1).toSeq.toDF("u")
+      .select(col("u"),
+        operators.Dedup.canonicalUrl(col("u"), stripUtm = true).as("c"))
+      .collect()
+    assert(canon.forall(r => r.getString(0) == r.getString(1)))
+    // conservative mode (utm kept) only SPLITS groups, never merges:
+    // stripping utm from each conservative canonical lands it exactly
+    // in one default group, and doc totals re-aggregate
+    val cons = run("param_url_canonical").collect()
+      .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("n_docs")))
+    assert(cons.length >= rows.length)
+    val defaults = rows.map(r => (r._1, r._2)).toMap
+    val regrouped = cons
+      .map { case (c, n) =>
+        (c.replaceAll("[?&]utm_[a-z]+=[^&#]*", "").replaceAll("/$", ""), n)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(regrouped == defaults)
+  }
+
   test("G1/G2: every doc accounted for, keeper is min doc_id") {
     val docs = Tables.documents(spark, sf).count()
     assert(run("dedup_exact").agg(sum("n_copies")).head.getLong(0) == docs)

@@ -195,6 +195,10 @@ class RegistrySpec extends SparkSpecBase {
     "k29_rfm_segmentation" -> 3, // customer rollup + 1-row quartile agg + threshold attach
     "k35_segment_migration" -> 4, // K29's 3 (both periods fold into ONE rollup/agg) + the bounded matrix serve sort
     "param_k35_segment_migration" -> 4,
+    // countDistinct(url) expands to a two-phase agg beside the other
+    // aggregates (2) + the bounded ordered serve (1)
+    "dedup_url_canonical" -> 3,
+    "param_url_canonical" -> 3,
     // eval over 6 derived relations (files/bits/probes/ppos/bm/tru):
     // only 3 exchanges carry event-scale data (file rollup, set-bit
     // distinct, true-hit distinct); the rest are probe-scale

@@ -586,6 +586,49 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("F24 streaming changepoint locator converges to the batch argmax") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.changepointState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_cp")
+      .outputMode("update").start()
+    // three UNEVEN micro-batches; no sentinel — its far-future hour
+    // would become a real series point of the dlq service
+    val (a, rest) = batchEvents.splitAt(batchEvents.size / 5)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    ms.addData(c); q.processAllAvailable()
+    q.stop()
+    // the located split MOVES as data arrives: keep-latest by seen
+    val t = spark.table("s_cp")
+    val fin = t.groupBy("service")
+      .agg(max(struct(col("seen"), col("split_date"), col("split_hour"),
+        col("n_hours_before"), col("n_hours_after"),
+        col("s_before"), col("s_after"), col("direction"))).as("s"))
+      .select(col("service"), col("s.split_date"), col("s.split_hour"),
+        col("s.n_hours_before"), col("s.n_hours_after"),
+        col("s.s_before"), col("s.s_after"), col("s.direction"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSeq.sortBy(_._1)
+    val want = run("audit_changepoint").collect().map { r =>
+      val ts = r.getAs[java.sql.Timestamp]("split_after")
+        .toInstant.atZone(java.time.ZoneOffset.UTC)
+      val k = r.getAs[Long]("n_hours_before")
+      val ka = r.getAs[Long]("n_hours_after")
+      // reconstruct the exact integer sums from the served means
+      val sB = math.round(r.getAs[Double]("mean_before") * k)
+      val sA = math.round(r.getAs[Double]("mean_after") * ka)
+      (r.getAs[String]("service"),
+        ts.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE),
+        ts.getHour, k, ka, sB, sA, r.getAs[String]("direction"))
+    }.toSeq.sortBy(_._1)
+    assert(fin == want, "streaming changepoint diverges from batch F24")
+    assert(fin.nonEmpty && fin.map(_._1).toSet ==
+      Set("ingest", "persist", "dlq"))
+  }
+
   test("F26 streaming incident feed converges to the batch grouping") {
     val ms = MemoryStream[Event]
     // sf0.001 is too quiet for the default minN=5 volume guard — drive
