@@ -1222,6 +1222,115 @@ object Similarity {
        |)""".stripMargin
 
 
+  // ---------------------------------------------------------------- H26
+  /** H26 `sim_codebook_drift` — embedding-distribution DRIFT monitor
+    * over the trained IVF codebook, the signal that decides WHEN the
+    * index lifecycle (H23 refresh → H24 tombstone → H25 compaction)
+    * escalates to a full RETRAIN: H23's frozen-codebook delta encode
+    * is only sound while new vectors still look like the training
+    * distribution, and the standard production check (Vespa/Milvus
+    * ops guides; the ML-ops PSI discipline F20 already serves for
+    * scalars) is cell-occupancy drift — assign both slices with ONE
+    * frozen codebook (H6's exact-integer recipe via the shared
+    * kmeansAssignments seam, so the monitored strata ARE the index
+    * cells) and compare occupancy histograms by PSI with F20's exact
+    * recipe (Laplace +1/+k smoothing, per-cell term rounded 6dp and
+    * summed as DECIMAL(18,9) — order-insensitive). Absolute 0.1/0.25
+    * cutoffs are a LARGE-SAMPLE convention: the null expectation of
+    * PSI is ≈ χ²/N-shaped, (k−1)·(1/n_ref + 1/n_cur) — at small
+    * slices that floor alone exceeds 0.1, so the served band grades
+    * psi AGAINST the analytic floor (stable < 2×, moderate < 6×,
+    * else shifted — the sample-size correction production monitors
+    * apply), with both psi and psi_floor served so the decision is
+    * auditable. Default compares a hash split of the corpus (null
+    * hypothesis — must read `stable`); the `param_` splits on the
+    * SIGN OF THE FIRST EMBEDDING COORDINATE — a genuine directional
+    * shift in embedding space, which cosine cells track by
+    * construction — and must escalate past stable (3.3× the floor at
+    * sf0.01; the single-coordinate functional carries ~1/64 of the
+    * direction variance, so it lands `moderate` there and hardens
+    * with scale as the noise floor shrinks). Served as the one-row
+    * decision record (a non-stable band IS the retrain review
+    * trigger).
+    *
+    * Scale: rides the memoized assignment table (one broadcast
+    * O(n·k) pass, paid once per corpus); everything after is a
+    * ≤256-row cell rollup + a 1-row attach — the monitor costs one
+    * scan of the cluster map regardless of corpus size. */
+  def codebookDrift(spark: SparkSession, dir: String,
+                    byDim: Boolean = false): DataFrame = {
+    val isRef =
+      if (byDim) element_at(col("embedding"), 1) >= 0f
+      else pmod(col("vec_id"), lit(5)) < 3
+    val tagged = kmeansAssignments(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("is_ref", isRef)
+    val counts = tagged.groupBy(col("cell"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_c"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_c"))
+    val tot = counts.agg(sum(col("ref_c")).as("n_ref"),
+      sum(col("cur_c")).as("n_cur"), count(lit(1)).as("k_cells"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("pr",
+        (col("ref_c") + 1).cast("double") / (col("n_ref") + col("k_cells")))
+      .withColumn("pc",
+        (col("cur_c") + 1).cast("double") / (col("n_cur") + col("k_cells")))
+      .withColumn("term",
+        round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("k_cells").as("n_cells"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("term")).cast("double").as("psi"))
+      .withColumn("psi_floor",
+        round((col("n_cells") - 1).cast("double")
+          * (lit(1.0) / col("n_ref") + lit(1.0) / col("n_cur")), 6))
+      .withColumn("drift_band",
+        when(col("psi") < col("psi_floor") * 2, "stable")
+          .when(col("psi") < col("psi_floor") * 6, "moderate")
+          .otherwise("shifted"))
+      .select(col("n_cells"), col("n_ref"), col("n_cur"), col("psi"),
+        col("psi_floor"), col("drift_band"))
+  }
+
+  def codebookDriftSql(byDim: Boolean = false): String = {
+    val refPred = if (byDim) "e.embedding[1] >= 0" else "e.vec_id % 5 < 3"
+    s"""WITH $kmeansCtesSql,
+       |$kmeansAsgSqlCte,
+       |tagged AS (
+       |  SELECT k.cell,
+       |    CASE WHEN $refPred THEN 1 ELSE 0 END AS is_ref
+       |  FROM kasg k JOIN embeddings e USING (vec_id)
+       |), counts AS (
+       |  SELECT cell, CAST(SUM(is_ref) AS BIGINT) AS ref_c,
+       |    CAST(SUM(1 - is_ref) AS BIGINT) AS cur_c
+       |  FROM tagged GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(ref_c) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cur_c) AS BIGINT) AS n_cur,
+       |    COUNT(*) AS k_cells
+       |  FROM counts
+       |), terms AS (
+       |  SELECT k_cells, n_ref, n_cur,
+       |    CAST(ROUND((pc - pr) * ln(pc / pr), 6) AS DECIMAL(18,9)) AS term
+       |  FROM (
+       |    SELECT t.k_cells, t.n_ref, t.n_cur,
+       |      (c.ref_c + 1) / CAST(t.n_ref + t.k_cells AS DOUBLE) AS pr,
+       |      (c.cur_c + 1) / CAST(t.n_cur + t.k_cells AS DOUBLE) AS pc
+       |    FROM counts c, tot t)
+       |)
+       |SELECT n_cells, n_ref, n_cur, psi, psi_floor,
+       |  CASE WHEN psi < psi_floor * 2 THEN 'stable'
+       |       WHEN psi < psi_floor * 6 THEN 'moderate'
+       |       ELSE 'shifted' END AS drift_band
+       |FROM (
+       |  SELECT k_cells AS n_cells, n_ref, n_cur,
+       |    CAST(SUM(term) AS DOUBLE) AS psi,
+       |    ROUND(CAST(k_cells - 1 AS DOUBLE)
+       |      * (1.0 / n_ref + 1.0 / n_cur), 6) AS psi_floor
+       |  FROM terms GROUP BY 1, 2, 3)""".stripMargin
+  }
+
   private val PqM = 8      // subspaces
   private val PqDsub = 8   // dims per subspace (8 x 8 = 64)
   private val PqCodes = 16 // codewords per subspace
@@ -2187,6 +2296,10 @@ object Similarity {
     "param_index_compaction" -> ((s: SparkSession, d: String) =>
       indexCompaction(s, d, tombMod = 5, tombR = 0, tauBp = 2000)),
     "sim_ivf_kmeans" -> (ivfKmeans _),
+    "sim_codebook_drift" -> ((s: SparkSession, d: String) =>
+      codebookDrift(s, d)),
+    "param_codebook_drift" -> ((s: SparkSession, d: String) =>
+      codebookDrift(s, d, byDim = true)),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_recall_eval" -> (recallEval _),
     "sim_mrl_eval" -> ((s, d) => mrlEval(s, d)))
@@ -2223,6 +2336,8 @@ object Similarity {
     "param_index_compaction" -> indexCompactionSql(
       tombMod = 5, tombR = 0, tauBp = 2000),
     "sim_ivf_kmeans" -> ivfKmeansSql,
+    "sim_codebook_drift" -> codebookDriftSql(),
+    "param_codebook_drift" -> codebookDriftSql(byDim = true),
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_recall_eval" -> recallEvalSql,
     "sim_mrl_eval" -> mrlEvalSql())

@@ -91,7 +91,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_distinctive_terms", "param_distinctive_terms", // 1-row corpus-totals attach
     "k34_revenue_concentration", "param_k34_revenue_concentration", // 1-row threshold + totals + gini attaches onto <=10 rows
     "k35_segment_migration", "param_k35_segment_migration", // K29's 1-row per-period quartile-threshold attach
-    "store_bloom_prune", "param_bloom_prune") // bounded probe x file-manifest broadcast grid (75 x files)
+    "store_bloom_prune", "param_bloom_prune", // bounded probe x file-manifest broadcast grid (75 x files)
+    "sim_codebook_drift", "param_codebook_drift") // 1-row slice-totals attach onto the <=256-cell rollup
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -199,6 +200,10 @@ class RegistrySpec extends SparkSpecBase {
     // aggregates (2) + the bounded ordered serve (1)
     "dedup_url_canonical" -> 3,
     "param_url_canonical" -> 3,
+    // cell rollup + 1-row totals agg + final decision agg over the
+    // checkpointed assignment leaf
+    "sim_codebook_drift" -> 3,
+    "param_codebook_drift" -> 3,
     // eval over 6 derived relations (files/bits/probes/ppos/bm/tru):
     // only 3 exchanges carry event-scale data (file rollup, set-bit
     // distinct, true-hit distinct); the rest are probe-scale

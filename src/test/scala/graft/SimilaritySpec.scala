@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
   * checked; H2-H4 are verified here against the brute-force baseline. */
 class SimilaritySpec extends SparkSpecBase {
 
+  test("H26 codebook drift: null split stable, directional split escalates, laws re-derive") {
+    def one(name: String) = {
+      val r = run(name).collect()
+      assert(r.length == 1)
+      (r.head.getAs[Long]("n_cells"), r.head.getAs[Long]("n_ref"),
+        r.head.getAs[Long]("n_cur"), r.head.getAs[Double]("psi"),
+        r.head.getAs[Double]("psi_floor"), r.head.getAs[String]("drift_band"))
+    }
+    val d = one("sim_codebook_drift")
+    val p = one("param_codebook_drift")
+    // both splits cover the whole corpus through the same codebook
+    val n = Tables.embeddings(spark, sf).count()
+    assert(d._2 + d._3 == n && p._2 + p._3 == n)
+    assert(d._1 == p._1, "the two monitors must share one frozen codebook")
+    // PSI is nonnegative by construction; the floor re-derives
+    Seq(d, p).foreach { t =>
+      assert(t._4 >= 0.0)
+      val floor = BigDecimal((t._1 - 1).toDouble *
+        (1.0 / t._2 + 1.0 / t._3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(t._5 == floor)
+      val band = if (t._4 < t._5 * 2) "stable"
+        else if (t._4 < t._5 * 6) "moderate" else "shifted"
+      assert(t._6 == band)
+    }
+    // the null hypothesis reads stable; the genuine directional
+    // shift escalates past it and carries more PSI
+    assert(d._6 == "stable", s"null split drifted: $d")
+    assert(p._6 != "stable", s"directional split read stable: $p")
+    assert(p._4 > d._4)
+  }
+
   test("H1 brute force: exactly k ranked neighbors per query, no self-match") {
     val df = run("sim_topk_bruteforce").cache()
     val perQ = df.groupBy("qid").count()
