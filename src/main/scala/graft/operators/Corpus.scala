@@ -1350,7 +1350,120 @@ object Corpus {
        |    AS flag_ratio
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------------- P5
+  /** P5 `pipeline_corpus_datasheet` — the per-source corpus DATASHEET
+    * (Gebru et al. 2021, "Datasheets for Datasets"; the data card
+    * every released training corpus ships): one bounded table joining
+    * the volume, language, duplication, and compliance facts a
+    * consumer reads before training — per source: doc/char/whitespace-
+    * token counts, the dominant language with its share, URL-dup
+    * membership (G28's canonical chain — the share of docs whose
+    * canonical URL is not unique), PII-bearing docs (M1's classes)
+    * and secret-bearing docs (M18's rules). The share columns are
+    * exact BIGINT micro-units via integer half-up — the L27 lesson
+    * applied at design time (n_docs per source is round and
+    * denominator-hazardous by construction). A composite in the P3/P4
+    * sense: every column re-derives from the owning operator's
+    * definition, so a drift between the datasheet and the family op
+    * is a spec failure, not a doc bug.
+    *
+    * Scale: five independent source-keyed rollups over one scan each
+    * (PII/secret/URL chains are stateless string kernels), joined on
+    * the bounded source dimension — no corpus-sized join anywhere. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(size(nonEmptyToks).cast("long")).as("n_ws_tokens"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    val top = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("lang_top"),
+        col("n").as("lang_top_n"))
+    val urls = docs.select(col("doc_id"), col("source"))
+      .withColumn("curl", Dedup.canonicalUrl(Dedup.rawUrl, stripUtm = true))
+    val gsz = urls.groupBy(col("curl")).agg(count(lit(1)).as("g"))
+    val dup = urls.join(gsz, Seq("curl")).filter(col("g") > 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_url_dup_docs"))
+    val pii = docs.select(col("source"), piiText.as("t"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("t").rlike(s"$EmailRe|$PhoneRe"), 1L).otherwise(0L))
+        .as("n_pii_docs"))
+    val sec = docs.select(col("source"), secretText.as("t"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("t")
+        .rlike(s"$AwsKeyRe|${hexTokenRe(40)}|$PemKeyRe"), 1L).otherwise(0L))
+        .as("n_secret_docs"))
+    base.join(top, Seq("source"))
+      .join(dup, Seq("source"), "left_outer")
+      .join(pii, Seq("source"))
+      .join(sec, Seq("source"))
+      .withColumn("n_url_dup_docs",
+        coalesce(col("n_url_dup_docs"), lit(0L)))
+      .withColumn("lang_top_micro", expr(
+        "(2 * lang_top_n * 1000000 + n_docs) div (2 * n_docs)"))
+      .withColumn("url_dup_micro", expr(
+        "(2 * n_url_dup_docs * 1000000 + n_docs) div (2 * n_docs)"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("lang_top"), col("lang_top_n"),
+        col("lang_top_micro"), col("n_url_dup_docs"), col("url_dup_micro"),
+        col("n_pii_docs"), col("n_secret_docs"))
+      .orderBy(col("source"))
+  }
+
+  // Dedup's CTE fragment carries `||` at line starts — concatenate it
+  // outside the stripMargin string (see Dedup.urlCanonicalSql)
+  def corpusDatasheetSql: String =
+    "WITH " + Dedup.urlCanonSqlCtes() + ",\n" +
+    s"""base AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> '')))
+       |      AS BIGINT) AS n_ws_tokens
+       |  FROM documents GROUP BY 1
+       |), top AS (
+       |  SELECT source, lang AS lang_top, n AS lang_top_n FROM (
+       |    SELECT source, lang, COUNT(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM documents GROUP BY 1, 2) WHERE rn = 1
+       |), gsz AS (
+       |  SELECT canonical_url, COUNT(*) AS g FROM canon GROUP BY 1
+       |), dup AS (
+       |  SELECT d.source, COUNT(*) AS n_url_dup_docs
+       |  FROM canon c JOIN gsz USING (canonical_url)
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE g > 1 GROUP BY 1
+       |), pii AS (
+       |  SELECT source, CAST(SUM(CASE WHEN
+       |    regexp_matches(t, '$EmailRe|$PhoneRe') THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pii_docs
+       |  FROM (SELECT source, $piiTextSql AS t FROM documents) GROUP BY 1
+       |), sec AS (
+       |  SELECT source, CAST(SUM(CASE WHEN
+       |    regexp_matches(t, '$AwsKeyRe|${hexTokenRe(40)}|$PemKeyRe')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_docs
+       |  FROM (SELECT source, $secretTextSql AS t FROM documents) GROUP BY 1
+       |)
+       |SELECT b.source, b.n_docs, b.n_chars, b.n_ws_tokens,
+       |  t.lang_top, t.lang_top_n,
+       |  CAST((2 * t.lang_top_n * 1000000 + b.n_docs) // (2 * b.n_docs)
+       |    AS BIGINT) AS lang_top_micro,
+       |  COALESCE(d.n_url_dup_docs, 0) AS n_url_dup_docs,
+       |  CAST((2 * COALESCE(d.n_url_dup_docs, 0) * 1000000 + b.n_docs)
+       |    // (2 * b.n_docs) AS BIGINT) AS url_dup_micro,
+       |  p.n_pii_docs, s.n_secret_docs
+       |FROM base b JOIN top t USING (source)
+       |LEFT JOIN dup d USING (source)
+       |JOIN pii p USING (source) JOIN sec s USING (source)
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus_datasheet" -> (corpusDatasheet _),
     "corpus_secret_scan" -> ((s, d) => secretScan(s, d)),
     "param_secret_scan" -> ((s, d) => secretScan(s, d, hexLen = 32)),
     "corpus_cluster_sample" -> ((s, d) => clusterSample(s, d)),
@@ -1387,6 +1500,7 @@ object Corpus {
     "corpus_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus_datasheet" -> corpusDatasheetSql,
     "corpus_secret_scan" -> secretScanSql(),
     "param_secret_scan" -> secretScanSql(hexLen = 32),
     "corpus_cluster_sample" -> clusterSampleSql(),

@@ -1548,11 +1548,14 @@ object Dedup {
           .as("n_fragment"))
       .orderBy(col("canonical_url"))
 
-  def urlCanonicalSql(stripUtm: Boolean = true): String = {
+  /** The raw-URL synthesis + canonicalization as reusable CTEs
+    * (`raw(doc_id, url)`, `canon(doc_id, url, canonical_url)`) —
+    * shared by the G28 oracle and P5's datasheet composite. */
+  private[operators] def urlCanonSqlCtes(stripUtm: Boolean = true): String = {
     val utmStep = if (stripUtm)
       "regexp_replace(nofrag, '[?&]utm_[a-z]+=[^&#]*', '', 'g')"
     else "nofrag"
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT doc_id,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
@@ -1585,8 +1588,15 @@ object Dedup {
        |          ':443/', '/'), ':80/', '/'),
        |        '#', 1) AS nofrag
        |    FROM raw)
-       |)
-       |SELECT canonical_url, COUNT(*) AS n_docs,
+       |)""".stripMargin
+  }
+
+  // the CTE fragment contains `||` concatenations at line starts, so
+  // it must be concatenated OUTSIDE the stripMargin string (an
+  // interpolated `||` after a margin strip reads as bitwise OR)
+  def urlCanonicalSql(stripUtm: Boolean = true): String =
+    "WITH " + urlCanonSqlCtes(stripUtm) + "\n" +
+    s"""SELECT canonical_url, COUNT(*) AS n_docs,
        |  COUNT(DISTINCT url) AS n_raw_variants,
        |  MIN(doc_id) AS keeper_doc_id,
        |  CAST(SUM(CASE WHEN regexp_matches(url,
@@ -1599,7 +1609,6 @@ object Dedup {
        |  CAST(SUM(CASE WHEN contains(url, '#') THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_fragment
        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url_canonical" -> ((s, d) => urlCanonical(s, d)),

@@ -5,6 +5,41 @@ import org.apache.spark.sql.functions._
 /** Specs for the training-corpus preparation slice (SURVEY §2.M). */
 class CorpusSpec extends SparkSpecBase {
 
+  test("P5 datasheet: every column re-derives from the owning family's definition") {
+    val rows = run("pipeline_corpus_datasheet").collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.length == bySrc.size)
+    def halfUp(p: Long, q: Long): Long = (2 * p * 1000000L + q) / (2 * q)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = bySrc(src)
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("n_chars") == g.map(_._4).sum)
+      // dominant language: max count, ties to the smaller lang
+      val langN = g.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy(t => (-t._2, t._1))
+      assert(r.getAs[String]("lang_top") == langN.head._1)
+      assert(r.getAs[Long]("lang_top_n") == langN.head._2.toLong)
+      assert(r.getAs[Long]("lang_top_micro") ==
+        halfUp(langN.head._2.toLong, g.length))
+      // compliance columns re-derive from the M1/M18 injection laws
+      assert(r.getAs[Long]("n_pii_docs") ==
+        g.count(d => d._1 % 3 == 0 || d._1 % 5 == 0))
+      assert(r.getAs[Long]("n_secret_docs") ==
+        g.count(d => d._1 % 7 == 0 || d._1 % 11 == 0 || d._1 % 13 == 0))
+      assert(r.getAs[Long]("url_dup_micro") ==
+        halfUp(r.getAs[Long]("n_url_dup_docs"), g.length))
+    }
+    // URL-dup membership reconciles with the G28 serve globally
+    val g28dups = run("dedup_url_canonical").collect()
+      .filter(_.getAs[Long]("n_docs") > 1).map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("n_url_dup_docs")).sum == g28dups)
+    assert(g28dups > 0)
+  }
+
   test("M18 secret scan: flagged set equals the injected truth, near-misses stay dark") {
     val got = run("corpus_secret_scan").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[String]("rule"),

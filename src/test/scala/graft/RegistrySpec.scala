@@ -200,6 +200,10 @@ class RegistrySpec extends SparkSpecBase {
     // aggregates (2) + the bounded ordered serve (1)
     "dedup_url_canonical" -> 3,
     "param_url_canonical" -> 3,
+    // five source-keyed rollups (base/top/pii/sec/dup) + the url
+    // group-size rollup + two source-dim joins + ordered serve — each
+    // input scan is one pass, joins are on the bounded source dim
+    "pipeline_corpus_datasheet" -> 8,
     // cell rollup + 1-row totals agg + final decision agg over the
     // checkpointed assignment leaf
     "sim_codebook_drift" -> 3,
