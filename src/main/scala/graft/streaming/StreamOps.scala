@@ -1087,6 +1087,57 @@ case class FunnelAgg(anchors: Seq[Long])
     }
   }
 
+  case class MadOut(service: String, seen: Long, audit_date: String,
+      audit_hour: Int, n: Long, med: Long, mad: Long, is_outlier: Boolean)
+
+  /** F21 streaming — the live robust-z outlier detector (twin of the
+    * batch `audit_mad_outliers`, completing the alarm-family twins
+    * beside F14/F17/F18/F24/F25/F26): per-service state is the same
+    * hourly volume counters as the F24 twin ([[CpState]], one fold
+    * serves both), and each trigger replays BOTH dependent medians
+    * (median of counts, then median of absolute deviations — the
+    * discrete ceil(T/2) pick, exact integers end to end, the batch's
+    * sorted-array recipe) over the present hours and re-emits every
+    * hour with its verdict. Median and MAD move as hours arrive, so
+    * verdicts are not monotone — emissions carry `seen` and the final
+    * row per hour is the max-`seen` one (keep-latest). Production
+    * prunes state past the retention window; unbounded here for the
+    * replay spec. */
+  def madState(events: Dataset[Event], spark: SparkSession,
+      k: Int = 3): Dataset[MadOut] = {
+    import spark.implicits._
+    events.groupByKey(e =>
+      if (e.event_type == "signup" || e.event_type == "click" ||
+        e.event_type == "view") "ingest"
+      else if (e.event_type == "purchase") "persist"
+      else "dlq")
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(madFn(k))
+  }
+
+  private[streaming] def madFn(k: Int)(service: String,
+      events: Iterator[Event],
+      state: GroupState[CpState]): Iterator[MadOut] = {
+    var hours = state.getOption.map(_.hours).getOrElse(Map.empty)
+    var seen = state.getOption.map(_.seen).getOrElse(0L)
+    events.foreach { e =>
+      val inst = java.time.Instant.ofEpochMilli(e.ts.getTime)
+      val key = (utcFmt.format(inst),
+        inst.atZone(java.time.ZoneOffset.UTC).getHour)
+      hours += key -> (hours.getOrElse(key, 0L) + 1L)
+      seen += 1L
+    }
+    state.update(CpState(seen, hours))
+    val ns = hours.values.toSeq.sorted
+    val med = ns((ns.length + 1) / 2 - 1)
+    val devs = ns.map(x => math.abs(x - med)).sorted
+    val mad = devs((devs.length + 1) / 2 - 1)
+    val s = seen
+    hours.toSeq.sortBy(_._1).iterator.map { case ((d, h), n) =>
+      MadOut(service, s, d, h, n, med, mad, math.abs(n - med) > k * mad)
+    }
+  }
+
   case class CdcRec(user_id: Long, event_type: String, version: Long,
       n_deletes: Long, last_op: String, last_value: Double)
 

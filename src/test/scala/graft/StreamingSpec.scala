@@ -586,6 +586,39 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("F21 streaming MAD detector converges to the batch robust-z verdicts") {
+    val ms = MemoryStream[Event]
+    val q = StreamOps.madState(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("s_mad")
+      .outputMode("update").start()
+    // three UNEVEN micro-batches; no sentinel — its far-future hour
+    // would become a real series point of the dlq service
+    val (a, rest) = batchEvents.splitAt(batchEvents.size / 4)
+    val (b, c) = rest.splitAt(2 * rest.size / 3)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    ms.addData(c); q.processAllAvailable()
+    q.stop()
+    // median/MAD move as hours arrive: keep-latest by seen
+    val t = spark.table("s_mad")
+    val fin = t.groupBy("service", "audit_date", "audit_hour")
+      .agg(max(struct(col("seen"), col("n"), col("med"), col("mad"),
+        col("is_outlier"))).as("s"))
+      .select(col("service"), col("audit_date"), col("audit_hour"),
+        col("s.n"), col("s.med"), col("s.mad"), col("s.is_outlier"))
+      .collect().map(_.toSeq).toSet
+    val want = run("audit_mad_outliers").collect().map { r =>
+      val ts = r.getAs[java.sql.Timestamp]("hour")
+        .toInstant.atZone(java.time.ZoneOffset.UTC)
+      Seq(r.getAs[String]("service"),
+        ts.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE),
+        ts.getHour, r.getAs[Long]("n"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"), r.getAs[Boolean]("is_outlier"))
+    }.toSet
+    assert(fin == want, "streaming MAD diverges from batch F21")
+    assert(fin.nonEmpty)
+  }
+
   test("F24 streaming changepoint locator converges to the batch argmax") {
     val ms = MemoryStream[Event]
     val q = StreamOps.changepointState(ms.toDS(), spark)
