@@ -538,6 +538,205 @@ object Corpus {
        |  ROUND(pw / z / p, 6) AS upsample_factor
        |FROM p CROSS JOIN zt""".stripMargin
 
+  /** M19 multiplicative-weights hyperparameters: [[DoremiEta]] is the
+    * MW step size, [[DoremiSteps]] the unrolled round count,
+    * [[DoremiSmooth]] the uniform-mixing floor (Xie et al. 2023 use
+    * the same shape: update, renormalize, smooth toward uniform,
+    * average the per-round weights). */
+  private val DoremiEta = 0.5
+  private val DoremiSteps = 8
+  private val DoremiSmooth = 0.01
+
+  /** M19 `corpus_mix_doremi` — TRAINED mixture weights, DoReMi-shaped
+    * (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining" — public): closes the loop M6/M12
+    * leave open (their mixes are static targets / temperature
+    * heuristics) the same way P4b closed I2's static quality gate
+    * with I30's trained one. Domains are the corpus sources; the
+    * reference model is the I12 bigram LM, the proxy is the I6
+    * unigram LM, and a domain's EXCESS SURPRISAL (proxy − reference
+    * mean surprisal, clipped at 0 — DoReMi's excess loss) measures
+    * how much signal a stronger model still extracts there, so
+    * high-excess domains get upweighted. The loop is the
+    * deterministic one-shot distillation of DoReMi's online game:
+    * [[DoremiSteps]] multiplicative-weights rounds with STATIC excess
+    * (the two LMs are fully trained up front, not re-trained per
+    * round), each round w ← normalize(w · (1 + η·excess)) followed by
+    * the uniform smoothing α = (1−c)·w + c/k, and the served weight
+    * is the per-round average of α — DoReMi's output rule.
+    *
+    * Cross-engine exactness (the I30 fixed-point-GD discipline):
+    * every per-token/-bigram surprisal term is round-6 DECIMAL(18,9)
+    * summed exactly (I6/I12's own recipe); the MW state w and every
+    * α live as DECIMAL(24,12) — each round does single IEEE
+    * multiply/divide steps on double casts of exact decimals, rounds
+    * to 12 dp, and re-enters decimal, so the recurrence is
+    * bit-reproducible in both engines and summation order can never
+    * move a digit (the normalizer z is an exact decimal SUM).
+    *
+    * Scale: the two LM scoring passes are I6+I12's economics
+    * verbatim (token/bigram-keyed linear shuffles, bounded broadcast
+    * vocab, 1-row total attaches); everything after collapses to one
+    * row per SOURCE — a bounded dimension — so the [[DoremiSteps]]
+    * window rounds run over a k-row table (the single-partition
+    * window is deliberate and safe: k = #sources, not data-sized). */
+  def mixDoremi(spark: SparkSession, dir: String,
+                eta: Double = DoremiEta,
+                steps: Int = DoremiSteps): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(24, 12)
+    // -- reference/proxy scoring, per source (I6 + I12 per-term math)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(nonEmptyToks).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.select(sum(col("cnt")).as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(20)
+    val uni = toks.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("surp",
+        round(-log(coalesce(col("cnt").cast("double"), lit(1.0)) /
+          col("total").cast("double")), 6).cast(DecimalType(18, 9)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("surp")).cast("double") / count(lit(1)), 6)
+          .as("avg_unigram_surprisal"))
+    val docBigr = Tables.documents(spark, dir)
+      .select(col("source"), nonEmptyToks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(
+        expr("transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = docBigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val ctx = docBigr.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    val v = toks.agg(countDistinct(col("token")).as("v"))
+    val bi = docBigr
+      .join(bc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("surp",
+        round(-log((col("c_bigram") + lit(1)).cast("double") /
+          (col("c_ctx") + col("v")).cast("double")), 6).cast(DecimalType(18, 9)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("surp")).cast("double") / count(lit(1)), 6)
+          .as("avg_bigram_surprisal"))
+    // -- per-source table: excess, natural share, k
+    val base = uni.join(bi, "source")
+    val tot = base.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("k"))
+    var st = base.crossJoin(broadcast(tot))
+      .withColumn("excess_surprisal", greatest(lit(0.0),
+        round(col("avg_unigram_surprisal") - col("avg_bigram_surprisal"), 6)))
+      .withColumn("natural_share",
+        round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6))
+      .withColumn("u0", round(lit(1.0) / col("k").cast("double"), 12))
+      .withColumn("w", col("u0").cast(dec))
+      .withColumn("alpha_sum", lit(0).cast(dec))
+    // -- DoremiSteps unrolled MW rounds over the k-row table
+    val all = Window.partitionBy() // k rows — bounded by construction
+    for (_ <- 1 to steps) {
+      st = st
+        .withColumn("m", round(col("w").cast("double") *
+          (lit(1.0) + lit(eta) * col("excess_surprisal")), 12).cast(dec))
+        .withColumn("z", sum(col("m")).over(all))
+        .withColumn("w", round(col("m").cast("double") /
+          col("z").cast("double"), 12).cast(dec))
+        .withColumn("alpha_sum", (col("alpha_sum") +
+          round(lit(1.0 - DoremiSmooth) * col("w").cast("double") +
+            lit(DoremiSmooth) * col("u0"), 12).cast(dec)).cast(dec))
+        .drop("m", "z")
+    }
+    st.select(col("source"), col("n_tokens"), col("n_bigrams"),
+        col("avg_unigram_surprisal"), col("avg_bigram_surprisal"),
+        col("excess_surprisal"), col("natural_share"),
+        round(col("alpha_sum").cast("double") / steps, 6).as("doremi_weight"))
+      .withColumn("upsample_factor",
+        round(col("doremi_weight") / col("natural_share"), 6))
+      .orderBy(col("source"))
+  }
+
+  def mixDoremiSql(eta: Double = DoremiEta,
+                   steps: Int = DoremiSteps): String = {
+    val rounds = (1 to steps).map { t =>
+      // inner: m = round(w·(1+η·excess), 12); middle: z = exact decimal
+      // Σm and wn = round(m/z, 12); outer: α accumulates from the
+      // ROUNDED wn — the exact order of operations the Spark fold runs
+      s"""s$t AS (
+         |  SELECT source, n_tokens, n_bigrams, avg_unigram_surprisal,
+         |    avg_bigram_surprisal, excess_surprisal, natural_share, u0,
+         |    wn AS w,
+         |    CAST(alpha_sum + CAST(ROUND(${1.0 - DoremiSmooth}
+         |        * CAST(wn AS DOUBLE) + $DoremiSmooth * u0, 12)
+         |      AS DECIMAL(24,12)) AS DECIMAL(24,12)) AS alpha_sum
+         |  FROM (
+         |    SELECT *, CAST(ROUND(CAST(m AS DOUBLE) / CAST(z AS DOUBLE), 12)
+         |      AS DECIMAL(24,12)) AS wn
+         |    FROM (
+         |      SELECT *, SUM(m) OVER () AS z
+         |      FROM (SELECT *, CAST(ROUND(CAST(w AS DOUBLE)
+         |          * (1.0 + $eta * excess_surprisal), 12)
+         |        AS DECIMAL(24,12)) AS m FROM s${t - 1})
+         |    )
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+       |    AS token
+       |  FROM documents
+       |), c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+       |tot AS (SELECT SUM(cnt) AS total FROM c),
+       |vz AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20),
+       |uni AS (
+       |  SELECT source, COUNT(*) AS n_tokens,
+       |    ROUND(CAST(SUM(CAST(ROUND(-ln(COALESCE(CAST(vz.cnt AS DOUBLE), 1.0)
+       |        / CAST(total AS DOUBLE)), 6) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / COUNT(*), 6) AS avg_unigram_surprisal
+       |  FROM t LEFT JOIN vz USING (token) CROSS JOIN tot GROUP BY 1
+       |), toksw AS (
+       |  SELECT source, list_filter(str_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), db AS (
+       |  SELECT source, unnest(list_transform(range(1, len(w)),
+       |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |  FROM toksw WHERE len(w) >= 2
+       |), dbf AS (SELECT source, b.w1 AS w1, b.w2 AS w2 FROM db),
+       |bcnt AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM dbf GROUP BY 1, 2),
+       |ctx AS (SELECT w1, COUNT(*) AS c_ctx FROM dbf GROUP BY 1),
+       |voc AS (SELECT COUNT(DISTINCT token) AS v FROM t),
+       |bi AS (
+       |  SELECT source, COUNT(*) AS n_bigrams,
+       |    ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(c_bigram + 1 AS DOUBLE)
+       |        / CAST(c_ctx + v AS DOUBLE)), 6) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / COUNT(*), 6) AS avg_bigram_surprisal
+       |  FROM dbf JOIN bcnt USING (w1, w2) JOIN ctx USING (w1)
+       |  CROSS JOIN voc GROUP BY 1
+       |), gt AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, COUNT(*) AS k
+       |  FROM uni
+       |), s0 AS (
+       |  SELECT uni.source, n_tokens, n_bigrams, avg_unigram_surprisal,
+       |    avg_bigram_surprisal,
+       |    GREATEST(0.0, ROUND(avg_unigram_surprisal - avg_bigram_surprisal, 6))
+       |      AS excess_surprisal,
+       |    ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+       |      AS natural_share,
+       |    ROUND(1.0 / CAST(k AS DOUBLE), 12) AS u0,
+       |    CAST(ROUND(1.0 / CAST(k AS DOUBLE), 12) AS DECIMAL(24,12)) AS w,
+       |    CAST(0 AS DECIMAL(24,12)) AS alpha_sum
+       |  FROM uni JOIN bi USING (source) CROSS JOIN gt
+       |),
+       |$rounds
+       |SELECT source, n_tokens, n_bigrams, avg_unigram_surprisal,
+       |  avg_bigram_surprisal, excess_surprisal, natural_share,
+       |  ROUND(CAST(alpha_sum AS DOUBLE) / $steps, 6) AS doremi_weight,
+       |  ROUND(ROUND(CAST(alpha_sum AS DOUBLE) / $steps, 6)
+       |    / natural_share, 6) AS upsample_factor
+       |FROM s$steps ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- M7
   /** M7 `corpus_resample` — materialize the M6 mix: every doc is
     * emitted floor(weight) times, plus one more with probability
@@ -1350,6 +1549,140 @@ object Corpus {
        |    AS flag_ratio
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------------- P6
+  /** Synthetic id offset for P6's re-ingested clones — above every
+    * real doc_id at every SF (ScaleGen replica ids top out ~1e9). */
+  private val CloneOff = 1000000000000L
+
+  /** P6 `pipeline_corpus_release_diff` — the RELEASE DIFF between two
+    * corpus versions: the artifact every corpus v2 ships beside its
+    * P5 datasheet (what changed, where, and what it did to the dedup
+    * structure), i.e. the D10 changefeed discipline applied to the
+    * corpus instead of the entity store. Releases are deterministic
+    * views of the documents table (the planted-truth discipline —
+    * the corpus has no native versions; moduli are coprime with the
+    * 20-source cycle so every class hits every source): v1 lacks the
+    * doc_id ≡ 5 (mod 11) docs (they ARRIVE in v2 → added), v2 drops
+    * every ≡ 0 (mod 9), EDITS every ≡ 3 (mod `editMod`) by appending
+    * a revision marker, and RE-INGESTS a stale clone of every ≡ 4
+    * (mod 13) doc's v1 content under a fresh id ([[CloneOff]]+id) —
+    * the classic release-pipeline pathology where an old object is
+    * re-crawled into the new release. The per-doc diff keys on
+    * doc_id with content identity md5(text): added / dropped /
+    * modified / unchanged partition each release exactly (n_v1 =
+    * dropped+modified+unchanged, n_v2−n_added... spec-pinned
+    * identities), and the DEDUP-MIGRATION column counts v1 content
+    * groups (G1's min-doc_id-keeper rule) whose content is still
+    * present in v2 but under a DIFFERENT keeper — exactly the
+    * stale-clone cases where the original was dropped or edited away
+    * while its re-ingested copy keeps the old bytes alive, silently
+    * re-electing the cluster representative downstream consumers
+    * pinned.
+    *
+    * Scale: two content-hash rollups (G1's shape, hash-keyed linear
+    * shuffles), a hash-keyed group join for migrations, one
+    * doc_id-keyed full-outer zip for the classes, one bounded source
+    * rollup. No cross-doc state beyond the hash groups; everything
+    * partial-aggregates. */
+  def releaseDiff(spark: SparkSession, dir: String,
+                  editMod: Int = 7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(editMod)) === 3, lit(" rev2 edit"))
+            .otherwise(lit(""))).as("text"))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(13)) === 4)
+        .select((col("doc_id") + CloneOff).as("doc_id"), col("source"),
+          col("text")))
+    val h1 = v1.select(col("doc_id"), col("source").as("s1"),
+      md5(col("text").cast("binary")).as("h1"))
+    val h2 = v2.select(col("doc_id"), col("source").as("s2"),
+      md5(col("text").cast("binary")).as("h2"))
+    // G1 keeper per content group, each release; v1 keeper carries its
+    // source so group migrations attribute to the owning source
+    val k1 = h1.groupBy(col("h1"))
+      .agg(min(struct(col("doc_id"), col("s1"))).as("k"))
+      .select(col("h1").as("kh"), col("k.doc_id").as("keeper1"),
+        col("k.s1").as("ksource"))
+    val k2 = h2.groupBy(col("h2")).agg(min(col("doc_id")).as("keeper2"))
+    val migrated = k1.join(k2, col("kh") === col("h2"))
+      .filter(col("keeper1") =!= col("keeper2"))
+      .groupBy(col("ksource").as("source"))
+      .agg(count(lit(1)).as("n_keeper_migrated"))
+    val classes = h1.join(h2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("s1"), col("s2")).as("source"),
+        col("h1"), col("h2"))
+      .groupBy(col("source")).agg(
+        sum(when(col("h1").isNotNull, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(col("h2").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+        sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_modified"),
+        sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"))
+    classes.join(migrated, Seq("source"), "left_outer")
+      .select(col("source"), col("n_v1"), col("n_v2"), col("n_added"),
+        col("n_dropped"), col("n_modified"), col("n_unchanged"),
+        coalesce(col("n_keeper_migrated"), lit(0L)).as("n_keeper_migrated"),
+        when(col("n_v1") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n_added") + col("n_dropped") +
+            col("n_modified")).cast("double") / col("n_v1").cast("double"), 6))
+          .as("churn_rate"))
+      .orderBy(col("source"))
+  }
+
+  def releaseDiffSql(editMod: Int = 7): String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, source AS s1, md5(text) AS h1
+       |  FROM documents WHERE doc_id % 11 <> 5
+       |), v2 AS (
+       |  SELECT doc_id, source AS s2,
+       |    md5(text || CASE WHEN doc_id % $editMod = 3 THEN ' rev2 edit'
+       |      ELSE '' END) AS h2
+       |  FROM documents WHERE doc_id % 9 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $CloneOff, source, md5(text)
+       |  FROM documents WHERE doc_id % 13 = 4
+       |), k1 AS (
+       |  SELECT h1 AS kh, MIN({'d': doc_id, 's': s1}).d AS keeper1,
+       |    MIN({'d': doc_id, 's': s1}).s AS ksource
+       |  FROM v1 GROUP BY 1
+       |), k2 AS (SELECT h2, MIN(doc_id) AS keeper2 FROM v2 GROUP BY 1),
+       |mig AS (
+       |  SELECT ksource AS source, COUNT(*) AS n_keeper_migrated
+       |  FROM k1 JOIN k2 ON kh = h2
+       |  WHERE keeper1 <> keeper2 GROUP BY 1
+       |), classes AS (
+       |  SELECT COALESCE(s1, s2) AS source,
+       |    CAST(SUM(CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_v1,
+       |    CAST(SUM(CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_v2,
+       |    CAST(SUM(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_added,
+       |    CAST(SUM(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped,
+       |    CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       |    CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       |  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+       |  GROUP BY 1
+       |)
+       |SELECT c.source, n_v1, n_v2, n_added, n_dropped, n_modified,
+       |  n_unchanged,
+       |  CAST(COALESCE(n_keeper_migrated, 0) AS BIGINT) AS n_keeper_migrated,
+       |  CASE WHEN n_v1 = 0 THEN NULL
+       |    ELSE ROUND(CAST(n_added + n_dropped + n_modified AS DOUBLE)
+       |      / CAST(n_v1 AS DOUBLE), 6) END AS churn_rate
+       |FROM classes c LEFT JOIN mig m ON c.source = m.source
+       |ORDER BY c.source""".stripMargin
+
   // ----------------------------------------------------------------- P5
   /** P5 `pipeline_corpus_datasheet` — the per-source corpus DATASHEET
     * (Gebru et al. 2021, "Datasheets for Datasets"; the data card
@@ -1464,6 +1797,8 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus_datasheet" -> (corpusDatasheet _),
+    "pipeline_corpus_release_diff" -> ((s, d) => releaseDiff(s, d)),
+    "param_corpus_release_diff" -> ((s, d) => releaseDiff(s, d, editMod = 3)),
     "corpus_secret_scan" -> ((s, d) => secretScan(s, d)),
     "param_secret_scan" -> ((s, d) => secretScan(s, d, hexLen = 32)),
     "corpus_cluster_sample" -> ((s, d) => clusterSample(s, d)),
@@ -1497,10 +1832,14 @@ object Corpus {
       balancedShards(s, d, nShards = 5L)),
     "corpus_source_cap" -> (sourceCap _),
     "corpus_mix_weights" -> (mixWeights _),
-    "corpus_temperature_mix" -> (temperatureMix _))
+    "corpus_temperature_mix" -> (temperatureMix _),
+    "corpus_mix_doremi" -> ((s, d) => mixDoremi(s, d)),
+    "param_mix_doremi" -> ((s, d) => mixDoremi(s, d, eta = 0.25, steps = 4)))
 
   val oracles: Map[String, String] = Map(
     "pipeline_corpus_datasheet" -> corpusDatasheetSql,
+    "pipeline_corpus_release_diff" -> releaseDiffSql(),
+    "param_corpus_release_diff" -> releaseDiffSql(editMod = 3),
     "corpus_secret_scan" -> secretScanSql(),
     "param_secret_scan" -> secretScanSql(hexLen = 32),
     "corpus_cluster_sample" -> clusterSampleSql(),
@@ -1532,5 +1871,7 @@ object Corpus {
     "corpus_sample_stratified" -> sampleStratifiedSql,
     "corpus_pack" -> packSql,
     "corpus_balanced_shards" -> balancedShardsSql(),
-    "param_balanced_shards" -> balancedShardsSql(nShards = 5L))
+    "param_balanced_shards" -> balancedShardsSql(nShards = 5L),
+    "corpus_mix_doremi" -> mixDoremiSql(),
+    "param_mix_doremi" -> mixDoremiSql(eta = 0.25, steps = 4))
 }

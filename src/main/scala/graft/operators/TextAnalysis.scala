@@ -1783,6 +1783,173 @@ object TextAnalysis {
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic normalization hazards for I32 (the corpus is clean
+    * lowercase single-spaced word soup, so round-trip loss must be
+    * PLANTED — the M18 planted-truth discipline): every 5th doc (+1)
+    * uppercases its first character (a case-folding loss iff that
+    * character is a letter — the truth counter carries the same
+    * guard), every 13th (+2) gains a trailing space (a whitespace-
+    * collapse loss), every 7th (+3) appends a punctuated token
+    * `end.` (outside the tokenizer's ^[a-z0-9]+$ training alphabet →
+    * byte-fallback). Classes deliberately overlap on some docs so the
+    * detectors are proven independent. */
+  private[graft] def roundtripText: Column = concat(
+    when(pmod(col("doc_id"), lit(11)) === 1,
+      concat(upper(substring(col("text"), 1, 1)), expr("substring(text, 2)")))
+      .otherwise(col("text")),
+    when(pmod(col("doc_id"), lit(13)) === 2, lit(" ")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 3, lit(" end.")).otherwise(lit("")))
+
+  /** I32 `text_tokenizer_roundtrip` — tokenizer round-trip FIDELITY
+    * eval, completing the tokenizer story (train I15 → encode I18 →
+    * efficiency I31 → fidelity here): does decode(encode(doc))
+    * reconstruct the document, and when it cannot, WHICH
+    * normalization rule ate the difference? The tokenizer under test
+    * is the I15-trained BPE with the standard normalizer (lowercase +
+    * whitespace collapse) and byte-fallback for out-of-alphabet
+    * tokens (the sentencepiece convention). decode(encode(normalize
+    * (doc))) == normalize(doc) is a THEOREM for pure-concatenation
+    * BPE merges — so it is checked MECHANICALLY, not assumed: every
+    * in-dictionary occurrence re-derives its surface form by
+    * stripping the merge separators from the trained repr and
+    * compares it to the token (`n_decode_mismatch`, served, expected
+    * 0 — a nonzero is a tokenizer bug caught by a counter, the I30
+    * eval discipline). Against the RAW document the losses are the
+    * normalizer's by construction, and each planted hazard class
+    * ([[roundtripText]]) carries its injected-truth counter, so the
+    * served `*_detect_ratio`s must read exactly 1.0 — a miss in
+    * either direction moves a counter (M18's planted-eval shape).
+    * Exactness: all counters are exact integers; the rates are
+    * single IEEE divisions round-6; ratios NULL-guard a zero
+    * injected count. Scale: I18's economics — one token explode
+    * (map-side), a vocab-keyed dictionary equi join over word TYPES,
+    * a doc-keyed rollup, then a bounded source rollup; the training
+    * cost is I15's bounded metadata pass. */
+  def tokenizerRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeTrained(spark, dir)._1
+      .select(col("token").as("lt"),
+        expr("replace(replace(repr, chr(1), ''), chr(2), '')").as("decoded"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (pmod(col("doc_id"), lit(11)) === 1 &&
+          substring(col("text"), 1, 1).between("a", "z")).as("case_inj"),
+        (pmod(col("doc_id"), lit(13)) === 2).as("ws_inj"),
+        (pmod(col("doc_id"), lit(7)) === 3).as("fb_inj"),
+        roundtripText.as("rt"))
+      .withColumn("case_loss", lower(col("rt")) =!= col("rt"))
+      .withColumn("ws_loss",
+        array_join(filter(split(col("rt"), " "), c => c =!= ""), " ")
+          =!= col("rt"))
+    val keys = Seq("doc_id", "source", "case_inj", "ws_inj", "fb_inj",
+      "case_loss", "ws_loss").map(col)
+    val perDoc = docs
+      .select(keys :+
+        explode(filter(split(lower(col("rt")), " "), c => c =!= "")).as("lt"): _*)
+      .join(dict, Seq("lt"), "left_outer")
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("decoded").isNull, 1L).otherwise(0L)).as("n_fb"),
+        sum(when(col("decoded").isNotNull && col("decoded") =!= col("lt"), 1L)
+          .otherwise(0L)).as("n_mm"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("case_loss") && !col("ws_loss") && col("n_mm") === 0, 1L)
+          .otherwise(0L)).as("n_roundtrip_exact"),
+        sum(when(col("case_loss"), 1L).otherwise(0L)).as("n_case_loss"),
+        sum(when(col("case_inj"), 1L).otherwise(0L)).as("n_case_injected"),
+        sum(when(col("ws_loss"), 1L).otherwise(0L)).as("n_ws_loss"),
+        sum(when(col("ws_inj"), 1L).otherwise(0L)).as("n_ws_injected"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_fb")).as("n_fallback"),
+        sum(when(col("fb_inj"), 1L).otherwise(0L)).as("n_fallback_injected"),
+        sum(col("n_mm")).as("n_decode_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_roundtrip_exact"),
+        col("n_case_loss"), col("n_case_injected"), col("n_ws_loss"),
+        col("n_ws_injected"), col("n_tokens"), col("n_fallback"),
+        col("n_fallback_injected"), col("n_decode_mismatch"),
+        round(col("n_roundtrip_exact").cast("double")
+          / col("n_docs").cast("double"), 6).as("roundtrip_rate"),
+        round(col("n_fallback").cast("double")
+          / col("n_tokens").cast("double"), 6).as("fallback_share"),
+        ratio(col("n_case_loss"), col("n_case_injected"))
+          .as("case_detect_ratio"),
+        ratio(col("n_ws_loss"), col("n_ws_injected")).as("ws_detect_ratio"),
+        ratio(col("n_fallback"), col("n_fallback_injected"))
+          .as("fallback_detect_ratio"))
+      .orderBy(col("source"))
+  }
+
+  def tokenizerRoundtripSql: String =
+    s"""WITH $bpeSqlCtes, base AS (
+       |  SELECT doc_id, source,
+       |    (doc_id % 11 = 1 AND substr(text, 1, 1) BETWEEN 'a' AND 'z')
+       |      AS case_inj,
+       |    doc_id % 13 = 2 AS ws_inj,
+       |    doc_id % 7 = 3 AS fb_inj,
+       |    CASE WHEN doc_id % 11 = 1
+       |         THEN upper(substr(text, 1, 1)) || substr(text, 2)
+       |         ELSE text END
+       |      || CASE WHEN doc_id % 13 = 2 THEN ' ' ELSE '' END
+       |      || CASE WHEN doc_id % 7 = 3 THEN ' end.' ELSE '' END AS rt
+       |  FROM documents
+       |), flags AS (
+       |  SELECT *, lower(rt) <> rt AS case_loss,
+       |    array_to_string(list_filter(str_split(rt, ' '), x -> x <> ''), ' ')
+       |      <> rt AS ws_loss
+       |  FROM base
+       |), rtoks AS (
+       |  SELECT doc_id, source, case_inj, ws_inj, fb_inj, case_loss, ws_loss,
+       |    unnest(list_filter(str_split(lower(rt), ' '), x -> x <> '')) AS lt
+       |  FROM flags
+       |), enc AS (
+       |  SELECT t.*, CASE WHEN r.token IS NULL THEN NULL
+       |    ELSE replace(replace(repr, chr(1), ''), chr(2), '') END AS decoded
+       |  FROM rtoks t LEFT JOIN rep$BpeTrainMerges r ON t.lt = r.token
+       |), perdoc AS (
+       |  SELECT doc_id, source, case_inj, ws_inj, fb_inj, case_loss, ws_loss,
+       |    COUNT(*) AS n_toks,
+       |    SUM(CASE WHEN decoded IS NULL THEN 1 ELSE 0 END) AS n_fb,
+       |    SUM(CASE WHEN decoded IS NOT NULL AND decoded <> lt THEN 1 ELSE 0 END)
+       |      AS n_mm
+       |  FROM enc GROUP BY 1, 2, 3, 4, 5, 6, 7
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT case_loss AND NOT ws_loss AND n_mm = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+       |  CAST(SUM(CASE WHEN case_loss THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_case_loss,
+       |  CAST(SUM(CASE WHEN case_inj THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_case_injected,
+       |  CAST(SUM(CASE WHEN ws_loss THEN 1 ELSE 0 END) AS BIGINT) AS n_ws_loss,
+       |  CAST(SUM(CASE WHEN ws_inj THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ws_injected,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_fb) AS BIGINT) AS n_fallback,
+       |  CAST(SUM(CASE WHEN fb_inj THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fallback_injected,
+       |  CAST(SUM(n_mm) AS BIGINT) AS n_decode_mismatch,
+       |  ROUND(CAST(SUM(CASE WHEN NOT case_loss AND NOT ws_loss AND n_mm = 0
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS roundtrip_rate,
+       |  ROUND(CAST(SUM(n_fb) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 6)
+       |    AS fallback_share,
+       |  CASE WHEN SUM(CASE WHEN case_inj THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE ROUND(CAST(SUM(CASE WHEN case_loss THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / CAST(SUM(CASE WHEN case_inj THEN 1 ELSE 0 END)
+       |         AS DOUBLE), 6) END AS case_detect_ratio,
+       |  CASE WHEN SUM(CASE WHEN ws_inj THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE ROUND(CAST(SUM(CASE WHEN ws_loss THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / CAST(SUM(CASE WHEN ws_inj THEN 1 ELSE 0 END)
+       |         AS DOUBLE), 6) END AS ws_detect_ratio,
+       |  CASE WHEN SUM(CASE WHEN fb_inj THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE ROUND(CAST(SUM(n_fb) AS DOUBLE)
+       |         / CAST(SUM(CASE WHEN fb_inj THEN 1 ELSE 0 END)
+       |         AS DOUBLE), 6) END AS fallback_detect_ratio
+       |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val RakeStop = Seq("the", "a", "of", "and", "in", "to", "is",
     "for", "with", "on")
 
@@ -2641,6 +2808,7 @@ object TextAnalysis {
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_tokenizer_eval" -> (tokenizerEval _),
+    "text_tokenizer_roundtrip" -> (tokenizerRoundtrip _),
     "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "param_pmi_collocations" -> ((s, d) =>
       pmiCollocations(s, d, minCount = 10, k = 20)),
@@ -2696,6 +2864,7 @@ object TextAnalysis {
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_tokenizer_eval" -> tokenizerEvalSql,
+    "text_tokenizer_roundtrip" -> tokenizerRoundtripSql,
     "text_pmi_collocations" -> pmiCollocationsSql(),
     "param_pmi_collocations" -> pmiCollocationsSql(minCount = 10, k = 20),
     "text_entropy" -> entropyStatsSql,

@@ -40,6 +40,88 @@ class CorpusSpec extends SparkSpecBase {
     assert(g28dups > 0)
   }
 
+  test("M19 DoReMi mix: driver replay of the MW recurrence, monotone in excess") {
+    val rows = run("corpus_mix_doremi").collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    val u0 = r(1.0 / k, 12).toDouble
+    // replay the 8-round multiplicative-weights fold exactly as the
+    // operator defines it: round-12 decimal state, exact decimal sums
+    val excess = rows.map(_.getAs[Double]("excess_surprisal"))
+    var w = Array.fill(k)(BigDecimal(u0))
+    val alphaSum = Array.fill(k)(BigDecimal(0))
+    for (_ <- 1 to 8) {
+      val m = w.indices.map(i => r(w(i).toDouble * (1.0 + 0.5 * excess(i)), 12))
+      val z = m.sum
+      w = w.indices.map(i => r(m(i).toDouble / z.toDouble, 12)).toArray
+      w.indices.foreach { i =>
+        alphaSum(i) += r(0.99 * w(i).toDouble + 0.01 * u0, 12)
+      }
+    }
+    rows.indices.foreach { i =>
+      assert(rows(i).getAs[Double]("doremi_weight") ==
+        r(alphaSum(i).toDouble / 8, 6).toDouble,
+        s"row $i: served weight diverges from the driver MW replay")
+    }
+    // weights are a distribution (each alpha_t sums to ~1) and
+    // STRICTLY monotone in excess — the DoReMi upweighting property
+    // each served weight is round-6, so the sum may drift by up to
+    // 5e-7 per source (plus the 1% uniform-smoothing floor is exact)
+    val wsum = rows.map(_.getAs[Double]("doremi_weight")).sum
+    assert(math.abs(wsum - 1.0) <= 5e-7 * k + 1e-9)
+    val byExcess = rows.map(r => (r.getAs[Double]("excess_surprisal"),
+      r.getAs[Double]("doremi_weight"))).sortBy(_._1)
+    for (i <- 1 until byExcess.length) {
+      val ((e1, w1), (e2, w2)) = (byExcess(i - 1), byExcess(i))
+      if (e1 < e2) assert(w1 < w2, s"weight not monotone: $e1->$w1 vs $e2->$w2")
+    }
+    // the param instantiation (eta=0.25, 4 rounds) spreads LESS
+    val p = run("param_mix_doremi").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("doremi_weight"))
+      .toMap
+    val full = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Double]("doremi_weight")).toMap
+    def spread(m: Map[String, Double]) = m.values.max - m.values.min
+    assert(spread(p) < spread(full))
+  }
+
+  test("P6 release diff: classes partition each release, migrations = stale-clone law") {
+    val rows = run("pipeline_corpus_release_diff").collect()
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = ids.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = bySrc(src)
+      val (v1, v2main) = (g.filter(_ % 11 != 5), g.filter(_ % 9 != 0))
+      val clones = g.filter(_ % 13 == 4)
+      def n(c: String) = r.getAs[Long](c)
+      // the four classes partition each release exactly
+      assert(n("n_v1") == n("n_dropped") + n("n_modified") + n("n_unchanged"))
+      assert(n("n_v2") == n("n_added") + n("n_modified") + n("n_unchanged"))
+      // each class equals its modular construction law
+      assert(n("n_v1") == v1.length)
+      assert(n("n_v2") == v2main.length + clones.length)
+      assert(n("n_added") ==
+        g.count(d => d % 11 == 5 && d % 9 != 0) + clones.length)
+      assert(n("n_dropped") == g.count(d => d % 11 != 5 && d % 9 == 0))
+      assert(n("n_modified") ==
+        g.count(d => d % 11 != 5 && d % 9 != 0 && d % 7 == 3))
+      // keeper migration = the stale-clone pathology: content kept
+      // alive by a re-ingested copy after its original left or changed
+      assert(n("n_keeper_migrated") == g.count(d =>
+        d % 11 != 5 && d % 13 == 4 && (d % 9 == 0 || d % 7 == 3)))
+    }
+    // the plant realizes every class somewhere at this SF
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_added") > 0 && tot("n_dropped") > 0 &&
+      tot("n_modified") > 0 && tot("n_unchanged") > 0)
+  }
+
   test("M18 secret scan: flagged set equals the injected truth, near-misses stay dark") {
     val got = run("corpus_secret_scan").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[String]("rule"),

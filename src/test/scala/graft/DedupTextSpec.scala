@@ -637,6 +637,53 @@ class DedupTextSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("I32 tokenizer roundtrip: planted losses detected exactly, decode mechanically lossless") {
+    val rows = run("text_tokenizer_roundtrip").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = bySrc(src)
+      def n(c: String) = r.getAs[Long](c)
+      // BPE decode is lossless — computed, and here pinned, to zero
+      assert(n("n_decode_mismatch") == 0L)
+      // detectors hit exactly the injection law (letter guard included)
+      val caseInj = g.count(d => d._1 % 11 == 1 &&
+        d._3.head >= 'a' && d._3.head <= 'z')
+      val wsInj = g.count(_._1 % 13 == 2)
+      val fbInj = g.count(_._1 % 7 == 3)
+      assert(n("n_case_loss") == caseInj && n("n_case_injected") == caseInj)
+      assert(n("n_ws_loss") == wsInj && n("n_ws_injected") == wsInj)
+      // exactly one byte-fallback occurrence per planted punct token
+      assert(n("n_fallback") == fbInj && n("n_fallback_injected") == fbInj)
+      // raw round-trip fails exactly on the normalizer-loss classes
+      val lossDocs = g.count(d => (d._1 % 11 == 1 &&
+        d._3.head >= 'a' && d._3.head <= 'z') || d._1 % 13 == 2)
+      assert(n("n_roundtrip_exact") == g.length - lossDocs)
+      // ratios: 1.0 where planted, NULL where nothing was planted
+      def ratio(c: String) =
+        Option(r.getAs[java.lang.Double](c)).map(_.toDouble)
+      assert(if (caseInj == 0) ratio("case_detect_ratio").isEmpty
+             else ratio("case_detect_ratio").contains(1.0))
+      assert(if (wsInj == 0) ratio("ws_detect_ratio").isEmpty
+             else ratio("ws_detect_ratio").contains(1.0))
+      assert(if (fbInj == 0) ratio("fallback_detect_ratio").isEmpty
+             else ratio("fallback_detect_ratio").contains(1.0))
+      // token accounting: ws tokens of the dirtied docs = clean tokens
+      // + one planted `end.` per fallback doc
+      val cleanToks = g.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      assert(n("n_tokens") == cleanToks + fbInj)
+    }
+    // the plant realizes each loss class somewhere at this SF
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_case_loss") > 0 && tot("n_ws_loss") > 0 &&
+      tot("n_fallback") > 0)
+  }
+
   test("I31 tokenizer eval: per-source counters reconcile with the I18 per-doc encode") {
     val evalRows = run("text_tokenizer_eval").collect().map { r =>
       r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),

@@ -75,6 +75,8 @@ class RegistrySpec extends SparkSpecBase {
     "text_bpe_train", // 1-row argmax-merge broadcast per unrolled iteration
     "text_bpe_encode", // same training fold inside; encode join is equi
     "text_tokenizer_eval", // I18's dictionary (same training fold); eval join is equi
+    "text_tokenizer_roundtrip", // same training fold; roundtrip join is equi
+    "corpus_mix_doremi", "param_mix_doremi", // 1-row corpus-total/vocab-size attaches; MW rounds are windows over the bounded source dim
     "text_pmi_collocations", "param_pmi_collocations", // 1-row corpus-totals attach
     "text_kneser_ney", "param_kneser_ney", // 1-row bigram-type-total attach
     "text_bm25_topk", "param_bm25_topk", // corpus-stats scalar attach
@@ -125,6 +127,11 @@ class RegistrySpec extends SparkSpecBase {
     * persist_upsert_bucketed at ZERO (the bucketed layout satisfies
     * every downstream distribution requirement). */
   private val shuffleBudget: Map[String, Int] = Map(
+    "corpus_mix_doremi" -> 15, // two LM scoring chains (I6+I12 shapes) + 8 MW window rounds, each a k-row (bounded source dim) exchange
+    "param_mix_doremi" -> 15,
+    "pipeline_corpus_release_diff" -> 7, // two G1 hash rollups + keeper attaches + full-outer class zip + source rollup
+    "param_corpus_release_diff" -> 7,
+    "text_tokenizer_roundtrip" -> 10, // I15 training fold (8, as text_bpe_encode) + roundtrip dict join + source rollup
     "adapter_csv_labx" -> 0,
     "adapter_fixedwidth" -> 0,
     "adapter_hl7_obx" -> 0,
