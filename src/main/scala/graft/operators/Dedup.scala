@@ -597,39 +597,57 @@ object Dedup {
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
       } else {
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-          .localCheckpoint()
-        // labels only ever decrease, so the label sum is a cheap
-        // monotone convergence witness (no join needed per iteration)
-        var prevSum = Long.MaxValue
-        var converged = false
-        var iter = 0
-        // iterate to convergence — the witness (label sum) is monotone
-        // decreasing, so convergence is guaranteed in <= diameter
-        // iterations; the cap is a safety net against a bug, and
-        // hitting it is an ERROR (truncating would silently split
-        // components with diameter > cap), never a silent return.
-        val maxIter = 1000
-        while (!converged && iter < maxIter) {
-          val messages = edges
-            .join(labels, col("src") === col("node"))
-            .select(col("dst").as("node"), col("label"))
-          val next = labels.unionAll(messages)
-            .groupBy(col("node")).agg(min(col("label")).as("label"))
-            .localCheckpoint()
-          val s = next.agg(sum(col("label"))).head().getLong(0)
-          labels = next
-          converged = s == prevSum
-          prevSum = s
-          iter += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"dedup_clusters label propagation did not converge in $maxIter iterations")
-        labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+        minLabelPropagate(edges)
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       }
     })
+  }
+
+  /** The distributed connected-components seam (shared by G6 and
+    * J10's perceptual near-dup clustering): Pregel-style min-label
+    * propagation over a SYMMETRIC (src, dst) edge list — every
+    * iteration each node takes the min label among itself and its
+    * neighbors; converged when no label changes. Each iteration is
+    * one distributed join+agg keyed on the node id; at 1000 executors
+    * the per-iteration work is a shuffle of |edges| messages and the
+    * iteration count is the component diameter. localCheckpoint
+    * truncates lineage so plans don't grow with iterations. Returns
+    * (node, label); empty edges → empty result. */
+  private[operators] def minLabelPropagate(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    // labels only ever decrease, so the label sum is a cheap
+    // monotone convergence witness (no join needed per iteration);
+    // SUM on an empty/exhausted frame is NULL → treated as 0, which
+    // converges on the second (no-op) pass for an empty graph
+    var prevSum = Long.MaxValue
+    var converged = false
+    var iter = 0
+    // iterate to convergence — the witness (label sum) is monotone
+    // decreasing, so convergence is guaranteed in <= diameter
+    // iterations; the cap is a safety net against a bug, and
+    // hitting it is an ERROR (truncating would silently split
+    // components with diameter > cap), never a silent return.
+    val maxIter = 1000
+    while (!converged && iter < maxIter) {
+      val messages = edges
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionAll(messages)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = Option(next.agg(sum(col("label"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge in $maxIter iterations")
+    labels
   }
 
   def clustersSql: String =

@@ -639,7 +639,300 @@ object Multimodal {
        |FROM bits GROUP BY 1 ORDER BY phash""".stripMargin
   }
 
+  // ---- J10: the ANDed perceptual near-dup verdict -------------------
+
+  /** J10 hamming thresholds: a pair is a near-dup iff ALL THREE hash
+    * distances are under threshold (the imagededup-style ensemble —
+    * each hash family has disjoint blind spots, so production image
+    * dedup ANDs them; J9's design note). Sum 2+1+3 = 6 < [[NdBands]],
+    * which is what makes the pigeonhole band join complete. */
+  private val NdMaxA = 2 // aHash (64 bits): brightness-threshold bits
+  private val NdMaxD = 1 // dHash (56 bits): local gradient bits
+  private val NdMaxP = 3 // pHash (15 bits): low-frequency spectrum bits
+  private val NdBands = 7
+
+  /** Near-dup media synth: copy c of image group g perturbs ONE pixel
+    * (c%8, (c/8)%8) of the base image by ±4 on the green channel —
+    * re-encodes of the "same" image that no longer match byte-wise OR
+    * hash-exactly, so the three hamming distances are genuinely
+    * nonzero within a group (measured: aHash ≤ 2, dHash 0, pHash ≤ 6
+    * across 10 copies — the thresholds sit inside that envelope). */
+  private def synthPngNear(docId: Long): Array[Byte] = {
+    val gid = docId % ImgGroups
+    val copy = docId / ImgGroups
+    val (px, py) = ((copy % 8).toInt, ((copy / 8) % 8).toInt)
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        val r = ((gid * 7 + x * 3 + y * 5) % 256).toInt
+        val g0 = ((gid * 11 + x * 13 + y * 17) % 256).toInt
+        val g = if (x == px && y == py) { if (g0 < 128) g0 + 4 else g0 - 4 }
+                else g0
+        val b = ((gid * 19 + x * 23 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class TriHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long,
+      dhash: Long, phash: Long)
+
+  /** All three perceptual hashes from one real decode — J7's exact
+    * integer mean threshold, J8's gradient comparisons, J9's
+    * fixed-point DCT with the exact-median AC threshold, verbatim. */
+  private def triHashOf(docId: Long, png: Array[Byte]): TriHash = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, s"undecodable image for doc $docId")
+    val lum = Array.tabulate(ImgH, ImgW) { (y, x) =>
+      val rgb = img.getRGB(x, y)
+      ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))).toLong
+    }
+    var total = 0L
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) { total += lum(y)(x); x += 1 }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * lum(i / 8)(i % 8) > total) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    var dh = 0L
+    y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW - 1) {
+        if (lum(y)(x + 1) > lum(y)(x)) dh |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    val ct = PhCos
+    val coefs = for {
+      u <- 0 until 4; v <- 0 until 4 if u != 0 || v != 0
+    } yield {
+      var c = 0L
+      var yy = 0
+      while (yy < ImgH) {
+        var xx = 0
+        while (xx < ImgW) { c += lum(yy)(xx) * ct(u)(xx) * ct(v)(yy); xx += 1 }
+        yy += 1
+      }
+      (u * 4 + v, c)
+    }
+    val median = coefs.map(_._2).sorted.apply(coefs.size / 2)
+    var ph = 0L
+    coefs.foreach { case (bit, c) => if (c > median) ph |= 1L << bit }
+    TriHash(docId, hi, lo, dh, ph)
+  }
+
+  /** J10 `multimodal_neardup_verdict` — the ANDed perceptual near-dup
+    * verdict over the full aHash∧dHash∧pHash trio, served as the pair
+    * table WITH its cluster structure (the imagededup/perceptual-
+    * ensemble shape production image dedup actually runs; J9's design
+    * note says the trio is ANDed — this operator serves that AND).
+    *
+    * Stages, all bounded or linear:
+    * 1. EXACT COLLAPSE — the corpus (perturbed re-encodes, see
+    *    [[synthPngNear]]) decodes through the J5 codec seam into the
+    *    three hashes, then collapses to DISTINCT hash triples
+    *    (variant rep = min doc_id, member count): exact dedup before
+    *    near-dup, the standard staging, and the only corpus-sized
+    *    shuffle in the plan.
+    * 2. PIGEONHOLE BAND JOIN (G18's discipline, widened to the
+    *    135-bit concatenated fingerprint): the triple splits into
+    *    [[NdBands]] = 7 bands (4×16 aHash, 2×28 dHash, 1×15 pHash);
+    *    any pair within the ANDed thresholds has total hamming ≤
+    *    [[NdMaxA]]+[[NdMaxD]]+[[NdMaxP]] = 6 < 7, so it MUST agree
+    *    exactly on some band — the equi-join on (band, bval) is
+    *    complete with zero false negatives, and never all-pairs. A
+    *    degenerate hot band value is an AQE skew-join split.
+    * 3. EXACT RECHECK — bit_count(xor) per family, verdict = all
+    *    three under threshold.
+    * 4. CLUSTERS — the G6 min-label-propagation seam
+    *    (Dedup.minLabelPropagate) over the verdict edges labels each
+    *    verdict pair with its component rep (min variant rep).
+    * Serve: one row per CANDIDATE variant pair — the three distances,
+    * member counts, the verdict, and the cluster rep (NULL for
+    * band-colliding pairs the recheck rejected). */
+  def neardupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed: Dataset[TriHash] =
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(BatchSize).flatMap { batch =>
+            batch.map(id => triHashOf(id, synthPngNear(id)))
+          }
+        }
+    val variants = hashed.toDF()
+      .groupBy(col("ahash_hi"), col("ahash_lo"), col("dhash"), col("phash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .localCheckpoint() // one decode pass; both band-join sides reuse it
+    val bandCols = Seq(
+      col("ahash_lo").bitwiseAND(lit(0xffffL)),
+      shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xffffL)),
+      col("ahash_hi").bitwiseAND(lit(0xffffL)),
+      shiftright(col("ahash_hi"), 16).bitwiseAND(lit(0xffffL)),
+      col("dhash").bitwiseAND(lit(0xfffffffL)),
+      shiftright(col("dhash"), 28).bitwiseAND(lit(0xfffffffL)),
+      col("phash"))
+    val banded = variants.select(col("rep"), col("n_docs"), col("ahash_hi"),
+      col("ahash_lo"), col("dhash"), col("phash"),
+      explode(array(bandCols.zipWithIndex.map { case (c, j) =>
+        struct(lit(j).as("band"), c.as("bval"))
+      }: _*)).as("b"))
+      .select(col("rep"), col("n_docs"), col("ahash_hi"), col("ahash_lo"),
+        col("dhash"), col("phash"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val lhs = banded.select(col("band"), col("bval"), col("rep").as("doc_a"),
+      col("n_docs").as("n_docs_a"), col("ahash_hi").as("ha"),
+      col("ahash_lo").as("la"), col("dhash").as("da"), col("phash").as("pa"))
+    val rhs = banded.select(col("band"), col("bval"), col("rep").as("doc_b"),
+      col("n_docs").as("n_docs_b"), col("ahash_hi").as("hb"),
+      col("ahash_lo").as("lb"), col("dhash").as("db"), col("phash").as("pb"))
+    val pairs = lhs.join(rhs, Seq("band", "bval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("h_ahash"),
+        bit_count(col("da").bitwiseXOR(col("db"))).cast("long").as("h_dhash"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("h_phash"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("n_docs_a")).as("n_docs_a"),
+        min(col("n_docs_b")).as("n_docs_b"),
+        min(col("h_ahash")).as("h_ahash"), min(col("h_dhash")).as("h_dhash"),
+        min(col("h_phash")).as("h_phash"))
+      .withColumn("is_neardup", col("h_ahash") <= NdMaxA &&
+        col("h_dhash") <= NdMaxD && col("h_phash") <= NdMaxP)
+      .localCheckpoint() // consumed twice: edges + serve
+    val verdictEdges = pairs.filter(col("is_neardup"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = verdictEdges.unionAll(
+      verdictEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Dedup.minLabelPropagate(edges)
+    pairs.join(labels, col("doc_a") === col("node") && col("is_neardup"),
+        "left_outer")
+      .select(col("doc_a"), col("doc_b"), col("n_docs_a"), col("n_docs_b"),
+        col("h_ahash"), col("h_dhash"), col("h_phash"), col("is_neardup"),
+        col("label").as("cluster_rep"))
+  }
+
+  def neardupVerdictSql: String = {
+    val ctRows = (for (u <- 0 until 4; x <- 0 until ImgW)
+      yield s"($u, $x, ${PhCos(u)(x)})").mkString(", ")
+    s"""WITH RECURSIVE px AS (
+       |  SELECT doc_id, doc_id % $ImgGroups AS gid, doc_id // $ImgGroups
+       |    AS copy, unnest(range(0, $ImgW)) AS x
+       |  FROM documents
+       |), pxy AS (
+       |  SELECT doc_id, gid, copy, x, unnest(range(0, $ImgH)) AS y FROM px
+       |), lum AS (
+       |  SELECT doc_id, x, y,
+       |    CAST((gid * 7 + x * 3 + y * 5) % 256
+       |      + CASE WHEN x = copy % 8 AND y = (copy // 8) % 8 THEN
+       |          CASE WHEN (gid * 11 + x * 13 + y * 17) % 256 < 128
+       |               THEN (gid * 11 + x * 13 + y * 17) % 256 + 4
+       |               ELSE (gid * 11 + x * 13 + y * 17) % 256 - 4 END
+       |        ELSE (gid * 11 + x * 13 + y * 17) % 256 END
+       |      + (gid * 19 + x * 23 + y * 29) % 256 AS BIGINT) AS l
+       |  FROM pxy
+       |), tot AS (SELECT doc_id, SUM(l) AS t FROM lum GROUP BY 1),
+       |abits AS (
+       |  SELECT l.doc_id,
+       |    CAST(SUM(CASE WHEN 64 * l > t AND (y * 8 + x) >= 32
+       |      THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INTEGER)
+       |      ELSE 0 END) AS BIGINT) AS ahash_hi,
+       |    CAST(SUM(CASE WHEN 64 * l > t AND (y * 8 + x) < 32
+       |      THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
+       |      ELSE 0 END) AS BIGINT) AS ahash_lo
+       |  FROM lum l JOIN tot USING (doc_id) GROUP BY 1
+       |), dbits AS (
+       |  SELECT a.doc_id,
+       |    CAST(SUM(CASE WHEN b.l > a.l
+       |      THEN CAST(1 AS BIGINT) << CAST(a.y * 7 + a.x AS INTEGER)
+       |      ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM lum a JOIN lum b
+       |    ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+       |  WHERE a.x < ${ImgW - 1} GROUP BY 1
+       |), ct(u, x, c) AS (VALUES $ctRows),
+       |coef AS (
+       |  SELECT l.doc_id, tu.u, tv.u AS v,
+       |    CAST(SUM(l.l * tu.c * tv.c) AS BIGINT) AS cval
+       |  FROM lum l JOIN ct tu ON tu.x = l.x JOIN ct tv ON tv.x = l.y
+       |  WHERE NOT (tu.u = 0 AND tv.u = 0) GROUP BY 1, 2, 3
+       |), med AS (
+       |  SELECT doc_id, quantile_disc(cval, 0.5) AS m FROM coef GROUP BY 1
+       |), pbits AS (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(CASE WHEN c.cval > m.m
+       |      THEN CAST(1 AS BIGINT) << CAST(c.u * 4 + c.v AS INTEGER)
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM coef c JOIN med m ON c.doc_id = m.doc_id GROUP BY 1
+       |), tri AS (
+       |  SELECT doc_id, ahash_hi, ahash_lo, dhash, phash
+       |  FROM abits JOIN dbits USING (doc_id) JOIN pbits USING (doc_id)
+       |), vr AS (
+       |  SELECT ahash_hi, ahash_lo, dhash, phash,
+       |    MIN(doc_id) AS rep, COUNT(*) AS n_docs
+       |  FROM tri GROUP BY 1, 2, 3, 4
+       |), bands AS (
+       |  SELECT rep, n_docs, ahash_hi, ahash_lo, dhash, phash, j AS band,
+       |    CASE j WHEN 0 THEN ahash_lo & 65535
+       |           WHEN 1 THEN (ahash_lo >> 16) & 65535
+       |           WHEN 2 THEN ahash_hi & 65535
+       |           WHEN 3 THEN (ahash_hi >> 16) & 65535
+       |           WHEN 4 THEN dhash & 268435455
+       |           WHEN 5 THEN (dhash >> 28) & 268435455
+       |           ELSE phash END AS bval
+       |  FROM vr CROSS JOIN range(0, $NdBands) r(j)
+       |), cand AS (
+       |  SELECT a.rep AS doc_a, b.rep AS doc_b,
+       |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |    CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |      + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS h_ahash,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS h_dhash,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS h_phash
+       |  FROM bands a JOIN bands b USING (band, bval)
+       |  WHERE a.rep < b.rep
+       |), prs AS (
+       |  SELECT doc_a, doc_b, MIN(n_docs_a) AS n_docs_a,
+       |    MIN(n_docs_b) AS n_docs_b, MIN(h_ahash) AS h_ahash,
+       |    MIN(h_dhash) AS h_dhash, MIN(h_phash) AS h_phash,
+       |    MIN(h_ahash) <= $NdMaxA AND MIN(h_dhash) <= $NdMaxD
+       |      AND MIN(h_phash) <= $NdMaxP AS is_neardup
+       |  FROM cand GROUP BY 1, 2
+       |), vedges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM prs WHERE is_neardup
+       |  UNION SELECT doc_b, doc_a FROM prs WHERE is_neardup
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM vedges
+       |  UNION
+       |  SELECT e.a, r.b FROM vedges e JOIN reach r ON e.b = r.a
+       |), comp AS (
+       |  SELECT a AS node, MIN(b) AS cluster_rep FROM reach GROUP BY a
+       |)
+       |SELECT p.doc_a, p.doc_b, p.n_docs_a, p.n_docs_b, p.h_ahash,
+       |  p.h_dhash, p.h_phash, p.is_neardup, c.cluster_rep
+       |FROM prs p LEFT JOIN comp c ON p.is_neardup AND p.doc_a = c.node"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_neardup_verdict" -> (neardupVerdict _),
     "multimodal_phash" -> (phash _),
     "multimodal_dhash" -> (dhash _),
     "multimodal_ahash" -> (ahash _),
@@ -650,6 +943,7 @@ object Multimodal {
     "multimodal_image_dedup" -> (imageDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_neardup_verdict" -> neardupVerdictSql,
     "multimodal_phash" -> phashSql,
     "multimodal_dhash" -> dhashSql,
     "multimodal_ahash" -> ahashSql,

@@ -147,6 +147,86 @@ class MultimodalSpec extends SparkSpecBase {
       java.lang.Long.bitCount(r.getAs[Long]("dhash")) > 8))
   }
 
+  test("J10 neardup verdict: pairs, AND-verdict, and clusters equal a full driver replay") {
+    val rows = run("multimodal_neardup_verdict").collect()
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // replay the perturbed pixel formula + all three hashes
+    def lum(d: Long, x: Int, y: Int): Long = {
+      val gid = d % 100; val copy = d / 100
+      val g0 = (gid * 11 + x * 13 + y * 17) % 256
+      val g = if (x == (copy % 8).toInt && y == ((copy / 8) % 8).toInt) {
+        if (g0 < 128) g0 + 4 else g0 - 4
+      } else g0
+      (gid * 7 + x * 3 + y * 5) % 256 + g + (gid * 19 + x * 23 + y * 29) % 256
+    }
+    val ct = Array.tabulate(8, 8)((u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1000000.0))
+    def tri(d: Long): (Long, Long, Long, Long) = {
+      val ls = Array.tabulate(8, 8)((y, x) => lum(d, x, y))
+      val total = ls.map(_.sum).sum
+      var (hi, lo, dh) = (0L, 0L, 0L)
+      for (i <- 0 until 64 if 64L * ls(i / 8)(i % 8) > total)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      for (y <- 0 until 8; x <- 0 until 7 if ls(y)(x + 1) > ls(y)(x))
+        dh |= 1L << (y * 7 + x)
+      val coefs = for (u <- 0 until 4; v <- 0 until 4 if u != 0 || v != 0)
+        yield (u * 4 + v, (for (y <- 0 until 8; x <- 0 until 8)
+          yield ls(y)(x) * ct(u)(x) * ct(v)(y)).sum)
+      val med = coefs.map(_._2).sorted.apply(7)
+      val ph = coefs.foldLeft(0L) { case (h, (b, c)) =>
+        if (c > med) h | (1L << b) else h }
+      (hi, lo, dh, ph)
+    }
+    // exact collapse to variants, then the 7-band candidate law
+    val variants = ids.groupBy(tri).map { case (h, ds) =>
+      (ds.min, ds.length.toLong, h) }.toSeq.sortBy(_._1)
+    def bandsOf(h: (Long, Long, Long, Long)): Seq[(Int, Long)] = Seq(
+      0 -> (h._2 & 0xffffL), 1 -> ((h._2 >> 16) & 0xffffL),
+      2 -> (h._1 & 0xffffL), 3 -> ((h._1 >> 16) & 0xffffL),
+      4 -> (h._3 & 0xfffffffL), 5 -> ((h._3 >> 28) & 0xfffffffL),
+      6 -> h._4)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b).toLong
+    val cand = (for {
+      (ra, na, ha) <- variants; (rb, nb, hb) <- variants
+      if ra < rb && bandsOf(ha).intersect(bandsOf(hb)).nonEmpty
+    } yield {
+      val (da, dd, dp) = (ham(ha._1, hb._1) + ham(ha._2, hb._2),
+        ham(ha._3, hb._3), ham(ha._4, hb._4))
+      ((ra, rb), (na, nb, da, dd, dp, da <= 2 && dd <= 1 && dp <= 3))
+    }).toMap
+    // served rows = the candidate set, distances and verdict exact
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      ((r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b"),
+        r.getAs[Long]("h_ahash"), r.getAs[Long]("h_dhash"),
+        r.getAs[Long]("h_phash"), r.getAs[Boolean]("is_neardup")))).toMap
+    assert(got == cand, "candidate pairs / distances / verdicts diverge")
+    // pigeonhole completeness over ALL variant pairs: nothing under
+    // the ANDed thresholds is missing from the candidate set
+    for {
+      (ra, _, ha) <- variants; (rb, _, hb) <- variants if ra < rb
+      if ham(ha._1, hb._1) + ham(ha._2, hb._2) <= 2 &&
+        ham(ha._3, hb._3) <= 1 && ham(ha._4, hb._4) <= 3
+    } assert(cand.contains((ra, rb)), s"pigeonhole miss: ($ra,$rb)")
+    // cluster labels = union-find over verdict edges, min-rep labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    cand.collect { case ((a, b), v) if v._6 =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    rows.foreach { r =>
+      val rep = Option(r.getAs[java.lang.Long]("cluster_rep")).map(_.toLong)
+      if (r.getAs[Boolean]("is_neardup"))
+        assert(rep.contains(find(r.getAs[Long]("doc_a"))),
+          s"cluster label diverges for (${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")})")
+      else assert(rep.isEmpty, "rejected pair must carry no cluster")
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_neardup")))
+  }
+
   test("J9 pHash: real-decode DCT hashes match the fixed-point replay") {
     val rows = run("multimodal_phash").collect()
     val nDocs = Tables.documents(spark, sf).count()
