@@ -747,6 +747,28 @@ object Similarity {
     ivfSearch(emb, cents)
   }
 
+  /** The frozen H4 index pieces + probe set for the H4t streaming
+    * serve twin (StreamOps.annServe): the contract's NQueries query
+    * vectors, the hash-picked centroid table COLLECTED (bounded ≤
+    * [[MaxCentroids]] rows by construction — this is the closure copy
+    * of the broadcast table the stream-side probe map needs; same
+    * bounded-collect class as Bucketing's one-row stats fetch), and
+    * the assigned inverted file exactly as sim_ivf_probe builds it. */
+  private[graft] def streamServeFixture(spark: SparkSession, dir: String)
+      : (Seq[graft.streaming.StreamOps.QueryVec],
+         Seq[(Long, Array[Long], Long)], DataFrame, Int, Int) = {
+    val emb = quantized(spark, dir)
+    val k = ivfK(spark, dir, emb)
+    val cents = emb.orderBy(md5(col("vec_id").cast("string"))).limit(k)
+      .select(col("vec_id").as("cent_id"), col("qvec").as("cq"), col("nsq").as("cn"))
+    val centSeq = cents.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val queries = emb.filter(col("vec_id") < NQueries).collect().toSeq.map(r =>
+      graft.streaming.StreamOps.QueryVec(r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getLong(2)))
+    (queries, centSeq, assignTo(emb, cents), NProbeCells, K)
+  }
+
   def ivfProbeSql: String =
     s"""WITH $qnSqlCte, cents AS (
        |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn

@@ -1280,4 +1280,77 @@ case class FunnelAgg(anchors: Seq[Long])
         if (conflicting.isEmpty) null else conflicting.min)
     }.iterator
   }
+
+  // ---- H4t: streaming ANN serve against the frozen index -----------
+
+  /** A quantized query vector arriving on the realtime serve stream. */
+  case class QueryVec(qid: Long, qvec: Array[Long], nsq: Long)
+
+  case class AnnCand(qid: Long, vec_id: Long, cosine: Double, cell: Long)
+
+  case class AnnOut(qid: Long, rank: Int, vec_id: Long, cosine: Double,
+      cell: Long)
+
+  /** H4's realtime twin — the day-2 retrieval story of the batch-built
+    * ANN index: micro-batched query vectors served against the FROZEN
+    * inverted file (H23's refresh discipline: the index between
+    * refreshes is immutable, so the serve is a stream-static join,
+    * Spark's native shape for it).
+    *
+    * Stages: (1) probe selection is a per-row flatMap — the centroid
+    * table is INDEX-bounded (≤ 256 by H4's MaxCentroids cap) and rides
+    * in the closure, the same bounded-broadcast discipline as M18's
+    * rule list; scoring replays the exact integer dot + IEEE cosine
+    * the batch expression computes, with the batch tie-break
+    * (qcent_cos desc, cent_id). (2) candidates come from the
+    * stream-static equi-join on the probed cell against the static
+    * inverted file — per micro-batch, each query touches only its
+    * probed cells' postings. (3) one flatMapGroupsWithState keyed by
+    * query id ranks (cosine desc, vec_id) and emits top-k ONCE: the
+    * boolean state makes at-least-once query delivery serve
+    * exactly-once (a re-delivered query emits nothing), which is the
+    * idempotency contract a realtime retrieval endpoint needs.
+    * StreamingSpec proves stream ≡ the batch sim_ivf_probe serve
+    * under arbitrary micro-batch splits WITH a planted re-delivery. */
+  def annServe(queries: Dataset[QueryVec],
+               cents: Seq[(Long, Array[Long], Long)],
+               assigned: DataFrame, nProbe: Int, k: Int,
+               spark: SparkSession): Dataset[AnnOut] = {
+    import spark.implicits._
+    val probed = queries.flatMap { q =>
+      val scored = cents.map { case (cid, cq, cn) =>
+        var d = 0L
+        var i = 0
+        val n = math.min(q.qvec.length, cq.length)
+        while (i < n) { d += q.qvec(i) * cq(i); i += 1 }
+        (cid, d.toDouble / (math.sqrt(q.nsq.toDouble) * math.sqrt(cn.toDouble)))
+      }
+      scored.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe)
+        .map { case (cid, _) => (q.qid, q.qvec, q.nsq, cid) }
+    }.toDF("qid", "qqvec", "qnsq", "cell")
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (graft.functions.VectorExpressions
+          .vdotQuantizedNative(col("qqvec"), col("qvec")).cast("double") /
+          (sqrt(col("qnsq")) * sqrt(col("nsq")))).as("cosine"),
+        col("cell"))
+      .as[AnnCand]
+    cand.groupByKey(_.qid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        annFn(k) _)
+  }
+
+  private[streaming] def annFn(k: Int)(qid: Long, rows: Iterator[AnnCand],
+      state: GroupState[Boolean]): Iterator[AnnOut] = {
+    if (state.exists) { // re-delivered query: already served, emit nothing
+      while (rows.hasNext) rows.next()
+      Iterator.empty
+    } else {
+      state.update(true)
+      rows.toSeq.sortBy(c => (-c.cosine, c.vec_id)).take(k).zipWithIndex
+        .map { case (c, i) => AnnOut(qid, i + 1, c.vec_id, c.cosine, c.cell) }
+        .iterator
+    }
+  }
 }

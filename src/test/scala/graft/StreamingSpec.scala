@@ -35,6 +35,36 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("H4t streaming ANN serve: arbitrary splits + re-delivery ≡ the batch probe, exactly once") {
+    val (queries, cents, assigned, nProbe, k) =
+      operators.Similarity.streamServeFixture(spark, sf)
+    assert(queries.nonEmpty && cents.nonEmpty)
+    // freeze the static inverted file (H23's between-refreshes state)
+    val frozen = assigned.localCheckpoint()
+    val ms = MemoryStream[StreamOps.QueryVec]
+    val q = StreamOps.annServe(ms.toDS(), cents, frozen, nProbe, k, spark)
+      .writeStream.format("memory").queryName("s_annserve")
+      .outputMode("append").start()
+    // three arbitrary micro-batch splits, with query 0 RE-DELIVERED in
+    // the last batch — the idempotency contract must suppress it
+    val (a, rest) = queries.splitAt(math.max(1, queries.size / 3))
+    val (b, c) = rest.splitAt(math.max(1, rest.size / 2))
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    ms.addData(c ++ Seq(queries.head)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_annserve")
+      .select("qid", "rank", "vec_id", "cosine", "cell")
+      .collect().map(_.toSeq)
+    val want = run("sim_ivf_probe")
+      .select("qid", "rank", "vec_id", "cosine", "cell")
+      .collect().map(_.toSeq)
+    // exactly-once: multiset equality (no duplicate serve for qid 0)
+    assert(got.length == want.length,
+      s"served ${got.length} rows, batch probe has ${want.length}")
+    assert(got.toSet == want.toSet)
+  }
+
   test("L1 streaming tumbling agg matches batch on flushed windows") {
     val ms = MemoryStream[Event]
     val q = StreamOps.tumblingAgg(ms.toDF())
