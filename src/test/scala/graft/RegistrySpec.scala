@@ -30,6 +30,41 @@ class RegistrySpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("USAGE.md covers every registered key's owning object") {
+    // the same per-object registries SparkEntry composes — kept in
+    // sync by the completeness assertion below, so a new operator
+    // slice can't ship without a USAGE.md row
+    val owners: Seq[(String, Set[String])] = Seq(
+      "graft.operators.Analytics" -> operators.Analytics.queries.keySet,
+      "graft.operators.QueryApi" -> operators.QueryApi.queries.keySet,
+      "graft.operators.Persist" -> operators.Persist.queries.keySet,
+      "graft.operators.Ingest" -> operators.Ingest.queries.keySet,
+      "graft.operators.Audit" -> operators.Audit.queries.keySet,
+      "graft.operators.Dedup" -> operators.Dedup.queries.keySet,
+      "graft.operators.TextAnalysis" -> operators.TextAnalysis.queries.keySet,
+      "graft.operators.Similarity" -> operators.Similarity.queries.keySet,
+      "graft.sources.Adapters" -> sources.Adapters.queries.keySet,
+      "graft.operators.Normalize" -> operators.Normalize.queries.keySet,
+      "graft.operators.EventStream" -> operators.EventStream.queries.keySet,
+      "graft.operators.Multimodal" -> operators.Multimodal.queries.keySet,
+      "graft.operators.Corpus" -> operators.Corpus.queries.keySet,
+      "graft.operators.Skew" -> operators.Skew.queries.keySet,
+      "graft.operators.Bucketing" -> operators.Bucketing.queries.keySet,
+      "graft.operators.Graph" -> operators.Graph.queries.keySet)
+    // completeness: the owner list IS the registry (no orphan keys)
+    assert(owners.flatMap(_._2).toSet == SparkEntry.queries.keySet,
+      "owner list out of sync with SparkEntry.queries")
+    val usage = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("USAGE.md")), "UTF-8")
+    val missing = owners.collect {
+      case (obj, keys) if keys.nonEmpty && !usage.contains(obj) => obj
+    }
+    assert(missing.isEmpty, s"USAGE.md lacks owning objects: $missing")
+    // the streaming twins and the Catalyst as-of node are API too
+    assert(usage.contains("graft.streaming.StreamOps"))
+    assert(usage.contains("graft.plans.AsOfJoin"))
+  }
+
   /** Queries whose BroadcastNestedLoopJoin is the CORRECT plan, in
     * two documented classes: (a) brute-force scorers / API-contract
     * request sets — a non-equi join over a broadcast QUERY/REQUEST
