@@ -626,6 +626,12 @@ object Corpus {
     val base = uni.join(bi, "source")
     val tot = base.agg(sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("k"))
+    // checkpoint the k-row base BEFORE the MW rounds: the recurrence
+    // then plans over a bounded leaf instead of stacking 8 window
+    // rounds onto the full two-LM lineage (which made Catalyst
+    // re-optimize the giant subtree once per round — a 42 s cold
+    // plan-time cost the bench-as-profiler caught; the data itself is
+    // #sources rows)
     var st = base.crossJoin(broadcast(tot))
       .withColumn("excess_surprisal", greatest(lit(0.0),
         round(col("avg_unigram_surprisal") - col("avg_bigram_surprisal"), 6)))
@@ -634,6 +640,7 @@ object Corpus {
       .withColumn("u0", round(lit(1.0) / col("k").cast("double"), 12))
       .withColumn("w", col("u0").cast(dec))
       .withColumn("alpha_sum", lit(0).cast(dec))
+      .localCheckpoint()
     // -- DoremiSteps unrolled MW rounds over the k-row table
     val all = Window.partitionBy() // k rows — bounded by construction
     for (_ <- 1 to steps) {
