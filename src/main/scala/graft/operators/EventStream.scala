@@ -894,6 +894,177 @@ object EventStream {
     * Scale: ONE user-keyed rollup (conversion flag + revenue per
     * user), then a 2-row arm rollup and a 1-row pivot — after the
     * first shuffle everything is metadata-scale. */
+  /** L28 `events_ab_cuped` — CUPED variance-reduced experiment
+    * readout (Deng, Xu, Kohavi & Walker, WSDM 2013 — the industry-
+    * standard pre-experiment covariate adjustment): beside L20's raw
+    * readout, adjust each user's outcome Y (post-split purchase
+    * revenue) by their PRE-period covariate X (pre-split revenue):
+    * Y' = Y − θ(X − E[X]) with θ = cov(X,Y)/var(X), which removes the
+    * between-user spend variance both arms share and shrinks the
+    * metric's variance by ρ² without biasing the lift. Serves the
+    * one-row report: per-arm raw and adjusted means, raw vs CUPED
+    * absolute lift, pooled θ, and the realized variance reduction.
+    *
+    * Exactness: per-user X/Y are exact DECIMAL(18,6) sums; every
+    * moment (Σx, Σy, Σx², Σxy, Σy²) is an exact decimal sum of exact
+    * decimal PRODUCTS (decimal×decimal carries full scale-12
+    * precision — no float enters any aggregate), so summation order
+    * cannot move a digit; the served statistics are short fixed-shape
+    * IEEE chains over double casts of those exact sums, each named
+    * intermediate (means, var/cov, θ) rounded 6 dp before reuse so
+    * both engines evaluate literally identical inputs. θ is NULL-
+    * guarded on var(X)=0 and the reduction on var(Y)=0 — degenerate
+    * experiments serve NULL, never NaN (the L20 rule).
+    *
+    * Scale: ONE user-keyed rollup, then a 1-row moment aggregate —
+    * identical economics to L20, metadata-scale after the first
+    * shuffle. */
+  def abCuped(spark: SparkSession, dir: String, salt: String = "exp1",
+              split: String = "2024-01-15 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val arm = when(pmod(conv(substring(
+        md5(concat(lit(s"$salt:"), col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(2L)) === 0, "control")
+      .otherwise("treatment")
+    val dec = DecimalType(18, 6)
+    def revSlice(pre: Boolean) = {
+      val inSlice = if (pre) col("ts") < lit(split).cast("timestamp")
+                    else col("ts") >= lit(split).cast("timestamp")
+      when(col("event_type") === "purchase" && inSlice,
+        col("value").cast(dec)).otherwise(lit(0).cast(dec))
+    }
+    val pu = Tables.events(spark, dir)
+      .select(col("user_id"), arm.as("arm"),
+        revSlice(pre = true).as("xe"), revSlice(pre = false).as("ye"))
+      .groupBy(col("user_id"), col("arm"))
+      .agg(sum(col("xe")).as("x"), sum(col("ye")).as("y"))
+    val m = pu.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === "control", col("x"))
+        .otherwise(lit(0).cast(dec))).as("sx_c"),
+      sum(when(col("arm") === "control", col("y"))
+        .otherwise(lit(0).cast(dec))).as("sy_c"),
+      sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === "treatment", col("x"))
+        .otherwise(lit(0).cast(dec))).as("sx_t"),
+      sum(when(col("arm") === "treatment", col("y"))
+        .otherwise(lit(0).cast(dec))).as("sy_t"))
+    def dd(c: String) = col(c).cast("double")
+    val stats = m.select(col("n"), col("n_c"), col("n_t"),
+      round(dd("sx") / dd("n"), 6).as("mean_x"),
+      round(dd("sy") / dd("n"), 6).as("mean_y"),
+      round(dd("sxx") / dd("n") - (dd("sx") / dd("n")) * (dd("sx") / dd("n")), 6)
+        .as("var_x"),
+      round(dd("syy") / dd("n") - (dd("sy") / dd("n")) * (dd("sy") / dd("n")), 6)
+        .as("var_y"),
+      round(dd("sxy") / dd("n") - (dd("sx") / dd("n")) * (dd("sy") / dd("n")), 6)
+        .as("cov_xy"),
+      round(dd("sx_c") / dd("n_c"), 6).as("mean_x_c"),
+      round(dd("sy_c") / dd("n_c"), 6).as("mean_y_c"),
+      round(dd("sx_t") / dd("n_t"), 6).as("mean_x_t"),
+      round(dd("sy_t") / dd("n_t"), 6).as("mean_y_t"))
+      .withColumn("theta",
+        when(col("var_x") <= 0, lit(null).cast("double"))
+          .otherwise(round(col("cov_xy") / col("var_x"), 6)))
+    stats.select(col("n_c"), col("n_t"), col("mean_x"), col("mean_y_c"),
+        col("mean_y_t"), col("theta"), col("var_x"), col("var_y"),
+        col("cov_xy"),
+        when(col("theta").isNull, col("mean_y_c")).otherwise(
+          round(col("mean_y_c") - col("theta") * (col("mean_x_c") - col("mean_x")), 6))
+          .as("mean_yadj_c"),
+        when(col("theta").isNull, col("mean_y_t")).otherwise(
+          round(col("mean_y_t") - col("theta") * (col("mean_x_t") - col("mean_x")), 6))
+          .as("mean_yadj_t"),
+        round(col("mean_y_t") - col("mean_y_c"), 6).as("lift_raw"),
+        when(col("theta").isNull, lit(null).cast("double")).otherwise(
+          round(col("var_y") - lit(2.0) * col("theta") * col("cov_xy") +
+            col("theta") * col("theta") * col("var_x"), 6)).as("var_yadj"))
+      .withColumn("lift_cuped",
+        round(col("mean_yadj_t") - col("mean_yadj_c"), 6))
+      .withColumn("var_reduction",
+        when(col("var_yadj").isNull || col("var_y") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("var_yadj") / col("var_y"), 6)))
+  }
+
+  def abCupedSql(salt: String = "exp1",
+                 split: String = "2024-01-15 00:00:00"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN CAST(('0x' || substring(md5('$salt:' || user_id), 1, 15))
+       |              AS BIGINT) % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm,
+       |    SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '$split'
+       |        THEN CAST(value AS DECIMAL(18,6))
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+       |    SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '$split'
+       |        THEN CAST(value AS DECIMAL(18,6))
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+       |    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_c,
+       |    SUM(CASE WHEN arm = 'control' THEN x
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx_c,
+       |    SUM(CASE WHEN arm = 'control' THEN y
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS sy_c,
+       |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t,
+       |    SUM(CASE WHEN arm = 'treatment' THEN x
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS sx_t,
+       |    SUM(CASE WHEN arm = 'treatment' THEN y
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS sy_t
+       |  FROM pu),
+       |stats AS (
+       |  SELECT n, n_c, n_t,
+       |    ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+       |    ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+       |    ROUND(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_x,
+       |    ROUND(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_y,
+       |    ROUND(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cov_xy,
+       |    ROUND(CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS mean_x_c,
+       |    ROUND(CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS mean_y_c,
+       |    ROUND(CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS mean_x_t,
+       |    ROUND(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS mean_y_t
+       |  FROM m),
+       |st2 AS (
+       |  SELECT *, CASE WHEN var_x <= 0 THEN NULL
+       |    ELSE ROUND(cov_xy / var_x, 6) END AS theta
+       |  FROM stats),
+       |st3 AS (
+       |  SELECT n_c, n_t, mean_x, mean_y_c, mean_y_t, theta, var_x, var_y,
+       |    cov_xy,
+       |    CASE WHEN theta IS NULL THEN mean_y_c
+       |      ELSE ROUND(mean_y_c - theta * (mean_x_c - mean_x), 6) END
+       |      AS mean_yadj_c,
+       |    CASE WHEN theta IS NULL THEN mean_y_t
+       |      ELSE ROUND(mean_y_t - theta * (mean_x_t - mean_x), 6) END
+       |      AS mean_yadj_t,
+       |    ROUND(mean_y_t - mean_y_c, 6) AS lift_raw,
+       |    CASE WHEN theta IS NULL THEN NULL
+       |      ELSE ROUND(var_y - 2.0 * theta * cov_xy
+       |        + theta * theta * var_x, 6) END AS var_yadj
+       |  FROM st2)
+       |SELECT *,
+       |  ROUND(mean_yadj_t - mean_yadj_c, 6) AS lift_cuped,
+       |  CASE WHEN var_yadj IS NULL OR var_y <= 0 THEN NULL
+       |    ELSE ROUND(1.0 - var_yadj / var_y, 6) END AS var_reduction
+       |FROM st3""".stripMargin
+
   def abTest(spark: SparkSession, dir: String,
              salt: String = "exp1", minValue: Double = 100.0): DataFrame = {
     val arm = when(pmod(conv(substring(
@@ -1699,6 +1870,9 @@ object EventStream {
     "events_attribution_decay" -> ((s: SparkSession, d: String) =>
       attributionDecay(s, d)),
     "events_ab_test" -> ((s: SparkSession, d: String) => abTest(s, d)),
+    "events_ab_cuped" -> ((s: SparkSession, d: String) => abCuped(s, d)),
+    "param_ab_cuped" -> ((s: SparkSession, d: String) =>
+      abCuped(s, d, salt = "exp2", split = "2024-01-10 00:00:00")),
     "param_ab_test" -> ((s: SparkSession, d: String) =>
       abTest(s, d, salt = "exp2", minValue = 150.0)),
     "param_attribution_decay" -> ((s: SparkSession, d: String) =>
@@ -1742,6 +1916,9 @@ object EventStream {
     "param_events_attribution" -> attributionSql(lookbackDays = 1),
     "events_attribution_decay" -> attributionDecaySql(),
     "events_ab_test" -> abTestSql(),
+    "events_ab_cuped" -> abCupedSql(),
+    "param_ab_cuped" -> abCupedSql(salt = "exp2",
+      split = "2024-01-10 00:00:00"),
     "param_ab_test" -> abTestSql(salt = "exp2", minValue = 150.0),
     "param_attribution_decay" -> attributionDecaySql(
       lookbackDays = 2, halflifeHours = 6),

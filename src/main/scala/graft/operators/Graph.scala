@@ -708,6 +708,121 @@ object Graph {
       .limit(limit)
   }
 
+  /** Global oriented triangle total over a canonical (src < dst) edge
+    * set — O2's compact-forward shape reduced to its sum: orient each
+    * edge from its lower-(deg, id) endpoint, build the sorted
+    * out-adjacency, and close map-side via array_intersect; with this
+    * orientation each triangle is found EXACTLY ONCE (at its lowest
+    * corner's (u, v) edge — w ∈ N⁺(u)∩N⁺(v); the other two edges see
+    * an empty intersection because the highest corner has no oriented
+    * edge back). Shared by O2's exactness argument and O14's two
+    * counts (full + sparsified). */
+  private def triangleTotal(canon: DataFrame, outName: String): DataFrame = {
+    val both = canon.unionAll(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+    val withDeg = canon
+      .join(deg.select(col("node"), col("d").as("da")),
+        col("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("db")),
+        col("dst") === col("node")).drop("node")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("src") < col("dst")),
+        struct(col("src").as("u"), col("dst").as("v")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    oriented
+      .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
+        col("u") === col("au"))
+      .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
+        col("v") === col("av"))
+      .select(size(array_intersect(col("u_nbrs"), col("v_nbrs")))
+        .cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as(outName))
+  }
+
+  /** O14 `graph_triangles_sampled` — DOULION sampled triangle
+    * counting (Tsourakakis, Kang, Miller & Faloutsos, KDD 2009: toss
+    * a coin per EDGE, count on the sparsified graph, scale by 1/p³),
+    * the 100 TB twin of O2's exact count: at web scale the edge list
+    * itself is the bottleneck and DOULION shrinks it BEFORE any
+    * wedge work, with an unbiased estimator and variance that decays
+    * with the triangle count. Made hash-exact end to end (the house
+    * determinism discipline): the "coin" is the first hex char of
+    * md5(src:dst) ≤ a threshold — deterministic per edge, identical
+    * in both engines — and p is restricted to 1/2 or 1/4 (hex-char
+    * prefixes) so 1/p³ is the exact INTEGER 8 or 64: the estimate is
+    * integer arithmetic, no float anywhere. Serves the one-row
+    * audit: edge counts, exact total (the [[triangleTotal]] oriented
+    * count — itself oracle-proven against the naive 3-way join),
+    * sampled total, the blown-up estimate, and the realized relative
+    * error in exact half-up micro-units (the L27 BIGINT-micro rule).
+    * Scale: the exact side is O2's O(m^1.5) wedge bound; the sampled
+    * side runs the identical plan on a p-fraction edge list (the
+    * whole point); everything after is 1-row attaches. */
+  def trianglesSampled(spark: SparkSession, dir: String,
+                       minSupport: Int = 1, keepHexMax: Int = 7): DataFrame = {
+    require(keepHexMax == 7 || keepHexMax == 3,
+      s"keepHexMax must be 7 (p=1/2) or 3 (p=1/4), got $keepHexMax")
+    val mult = { val p16 = 16L / (keepHexMax + 1); p16 * p16 * p16 }
+    val hexCap = "%x".format(keepHexMax)
+    val canon = canonicalEdges(spark, dir, minSupport)
+    val kept = canon.filter(substring(md5(concat(
+      col("src").cast("string"), lit(":"), col("dst").cast("string"))),
+      1, 1) <= lit(hexCap))
+    val nE = canon.agg(count(lit(1)).as("n_edges"))
+    val nK = kept.agg(count(lit(1)).as("n_kept"))
+    val exact = triangleTotal(canon, "exact_triangles")
+    val sampled = triangleTotal(kept, "sampled_triangles")
+    nE.crossJoin(broadcast(nK))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(sampled))
+      .select(col("n_edges"), col("n_kept"), col("exact_triangles"),
+        col("sampled_triangles"),
+        (col("sampled_triangles") * mult).as("estimated_triangles"),
+        abs(col("sampled_triangles") * mult - col("exact_triangles"))
+          .as("abs_err"),
+        when(col("exact_triangles") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"(abs(sampled_triangles * $mult - " +
+            "exact_triangles) * 2000000 + exact_triangles) div " +
+            "(exact_triangles * 2)")).as("rel_err_micro"))
+  }
+
+  def trianglesSampledSql(minSupport: Int = 1, keepHexMax: Int = 7): String = {
+    val mult = { val p16 = 16L / (keepHexMax + 1); p16 * p16 * p16 }
+    val hexCap = "%x".format(keepHexMax)
+    s"""WITH ${pairsSqlCte.format(minSupport)},
+       |kept AS (
+       |  SELECT src, dst FROM pairs
+       |  WHERE substr(md5(CAST(src AS VARCHAR) || ':'
+       |    || CAST(dst AS VARCHAR)), 1, 1) <= '$hexCap'),
+       |tfull AS (
+       |  SELECT COUNT(*) AS exact_triangles
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.src = e1.dst
+       |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |tsamp AS (
+       |  SELECT COUNT(*) AS sampled_triangles
+       |  FROM kept e1
+       |  JOIN kept e2 ON e2.src = e1.dst
+       |  JOIN kept e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM pairs),
+       |nk AS (SELECT COUNT(*) AS n_kept FROM kept)
+       |SELECT n_edges, n_kept, exact_triangles, sampled_triangles,
+       |  CAST(sampled_triangles * $mult AS BIGINT) AS estimated_triangles,
+       |  CAST(ABS(sampled_triangles * $mult - exact_triangles) AS BIGINT)
+       |    AS abs_err,
+       |  CASE WHEN exact_triangles = 0 THEN NULL
+       |    ELSE CAST((ABS(sampled_triangles * $mult - exact_triangles)
+       |      * 2000000 + exact_triangles)
+       |      // (exact_triangles * 2) AS BIGINT) END AS rel_err_micro
+       |FROM ne, nk, tfull, tsamp""".stripMargin
+  }
+
   def trianglesSql(minSupport: Int = 1, limit: Int = 100): String =
     s"""WITH ${pairsSqlCte.format(minSupport)},
        |tri AS (
@@ -1380,6 +1495,9 @@ object Graph {
       minSupport = 3, iters = 6, limit = 20)),
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
+    "graph_triangles_sampled" -> ((s, d) => trianglesSampled(s, d)),
+    "param_graph_triangles_sampled" -> ((s, d) =>
+      trianglesSampled(s, d, minSupport = 2)),
     "graph_bfs" -> ((s, d) => bfs(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
     "graph_betweenness" -> ((s, d) => betweenness(s, d)),
@@ -1421,6 +1539,8 @@ object Graph {
       minSupport = 3, iters = 6, limit = 20),
     "graph_pagerank" -> pagerankSql(),
     "graph_triangles" -> trianglesSql(),
+    "graph_triangles_sampled" -> trianglesSampledSql(),
+    "param_graph_triangles_sampled" -> trianglesSampledSql(minSupport = 2),
     "graph_bfs" -> bfsSql(),
     "graph_closeness" -> closenessSql(),
     "graph_betweenness" -> betweennessSql(),

@@ -999,6 +999,125 @@ object Similarity {
        |  FROM cand
        |) CROSS JOIN sp WHERE rank <= $K""".stripMargin
 
+  /** H27 `sim_staleness_recall` — recall under index STALENESS: the
+    * SLA number behind H23's refresh cadence. Between refreshes the
+    * frozen index simply does not contain the day-2 vectors, so
+    * retrieval quality decays as truth mass shifts into the unindexed
+    * delta — the question an ANN operator actually asks is "how much
+    * recall does a stale index cost TODAY, versus what the ANN
+    * approximation itself costs". Served per (query, index_state):
+    * recall@K of the BASE-ONLY (stale) index and of the H23-merged
+    * (fresh) index against the H1 brute-force truth over the FULL
+    * corpus, beside `n_truth_delta` (how many of the query's true
+    * top-K live in the delta) and the `stale_ceiling` (K −
+    * n_truth_delta)/K — the best any base-only index could do. The
+    * decomposition is the point: fresh-vs-ceiling gaps are ANN
+    * approximation loss (probe misses), ceiling-vs-stale-recall gaps
+    * would be bugs, and 1 − ceiling is pure staleness cost that ONLY
+    * a refresh can recover (spec-pinned: stale recall ≤ ceiling,
+    * truth-in-delta hits appear in the fresh serve only).
+    *
+    * Scale: H23's economics — the base index and codebook are the
+    * memoized frozen artifacts, the delta encode is O(|delta|), the
+    * truth is the CONTRACT-bounded NQueries brute-force pass H5
+    * already prices, and everything downstream is per-query-keyed
+    * metadata. */
+  def stalenessRecall(spark: SparkSession, dir: String,
+                      splitPct: Int = RefreshSplitPct): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (splitId, cents, baseIdx) = refreshBaseParts(spark, dir, splitPct)
+    val bf = topkBruteforce(spark, dir).select(col("qid"), col("vec_id")).cache()
+    val qids = bf.select(col("qid")).distinct()
+    val truthDelta = bf.filter(col("vec_id") >= splitId)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_truth_delta"))
+    def per(assigned: DataFrame, state: String): DataFrame = {
+      val res = searchAssigned(emb, cents, assigned)
+        .select(col("qid"), col("vec_id"))
+      val hits = bf.join(res, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(state).as("index_state"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }
+    val deltaIdx = assignTo(emb.filter(col("vec_id") >= splitId), cents)
+    per(baseIdx, "stale").unionAll(per(baseIdx.union(deltaIdx), "fresh"))
+      .join(truthDelta, Seq("qid"), "left")
+      .select(col("qid"), col("index_state"), col("hits"),
+        coalesce(col("n_truth_delta"), lit(0L)).as("n_truth_delta"),
+        round(col("hits").cast("double") / K, 6).as("recall_at_k"),
+        round((lit(K.toLong) - coalesce(col("n_truth_delta"), lit(0L)))
+          .cast("double") / K, 6).as("stale_ceiling"))
+  }
+
+  def stalenessRecallSql(splitPct: Int = RefreshSplitPct): String =
+    s"""WITH $qnSqlCte, sp AS (
+       |  SELECT (COUNT(*) * $splitPct) // 100 AS split_id FROM embeddings
+       |), base AS (
+       |  SELECT q.* FROM qnn q CROSS JOIN sp WHERE vec_id < split_id
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, qvec AS cq, nsq AS cn
+       |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR))
+       |  LIMIT (SELECT CAST(GREATEST(8, LEAST($MaxCentroids,
+       |           CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM base)
+       |), aFull AS (
+       |  SELECT vec_id, qvec, nsq, cell FROM (
+       |    SELECT e.vec_id, e.qvec, e.nsq, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS arn
+       |    FROM qnn e CROSS JOIN cents c
+       |  ) WHERE arn = 1
+       |), aBase AS (
+       |  SELECT a.* FROM aFull a CROSS JOIN sp WHERE a.vec_id < split_id
+       |), probes AS (
+       |  SELECT qid, qq, qn, cell FROM (
+       |    SELECT e.vec_id AS qid, e.qvec AS qq, e.nsq AS qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql(dotSql("e.qvec", "c.cq"), "e.nsq", "c.cn")} DESC,
+       |                 c.cent_id) AS prn
+       |    FROM qnn e CROSS JOIN cents c WHERE e.vec_id < $NQueries
+       |  ) WHERE prn <= $NProbeCells
+       |), topS AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} DESC,
+       |        a.vec_id) AS rnk
+       |    FROM probes p JOIN aBase a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  ) WHERE rnk <= $K
+       |), topF AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${cosSql(dotSql("p.qq", "a.qvec"), "p.qn", "a.nsq")} DESC,
+       |        a.vec_id) AS rnk
+       |    FROM probes p JOIN aFull a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  ) WHERE rnk <= $K
+       |), bf AS (SELECT qid, vec_id FROM ($topkBruteforceSql)),
+       |qids AS (SELECT DISTINCT qid FROM bf),
+       |td AS (
+       |  SELECT b.qid, COUNT(*) AS n_truth_delta
+       |  FROM bf b CROSS JOIN sp WHERE b.vec_id >= split_id GROUP BY 1
+       |), hS AS (
+       |  SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |  JOIN topS t ON b.qid = t.qid AND b.vec_id = t.vec_id GROUP BY 1
+       |), hF AS (
+       |  SELECT b.qid, COUNT(*) AS hits FROM bf b
+       |  JOIN topF t ON b.qid = t.qid AND b.vec_id = t.vec_id GROUP BY 1
+       |), u AS (
+       |  SELECT qids.qid, 'stale' AS index_state,
+       |    COALESCE(hits, 0) AS hits FROM qids LEFT JOIN hS USING (qid)
+       |  UNION ALL
+       |  SELECT qids.qid, 'fresh', COALESCE(hits, 0)
+       |  FROM qids LEFT JOIN hF USING (qid)
+       |)
+       |SELECT u.qid, index_state, CAST(hits AS BIGINT) AS hits,
+       |  CAST(COALESCE(n_truth_delta, 0) AS BIGINT) AS n_truth_delta,
+       |  ROUND(CAST(hits AS DOUBLE) / $K, 6) AS recall_at_k,
+       |  ROUND(CAST($K - COALESCE(n_truth_delta, 0) AS DOUBLE) / $K, 6)
+       |    AS stale_ceiling
+       |FROM u LEFT JOIN td ON u.qid = td.qid""".stripMargin
+
   /** H25 `sim_index_compaction` — compaction PLANNER for the H23/H24
     * ANN index, closing the lifecycle (build → refresh → soft-delete
     * → compact). H24's doc says "no rebuild required until tombstone
@@ -2307,6 +2426,10 @@ object Similarity {
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_probe" -> (ivfProbe _),
     "sim_index_refresh" -> ((s: SparkSession, d: String) => indexRefresh(s, d)),
+    "sim_staleness_recall" -> ((s: SparkSession, d: String) =>
+      stalenessRecall(s, d)),
+    "param_staleness_recall" -> ((s: SparkSession, d: String) =>
+      stalenessRecall(s, d, splitPct = 60)),
     "param_index_refresh" -> ((s: SparkSession, d: String) =>
       indexRefresh(s, d, splitPct = 60)),
     "sim_index_tombstone" -> ((s: SparkSession, d: String) =>
@@ -2352,6 +2475,8 @@ object Similarity {
     "sim_ivf_probe" -> ivfProbeSql,
     "sim_index_refresh" -> indexRefreshSql(),
     "param_index_refresh" -> indexRefreshSql(splitPct = 60),
+    "sim_staleness_recall" -> stalenessRecallSql(),
+    "param_staleness_recall" -> stalenessRecallSql(splitPct = 60),
     "sim_index_tombstone" -> indexTombstoneSql(),
     "param_index_tombstone" -> indexTombstoneSql(tombMod = 5, tombR = 0),
     "sim_index_compaction" -> indexCompactionSql(),

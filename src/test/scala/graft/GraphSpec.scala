@@ -53,6 +53,55 @@ class GraphSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("O14 DOULION: exact/sampled totals and integer estimate equal a driver replay") {
+    val nbrs = adj.view.mapValues(_.toSet).toMap
+    // canonical edge list (src < dst) and its md5 coin
+    val canon = adj.toSeq.flatMap { case (a, ns) =>
+      ns.filter(_ > a).map(b => (a, b)) }.distinct
+    def keep(e: (Long, Long)): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${e._1}:${e._2}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.head <= '7'
+    }
+    // naive a<b<c enumeration over the given canonical edge set
+    def triCount(edges: Seq[(Long, Long)]): Long = {
+      val n = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val es = edges.toSet
+      // .toSeq: yielding into the neighbor SET would collapse each
+      // edge's triangles to at most one
+      (for {
+        (a, b) <- edges; c <- n.getOrElse(b, Set.empty[Long]).toSeq if b < c
+        if es((a, c))
+      } yield 1).size.toLong
+    }
+    val kept = canon.filter(keep)
+    val exact = triCount(canon)
+    val sampled = triCount(kept)
+    val row = run("graph_triangles_sampled").collect().head
+    assert(row.getAs[Long]("n_edges") == canon.size.toLong)
+    assert(row.getAs[Long]("n_kept") == kept.size.toLong)
+    assert(row.getAs[Long]("exact_triangles") == exact)
+    assert(row.getAs[Long]("sampled_triangles") == sampled)
+    // the 1/p^3 blow-up is the exact integer 8, and the error columns
+    // are pure integer arithmetic (half-up micro-units)
+    assert(row.getAs[Long]("estimated_triangles") == sampled * 8)
+    val err = math.abs(sampled * 8 - exact)
+    assert(row.getAs[Long]("abs_err") == err)
+    if (exact > 0)
+      assert(row.getAs[Long]("rel_err_micro") ==
+        (err * 2000000L + exact) / (2 * exact))
+    // the coin is a real coin: the sparsified graph is a strict,
+    // non-empty subset at this SF
+    assert(kept.nonEmpty && kept.size < canon.size)
+    // param twin (minSupport=2): internal arithmetic holds
+    val p = run("param_graph_triangles_sampled").collect().head
+    assert(p.getAs[Long]("n_kept") <= p.getAs[Long]("n_edges"))
+    assert(p.getAs[Long]("estimated_triangles") ==
+      p.getAs[Long]("sampled_triangles") * 8)
+  }
+
   test("O2 plan: no cartesian product — closure is an equi join") {
     val nodes = flattenPlan(executedPlan(run("graph_triangles")))
     assert(!nodes.exists(

@@ -1549,6 +1549,73 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.count(_.getAs[Double]("resid") > med) <= (rows.length + 1) / 2)
   }
 
+  test("L28 CUPED: moments, theta, and adjusted readout match a driver replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3)))
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    def armOf(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "control" else "treatment"
+    }
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // per-user exact decimal X (pre-split revenue) and Y (post-split)
+    val pu = evs.groupBy(_._1).map { case (u, es) =>
+      val x = es.filter(e => e._2 == "purchase" && e._4.before(split))
+        .map(e => d6(e._3)).sum
+      val y = es.filter(e => e._2 == "purchase" && !e._4.before(split))
+        .map(e => d6(e._3)).sum
+      (armOf(u), x, y)
+    }.toSeq
+    val n = pu.size
+    def s(f: ((String, BigDecimal, BigDecimal)) => BigDecimal) = pu.map(f).sum
+    val (sx, sy) = (s(_._2), s(_._3))
+    val (sxx, sxy, syy) = (s(t => t._2 * t._2), s(t => t._2 * t._3),
+      s(t => t._3 * t._3))
+    def r6(x: Double) = d6(x).toDouble
+    val meanX = r6(sx.toDouble / n); val meanY = r6(sy.toDouble / n)
+    val varX = r6(sxx.toDouble / n -
+      (sx.toDouble / n) * (sx.toDouble / n))
+    val varY = r6(syy.toDouble / n -
+      (sy.toDouble / n) * (sy.toDouble / n))
+    val covXY = r6(sxy.toDouble / n -
+      (sx.toDouble / n) * (sy.toDouble / n))
+    val theta = r6(covXY / varX)
+    val byArm = pu.groupBy(_._1)
+    def armStats(a: String) = {
+      val g = byArm(a)
+      (g.size.toLong, r6(g.map(_._2).sum.toDouble / g.size),
+        r6(g.map(_._3).sum.toDouble / g.size))
+    }
+    val (nC, mxC, myC) = armStats("control")
+    val (nT, mxT, myT) = armStats("treatment")
+    val row = run("events_ab_cuped").collect().head
+    assert(row.getAs[Long]("n_c") == nC && row.getAs[Long]("n_t") == nT)
+    assert(row.getAs[Double]("mean_x") == meanX)
+    assert(row.getAs[Double]("var_x") == varX)
+    assert(row.getAs[Double]("var_y") == varY)
+    assert(row.getAs[Double]("cov_xy") == covXY)
+    assert(row.getAs[Double]("theta") == theta)
+    assert(row.getAs[Double]("mean_y_c") == myC)
+    assert(row.getAs[Double]("mean_y_t") == myT)
+    assert(row.getAs[Double]("mean_yadj_c") == r6(myC - theta * (mxC - meanX)))
+    assert(row.getAs[Double]("mean_yadj_t") == r6(myT - theta * (mxT - meanX)))
+    assert(row.getAs[Double]("lift_raw") == r6(myT - myC))
+    assert(row.getAs[Double]("lift_cuped") ==
+      r6(r6(myT - theta * (mxT - meanX)) - r6(myC - theta * (mxC - meanX))))
+    val varAdj = r6(varY - 2.0 * theta * covXY + theta * theta * varX)
+    assert(row.getAs[Double]("var_yadj") == varAdj)
+    assert(row.getAs[Double]("var_reduction") == r6(1.0 - varAdj / varY))
+    // theta is (near-)optimal for the adjustment, so CUPED can only
+    // shrink the metric variance
+    assert(row.getAs[Double]("var_reduction") >= 0.0)
+    assert(nC > 0 && nT > 0)
+  }
+
   test("L20 A/B test: arm assignment and report match a driver replay") {
     val evs = Tables.events(spark, sf)
       .select("user_id", "event_type", "value").collect()

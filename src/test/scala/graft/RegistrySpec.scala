@@ -129,7 +129,9 @@ class RegistrySpec extends SparkSpecBase {
     "k34_revenue_concentration", "param_k34_revenue_concentration", // 1-row threshold + totals + gini attaches onto <=10 rows
     "k35_segment_migration", "param_k35_segment_migration", // K29's 1-row per-period quartile-threshold attach
     "store_bloom_prune", "param_bloom_prune", // bounded probe x file-manifest broadcast grid (75 x files)
-    "sim_codebook_drift", "param_codebook_drift") // 1-row slice-totals attach onto the <=256-cell rollup
+    "sim_codebook_drift", "param_codebook_drift", // 1-row slice-totals attach onto the <=256-cell rollup
+    "sim_staleness_recall", "param_staleness_recall", // H1's broadcast-query truth pass + H23's codebook crossJoins
+    "graph_triangles_sampled", "param_graph_triangles_sampled") // four 1-row count/total attaches onto the single report row
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -167,6 +169,10 @@ class RegistrySpec extends SparkSpecBase {
     "pipeline_corpus_release_diff" -> 7, // two G1 hash rollups + keeper attaches + full-outer class zip + source rollup
     "param_corpus_release_diff" -> 7,
     "text_tokenizer_roundtrip" -> 10, // I15 training fold (8, as text_bpe_encode) + roundtrip dict join + source rollup
+    "graph_triangles_sampled" -> 14, // two full O2-shaped triangle totals (degree agg + 2 adjacency attaches + orient, x full & sampled)
+    "param_graph_triangles_sampled" -> 14,
+    "sim_staleness_recall" -> 5, // truth window + per-state hit rollups + qid attaches (index build is the memoized H23 checkpoint leaf)
+    "param_staleness_recall" -> 5,
     "adapter_csv_labx" -> 0,
     "adapter_fixedwidth" -> 0,
     "adapter_hl7_obx" -> 0,

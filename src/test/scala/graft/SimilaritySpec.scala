@@ -605,6 +605,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cents.filter(col("cent_id") >= splitId).count() == 0)
   }
 
+  test("H27 staleness recall: ceiling bound, truth-delta law, fresh == H23-serve recount") {
+    val rows = run("sim_staleness_recall").collect()
+    val k = 10
+    val bf = run("sim_topk_bruteforce").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val n = Tables.embeddings(spark, sf).count()
+    val splitId = n * 80 / 100
+    val tdelta = bf.filter(_._2 >= splitId).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // every query appears in both states
+    val qids = bf.map(_._1).distinct
+    assert(rows.length == qids.length * 2)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val hits = r.getAs[Long]("hits")
+      val td = tdelta.getOrElse(qid, 0L)
+      assert(r.getAs[Long]("n_truth_delta") == td, s"truth-delta law: $qid")
+      assert(hits >= 0 && hits <= k)
+      assert(r.getAs[Double]("recall_at_k") == r6(hits.toDouble / k))
+      assert(r.getAs[Double]("stale_ceiling") == r6((k - td).toDouble / k))
+      // a base-only index cannot serve truth that lives in the delta
+      if (r.getAs[String]("index_state") == "stale")
+        assert(hits <= k - td, s"stale hits above the ceiling for $qid")
+    }
+    // fresh hits recount exactly against the (oracle-checked) H23
+    // merged serve — the fresh state IS that index
+    val h23 = run("sim_index_refresh").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val bfSet = bf.toSet
+    rows.filter(_.getAs[String]("index_state") == "fresh").foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val want = bf.count(t => t._1 == qid && h23(t)).toLong
+      assert(r.getAs[Long]("hits") == want, s"fresh recount diverges for $qid")
+    }
+    // staleness is a real phenomenon at this SF: some truth lives in
+    // the delta somewhere (20% of the corpus is unindexed)
+    assert(tdelta.values.sum > 0)
+  }
+
   test("H24 tombstone read: soft delete == rebuild on survivors, frozen codebook") {
     val served = run("sim_index_tombstone")
     val rows = served.collect()
