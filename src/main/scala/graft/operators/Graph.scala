@@ -661,28 +661,6 @@ object Graph {
     * oriented algorithm counts exactly the same triangles. */
   def triangles(spark: SparkSession, dir: String, minSupport: Int = 1,
                 limit: Int = 100): DataFrame = {
-    val e = directedEdges(spark, dir, minSupport)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "node")
-    // canonical edges with both endpoint degrees attached
-    val canon = canonicalEdges(spark, dir, minSupport)
-      .join(deg.select(col("node"), col("d").as("da")), col("src") === col("node"))
-      .drop("node")
-      .join(deg.select(col("node"), col("d").as("db")), col("dst") === col("node"))
-      .drop("node")
-    // orient: u -> v iff (deg_u, u) < (deg_v, v); cached because it is
-    // reused by the edge stream and both adjacency attaches — tracked
-    // in cacheReg so superseded entries unpersist (see registeredCache)
-    val oriented = registeredCache(
-      s"${System.identityHashCode(spark)}:$dir:$minSupport:oriented",
-      Tables.mtime(spark, s"$dir/lineitem.parquet"))(
-      canon.select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("src") < col("dst")),
-          struct(col("src").as("u"), col("dst").as("v")))
-          .otherwise(struct(col("dst").as("u"), col("src").as("v")))
-          .as("o"))
-        .select(col("o.u").as("u"), col("o.v").as("v")))
     // compact-forward: out-adjacency as a SORTED array per node
     // (orientation bounds |N+| by O(√m) — max 97 on this graph), and
     // each oriented edge (u, v) closes its triangles MAP-SIDE via
@@ -691,16 +669,10 @@ object Graph {
     // wedge build: the 41M-row wedge table (sf0.1) never exists and
     // never shuffles into a closure join; the only moved data is the
     // edge list joined twice against the node-keyed adjacency table
-    // (measured 4.3 s → ~1 s at sf0.1).
-    val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val tris = oriented
-      .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
-        col("u") === col("au"))
-      .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
-        col("v") === col("av"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("u_nbrs"), col("v_nbrs"))).as("w"))
+    // (measured 4.3 s → ~1 s at sf0.1). The oriented table + closure
+    // live in [[orientedWithAdj]], shared (incl. its cache) with O14.
+    val tris = orientedWithAdj(spark, dir, minSupport)
+      .select(col("u"), col("v"), explode(col("ws")).as("w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_triangles"))
@@ -708,31 +680,38 @@ object Graph {
       .limit(limit)
   }
 
-  /** Global oriented triangle total over a canonical (src < dst) edge
-    * set — O2's compact-forward shape reduced to its sum: orient each
-    * edge from its lower-(deg, id) endpoint, build the sorted
-    * out-adjacency, and close map-side via array_intersect; with this
-    * orientation each triangle is found EXACTLY ONCE (at its lowest
-    * corner's (u, v) edge — w ∈ N⁺(u)∩N⁺(v); the other two edges see
-    * an empty intersection because the highest corner has no oriented
-    * edge back). Shared by O2's exactness argument and O14's two
-    * counts (full + sparsified). */
-  private def triangleTotal(canon: DataFrame, outName: String): DataFrame = {
-    val both = canon.unionAll(
-      canon.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = both.groupBy(col("src")).agg(count(lit(1)).as("d"))
+  /** Per-edge triangle closures over a canonical (src < dst) edge
+    * set — O2's compact-forward shape: orient each edge from its
+    * lower-(deg, id) endpoint, build the sorted out-adjacency, and
+    * close map-side via array_intersect; with this orientation each
+    * triangle appears EXACTLY ONCE (at its lowest corner's (u, v)
+    * edge — w ∈ N⁺(u)∩N⁺(v); the other two edges see an empty
+    * intersection because the highest corner has no oriented edge
+    * back). Returns (u, v, ws) — O14 aggregates both its exact and
+    * its coin-marked sampled totals from this one pass. */
+  private def orientedWithAdj(spark: SparkSession, dir: String,
+                              minSupport: Int): DataFrame = {
+    val e = directedEdges(spark, dir, minSupport)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
-    val withDeg = canon
+    val withDeg = canonicalEdges(spark, dir, minSupport)
       .join(deg.select(col("node"), col("d").as("da")),
         col("src") === col("node")).drop("node")
       .join(deg.select(col("node"), col("d").as("db")),
         col("dst") === col("node")).drop("node")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("src") < col("dst")),
-        struct(col("src").as("u"), col("dst").as("v")))
-        .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"))
+    // orient: u -> v iff (deg_u, u) < (deg_v, v); cached because it is
+    // reused by the edge stream and both adjacency attaches, and
+    // SHARED between O2 and O14 (same registeredCache key) — tracked
+    // in cacheReg so superseded entries unpersist (see registeredCache)
+    val oriented = registeredCache(
+      s"${System.identityHashCode(spark)}:$dir:$minSupport:oriented",
+      Tables.mtime(spark, s"$dir/lineitem.parquet"))(
+      withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("o"))
+        .select(col("o.u").as("u"), col("o.v").as("v")))
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
     oriented
@@ -740,9 +719,8 @@ object Graph {
         col("u") === col("au"))
       .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
         col("v") === col("av"))
-      .select(size(array_intersect(col("u_nbrs"), col("v_nbrs")))
-        .cast("long").as("t"))
-      .agg(coalesce(sum(col("t")), lit(0L)).as(outName))
+      .select(col("u"), col("v"),
+        array_intersect(col("u_nbrs"), col("v_nbrs")).as("ws"))
   }
 
   /** O14 `graph_triangles_sampled` — DOULION sampled triangle
@@ -757,7 +735,7 @@ object Graph {
     * in both engines — and p is restricted to 1/2 or 1/4 (hex-char
     * prefixes) so 1/p³ is the exact INTEGER 8 or 64: the estimate is
     * integer arithmetic, no float anywhere. Serves the one-row
-    * audit: edge counts, exact total (the [[triangleTotal]] oriented
+    * audit: edge counts, exact total (the [[orientedWithAdj]] oriented
     * count — itself oracle-proven against the naive 3-way join),
     * sampled total, the blown-up estimate, and the realized relative
     * error in exact half-up micro-units (the L27 BIGINT-micro rule).
@@ -776,11 +754,29 @@ object Graph {
       1, 1) <= lit(hexCap))
     val nE = canon.agg(count(lit(1)).as("n_edges"))
     val nK = kept.agg(count(lit(1)).as("n_kept"))
-    val exact = triangleTotal(canon, "exact_triangles")
-    val sampled = triangleTotal(kept, "sampled_triangles")
+    // ONE oriented pass serves BOTH counts: a triangle of the
+    // sparsified graph is exactly a full-graph triangle whose three
+    // edge-coins all keep, so the sampled total is computed by
+    // MARKING inside the same map-side closure instead of building a
+    // second adjacency (measured 14.5 s → one O2-shaped pass at
+    // sf0.1). A production DOULION that doesn't need the truth column
+    // runs the kept-edge subtree alone — that is the scale path; the
+    // exact side here is the eval's ground truth by design.
+    val keepW = (a: String) => // coin of the canonical (x, w) edge
+      s"substring(md5(concat(cast(least($a, w) as string), ':', " +
+        s"cast(greatest($a, w) as string))), 1, 1) <= '$hexCap'"
+    val exactAndSampled = orientedWithAdj(spark, dir, minSupport)
+      .select(
+        expr("size(ws)").cast("long").as("t"),
+        when(substring(md5(concat(least(col("u"), col("v")).cast("string"),
+          lit(":"), greatest(col("u"), col("v")).cast("string"))), 1, 1)
+          <= lit(hexCap),
+          expr(s"size(filter(ws, w -> ${keepW("u")} and ${keepW("v")}))")
+            .cast("long")).otherwise(0L).as("ts"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("exact_triangles"),
+        coalesce(sum(col("ts")), lit(0L)).as("sampled_triangles"))
     nE.crossJoin(broadcast(nK))
-      .crossJoin(broadcast(exact))
-      .crossJoin(broadcast(sampled))
+      .crossJoin(broadcast(exactAndSampled))
       .select(col("n_edges"), col("n_kept"), col("exact_triangles"),
         col("sampled_triangles"),
         (col("sampled_triangles") * mult).as("estimated_triangles"),
