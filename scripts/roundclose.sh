@@ -36,11 +36,16 @@ print(f"adopted {sys.argv[1]}: {len(d['queries'])} queries, "
 EOF
 fi
 
-git add -A -- "BENCH_${RN}.json" "BENCH_${RN}_full.json" \
+# one guarded add per artifact: `git add` with multiple pathspecs
+# fatals (and stages NOTHING) when any listed file is absent, and
+# several of these only exist in some rounds — a single-shot add
+# behind 2>/dev/null silently no-oped (the r12 advisor catch)
+for f in "BENCH_${RN}.json" "BENCH_${RN}_full.json" \
   "CORRECTNESS_${RN}.json" "CORRECTNESS_CLUSTER_${RN}.json" \
   "CORRECTNESS_SCALE_sf1_${RN}.json" "CORRECTNESS_SCALE_sf10_${RN}.json" \
-  BENCH_FULL.json LEAKCHECK.json COPYCHECK.json PROGRESS.jsonl \
-  2>/dev/null || true
+  BENCH_FULL.json LEAKCHECK.json COPYCHECK.json PROGRESS.jsonl; do
+  if [ -e "$f" ]; then git add -- "$f"; fi   # if-form: set -e safe
+done
 
 if ! git diff --cached --quiet; then
   git commit -m "round $N artifact adoption: bench + correctness + leakcheck"

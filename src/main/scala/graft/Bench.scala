@@ -32,21 +32,39 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Cross-query SHARED caches (graph baskets / pair counts / oriented
+    // tables) are materialized BEFORE the timed loop, so each family
+    // member's samples measure its own work instead of whichever query
+    // runs first absorbing the shared cold build (the BASELINE §1b
+    // whipsaw — r12 verdict ask #2). Opt out with
+    // SPARK_GRAFT_WARM_SHARED=0 to measure the cold build explicitly.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_SHARED", "1") == "1" &&
+        names.exists { case (n, _) =>
+          n.contains("graph_") || n.contains("copurchase") ||
+            n.contains("association_rules") })
+      try operators.Graph.warmShared(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warm: $e") }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     // canary: one fixed cheap NON-REGISTRY plan (the warmup rollup)
-    // timed at the top of every rep; its spread across reps is a
-    // recorded measure of ambient machine load DURING the run (a
-    // quiet run shows a flat canary), so a polluted artifact is
-    // distinguishable from a real regression. Deliberately not a
-    // registry query: re-running one would warm its plan and falsify
-    // its first_run entry. Guarded like every measured query — a
-    // broken canary must not take down the whole artifact.
+    // timed at the top of every rep AND every `CanaryEvery` queries
+    // WITHIN the rep (r12 verdict ask #1: three reads only at rep
+    // boundaries could not see load arriving mid-run, so two
+    // same-commit runs disagreed 5x on sub-second queries). Each
+    // query sample records which canary segment it ran under, and the
+    // artifact serves BOTH raw medians and per-segment load-normalized
+    // medians (sample x runMedianCanary/segmentCanary). Deliberately
+    // not a registry query: re-running one would warm its plan and
+    // falsify its first_run entry. Guarded like every measured query —
+    // a broken canary must not take down the whole artifact.
+    val CanaryEvery =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "50").toInt.max(1)
     def canaryFn(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.mode("overwrite").format("noop").save()
     val canary = scala.collection.mutable.ListBuffer.empty[Double]
-    for (_ <- 1 to Reps) {
+    val canaryPos = scala.collection.mutable.ListBuffer.empty[String]
+    def takeCanary(rep: Int, qIdx: Int): Unit = {
       val c0 = System.nanoTime()
       try canaryFn()
       catch { case e: Throwable =>
@@ -54,7 +72,15 @@ object Bench {
         if (!failed.contains("canary")) failed += "canary"
       }
       canary += (System.nanoTime() - c0) / 1e9
-      names.foreach { case (name, fn) =>
+      canaryPos += s"$rep:$qIdx"
+    }
+    // per-sample canary segment, parallel to `samples`
+    val segs = scala.collection.mutable.LinkedHashMap[String, Vector[Int]](
+      names.map { case (n, _) => n -> Vector.empty[Int] }: _*)
+    for (rep <- 1 to Reps) {
+      names.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i % CanaryEvery == 0) takeCanary(rep, i)
+        val seg = canary.length - 1
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
@@ -62,6 +88,7 @@ object Bench {
           if (!failed.contains(name)) failed += name
         }
         samples(name) :+= (System.nanoTime() - t0) / 1e9
+        segs(name) :+= seg
       }
     }
     // a crashing query usually "finishes" fast — marking it in the
@@ -69,15 +96,33 @@ object Bench {
     val results = samples.map { case (name, ts) =>
       name -> (ts.sorted.apply(ts.length / 2), ts.head)
     }
+    // load-normalized medians: each sample scaled by
+    // runMedianCanary / itsSegmentCanary, so a burst that inflated one
+    // segment deflates exactly the samples taken under it. A zero/
+    // failed canary read contributes factor 1 (no correction).
+    val cMed =
+      if (canary.nonEmpty) canary.toVector.sorted.apply(canary.length / 2)
+      else 1.0
+    val normMed = samples.map { case (name, ts) =>
+      val ns = ts.zip(segs(name)).map { case (t, s) =>
+        val c = if (s >= 0 && s < canary.length) canary(s) else 0.0
+        if (c > 0 && cMed > 0) t * (cMed / c) else t
+      }
+      name -> ns.sorted.apply(ns.length / 2)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val firsts = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
+    val qsNorm = normMed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cn = canary.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val cp = canaryPos.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalNorm = if (normMed.nonEmpty) normMed.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"canary":$cn,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"queries_norm":$qsNorm,"value_norm":$totalNorm,"canary":$cn,"canary_pos":$cp,"canary_every":$CanaryEvery,"failed":$fl,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's BENCH artifact preserves only a bounded stdout
     // TAIL — r07 lost 201 of 252 per-query medians to truncation,
@@ -96,7 +141,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"summary":"medians","total_median_sec":$total,"n_queries":${results.size},"slowest":$slowest,"canary":$cn,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"summary":"medians","total_median_sec":$total,"total_norm_sec":$totalNorm,"n_queries":${results.size},"slowest":$slowest,"canary":$cn,"canary_every":$CanaryEvery,"failed":$fl,"bench_out":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Relational analytics over the TPC-H-ish tables (SURVEY.md section 2.K).
@@ -1659,7 +1660,7 @@ object Analytics {
     val byDecile = perCust.crossJoin(broadcast(th))
       .groupBy(bucket.as("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_dec"))
-      .localCheckpoint()
+      .cutLineage()
     val tot = byDecile.agg(sum(col("rev_dec")).as("rev_tot"),
       sum(col("n_customers")).as("n_tot"))
     val w = Window.partitionBy(Obs.onePart(col("decile"))).orderBy(col("decile"))

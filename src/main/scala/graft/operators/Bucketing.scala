@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Bucketed/partitioned-layout helpers: the storage-side half of the
@@ -170,7 +171,7 @@ object Bucketing {
     val daily = store
       .groupBy(col("event_date"))
       .agg(sum(col("value").cast("decimal(18,6)")).as("day_sum"))
-      .localCheckpoint()
+      .cutLineage()
     // the threshold is a bounded 1-row driver scalar (the sanctioned
     // runtime-filter pattern, cf. the bloom/sketch builders) — and
     // deliberately a LITERAL in the dim filter: Spark's
@@ -452,7 +453,7 @@ object Bucketing {
     val wide = li
       .groupBy(date_format(col("l_shipdate"), partFmt).as("part_key"))
       .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint() // partition cardinality; one scan feeds all columns
+      .cutLineage() // partition cardinality; one scan feeds all columns
     (IncStatCols.map { case (name, _) =>
       wide.select(col("part_key"), lit(name).as("column_name"),
         col(s"min_$name").as("min_v"), col(s"max_$name").as("max_v"),
@@ -468,14 +469,16 @@ object Bucketing {
   private[graft] def statsStore(spark: SparkSession, dir: String,
       partFmt: String = "yyyy-MM"): DataFrame = {
     val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    // checkpoint mode is part of the identity (see Graph.memoCheckpoint)
     statsStoreReg.compute(
-      s"${System.identityHashCode(spark)}:$dir:stats:$partFmt", (_, prev) =>
+      s"${System.identityHashCode(spark)}:$dir:stats:$partFmt:" +
+        graft.Ckpt.mode(spark), (_, prev) =>
         if (prev != null && prev._1 == mtime) prev
         else {
           if (prev != null) graft.operators.Graph.releaseCheckpoint(prev._2)
           val (union, wide) =
             statsStoreFromWide(Tables.lineitem(spark, dir), partFmt)
-          val outer = union.localCheckpoint()
+          val outer = union.cutLineage()
           // the outer checkpoint materialized the union: the inner wide
           // blocks would otherwise stay pinned for the session
           graft.operators.Graph.releaseCheckpoint(wide)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Training-corpus preparation operators (SURVEY §2.M): the steps
@@ -640,7 +641,7 @@ object Corpus {
       .withColumn("u0", round(lit(1.0) / col("k").cast("double"), 12))
       .withColumn("w", col("u0").cast(dec))
       .withColumn("alpha_sum", lit(0).cast(dec))
-      .localCheckpoint()
+      .cutLineage()
     // -- DoremiSteps unrolled MW rounds over the k-row table
     val all = Window.partitionBy() // k rows — bounded by construction
     for (_ <- 1 to steps) {
@@ -1108,7 +1109,7 @@ object Corpus {
     // would persist anyway
     val pos = Dedup.apssPrefix(spark, dir, t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint()
+      .cutLineage()
     val posd = pos
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
         col("jaccard"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Document deduplication for LLM-scale corpora (SURVEY §2.G).
@@ -541,13 +542,16 @@ object Dedup {
     // stores work too) so a rewrite of the data under `dir` within
     // one session doesn't serve stale clusters
     val mtime = graft.Tables.mtime(spark, s"$dir/documents.parquet")
+    // checkpoint mode is part of the identity (see Graph.memoCheckpoint)
+    val ckptMode = graft.Ckpt.mode(spark)
     clusterCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$mtime:$strategyKey", _ => {
+      s"${System.identityHashCode(spark)}:$dir:$mtime:$strategyKey:$ckptMode",
+      _ => {
       // checkpoint the pairs BEFORE symmetrizing: a union of the raw
       // pipeline with its own swap would run the shingle pair join
       // twice in the checkpoint materialization
       val pairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint() // the shingle pipeline only runs once
+        .cutLineage() // the shingle pipeline only runs once
       val edges = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
@@ -616,7 +620,7 @@ object Dedup {
   private[operators] def minLabelPropagate(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .cutLineage()
     // labels only ever decrease, so the label sum is a cheap
     // monotone convergence witness (no join needed per iteration);
     // SUM on an empty/exhausted frame is NULL → treated as 0, which
@@ -636,7 +640,7 @@ object Dedup {
         .select(col("dst").as("node"), col("label"))
       val next = labels.unionAll(messages)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .cutLineage()
       val s = Option(next.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Event-stream operators, batch form (SURVEY §2.L). Each has a
@@ -905,10 +906,15 @@ object EventStream {
     * one-row report: per-arm raw and adjusted means, raw vs CUPED
     * absolute lift, pooled θ, and the realized variance reduction.
     *
-    * Exactness: per-user X/Y are exact DECIMAL(18,6) sums; every
-    * moment (Σx, Σy, Σx², Σxy, Σy²) is an exact decimal sum of exact
-    * decimal PRODUCTS (decimal×decimal carries full scale-12
-    * precision — no float enters any aggregate), so summation order
+    * Exactness: per-user X/Y are exact decimal sums, cast back to
+    * DECIMAL(18,6) before any product — SUM widens them to (28,6),
+    * where a product's precision 57 forces Spark to round the scale
+    * down and DuckDB to fall back to DOUBLE summation; narrowed, both
+    * engines form EXACT scale-12 decimal products (Spark (37,12); the
+    * oracle casts to (19,6) since DuckDB keeps an (18,6)x(18,6)
+    * product in INT64 and overflows — widths differ, values don't) — so
+    * every moment (Σx, Σy, Σx², Σxy, Σy²) is an exact decimal sum of
+    * exact decimal products and summation order
     * cannot move a digit; the served statistics are short fixed-shape
     * IEEE chains over double casts of those exact sums, each named
     * intermediate (means, var/cov, θ) rounded 6 dp before reuse so
@@ -937,7 +943,7 @@ object EventStream {
       .select(col("user_id"), arm.as("arm"),
         revSlice(pre = true).as("xe"), revSlice(pre = false).as("ye"))
       .groupBy(col("user_id"), col("arm"))
-      .agg(sum(col("xe")).as("x"), sum(col("ye")).as("y"))
+      .agg(sum(col("xe")).cast(dec).as("x"), sum(col("ye")).cast(dec).as("y"))
     val m = pu.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -999,12 +1005,12 @@ object EventStream {
        |    CASE WHEN CAST(('0x' || substring(md5('$salt:' || user_id), 1, 15))
        |              AS BIGINT) % 2 = 0
        |         THEN 'control' ELSE 'treatment' END AS arm,
-       |    SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '$split'
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '$split'
        |        THEN CAST(value AS DECIMAL(18,6))
-       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
-       |    SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '$split'
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(19,6)) AS x,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '$split'
        |        THEN CAST(value AS DECIMAL(18,6))
-       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+       |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(19,6)) AS y
        |  FROM events GROUP BY 1, 2),
        |m AS (
        |  SELECT COUNT(*) AS n,
@@ -1453,7 +1459,7 @@ object EventStream {
         when(col("w_n") === 7, sum(col("y_dec")).over(w).cast("double") / 7.0))
       .withColumn("detr_dec",
         (col("y_dec").cast("double") - col("trend_raw")).cast(dec))
-      .localCheckpoint()
+      .cutLineage()
     val dowIdx = trended.filter(col("trend_raw").isNotNull)
       .groupBy(col("dow").as("s_dow"))
       .agg(sum(col("detr_dec")).as("sd"), count(lit(1)).as("nd"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Multimodal column plumbing (SURVEY §2.J): media as opaque binary
@@ -781,7 +782,7 @@ object Multimodal {
     val variants = hashed.toDF()
       .groupBy(col("ahash_hi"), col("ahash_lo"), col("dhash"), col("phash"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
-      .localCheckpoint() // one decode pass; both band-join sides reuse it
+      .cutLineage() // one decode pass; both band-join sides reuse it
     val bandCols = Seq(
       col("ahash_lo").bitwiseAND(lit(0xffffL)),
       shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xffffL)),
@@ -818,7 +819,7 @@ object Multimodal {
         min(col("h_phash")).as("h_phash"))
       .withColumn("is_neardup", col("h_ahash") <= NdMaxA &&
         col("h_dhash") <= NdMaxD && col("h_phash") <= NdMaxP)
-      .localCheckpoint() // consumed twice: edges + serve
+      .cutLineage() // consumed twice: edges + serve
     val verdictEdges = pairs.filter(col("is_neardup"))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = verdictEdges.unionAll(

@@ -823,7 +823,75 @@ object QueryApi {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** The synthetic principal directory for E17: (caller, claim tenant,
+    * admin?). One admin plus one plain member per tenant, so both
+    * branches of the predicate — and the partition law between them —
+    * are exercised by a single serve. */
+  val defaultPrincipals: Seq[(String, String, Boolean)] = Seq(
+    ("root", "t1", true), ("alice", "t1", false), ("bob", "t2", false),
+    ("carol", "t3", false), ("dana", "t0", false))
+
+  /** E17 `api_authz_scope` — the admin-group tenant-override authz
+    * predicate (reference: ingest-url-api/src/handler.ts:46-49 and
+    * reprocess-api/src/handler.ts:41-44 — a caller whose
+    * `cognito:groups` contains `admin` may act on ANY tenant,
+    * everyone else only on `claims.tenantId`): the row-level rule
+    * `isAdmin OR claims.tenant = row.tenant` applied over the
+    * tenant-keyed store. Serves, per (caller, visible tenant slice),
+    * the slice's observation and patient counts — an admin sees all
+    * four slices, a member exactly their own (TenancySpec pins both,
+    * plus the partition law: the admin's visible rows are exactly the
+    * union of the members').
+    *
+    * Scale: the store side collapses to a 4-row tenant rollup FIRST
+    * (one shuffle, map-side combinable), and the authz predicate then
+    * joins the bounded principal directory against those 4 rows — the
+    * non-equi OR condition touches only metadata-scale tables, never
+    * the observation stream. */
+  def authzScope(spark: SparkSession, dir: String,
+                 principals: Seq[(String, String, Boolean)] = defaultPrincipals)
+      : DataFrame = {
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("caller_id",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("claim_tenant",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_admin",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val callers = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        principals.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)), 1)
+        .toJavaRDD(), pSchema)
+    val slice = Tables.events(spark, dir)
+      .groupBy(Obs.tenant.as("tenant_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(col("user_id")).as("n_patients"))
+    slice.join(broadcast(callers),
+        col("is_admin") || col("claim_tenant") === col("tenant_id"))
+      .select(col("caller_id"), col("claim_tenant"), col("is_admin"),
+        col("tenant_id"), col("n_obs"), col("n_patients"))
+  }
+
+  def authzScopeSql(principals: Seq[(String, String, Boolean)]
+                    = defaultPrincipals): String = {
+    val rows = principals.map { case (c, t, a) => s"('$c', '$t', $a)" }
+      .mkString(", ")
+    s"""WITH callers(caller_id, claim_tenant, is_admin) AS (VALUES $rows),
+       |slice AS (
+       |  SELECT 't' || (user_id % 4) AS tenant_id, COUNT(*) AS n_obs,
+       |    COUNT(DISTINCT user_id) AS n_patients
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT c.caller_id, c.claim_tenant, c.is_admin,
+       |  s.tenant_id, s.n_obs, s.n_patients
+       |FROM callers c
+       |JOIN slice s ON c.is_admin OR c.claim_tenant = s.tenant_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "api_authz_scope" -> ((s, d) => authzScope(s, d)),
+    "param_authz_scope" -> ((s, d) => authzScope(s, d, principals = Seq(
+      ("auditor", "t2", true), ("eve", "t3", false)))),
     "api_multi_get" -> ((s, d) => multiGet(s, d)),
     "api_next_token" -> ((s, d) => nextToken(s, d)),
     "api_limit_clamp" -> ((s, d) => limitClamp(s, d)),
@@ -870,6 +938,9 @@ object QueryApi {
       from = "2024-01-05 00:00:00", to = "2024-01-15 00:00:00")))
 
   val oracles: Map[String, String] = Map(
+    "api_authz_scope" -> authzScopeSql(),
+    "param_authz_scope" -> authzScopeSql(principals = Seq(
+      ("auditor", "t2", true), ("eve", "t3", false))),
     "api_multi_get" -> multiGetSql(),
     "api_next_token" -> nextTokenSql(),
     "api_limit_clamp" -> limitClampSql(),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 import graft.functions.VectorOps._
 import graft.functions.VectorExpressions.vdotQuantizedNative
@@ -171,7 +172,7 @@ object Similarity {
           .select(col("qid"), col("vec_id"),
             cosineQ(col("dot"), col("qn"), col("nsq")).as("rel"),
             col("qvec"), col("nsq"))
-          .localCheckpoint() // NQueries×poolK rows; ends the corpus scan
+          .cutLineage() // NQueries×poolK rows; ends the corpus scan
         val sims = pool.as("a")
           .join(pool.as("b"), col("a.qid") === col("b.qid") &&
             col("a.vec_id") =!= col("b.vec_id"))
@@ -179,7 +180,7 @@ object Similarity {
             col("b.vec_id").as("sb"),
             cosineQ(vdotQuantizedNative(col("a.qvec"), col("b.qvec")),
               col("a.nsq"), col("b.nsq")).as("sim"))
-          .localCheckpoint() // NQueries×poolK×(poolK−1) rows
+          .cutLineage() // NQueries×poolK×(poolK−1) rows
         val cand = pool.select(col("qid"), col("vec_id"), col("rel"))
         val wPick = Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("vec_id"))
@@ -189,7 +190,7 @@ object Similarity {
           .filter(col("rn") === 1)
           .select(col("qid"), col("vec_id"), lit(1).as("step"),
             col("score").as("mmr_score"))
-          .localCheckpoint()
+          .cutLineage()
         for (t <- 2 to selectK) {
           val ms = sims
             .join(s.select(col("qid").as("q2"), col("vec_id").as("selv")),
@@ -208,7 +209,7 @@ object Similarity {
             .filter(col("rn") === 1)
             .select(col("qid"), col("vec_id"), lit(t).as("step"),
               col("score").as("mmr_score")))
-            .localCheckpoint()
+            .cutLineage()
           // eager checkpoint above materialized the union — the
           // superseded per-step blocks are dead; release-on-supersede
           // (the pagerank discipline, per r9 ADVICE)
@@ -302,7 +303,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wR1))
       .filter(col("rk") <= k0)
       .select(col("qid"), col("vec_id"), col("qvec"))
-      .localCheckpoint() // NQueries×k0 seeds; ends the round-1 scan
+      .cutLineage() // NQueries×k0 seeds; ends the round-1 scan
     val seedpos = r1
       .select(col("qid"), posexplode(col("qvec")).as(Seq("pos", "v")))
       .groupBy(col("qid"), col("pos")).agg(sum(col("v")).as("s"))
@@ -466,7 +467,7 @@ object Similarity {
     // |classes|²-row matrix feeding both marginals and the serve:
     // eager-materialize once so the ranking subtree isn't re-paid
     // per branch (house discipline for small fanned-out subtrees)
-    val conf = knnClassify(spark, dir, k, nEval).localCheckpoint()
+    val conf = knnClassify(spark, dir, k, nEval).cutLineage()
     val act = conf.groupBy(col("true_label").as("label"))
       .agg(sum(col("n_queries")).as("n_true"),
         sum(when(col("pred_label") === col("true_label"), col("n_queries"))
@@ -806,8 +807,10 @@ object Similarity {
   private[graft] def refreshBaseParts(spark: SparkSession, dir: String,
       splitPct: Int): (Long, DataFrame, DataFrame) = {
     val mtime = Tables.mtime(spark, s"$dir/embeddings.parquet")
+    // checkpoint mode is part of the identity (see Graph.memoCheckpoint)
     refreshReg.compute(
-      s"${System.identityHashCode(spark)}:$dir:refresh:$splitPct",
+      s"${System.identityHashCode(spark)}:$dir:refresh:$splitPct:" +
+        graft.Ckpt.mode(spark),
       (_, prev) =>
         if (prev != null && prev._1 == mtime) prev
         else {
@@ -833,9 +836,9 @@ object Similarity {
           val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(kb)
             .select(col("vec_id").as("cent_id"), col("qvec").as("cq"),
               col("nsq").as("cn"))
-            .localCheckpoint() // the frozen codebook
+            .cutLineage() // the frozen codebook
           val baseIdx = assignTo(base, cents)
-            .localCheckpoint() // the persisted day-1 inverted file
+            .cutLineage() // the persisted day-1 inverted file
           (mtime, (splitId, cents, baseIdx))
         })._2
   }
@@ -1306,7 +1309,7 @@ object Similarity {
         else {
           if (prev != null) Graph.releaseCheckpoint(prev._2)
           (mtime, assignTo(quantized(spark, dir), kmeansCents(spark, dir))
-            .select(col("vec_id"), col("cell")).localCheckpoint())
+            .select(col("vec_id"), col("cell")).cutLineage())
         })._2
   }
 
@@ -2397,7 +2400,56 @@ object Similarity {
        |  FROM cand
        |) WHERE rank <= $k""".stripMargin
 
+  private val annServeSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** H4t `stream_ann_serve` — the STREAMING ANN serve, run to
+    * completion as a batch-callable query (the r12 verdict's ask #6:
+    * the last LLM-serving twin still spec-only). The H4 frozen-index
+    * fixture feeds [[graft.streaming.StreamOps.annServe]] through a
+    * MemoryStream in two micro-batches WITH the head query
+    * re-delivered in the second — the serve's exactly-once contract
+    * must suppress the duplicate — and the drained memory sink is the
+    * result. The oracle is the batch probe's SQL verbatim
+    * (stream ≡ sim_ivf_probe is the operator's whole contract;
+    * StreamingSpec additionally pins it under arbitrary splits).
+    *
+    * Scale: per micro-batch the work is stream-rows × probed posting
+    * lists (the static side is the frozen inverted file — a
+    * stream-static equi-join, Spark's native shape for index serving);
+    * the corpus is never rescanned after the index build. */
+  def annServeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (qs, cents, assigned, nProbe, k) = streamServeFixture(spark, dir)
+    val frozen = assigned.cutLineage() // the between-refreshes index
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamOps.QueryVec]
+    val name = s"graft_ann_serve_${annServeSeq.incrementAndGet()}"
+    val q = graft.streaming.StreamOps
+      .annServe(ms.toDS(), cents, frozen, nProbe, k, spark)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        val (a, b) = qs.splitAt(math.max(1, qs.size / 2))
+        ms.addData(a); q.processAllAvailable()
+        ms.addData(b ++ Seq(qs.head)); q.processAllAvailable() // re-delivery
+        // materialize off the memory sink so the served frame outlives
+        // the dropped temp view (bounded: NQueries x k rows)
+        spark.table(name)
+          .select(col("qid"), col("rank"), col("vec_id"), col("cosine"),
+            col("cell"))
+          .cutLineage()
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    Graph.releaseCheckpoint(frozen)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ann_serve" -> (annServeBatch _),
     "sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "param_knn_graph" -> ((s, d) => knnGraph(s, d, k = 3)),
     "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
@@ -2450,6 +2502,7 @@ object Similarity {
     "sim_mrl_eval" -> ((s, d) => mrlEval(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "stream_ann_serve" -> ivfProbeSql, // stream ≡ batch probe IS the contract
     "sim_knn_graph" -> knnGraphSql(),
     "param_knn_graph" -> knnGraphSql(k = 3),
     "sim_hybrid_rrf" -> hybridRrfSql(),

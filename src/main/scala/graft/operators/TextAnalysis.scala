@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2.I):
@@ -1785,7 +1786,7 @@ object TextAnalysis {
 
   /** Deterministic normalization hazards for I32 (the corpus is clean
     * lowercase single-spaced word soup, so round-trip loss must be
-    * PLANTED — the M18 planted-truth discipline): every 5th doc (+1)
+    * PLANTED — the M18 planted-truth discipline): every 11th doc (+1)
     * uppercases its first character (a case-folding loss iff that
     * character is a letter — the truth counter carries the same
     * guard), every 13th (+2) gains a trailing space (a whitespace-
@@ -2365,7 +2366,7 @@ object TextAnalysis {
         val adj = edges.join(wt, edges("src") === wt("word"))
           .select(col("src"), col("dst"), col("w"), col("wtot")).cache()
         var ranks = wt.select(col("word"), lit(TrScale).as("rank"))
-          .localCheckpoint()
+          .cutLineage()
         for (_ <- 1 to iters) {
           val prevR = ranks
           ranks = adj.join(ranks, adj("src") === ranks("word"))
@@ -2376,7 +2377,7 @@ object TextAnalysis {
             .select(col("dst").as("word"),
               (lit(15L * TrScale / 100) +
                 expr("(85 * CAST(s AS DECIMAL(38,0))) div 100")).as("rank"))
-            .localCheckpoint()
+            .cutLineage()
           Graph.releaseCheckpoint(prevR)
         }
         adj.unpersist(blocking = false)
@@ -2545,7 +2546,7 @@ object TextAnalysis {
             case (x, i) =>
               ((col(x) - col(s"m_$x")) * lit(QcScale)).as(s"z${i + 1}")
           }: _*)
-          .localCheckpoint()
+          .cutLineage()
         val ztr = z.filter(col("y").isNotNull)
         def marginOf(w: String => Column): Column =
           w("w0") + w("w1") * col("z1") + w("w2") * col("z2") +
@@ -2554,7 +2555,7 @@ object TextAnalysis {
           round(lit(0.5) * (lit(1.0) + mg / (lit(1.0) + abs(mg))), 12)
         var w = spark.range(1)
           .select((0 to 5).map(j => lit(0.0).as(s"w$j")): _*)
-          .localCheckpoint()
+          .cutLineage()
         for (_ <- 1 to epochs) {
           val joined = ztr.crossJoin(broadcast(w))
           val g = joined
@@ -2574,7 +2575,7 @@ object TextAnalysis {
             .select((0 to 5).map(j =>
               round(col(s"w$j") - lit(lr) * col(s"g$j") / col("n"), 12)
                 .as(s"w$j")): _*)
-            .localCheckpoint()
+            .cutLineage()
           Graph.releaseCheckpoint(prevW)
         }
         val p = sigmoid(marginOf(col))
@@ -2582,7 +2583,7 @@ object TextAnalysis {
           .select(col("doc_id"), col("y"),
             round(p, 6).as("score"),
             when(p >= lit(0.5), 1).otherwise(0).as("pred"))
-          .localCheckpoint()
+          .cutLineage()
         // distill the shippable model: three bounded driver fetches
         // (1 row of weights, 1 row of means, K vocab tokens) — the
         // artifacts per-row inference needs (qcInferCols)

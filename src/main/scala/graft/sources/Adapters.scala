@@ -136,14 +136,19 @@ object Adapters {
     * non-numeric rows dropped (v2.ts:58-62); unit = OBX-6.2 fallback
     * .1 default "1" (v2.ts:66 `c6[1] || c6[0] || "" -> "1"`);
     * effective = OBX-14 YYYYMMDDHHMMSS -> UTC timestamp (v2.ts:68). */
-  def hl7Obx(spark: SparkSession, dir: String): DataFrame = {
+  def hl7Obx(spark: SparkSession, dir: String): DataFrame =
+    hl7ObxFrom(Tables.events(spark, dir))
+
+  /** Same parser over any events-shaped frame (pure Column pipeline),
+    * so the C8 source-routing dispatch can feed it a route slice. */
+  def hl7ObxFrom(events: DataFrame): DataFrame = {
     // PID via regexp (codegen'd) instead of filter(split(...)) array
     // lambdas (interpreted); patient_id derived ONCE per message
     // before the explode fan-out. OBX selection = explode every
     // segment, then a codegen'd startsWith row filter.
     val pidF = split(
       regexp_extract(col("msg"), "(?:^|\r)(PID\\|[^\r]*)", 1), "\\|")
-    val df = Tables.events(spark, dir)
+    val df = events
       .select(col("event_id"), hl7Message.as("msg"))
       .select(col("event_id"),
         element_at(split(element_at(pidF, 4), "\\^"), 1).as("patient_id"),

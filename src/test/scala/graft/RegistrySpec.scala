@@ -131,7 +131,8 @@ class RegistrySpec extends SparkSpecBase {
     "store_bloom_prune", "param_bloom_prune", // bounded probe x file-manifest broadcast grid (75 x files)
     "sim_codebook_drift", "param_codebook_drift", // 1-row slice-totals attach onto the <=256-cell rollup
     "sim_staleness_recall", "param_staleness_recall", // H1's broadcast-query truth pass + H23's codebook crossJoins
-    "graph_triangles_sampled", "param_graph_triangles_sampled") // four 1-row count/total attaches onto the single report row
+    "graph_triangles_sampled", "param_graph_triangles_sampled", // four 1-row count/total attaches onto the single report row
+    "api_authz_scope", "param_authz_scope") // bounded principal directory (broadcast) x 4-row tenant rollup — the OR predicate is non-equi by nature, over metadata-scale sides only
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

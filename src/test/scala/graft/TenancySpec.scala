@@ -94,6 +94,27 @@ class TenancySpec extends SparkSpecBase {
     assert(QueryApi.patientBundle(spark, sf, tenant = "t2").count() == 0)
   }
 
+  test("E17 authz scope: admin override sees every slice, members exactly one") {
+    val out = QueryApi.authzScope(spark, sf).collect()
+    val byCaller = out.groupBy(_.getString(0))
+    // the admin's override (isAdmin || claim = tenant) opens all 4 doors
+    assert(byCaller("root").map(_.getString(3)).sorted.toSeq ==
+      Seq("t0", "t1", "t2", "t3"))
+    // every member sees exactly their claim tenant's slice
+    for ((caller, home) <- Seq("alice" -> "t1", "bob" -> "t2",
+        "carol" -> "t3", "dana" -> "t0")) {
+      val rows = byCaller(caller)
+      assert(rows.length == 1 && rows.head.getString(3) == home,
+        s"$caller must see exactly the $home slice")
+    }
+    // partition law: the admin's visible observations are exactly the
+    // union of the four members' slices, and exactly the whole stream
+    val adminN = byCaller("root").map(_.getLong(4)).sum
+    val memberN = out.filter(r => !r.getBoolean(2)).map(_.getLong(4)).sum
+    assert(adminN == memberN)
+    assert(adminN == Tables.events(spark, sf).count())
+  }
+
   test("getPatient serves the META row of the D5 profile upsert") {
     val row = QueryApi.getPatient(spark, sf, tenant = "t1", patient = 13L)
       .collect()
