@@ -218,8 +218,8 @@ object Graph {
     * once at startup, not billed to an arbitrary first query. */
   def warmShared(spark: SparkSession, dir: String): Unit = {
     cachedPairCounts(spark, dir).count() // stage 1 (baskets) + stage 2
-    orientedCached(spark, dir, 1).count() // the default O2/O6/O14 family
-    orientedCached(spark, dir, 2).count() // the param_ instantiations
+    orientedWithAdj(spark, dir, 1).count() // oriented + closure, default family
+    orientedWithAdj(spark, dir, 2).count() // the param_ instantiations
   }
 
   /** Both directions of the canonical edge list. */
@@ -738,19 +738,36 @@ object Graph {
     * edge — w ∈ N⁺(u)∩N⁺(v); the other two edges see an empty
     * intersection because the highest corner has no oriented edge
     * back). Returns (u, v, ws) — O14 aggregates both its exact and
-    * its coin-marked sampled totals from this one pass. */
-  private def orientedWithAdj(spark: SparkSession, dir: String,
-                              minSupport: Int): DataFrame = {
+    * its coin-marked sampled totals from this one pass.
+    *
+    * CACHED (r13): O2, O6 and O14 all consume exactly this closure,
+    * and each was re-paying the adjacency build + double join +
+    * intersect per query (~1 s each at sf0.1 full-registry — the
+    * residual §1b drift after the oriented table itself was shared).
+    * The cached rows are (u, v, ws) where |ws| = triangles closed on
+    * that edge — edge-cardinality, far smaller than the wedge work
+    * that produces it, which is what makes it the right artifact to
+    * share. */
+  private[operators] def orientedWithAdj(spark: SparkSession, dir: String,
+                                         minSupport: Int): DataFrame = {
+    // resolve the oriented entry BEFORE entering this map's compute —
+    // a nested compute on the same ConcurrentHashMap throws
+    // "Recursive update" when the two keys share a bin (the
+    // cachedPairCounts lesson)
     val oriented = orientedCached(spark, dir, minSupport)
-    val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    oriented
-      .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
-        col("u") === col("au"))
-      .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
-        col("v") === col("av"))
-      .select(col("u"), col("v"),
-        array_intersect(col("u_nbrs"), col("v_nbrs")).as("ws"))
+    registeredCache(
+      s"${System.identityHashCode(spark)}:$dir:$minSupport:oclosure",
+      Tables.mtime(spark, s"$dir/lineitem.parquet")) {
+      val adj = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      oriented
+        .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
+          col("u") === col("au"))
+        .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
+          col("v") === col("av"))
+        .select(col("u"), col("v"),
+          array_intersect(col("u_nbrs"), col("v_nbrs")).as("ws"))
+    }
   }
 
   /** O14 `graph_triangles_sampled` — DOULION sampled triangle
@@ -1217,16 +1234,9 @@ object Graph {
     val e = directedEdges(spark, dir, minSupport)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
-    val oriented = orientedCached(spark, dir, minSupport)
-    val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val tris = oriented
-      .join(adj.select(col("u").as("au"), col("nbrs").as("u_nbrs")),
-        col("u") === col("au"))
-      .join(adj.select(col("u").as("av"), col("nbrs").as("v_nbrs")),
-        col("v") === col("av"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("u_nbrs"), col("v_nbrs"))).as("w"))
+    // the shared cached closure (O2/O14's seam) — O6 only explodes it
+    val tris = orientedWithAdj(spark, dir, minSupport)
+      .select(col("u"), col("v"), explode(col("ws")).as("w"))
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
