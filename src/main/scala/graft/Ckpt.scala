@@ -25,10 +25,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Both are EAGER, both yield a LogicalRDD leaf (so
   * `Graph.releaseCheckpoint`'s leaf-unpersist discipline works
   * unchanged), and results are bit-identical — CheckpointSpec pins
-  * result equality on both paths. Memo registries that cache
-  * checkpointed frames include [[mode]] in their key token so a
+  * result equality on both paths. The hot-seam memo registries
+  * (Graph.memoCheckpoint, Dedup.clusterCache, Similarity.refreshReg,
+  * Bucketing.statsStoreReg) include [[mode]] in their key token so a
   * mid-session conf flip rebuilds instead of serving the other mode's
-  * blocks. Reliable-mode files are reclaimed by Spark's context
+  * blocks; the remaining per-op registries serve correct DATA either
+  * way (a flip there only changes which resilience class the cached
+  * artifact was built under, healed at the next mtime change).
+  * Reliable-mode files are reclaimed by Spark's context
   * cleaner (`spark.cleaner.referenceTracking.cleanCheckpoints=true`)
   * or by the deployment's directory lifecycle policy.
   */

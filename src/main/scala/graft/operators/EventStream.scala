@@ -1071,6 +1071,104 @@ object EventStream {
        |    ELSE ROUND(1.0 - var_yadj / var_y, 6) END AS var_reduction
        |FROM st3""".stripMargin
 
+  /** L29 `events_ab_sprt` — Wald SPRT sequential experiment monitor
+    * (Wald 1945; the "peeking-safe" decision rule every always-on
+    * experimentation platform implements beside the fixed-horizon L20
+    * readout): the treatment arm's conversion stream is processed in
+    * DAY order; each day contributes the binomial log-likelihood-ratio
+    * increment x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)) for the planned
+    * null/alternative rates, the cumulative LLR walks between Wald's
+    * boundaries A = ln((1−β)/α), B = ln(β/(1−α)), and the serve is the
+    * full per-day monitoring trail: counts, day and cumulative LLR,
+    * the decision in force (reject_h0 / accept_h0 / continue), and the
+    * first-decision day flag — the audit trail a sequential stop needs.
+    *
+    * Exactness: x, n are exact integers; ln appears ONLY in the four
+    * constants, which are computed ONCE in Scala and embedded as the
+    * SAME double literals in both the Column tree and the oracle SQL —
+    * no engine evaluates a transcendental, so the whole statistic is a
+    * fixed IEEE chain over exact ints (day LLR rounded 6 dp before the
+    * cumulative sum; the cumulative window sums in day order, the same
+    * operand order in both engines). Decisions compare the rounded
+    * serve value against the literal boundaries — identical inputs,
+    * identical verdicts.
+    *
+    * Defaults put the TRUE high-value rate (~0.119 at minValue=100)
+    * between p0=0.10 and p1=0.14, so the monitor genuinely wanders
+    * before the evidence accumulates — not a day-one verdict.
+    *
+    * Scale: ONE day-keyed rollup of the pushed (purchase, arm) slice,
+    * then windows over day-cardinality rows (the global-order window
+    * is a single-partition exchange of ~30 rows — metadata-scale, the
+    * L23 discipline). */
+  def abSprt(spark: SparkSession, dir: String, salt: String = "exp1",
+             minValue: Double = 100.0, p0: Double = 0.10, p1: Double = 0.14,
+             alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1 - p1) / (1 - p0))
+    val bndA = math.log((1 - beta) / alpha)
+    val bndB = math.log(beta / (1 - alpha))
+    val arm = pmod(conv(substring(
+      md5(concat(lit(s"$salt:"), col("user_id").cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(2L))
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && arm === 1)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("value") >= minValue, 1L).otherwise(0L)).as("n_conv"))
+      .withColumn("day_llr", round(col("n_conv") * lit(l1)
+        + (col("n_obs") - col("n_conv")) * lit(l0), 6))
+    val w = Window.orderBy(col("day"))
+    val dec = daily
+      .withColumn("cum_llr", round(sum(col("day_llr")).over(w), 6))
+      .withColumn("decision",
+        when(col("cum_llr") >= lit(bndA), "reject_h0")
+          .when(col("cum_llr") <= lit(bndB), "accept_h0")
+          .otherwise("continue"))
+    dec.withColumn("is_first_decision",
+      col("day") <=> min(when(col("decision") =!= "continue", col("day")))
+        .over(Window.partitionBy()))
+  }
+
+  def abSprtSql(salt: String = "exp1", minValue: Double = 100.0,
+                p0: Double = 0.10, p1: Double = 0.14, alpha: Double = 0.05,
+                beta: Double = 0.2): String = {
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1 - p1) / (1 - p0))
+    val bndA = math.log((1 - beta) / alpha)
+    val bndB = math.log(beta / (1 - alpha))
+    s"""WITH tre AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |    COUNT(*) AS n_obs,
+       |    CAST(SUM(CASE WHEN value >= $minValue THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_conv
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND CAST(('0x' || substring(md5('$salt:' || user_id), 1, 15))
+       |             AS BIGINT) % 2 = 1
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT day, n_obs, n_conv,
+       |    ROUND(n_conv * $l1 + (n_obs - n_conv) * $l0, 6) AS day_llr
+       |  FROM tre
+       |), cum AS (
+       |  SELECT *, ROUND(SUM(day_llr) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |    AS cum_llr
+       |  FROM scored
+       |), dec AS (
+       |  SELECT *, CASE WHEN cum_llr >= $bndA THEN 'reject_h0'
+       |                 WHEN cum_llr <= $bndB THEN 'accept_h0'
+       |                 ELSE 'continue' END AS decision
+       |  FROM cum
+       |)
+       |SELECT day, n_obs, n_conv, day_llr, cum_llr, decision,
+       |  day IS NOT DISTINCT FROM
+       |    MIN(CASE WHEN decision <> 'continue' THEN day END) OVER ()
+       |    AS is_first_decision
+       |FROM dec""".stripMargin
+  }
+
   def abTest(spark: SparkSession, dir: String,
              salt: String = "exp1", minValue: Double = 100.0): DataFrame = {
     val arm = when(pmod(conv(substring(
@@ -1877,6 +1975,9 @@ object EventStream {
       attributionDecay(s, d)),
     "events_ab_test" -> ((s: SparkSession, d: String) => abTest(s, d)),
     "events_ab_cuped" -> ((s: SparkSession, d: String) => abCuped(s, d)),
+    "events_ab_sprt" -> ((s: SparkSession, d: String) => abSprt(s, d)),
+    "param_ab_sprt" -> ((s: SparkSession, d: String) => abSprt(s, d,
+      salt = "exp2", minValue = 150.0, p0 = 0.03, p1 = 0.06)),
     "param_ab_cuped" -> ((s: SparkSession, d: String) =>
       abCuped(s, d, salt = "exp2", split = "2024-01-10 00:00:00")),
     "param_ab_test" -> ((s: SparkSession, d: String) =>
@@ -1923,6 +2024,9 @@ object EventStream {
     "events_attribution_decay" -> attributionDecaySql(),
     "events_ab_test" -> abTestSql(),
     "events_ab_cuped" -> abCupedSql(),
+    "events_ab_sprt" -> abSprtSql(),
+    "param_ab_sprt" -> abSprtSql(salt = "exp2", minValue = 150.0,
+      p0 = 0.03, p1 = 0.06),
     "param_ab_cuped" -> abCupedSql(salt = "exp2",
       split = "2024-01-10 00:00:00"),
     "param_ab_test" -> abTestSql(salt = "exp2", minValue = 150.0),

@@ -304,8 +304,11 @@ object Graph {
       .orderBy(col("seed"))
   }
 
-  def closenessSql(brand: String = "Brand#1", nSeeds: Int = 8,
-                   minSupport: Int = 1, maxHops: Int = 3): String = {
+  /** The seed-labeled BFS level CTEs (h0/v0 … h_maxHops/v_maxHops) —
+    * shared by the O11/O12 closeness oracles and O15's diameter
+    * oracle. */
+  private def closenessLevelsSqlCte(brand: String, nSeeds: Int,
+      minSupport: Int, maxHops: Int): String = {
     val base =
       s"""WITH ${pairsSqlCte.format(minSupport)},
          |$edgesSqlCte,
@@ -325,11 +328,15 @@ object Graph {
          |v$i AS MATERIALIZED (SELECT seed, node, hops FROM v${i - 1}
          |        UNION ALL SELECT seed, node, hops FROM h$i)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$steps"
+  }
+
+  def closenessSql(brand: String = "Brand#1", nSeeds: Int = 8,
+                   minSupport: Int = 1, maxHops: Int = 3): String = {
     val harm = (1 to maxHops)
       .map(k => s"CAST(COUNT(CASE WHEN hops = $k THEN 1 END) AS DOUBLE) / $k.0")
       .mkString(" + ")
-    s"""$base,
-       |$steps
+    s"""${closenessLevelsSqlCte(brand, nSeeds, minSupport, maxHops)}
        |SELECT seed, COUNT(*) AS n_reached,
        |  ROUND($harm, 6) AS harmonic
        |FROM v$maxHops WHERE hops > 0 GROUP BY 1 ORDER BY seed""".stripMargin
@@ -435,6 +442,81 @@ object Graph {
     s"""SELECT seed, n_reached, harmonic, TRUE AS sketch_in_band FROM (
        |${closenessSql(brand, nSeeds, minSupport, maxHops)}
        |) ORDER BY seed""".stripMargin
+
+  /** O15 `graph_eff_diameter` — hop-truncated EFFECTIVE-DIAMETER
+    * report (Palmer/ANF, Boldi–Vigna's HyperANF serve): per radius t,
+    * the neighborhood function over the seed slice
+    * N(t) = Σ_seeds |B_t(seed)| (exact, from the O11 memoized BFS),
+    * its fraction of N(maxHops), and the effective diameter — the
+    * SMALLEST t whose cumulative pair mass reaches `qBp`/10000 of the
+    * truncation total (the standard 90th-percentile-distance
+    * definition, hop-truncated like everything on a 100 TB graph).
+    * The threshold compare is pure integer arithmetic
+    * (n_pairs·10000 ≥ qBp·total) so the diameter pick is engine-exact,
+    * never a float boundary. The O12 sketch route rides along:
+    * `sketch_in_band` per radius is TRUE iff EVERY seed's HyperBall
+    * estimate is within ±15%+1 of its exact ball (the F9/F15 band
+    * discipline; the oracle pins TRUE) — the serve demonstrates the
+    * sketch's N(t) would have picked the same diameter.
+    *
+    * Scale: the BFS is the O11 memoized seed-slice table (contract-
+    * bounded); the sketch is O12's memoized all-nodes iteration; the
+    * serve is maxHops rows + two tiny windows — metadata-scale. */
+  def effDiameter(spark: SparkSession, dir: String,
+      brand: String = "Brand#1", nSeeds: Int = 8, minSupport: Int = 1,
+      maxHops: Int = 3, qBp: Int = 9000): DataFrame = {
+    val visited = closenessVisited(spark, dir, brand, nSeeds, minSupport,
+      maxHops)
+    val seedEsts = hyperballSeedEsts(spark, dir, visited, brand, nSeeds,
+      minSupport, maxHops)
+    // ONE aggregate pass per table, radii unpivoted with stack() — a
+    // per-radius agg-union would plan one exchange per t
+    val ballCols = (1 to maxHops).map(t =>
+      count(when(col("hops") <= t, lit(1))).as(s"b$t"))
+    val stackExpr = s"stack($maxHops, " +
+      (1 to maxHops).map(t => s"$t, b$t").mkString(", ") + ")"
+    val perT = visited.agg(ballCols.head, ballCols.tail: _*)
+      .selectExpr(s"$stackExpr AS (t, n_pairs)")
+    val exactBalls = visited.groupBy(col("seed"))
+      .agg(ballCols.head, ballCols.tail: _*)
+      .selectExpr("seed", s"$stackExpr AS (t, exact_ball)")
+    val band = seedEsts.join(exactBalls, Seq("seed", "t"))
+      .groupBy(col("t"))
+      .agg(bool_and(abs(col("est") - col("exact_ball"))
+        <= col("exact_ball").cast("double") * 0.15 + 1.0)
+        .as("sketch_in_band"))
+    val wAll = Window.partitionBy()
+    perT.join(band, Seq("t"))
+      .withColumn("total",
+        max(when(col("t") === maxHops, col("n_pairs"))).over(wAll))
+      .withColumn("frac", round(
+        col("n_pairs").cast("double") / col("total").cast("double"), 6))
+      .withColumn("eff_t", min(when(
+        col("n_pairs") * lit(10000L) >= lit(qBp.toLong) * col("total"),
+        col("t"))).over(wAll))
+      .select(col("t"), col("n_pairs"), col("frac"),
+        (col("t") <=> col("eff_t")).as("is_effective_diameter"),
+        col("sketch_in_band"))
+      .orderBy(col("t"))
+  }
+
+  def effDiameterSql(brand: String = "Brand#1", nSeeds: Int = 8,
+      minSupport: Int = 1, maxHops: Int = 3, qBp: Int = 9000): String = {
+    val counts = (1 to maxHops)
+      .map(t => s"SELECT $t AS t, COUNT(*) AS n_pairs FROM v$t")
+      .mkString("\n  UNION ALL ")
+    s"""${closenessLevelsSqlCte(brand, nSeeds, minSupport, maxHops)},
+       |counts AS (
+       |  $counts
+       |), tot AS (SELECT COUNT(*) AS total FROM v$maxHops)
+       |SELECT t, n_pairs,
+       |  ROUND(CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS frac,
+       |  t IS NOT DISTINCT FROM (
+       |    SELECT MIN(t) FROM counts, tot
+       |    WHERE n_pairs * 10000 >= $qBp * total) AS is_effective_diameter,
+       |  TRUE AS sketch_in_band
+       |FROM counts, tot ORDER BY t""".stripMargin
+  }
 
   // --------------------------------------------------------------- O13
   /** Fixed-point scale of the Brandes dependency accumulation (1e9 —
@@ -1526,6 +1608,9 @@ object Graph {
     "param_graph_betweenness" -> ((s, d) => betweenness(s, d,
       brand = "Brand#2", nSeeds = 5, maxHops = 2, limit = 50)),
     "graph_closeness_hyperball" -> ((s, d) => closenessHyperball(s, d)),
+    "graph_eff_diameter" -> ((s, d) => effDiameter(s, d)),
+    "param_graph_eff_diameter" -> ((s, d) => effDiameter(s, d,
+      brand = "Brand#7", qBp = 7500)),
     "param_closeness_hyperball" -> ((s, d) =>
       closenessHyperball(s, d, brand = "Brand#2", nSeeds = 5, maxHops = 2)),
     "param_graph_closeness" -> ((s, d) => closeness(s, d,
@@ -1569,6 +1654,9 @@ object Graph {
     "param_graph_betweenness" -> betweennessSql(
       brand = "Brand#2", nSeeds = 5, maxHops = 2, limit = 50),
     "graph_closeness_hyperball" -> closenessHyperballSql(),
+    "graph_eff_diameter" -> effDiameterSql(),
+    "param_graph_eff_diameter" -> effDiameterSql(brand = "Brand#7",
+      qBp = 7500),
     "param_closeness_hyperball" -> closenessHyperballSql(
       brand = "Brand#2", nSeeds = 5, maxHops = 2),
     "param_graph_closeness" -> closenessSql(

@@ -888,7 +888,83 @@ object QueryApi {
        |JOIN slice s ON c.is_admin OR c.claim_tenant = s.tenant_id""".stripMargin
   }
 
+  /** The E18 principal directory: E17's plus the PII-clearance group
+    * flag (caller, claim tenant, admin?, pii-cleared?). */
+  val maskPrincipals: Seq[(String, String, Boolean, Boolean)] = Seq(
+    ("root", "t1", true, true), ("alice", "t1", false, true),
+    ("bob", "t2", false, false), ("carol", "t3", false, false),
+    ("dana", "t0", false, true))
+
+  /** E18 `api_field_mask` — field-level PII masking under the same
+    * group-claims model as E17 (the HIPAA limited-dataset serve every
+    * healthcare read path needs, and the de-identification step a
+    * training-data export applies — M1's redaction discipline applied
+    * at the SERVING layer): row scope is E17's predicate
+    * (`isAdmin OR claim = tenant`), and WITHIN visible rows the
+    * caller's `pii` group decides column treatment — cleared callers
+    * read the raw META row; uncleared callers get a deterministic
+    * PSEUDONYM for the name (`masked:` + md5 prefix — stable, so
+    * joins across serves still work, the standard tokenization rule)
+    * and the birth date GENERALIZED to its year (the limited-dataset
+    * rule; truncation not suppression keeps cohort math possible).
+    *
+    * Scale: the META store is patient-cardinality (D5's single
+    * shuffle, memo-free); the principal directory is a bounded
+    * broadcast; the OR row predicate is the documented E17 BNLJ
+    * class. Masking itself is a codegen'd per-row projection — zero
+    * added shuffle. */
+  def fieldMask(spark: SparkSession, dir: String,
+                principals: Seq[(String, String, Boolean, Boolean)]
+                = maskPrincipals): DataFrame = {
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("caller_id",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("claim_tenant",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_admin",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("pii_cleared",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val callers = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        principals.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)),
+        1).toJavaRDD(), pSchema)
+    Persist.patientMeta(spark, dir)
+      .join(broadcast(callers),
+        col("is_admin") || col("claim_tenant") === col("tenant_id"))
+      .select(col("caller_id"), col("is_admin"), col("pii_cleared"),
+        col("tenant_id"), col("patient_id"),
+        when(col("pii_cleared"), col("name"))
+          .otherwise(concat(lit("masked:"),
+            substring(md5(col("name")), 1, 8))).as("name_served"),
+        when(col("pii_cleared"), col("birth_date"))
+          .otherwise(trunc(col("birth_date"), "year")).as("birth_served"),
+        col("version"))
+  }
+
+  def fieldMaskSql(principals: Seq[(String, String, Boolean, Boolean)]
+                   = maskPrincipals): String = {
+    val rows = principals.map { case (c, t, a, p) => s"('$c', '$t', $a, $p)" }
+      .mkString(", ")
+    s"""WITH ${Persist.patientMetaSqlCte},
+       |callers(caller_id, claim_tenant, is_admin, pii_cleared)
+       |  AS (VALUES $rows)
+       |SELECT c.caller_id, c.is_admin, c.pii_cleared,
+       |  m.tenant_id, m.patient_id,
+       |  CASE WHEN c.pii_cleared THEN m.name
+       |       ELSE 'masked:' || substr(md5(m.name), 1, 8) END AS name_served,
+       |  CASE WHEN c.pii_cleared THEN m.birth_date
+       |       ELSE CAST(date_trunc('year', m.birth_date) AS DATE)
+       |       END AS birth_served,
+       |  m.version
+       |FROM meta m
+       |JOIN callers c ON c.is_admin OR c.claim_tenant = m.tenant_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "api_field_mask" -> ((s, d) => fieldMask(s, d)),
+    "param_field_mask" -> ((s, d) => fieldMask(s, d, principals = Seq(
+      ("audit2", "t0", true, false), ("erin", "t2", false, true)))),
     "api_authz_scope" -> ((s, d) => authzScope(s, d)),
     "param_authz_scope" -> ((s, d) => authzScope(s, d, principals = Seq(
       ("auditor", "t2", true), ("eve", "t3", false)))),
@@ -938,6 +1014,9 @@ object QueryApi {
       from = "2024-01-05 00:00:00", to = "2024-01-15 00:00:00")))
 
   val oracles: Map[String, String] = Map(
+    "api_field_mask" -> fieldMaskSql(),
+    "param_field_mask" -> fieldMaskSql(principals = Seq(
+      ("audit2", "t0", true, false), ("erin", "t2", false, true))),
     "api_authz_scope" -> authzScopeSql(),
     "param_authz_scope" -> authzScopeSql(principals = Seq(
       ("auditor", "t2", true), ("eve", "t3", false))),

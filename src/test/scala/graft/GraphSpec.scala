@@ -432,4 +432,29 @@ class GraphSpec extends SparkSpecBase {
     assert(run("param_graph_link_prediction").count() > 0)
     assert(run("param_graph_kcore").count() > 0)
   }
+
+  test("O15 effective diameter equals the threshold law over the exact BFS") {
+    val got = run("graph_eff_diameter").collect().map { r =>
+      (r.getAs[Int]("t"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("frac"), r.getAs[Boolean]("is_effective_diameter"),
+        r.getAs[Boolean]("sketch_in_band"))
+    }.sortBy(_._1).toSeq
+    // replay the neighborhood function from the shared memoized BFS
+    val visited = operators.Graph.closenessVisited(
+      spark, sf, "Brand#1", 8, 1, 3).collect()
+    val nPairs = (1 to 3).map(t => t -> visited.count(_.getInt(2) <= t).toLong)
+    val total = nPairs.last._2
+    assert(got.map(g => (g._1, g._2)) == nPairs)
+    // the integer threshold law picks the minimum qualifying radius
+    val effT = nPairs.collectFirst {
+      case (t, n) if n * 10000L >= 9000L * total => t }
+    assert(got.count(_._4) == (if (effT.isEmpty) 0 else 1))
+    for ((t, _, frac, isEff, _) <- got) {
+      assert(isEff == effT.contains(t))
+      assert(frac == BigDecimal(nPairs(t - 1)._2.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the sketch route would have agreed (the O12 band over every seed)
+    assert(got.forall(_._5), "HyperBall estimate left the ±15%+1 band")
+  }
 }

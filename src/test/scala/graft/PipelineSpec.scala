@@ -2023,4 +2023,40 @@ class PipelineSpec extends SparkSpecBase {
     assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a })
     assert(curve.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("L29 SPRT monitor equals the Wald recurrence replayed on the driver") {
+    val got = run("events_ab_sprt").collect().map { r =>
+      (r.getAs[String]("day"), r.getAs[Long]("n_obs"),
+        r.getAs[Long]("n_conv"), r.getAs[Double]("day_llr"),
+        r.getAs[Double]("cum_llr"), r.getAs[String]("decision"),
+        r.getAs[Boolean]("is_first_decision"))
+    }.sortBy(_._1).toSeq
+    // replay: the same constants, the same 6dp-round-then-sum order
+    val (p0, p1, alpha, beta) = (0.10, 0.14, 0.05, 0.2)
+    val l1 = math.log(p1 / p0); val l0 = math.log((1 - p1) / (1 - p0))
+    val bndA = math.log((1 - beta) / alpha)
+    val bndB = math.log(beta / (1 - alpha))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cum = 0.0
+    val want = got.map { case (day, n, x, _, _, _, _) =>
+      val dayLlr = r6(x * l1 + (n - x) * l0)
+      cum += dayLlr
+      val cumR = r6(cum)
+      val dec = if (cumR >= bndA) "reject_h0"
+                else if (cumR <= bndB) "accept_h0" else "continue"
+      (day, n, x, dayLlr, cumR, dec)
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) == want)
+    // exactly one first-decision day iff any decision fired, and it is
+    // the MINIMUM decided day (a sequential stop, not a cherry-pick)
+    val decided = want.filter(_._6 != "continue").map(_._1)
+    val firsts = got.filter(_._7).map(_._1)
+    if (decided.isEmpty) assert(firsts.isEmpty)
+    else assert(firsts == Seq(decided.min))
+    // the defaults genuinely exercise the walk: the monitor must not
+    // decide on day one (that would mean the hypotheses are degenerate
+    // against this data)
+    assert(got.head._6 == "continue")
+  }
 }

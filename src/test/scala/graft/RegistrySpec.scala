@@ -132,7 +132,8 @@ class RegistrySpec extends SparkSpecBase {
     "sim_codebook_drift", "param_codebook_drift", // 1-row slice-totals attach onto the <=256-cell rollup
     "sim_staleness_recall", "param_staleness_recall", // H1's broadcast-query truth pass + H23's codebook crossJoins
     "graph_triangles_sampled", "param_graph_triangles_sampled", // four 1-row count/total attaches onto the single report row
-    "api_authz_scope", "param_authz_scope") // bounded principal directory (broadcast) x 4-row tenant rollup — the OR predicate is non-equi by nature, over metadata-scale sides only
+    "api_authz_scope", "param_authz_scope", // bounded principal directory (broadcast) x 4-row tenant rollup — the OR predicate is non-equi by nature, over metadata-scale sides only
+    "api_field_mask", "param_field_mask") // same E17 OR predicate: bounded principal directory (broadcast) against the patient-cardinality META store
 
   test("no query plans a cartesian product; BNLJ only where documented") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -165,6 +166,8 @@ class RegistrySpec extends SparkSpecBase {
     * persist_upsert_bucketed at ZERO (the bucketed layout satisfies
     * every downstream distribution requirement). */
   private val shuffleBudget: Map[String, Int] = Map(
+    "graph_eff_diameter" -> 5, // stacked N(t) agg + per-seed balls agg + band rollup + two single-partition windows — all over the memoized BFS leaf / maxHops-row frames
+    "param_graph_eff_diameter" -> 5,
     "corpus_mix_doremi" -> 15, // two LM scoring chains (I6+I12 shapes) + 8 MW window rounds, each a k-row (bounded source dim) exchange
     "param_mix_doremi" -> 15,
     "pipeline_corpus_release_diff" -> 7, // two G1 hash rollups + keeper attaches + full-outer class zip + source rollup

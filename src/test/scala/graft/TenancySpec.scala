@@ -115,6 +115,33 @@ class TenancySpec extends SparkSpecBase {
     assert(adminN == Tables.events(spark, sf).count())
   }
 
+  test("E18 field mask: pii clearance gates columns, E17 scope gates rows") {
+    val out = QueryApi.fieldMask(spark, sf).collect()
+    for (r <- out) {
+      val (caller, admin, pii) =
+        (r.getString(0), r.getBoolean(1), r.getBoolean(2))
+      val (tenant, patient) = (r.getString(3), r.getLong(4))
+      val (name, birth) = (r.getString(5), r.getDate(6))
+      // row scope is E17's law
+      val claim = QueryApi.maskPrincipals.find(_._1 == caller).get._2
+      assert(admin || claim == tenant, s"$caller leaked a $tenant row")
+      if (pii) {
+        assert(name == s"patient-$patient", s"$caller: raw name expected")
+      } else {
+        assert(name.startsWith("masked:") && !name.contains("patient"),
+          s"$caller: PII served without clearance")
+        // generalized to year: month/day suppressed
+        assert(birth.toString.endsWith("-01-01"),
+          s"$caller: birth date not generalized ($birth)")
+      }
+    }
+    // the pseudonym is STABLE (tokenization, not suppression): the same
+    // patient masks to the same token for every uncleared caller
+    val toks = out.filter(r => !r.getBoolean(2))
+      .groupBy(_.getLong(4)).values
+    assert(toks.forall(rs => rs.map(_.getString(5)).toSet.size == 1))
+  }
+
   test("getPatient serves the META row of the D5 profile upsert") {
     val row = QueryApi.getPatient(spark, sf, tenant = "t1", patient = 13L)
       .collect()
