@@ -23,17 +23,39 @@ N=${1:?usage: scripts/roundclose.sh <round-number>}
 RN=$(printf 'r%02d' "$N")
 
 if [ -f BENCH_FULL.json ] && [ ! -f "BENCH_${RN}_full.json" ]; then
-  cp BENCH_FULL.json "BENCH_${RN}_full.json"
-  # sanity: the copy must parse — a truncated source is an error here,
-  # not something to silently adopt
-  python3 - "BENCH_${RN}_full.json" <<'EOF'
-import json, sys
+  # sanity BEFORE the copy: the source must parse, AND its canary
+  # series must be flat. r13 closed on an artifact whose canary spiked
+  # 6.5x (ambient co-tenant load) — 15 rows read >2x baseline purely
+  # from load, and the snapshot adopted it silently (r13 verdict ask
+  # #2). A spiky-canary run is INVALID for adoption, full stop: re-run
+  # in a quiet window (or isobench the flagged rows) instead.
+  # Override only with ROUNDCLOSE_FORCE=1, which tags nothing — don't.
+  python3 - BENCH_FULL.json <<'EOF'
+import json, os, sys
 with open(sys.argv[1]) as f:
     d = json.load(f)
 assert "queries" in d and len(d["queries"]) > 0, "no per-query data"
-print(f"adopted {sys.argv[1]}: {len(d['queries'])} queries, "
+def spike(series, name, limit=2.0):
+    vals = sorted(v for v in series if v > 0)
+    if len(vals) < 3:
+        return None
+    med = vals[len(vals) // 2]
+    mx = vals[-1]
+    if med > 0 and mx / med > limit:
+        return f"{name} max/median {mx / med:.1f} (max {mx:.3f}s, median {med:.3f}s)"
+    return None
+bad = [m for m in (spike(d.get("canary", []), "canary"),
+                   spike(d.get("canary_cpu", []), "canary_cpu"))
+       if m]
+if bad and os.environ.get("ROUNDCLOSE_FORCE") != "1":
+    sys.exit("REFUSING adoption — loaded bench run: " + "; ".join(bad) +
+             ". Re-run the bench in a quiet window (the canary series "
+             "must be flat, max/median <= 2).")
+print(f"bench clean: {len(d['queries'])} queries, "
       f"total {d.get('value', '?')} {d.get('unit', '')}")
 EOF
+  cp BENCH_FULL.json "BENCH_${RN}_full.json"
+  echo "adopted BENCH_${RN}_full.json"
 fi
 
 # one guarded add per artifact: `git add` with multiple pathspecs

@@ -62,16 +62,50 @@ object Bench {
     def canaryFn(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.mode("overwrite").format("noop").save()
+    // CPU-bound companion canary (r13 verdict ask #2): the read canary
+    // under-detects co-tenant CPU bursts — a compute-saturating
+    // 32-core query degrades far more than a small scan does. A fixed
+    // spin/hash loop on all cores is the probe whose degradation
+    // actually tracks compute-bound queries; its series ships in the
+    // artifact (`canary_cpu`) so roundclose can refuse a loaded run.
+    def canaryCpuFn(): Double = {
+      import scala.collection.parallel.CollectionConverters._
+      // ~60-80 ms of pure spin per read: long enough that scheduler
+      // jitter / GC pauses can't fake a multiple of the median (a 7 ms
+      // probe read 4x spreads from noise alone), short enough to cost
+      // <2 s over a full-registry run
+      (0 until cpus.toInt).par.map { w =>
+        var h = 1125899906842597L + w
+        var i = 0
+        while (i < 30000000) { h = h * 31 + i; i += 1 }
+        h.toDouble
+      }.sum
+    }
+    // JIT-warm the spin loop before anything is recorded: its first
+    // execution pays ~100 ms of C2 compilation that would read as a
+    // 14x head spike and trip roundclose's flat-series guard
+    { val s = canaryCpuFn(); if (s == 42.0) println(s) }
     val canary = scala.collection.mutable.ListBuffer.empty[Double]
+    val canaryCpu = scala.collection.mutable.ListBuffer.empty[Double]
     val canaryPos = scala.collection.mutable.ListBuffer.empty[String]
     def takeCanary(rep: Int, qIdx: Int): Unit = {
       val c0 = System.nanoTime()
+      var ok = true
       try canaryFn()
       catch { case e: Throwable =>
         System.err.println(s"[bench] canary: $e")
         if (!failed.contains("canary")) failed += "canary"
+        ok = false
       }
-      canary += (System.nanoTime() - c0) / 1e9
+      // a FAILED read records the -1.0 sentinel, never its (possibly
+      // tiny) time-to-fail: one fast-failing read would otherwise
+      // inflate every sample in its segment by cMed/c (r13 advisor) —
+      // sentinel segments normalize with factor 1, as documented
+      canary += (if (ok) (System.nanoTime() - c0) / 1e9 else -1.0)
+      val u0 = System.nanoTime()
+      try { val s = canaryCpuFn(); if (s == 42.0) println(s) }
+      catch { case _: Throwable => () }
+      canaryCpu += (System.nanoTime() - u0) / 1e9
       canaryPos += s"$rep:$qIdx"
     }
     // per-sample canary segment, parallel to `samples`
@@ -98,11 +132,12 @@ object Bench {
     }
     // load-normalized medians: each sample scaled by
     // runMedianCanary / itsSegmentCanary, so a burst that inflated one
-    // segment deflates exactly the samples taken under it. A zero/
-    // failed canary read contributes factor 1 (no correction).
+    // segment deflates exactly the samples taken under it. A failed
+    // canary read is the -1.0 sentinel: its segment contributes
+    // factor 1 (no correction) and it is EXCLUDED from the run median.
+    val cValid = canary.toVector.filter(_ > 0)
     val cMed =
-      if (canary.nonEmpty) canary.toVector.sorted.apply(canary.length / 2)
-      else 1.0
+      if (cValid.nonEmpty) cValid.sorted.apply(cValid.length / 2) else 1.0
     val normMed = samples.map { case (name, ts) =>
       val ns = ts.zip(segs(name)).map { case (t, s) =>
         val c = if (s >= 0 && s < canary.length) canary(s) else 0.0
@@ -118,11 +153,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cn = canary.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val cu = canaryCpu.map(t => f"$t%.3f").mkString("[", ",", "]")
     val cp = canaryPos.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalNorm = if (normMed.nonEmpty) normMed.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"queries_norm":$qsNorm,"value_norm":$totalNorm,"canary":$cn,"canary_pos":$cp,"canary_every":$CanaryEvery,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median_of_$Reps","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"queries_norm":$qsNorm,"value_norm":$totalNorm,"canary":$cn,"canary_cpu":$cu,"canary_pos":$cp,"canary_every":$CanaryEvery,"failed":$fl,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's BENCH artifact preserves only a bounded stdout
     // TAIL — r07 lost 201 of 252 per-query medians to truncation,
@@ -141,7 +177,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"summary":"medians","total_median_sec":$total,"total_norm_sec":$totalNorm,"n_queries":${results.size},"slowest":$slowest,"canary":$cn,"canary_every":$CanaryEvery,"failed":$fl,"bench_out":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"summary":"medians","total_median_sec":$total,"total_norm_sec":$totalNorm,"n_queries":${results.size},"slowest":$slowest,"canary":$cn,"canary_cpu":$cu,"canary_every":$CanaryEvery,"failed":$fl,"bench_out":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,8 +52,14 @@ object Ckpt {
     if (dir.isEmpty) df.localCheckpoint()
     else {
       val id = Integer.valueOf(System.identityHashCode(spark))
-      if (!dir.equals(applied.put(id, dir)))
-        spark.sparkContext.setCheckpointDir(dir)
+      // set-then-record, atomically per session: recording BEFORE the
+      // set would make a failed setCheckpointDir (bad/unwritable path)
+      // or a first-use race surface later as the opaque "checkpoint
+      // directory has not been set" instead of the root cause
+      applied.compute(id, (_, prev) => {
+        if (!dir.equals(prev)) spark.sparkContext.setCheckpointDir(dir)
+        dir
+      })
       df.checkpoint()
     }
   }

@@ -463,17 +463,19 @@ object Bucketing {
   }
 
   private val statsStoreReg =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   /** The persisted stats store, memoized per (dir, granularity). */
   private[graft] def statsStore(spark: SparkSession, dir: String,
       partFmt: String = "yyyy-MM"): DataFrame = {
-    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
-    // checkpoint mode is part of the identity (see Graph.memoCheckpoint)
+    // checkpoint mode lives in the VALUE token (Graph.memoCheckpoint
+    // discipline, r13 advisor): a mid-session graft.checkpoint.dir
+    // flip replaces the entry and releases the superseded blocks
+    val token =
+      s"${Tables.mtime(spark, s"$dir/lineitem.parquet")}:${graft.Ckpt.mode(spark)}"
     statsStoreReg.compute(
-      s"${System.identityHashCode(spark)}:$dir:stats:$partFmt:" +
-        graft.Ckpt.mode(spark), (_, prev) =>
-        if (prev != null && prev._1 == mtime) prev
+      s"${System.identityHashCode(spark)}:$dir:stats:$partFmt", (_, prev) =>
+        if (prev != null && prev._1 == token) prev
         else {
           if (prev != null) graft.operators.Graph.releaseCheckpoint(prev._2)
           val (union, wide) =
@@ -482,7 +484,7 @@ object Bucketing {
           // the outer checkpoint materialized the union: the inner wide
           // blocks would otherwise stay pinned for the session
           graft.operators.Graph.releaseCheckpoint(wide)
-          (mtime, outer)
+          (token, outer)
         })._2
   }
 

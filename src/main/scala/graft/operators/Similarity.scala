@@ -800,19 +800,22 @@ object Similarity {
   private val RefreshSplitPct = 80
 
   private val refreshReg = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, (Long, DataFrame, DataFrame))]()
+    String, (String, (Long, DataFrame, DataFrame))]()
 
   /** Frozen day-1 artifacts: (splitId, centroids, base inverted
     * lists), memoized per (dir, splitPct) with the house lifecycle. */
   private[graft] def refreshBaseParts(spark: SparkSession, dir: String,
       splitPct: Int): (Long, DataFrame, DataFrame) = {
-    val mtime = Tables.mtime(spark, s"$dir/embeddings.parquet")
-    // checkpoint mode is part of the identity (see Graph.memoCheckpoint)
+    // checkpoint mode lives in the VALUE token (Graph.memoCheckpoint
+    // discipline, r13 advisor): a mid-session graft.checkpoint.dir
+    // flip replaces the entry and RELEASES the superseded blocks,
+    // instead of keying a second entry while the old one stays pinned
+    val token =
+      s"${Tables.mtime(spark, s"$dir/embeddings.parquet")}:${graft.Ckpt.mode(spark)}"
     refreshReg.compute(
-      s"${System.identityHashCode(spark)}:$dir:refresh:$splitPct:" +
-        graft.Ckpt.mode(spark),
+      s"${System.identityHashCode(spark)}:$dir:refresh:$splitPct",
       (_, prev) =>
-        if (prev != null && prev._1 == mtime) prev
+        if (prev != null && prev._1 == token) prev
         else {
           if (prev != null) {
             Graph.releaseCheckpoint(prev._2._2)
@@ -839,7 +842,7 @@ object Similarity {
             .cutLineage() // the frozen codebook
           val baseIdx = assignTo(base, cents)
             .cutLineage() // the persisted day-1 inverted file
-          (mtime, (splitId, cents, baseIdx))
+          (token, (splitId, cents, baseIdx))
         })._2
   }
 
