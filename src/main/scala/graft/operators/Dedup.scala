@@ -289,25 +289,43 @@ object Dedup {
        |FROM truth LEFT JOIN cand USING (doc_a, doc_b)
        |GROUP BY 1""".stripMargin
 
-  /** G4 `dedup_minhash_lsh` — MinHash signatures (8 hash functions as
-    * md5-string minima — portable across engines) banded 8x1; LSH
-    * candidates = doc pairs sharing any band bucket. This is the
-    * 100 TB near-dup path: shuffle keyed by (band, bucket), never
-    * all-pairs. Band id is part of the join key so bucket joins
-    * distribute across the cluster. */
-  /** The 8 MinHash signature minima per doc — shared by G4 (banding)
-    * and G17 (signature-agreement estimation). */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  /** G4 `dedup_minhash_lsh` — MinHash signatures (nHashes hash
+    * functions as md5-string minima — portable across engines) banded
+    * (nHashes/bandRows)×bandRows; LSH candidates = doc pairs sharing
+    * any band bucket. This is the 100 TB near-dup path: shuffle keyed
+    * by (band, bucket-hash), never all-pairs. Band id is part of the
+    * join key so bucket joins distribute across the cluster.
+    *
+    * (b, r) is PARAMETERIZED (the r13 verdict's ask #5): the default
+    * 8×1 maximizes recall (candidate P = 1-(1-J)^8 — any one of 8
+    * minima matching makes a candidate), which at 100 TB corpus
+    * cardinality makes r=1's false-positive candidate mass the dedup
+    * path's main scale risk. `param_minhash_lsh` runs the 4×2 layout
+    * (P = 1-(1-J²)^4): a band only fires when BOTH its minima agree,
+    * collapsing the low-J candidate mass at a measured high-J recall
+    * cost (DedupTextSpec pins candidate volume and recall for both
+    * layouts on the same corpus). */
+  /** The nHashes MinHash signature minima per doc — shared by G4
+    * (banding) and G17 (signature-agreement estimation). */
+  private def minhashSigs(spark: SparkSession, dir: String,
+                          nHashes: Int = 8): DataFrame = {
     val sh = shingles(spark, dir, 3)
-    val sigCols = (0 until 8).map(i =>
+    val sigCols = (0 until nHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigs(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String,
+                 nHashes: Int = 8, bandRows: Int = 1): DataFrame = {
+    require(nHashes % bandRows == 0, s"bandRows $bandRows !| nHashes $nHashes")
+    val nBands = nHashes / bandRows
+    val sig = minhashSigs(spark, dir, nHashes)
+    // band bucket-hash = the band's r minima joined on '|' — md5 hex
+    // strings never contain '|', so the concat is collision-free
     val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 8).map(i => struct(lit(i).as("band"), col(s"h$i").as("bh"))): _*)).as("b"))
+      (0 until nBands).map(i => struct(lit(i).as("band"),
+        concat_ws("|", (0 until bandRows).map(j =>
+          col(s"h${i * bandRows + j}")): _*).as("bh"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -317,22 +335,29 @@ object Dedup {
     cand
   }
 
-  def minhashLshSql: String = {
-    val mins = (0 until 8).map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(",\n    ")
-    val bandRows = (0 until 8).map(i => s"SELECT doc_id, $i AS band, h$i AS bh FROM sig")
-      .mkString("\n  UNION ALL ")
+  def minhashLshSqlAt(nHashes: Int = 8, bandRows: Int = 1): String = {
+    val nBands = nHashes / bandRows
+    val mins = (0 until nHashes).map(i => s"MIN(md5('$i:' || shingle)) AS h$i")
+      .mkString(",\n    ")
+    val bandSel = (0 until nBands).map { i =>
+      val bh = (0 until bandRows).map(j => s"h${i * bandRows + j}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $i AS band, $bh AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""WITH ${shinglesSql(3)},
        |sig AS (
        |  SELECT doc_id,
        |    $mins
        |  FROM sh GROUP BY 1
        |), bands AS (
-       |  $bandRows
+       |  $bandSel
        |)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin
   }
+
+  def minhashLshSql: String = minhashLshSqlAt()
 
   /** G17 `dedup_minhash_estimate` — MinHash-ESTIMATED Jaccard over
     * the G4 candidate pairs: est = (matching signature minima) / 8,
@@ -533,20 +558,26 @@ object Dedup {
     * the graph diameter (tiny for near-dup clusters). localCheckpoint
     * truncates lineage so plans don't grow with iterations. */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val strategyKey = spark.conf
       .getOption("graft.dedup.clusters.driverMaxEdges").getOrElse("default")
-    // cache key includes the source mtime (via Hadoop FS, so object
-    // stores work too) so a rewrite of the data under `dir` within
-    // one session doesn't serve stale clusters
+    // the source mtime (via Hadoop FS, so object stores work too), the
+    // strategy conf, and the checkpoint mode all live in the VALUE
+    // token (the Graph.memoCheckpoint discipline, r13 advisor): a
+    // mid-session flip of any of them REPLACES the entry and releases
+    // the superseded checkpointed blocks, instead of growing the map
+    // while the old mode's blocks stay pinned for the session
     val mtime = graft.Tables.mtime(spark, s"$dir/documents.parquet")
-    // checkpoint mode is part of the identity (see Graph.memoCheckpoint)
-    val ckptMode = graft.Ckpt.mode(spark)
-    clusterCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir:$mtime:$strategyKey:$ckptMode",
-      _ => {
+    val token = s"$mtime:$strategyKey:${graft.Ckpt.mode(spark)}"
+    clusterCache.compute(
+      s"${System.identityHashCode(spark)}:$dir:clusters",
+      (_, prev) =>
+      if (prev != null && prev._1 == token) prev
+      else {
+      if (prev != null) Graph.releaseCheckpoint(prev._2)
+      (token, {
       // checkpoint the pairs BEFORE symmetrizing: a union of the raw
       // pipeline with its own swap would run the shingle pair join
       // twice in the checkpoint materialization
@@ -604,7 +635,8 @@ object Dedup {
         minLabelPropagate(edges)
           .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       }
-    })
+      })
+    })._2
   }
 
   /** The distributed connected-components seam (shared by G6 and
@@ -1665,7 +1697,9 @@ object Dedup {
     "param_apss_prefix" -> ((s: SparkSession, d: String) =>
       apssPrefix(s, d, t = 0.8)),
     "dedup_lsh_recall" -> (lshRecall _),
-    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "param_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      minhashLsh(s, d, nHashes = 8, bandRows = 2)),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_hamming" -> ((s: SparkSession, d: String) => simhashHammingPairs(s, d)),
     "param_simhash_hamming" -> ((s: SparkSession, d: String) =>
@@ -1701,5 +1735,6 @@ object Dedup {
     "dedup_apss_prefix" -> apssPrefixSql(),
     "param_apss_prefix" -> apssPrefixSql(t = 0.8),
     "dedup_lsh_recall" -> lshRecallSql,
-    "dedup_minhash_lsh" -> minhashLshSql)
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "param_minhash_lsh" -> minhashLshSqlAt(nHashes = 8, bandRows = 2))
 }

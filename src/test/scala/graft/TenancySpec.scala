@@ -142,6 +142,57 @@ class TenancySpec extends SparkSpecBase {
     assert(toks.forall(rs => rs.map(_.getString(5)).toSet.size == 1))
   }
 
+  test("A4 presign route: claim-parse classes, tenant defaulting, misroute law") {
+    val out = operators.Ingest.presignRoute(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val i = out.columns.zipWithIndex.toMap
+    for (r <- rows) {
+      val fmt = r.getString(i("groups_fmt"))
+      val (nGroups, admin) = (r.getInt(i("n_groups")), r.getBoolean(i("is_admin")))
+      val (claimT, bodyT) = (Option(r.getString(i("claim_tenant"))),
+        Option(r.getString(i("body_tenant"))))
+      val tenant = Option(r.getString(i("tenant_id")))
+      val decision = r.getString(i("decision"))
+      // 1. claims parse is TOTAL over the three arrival shapes, and
+      //    the parsed size matches each shape's group list
+      assert(Set("array", "csv", "absent")(fmt))
+      if (fmt == "absent") assert(nGroups == 0 && !admin)
+      else assert(nGroups == (if (admin) 2 else 1),
+        s"$fmt parse lost groups: n=$nGroups admin=$admin")
+      // 2. tenant defaulting: body ?? claims; both absent -> 400
+      assert(tenant == bodyT.orElse(claimT))
+      if (tenant.isEmpty) assert(decision == "reject_400")
+      // 3. authz is the JS !== law: non-admin + claim != requested -> 403
+      if (tenant.nonEmpty)
+        assert((decision == "granted") == (admin || claimT == tenant),
+          s"decision $decision admin=$admin claim=$claimT tenant=$tenant")
+      // 4. granted keys are ALWAYS .json; misroute flags disagreement
+      if (decision == "granted") {
+        assert(r.getString(i("upload_key_suffix")) == "json")
+        assert(r.getString(i("routed_ct")) == "application/json")
+        assert(r.getBoolean(i("misroute")) ==
+          (r.getString(i("requested_ct")) != "application/json"))
+      } else assert(r.get(i("upload_key_suffix")) == null &&
+        r.get(i("routed_ct")) == null && !r.getBoolean(i("misroute")))
+    }
+    // every class actually occurs in the corpus (the synth laws cover
+    // all branches): 3 parse shapes x both admin values, 400s, 403s,
+    // and real misrouted grants (an HL7/CSV presign landing as .json)
+    def n(p: org.apache.spark.sql.Row => Boolean) = rows.count(p)
+    assert(Seq("array", "csv", "absent")
+      .forall(f => n(_.getString(i("groups_fmt")) == f) > 0))
+    assert(n(_.getBoolean(i("is_admin"))) > 0)
+    assert(n(_.getString(i("decision")) == "reject_400") > 0)
+    assert(n(_.getString(i("decision")) == "reject_403") > 0)
+    assert(n(_.getBoolean(i("misroute"))) > 0)
+    // zero-shuffle pin: pure casewise scan-project
+    assert(!flattenPlan(executedPlan(out)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "presign route must not shuffle")
+    out.unpersist()
+  }
+
   test("getPatient serves the META row of the D5 profile upsert") {
     val row = QueryApi.getPatient(spark, sf, tenant = "t1", patient = 13L)
       .collect()
