@@ -1101,15 +1101,14 @@ object Corpus {
   def contrastiveTriplets(spark: SparkSession, dir: String,
                           t: Double = 0.5,
                           bucketChars: Int = 16): DataFrame = {
-    // the near-dup pair set feeds FOUR consumers (both union
-    // directions, the best-positive window, the negative exclusion
-    // anti-join) — without an eager cut the prefix-filter join runs
-    // once per consumer (measured 3.16 s → the apss median class);
-    // the pair set is the bounded near-dup index a real pipeline
-    // would persist anyway
+    // the near-dup pair set feeds four plan consumers here (both
+    // union directions, the best-positive window, the negative
+    // exclusion anti-join) — apssPrefix serves a memoized CHECKPOINTED
+    // pair table (r14: one build per (dir, t) across the whole
+    // registry), so all four read the same materialized leaf and the
+    // prefix-filter join never re-runs per consumer or per rep
     val pos = Dedup.apssPrefix(spark, dir, t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .cutLineage()
     val posd = pos
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
         col("jaccard"))
