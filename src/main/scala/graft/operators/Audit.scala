@@ -1668,7 +1668,7 @@ object Audit {
     * convergence contract (final keep-latest state ≡ the batch
     * operator on the same data) is oracle-checkable by the driver's
     * DuckDB gate. Bounded by the bench SFs (10⁵ rows at sf0.1). */
-  private def replayStream[T](spark: SparkSession, dir: String,
+  private[operators] def replayStream[T](spark: SparkSession, dir: String,
       start: (org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event],
               String) => org.apache.spark.sql.streaming.StreamingQuery)
       (drain: DataFrame => DataFrame): DataFrame = {

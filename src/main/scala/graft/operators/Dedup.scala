@@ -343,6 +343,30 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String,
                  nHashes: Int = 8, bandRows: Int = 1): DataFrame = {
+    // Same lifecycle as the APSS pair table (r14): the signature agg +
+    // band self-join re-ran for every consumer (G4's serve, G20's
+    // candidate side, every bench rep) and is the dedup family's
+    // remaining heavy build at 10x data (9.6 s isolated at sf1, all in
+    // this join). The candidate pair set is near-dup-density bounded —
+    // memoized checkpointed per (dir, b, r), mtime + mode in the value
+    // token, superseded blocks released.
+    val token =
+      s"${graft.Tables.mtime(spark, s"$dir/documents.parquet")}:${graft.Ckpt.mode(spark)}"
+    minhashCandReg.compute(
+      s"${System.identityHashCode(spark)}:$dir:mh:$nHashes:$bandRows",
+      (_, prev) =>
+        if (prev != null && prev._1 == token) prev
+        else {
+          if (prev != null) Graph.releaseCheckpoint(prev._2)
+          (token, minhashLshBuild(spark, dir, nHashes, bandRows).cutLineage())
+        })._2
+  }
+
+  private val minhashCandReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  private def minhashLshBuild(spark: SparkSession, dir: String,
+                              nHashes: Int, bandRows: Int): DataFrame = {
     require(nHashes % bandRows == 0, s"bandRows $bandRows !| nHashes $nHashes")
     val nBands = nHashes / bandRows
     val sig = minhashSigs(spark, dir, nHashes)

@@ -1945,7 +1945,68 @@ object EventStream {
        |FROM terms
        |ORDER BY lifetime_days""".stripMargin
 
+  // ===== L11t/L18t: the funnel + Markov streaming twins, promoted to
+  // oracle-keyed rows (r14, same template as F21t/F24t: replay drive,
+  // keep-latest fold, batch oracle SQL verbatim) =====
+
+  /** L11t `stream_funnel` — [[graft.streaming.StreamOps.funnelState]]
+    * run to completion as a batch-callable query: per-user greedy
+    * anchor chains replayed through the MemoryStream drive; the
+    * emitted stages_completed is MONOTONE per user, so the final
+    * keep-latest row is max(stages_completed), and the serve re-rolls
+    * the batch funnel's per-tenant report (user present ⇒ counted in
+    * n_users; stage i completed ⇒ counted in n_s<i>). Oracle = the
+    * batch `events_funnel` SQL verbatim. */
+  def funnelStreamBatch(spark: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("view", "click", "purchase")
+    Audit.replayStream(spark, dir, (ds, name) =>
+      graft.streaming.StreamOps.funnelState(ds, spark, stages)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()) { t =>
+      val fin = t.groupBy(col("user_id"))
+        .agg(max(col("stages_completed")).as("sc"))
+      val stageCounts = stages.zipWithIndex.map { case (st, i) =>
+        countDistinct(when(col("sc") > i, col("user_id")))
+          .as(s"n_s${i}_$st")
+      }
+      val aggs = countDistinct(col("user_id")).as("n_users") +: stageCounts
+      fin.groupBy(concat(lit("t"), pmod(col("user_id"), lit(4)))
+          .as("tenant_id"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** L18t `stream_markov` — [[graft.streaming.StreamOps.markovState]]
+    * run to completion as a batch-callable query: per-user O(1) state
+    * bumps "cur nxt" counters forward; counters are monotone per
+    * user, so the final per-(user, pair) value is max(n), and the
+    * serve re-rolls the batch matrix (pair counts summed across
+    * users, marginal attach, one IEEE division). Oracle = the batch
+    * `events_markov` SQL verbatim. */
+  def markovStreamBatch(spark: SparkSession, dir: String): DataFrame =
+    Audit.replayStream(spark, dir, (ds, name) =>
+      graft.streaming.StreamOps.markovState(ds, spark)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()) { t =>
+      val per = t.select(col("user_id"),
+          explode(col("transitions")).as(Seq("k", "n")))
+        .groupBy(col("user_id"), col("k")).agg(max(col("n")).as("n"))
+      val trans = per
+        .select(split(col("k"), " ").getItem(0).as("cur"),
+          split(col("k"), " ").getItem(1).as("nxt"), col("n"))
+        .groupBy(col("cur"), col("nxt")).agg(sum(col("n")).as("c_pair"))
+      val marg = trans.groupBy(col("cur").as("m_cur"))
+        .agg(sum(col("c_pair")).as("c_cur"))
+      trans.join(marg, col("cur") === col("m_cur"))
+        .select(col("cur"), col("nxt"), col("c_pair"),
+          (col("c_pair").cast("double") / col("c_cur").cast("double"))
+            .as("p_next"))
+        .orderBy(col("cur"), col("nxt"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> (funnelStreamBatch _),
+    "stream_markov" -> (markovStreamBatch _),
     "events_seasonal_decompose" -> ((s: SparkSession, d: String) =>
       seasonalDecompose(s, d)),
     "events_seasonal_anomaly" -> ((s: SparkSession, d: String) =>
@@ -2050,6 +2111,8 @@ object EventStream {
     "param_seasonal_forecast" -> seasonalForecastSql(
       cutoff = "2024-01-15", eventType = "view"),
     "events_funnel" -> funnelSql(),
+    "stream_funnel" -> funnelSql(),
+    "stream_markov" -> markovTransitionsSql,
     "events_session_paths" -> sessionPathsSql(),
     "param_session_paths" -> sessionPathsSql(pathLen = 3, limit = 10),
     "param_events_funnel" -> funnelSql(horizonMin = Some(1440)),

@@ -223,10 +223,30 @@ object Graph {
   }
 
   /** Both directions of the canonical edge list. */
+  /** The symmetric edge table, REPARTITIONED BY src and cached, one
+    * live entry per (dir, minSupport) (r14). Every iterative operator
+    * (the O3/O11/O13 truncated BFS family, O1's rank loop, O10's
+    * label propagation, O9's peeling, O12's HyperBall) joins this
+    * table on `src` once per hop/round against a small evolving
+    * frontier/state table — and those state tables are checkpointed
+    * LogicalRDDs whose size statistics are UNKNOWN, so AQE can never
+    * choose to broadcast them and each round's join re-shuffled the
+    * full edge table (measured at the 100x replica: 3 hops × 2 joins
+    * × ~200M-row edge shuffles ≈ 50+ GB of spill to serve a 16M-row
+    * visited table — a disk-full, not a slowdown). With the edge side
+    * carrying a fixed HashPartitioning(src) from the cache, every
+    * per-round join satisfies its required distribution for free and
+    * only the frontier side moves — the GraphX economics (edges
+    * partitioned once, messages shuffle). */
   private def directedEdges(spark: SparkSession, dir: String,
                             minSupport: Int): DataFrame = {
-    val e = canonicalEdges(spark, dir, minSupport)
-    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mtime = Tables.mtime(spark, s"$dir/lineitem.parquet")
+    registeredCache(
+      s"${System.identityHashCode(spark)}:$dir:dedges:$minSupport", mtime) {
+      val e = canonicalEdges(spark, dir, minSupport)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+    }
   }
 
   private val edgesSqlCte: String =

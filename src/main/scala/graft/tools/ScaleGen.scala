@@ -93,9 +93,31 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long")))
     replicate("embeddings", "vec_id")((df, k) =>
       (if (k == 0) df
-       else df.withColumn("embedding", expr(
-         s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-           s"slice(embedding, 1, $k))")))
+       else df.withColumn("embedding", shiftEmbedding(k)))
         .withColumn("vec_id", shift("vec_id", k)))
+  }
+
+  /** Replica-k embedding decorrelation: circular shift by k mod dim;
+    * once k wraps past the dimension (k ≥ dim — first hit at R=100,
+    * where the old fixed-k slice had negative length and k=dim would
+    * have emitted a VERBATIM copy, collapsing ANN cells into
+    * duplicate points), additionally negate a deterministic
+    * hash-picked half of the components per wrap count q = k div dim.
+    * Both pieces preserve the norm and the component-magnitude
+    * distribution exactly (±1 scaling and permutation), and the sign
+    * pattern differs per q, so every replica stays uncorrelated with
+    * every other. k < dim replicas are bit-identical to the old
+    * transform (sf1.0 layouts regenerate unchanged). */
+  private[graft] def shiftEmbedding(k: Int): org.apache.spark.sql.Column = {
+    val sz = "size(embedding)"
+    val m = s"pmod($k, $sz)"
+    expr(
+      s"""transform(
+         |  concat(slice(embedding, $m + 1, $sz - $m),
+         |         slice(embedding, 1, $m)),
+         |  (x, i) -> CASE
+         |    WHEN $k < $sz THEN x
+         |    WHEN pmod(hash(cast(($k div $sz) AS INT), i), 2) = 1 THEN -x
+         |    ELSE x END)""".stripMargin)
   }
 }

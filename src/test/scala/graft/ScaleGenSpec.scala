@@ -96,4 +96,34 @@ class ScaleGenSpec extends SparkSpecBase {
       .filter(col("e0") === col("embedding")).count()
     assert(eq == 0, s"$eq replica vectors identical to their source")
   }
+
+  test("embeddings: replicas past the dimension wrap stay norm-true and distinct") {
+    // R=100 regression (r14): the old fixed-k slice had NEGATIVE
+    // length for k >= dim (job abort), and k = dim would have been a
+    // verbatim copy. The wrap path adds a per-wrap-count hash-picked
+    // sign flip — norm preserved, no replica equal to the base or to
+    // any other wrap of the same vector.
+    import spark.implicits._
+    val dim = Tables.embeddings(spark, sf)
+      .select(expr("size(embedding)")).head.getInt(0)
+    val base = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val nsq = (c: String) => round(expr(
+      s"aggregate($c, CAST(0.0 AS DOUBLE), " +
+        s"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"), 4)
+    for (k <- Seq(dim, dim + 3, 2 * dim, 2 * dim + 7)) {
+      val t = base.withColumn("shifted", ScaleGen.shiftEmbedding(k))
+      assert(t.filter(nsq("embedding") =!= nsq("shifted")).count() == 0,
+        s"k=$k changed a norm")
+      assert(t.filter(col("embedding") === col("shifted")).count() == 0,
+        s"k=$k produced verbatim copies")
+    }
+    // distinct across wrap counts too: k=dim vs k=2*dim (same zero
+    // shift, different sign pattern)
+    val two = base
+      .withColumn("a", ScaleGen.shiftEmbedding(dim))
+      .withColumn("b", ScaleGen.shiftEmbedding(2 * dim))
+    assert(two.filter(col("a") === col("b")).count() == 0,
+      "wrap counts 1 and 2 collided")
+  }
 }
