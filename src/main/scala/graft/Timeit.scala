@@ -23,10 +23,15 @@ object Timeit {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // time construction + action: several registry queries (the
+      // streaming twins, eval composites) do their real work eagerly
+      // inside fn() — Bench times fn().write as one region, so must we
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val tBuild = (System.nanoTime - t0) / 1e9
       df.write.mode("overwrite").format("noop").save()
-      println(f"TIMEIT $n ${(System.nanoTime - t0) / 1e9}%.3f s")
+      val tAll = (System.nanoTime - t0) / 1e9
+      println(f"TIMEIT $n $tAll%.3f s (build $tBuild%.3f)")
       if (explain) df.explain("formatted")
     }
     spark.stop()

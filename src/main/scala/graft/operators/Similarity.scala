@@ -2428,11 +2428,14 @@ object Similarity {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[graft.streaming.StreamOps.QueryVec]
     val name = s"graft_ann_serve_${annServeSeq.incrementAndGet()}"
-    val q = graft.streaming.StreamOps
-      .annServe(ms.toDS(), cents, frozen, nProbe, k, spark)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    val out =
+    // replay under the bounded-state partition count (r14: each
+    // micro-batch pays an O(shuffle.partitions) state-store commit
+    // floor; see StreamOps.withReplayPartitions)
+    val out = graft.streaming.StreamOps.withReplayPartitions(spark) {
+      val q = graft.streaming.StreamOps
+        .annServe(ms.toDS(), cents, frozen, nProbe, k, spark)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
       try {
         val (a, b) = qs.splitAt(math.max(1, qs.size / 2))
         ms.addData(a); q.processAllAvailable()
@@ -2447,6 +2450,7 @@ object Similarity {
         q.stop()
         spark.catalog.dropTempView(name)
       }
+    }
     Graph.releaseCheckpoint(frozen)
     out
   }

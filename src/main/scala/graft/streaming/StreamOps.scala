@@ -18,6 +18,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Run `body` (a bounded MemoryStream replay drive + its drain) with
+    * `spark.sql.shuffle.partitions` temporarily lowered to
+    * `graft.stream.replay.partitions` (default 8, conf-parameterized).
+    *
+    * Stateful micro-batches instantiate one state store PER SHUFFLE
+    * PARTITION per batch — open, commit (a delta file write+rename
+    * each), maintenance — so every batch pays an O(partitions) floor
+    * no matter how few rows arrive. The replay harnesses are bounded
+    * by construction (their input is a collect()'d fixture), so their
+    * state is thousands of keys, not core-count-scaled: measured on
+    * the r14 box, 32→8 partitions cut each twin's three-batch replay
+    * roughly in half with bit-identical output (state partitioning is
+    * invisible to results). A production `readStream` deployment sizes
+    * this by state volume instead — set the conf there; batch-side
+    * plans are unaffected because AQE re-coalesces batch shuffles.
+    *
+    * The conf is restored in finally: streaming locks the partition
+    * count into each query's (fresh, temporary) checkpoint at start,
+    * so the lowered value must be visible when `body` starts its
+    * query, and nothing outside the replay must see it. */
+  def withReplayPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, spark.conf.get("graft.stream.replay.partitions", "8"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
