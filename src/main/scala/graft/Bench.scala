@@ -7,6 +7,14 @@ object Bench {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = Engine.builder(master, cpus.toInt).getOrCreate()
     Engine.configure(spark)
+    // measurement-time conf overrides ("k=v;k=v") — lets A/B experiments
+    // (e.g. graft.read.fanout on/off) reuse the bench methodology
+    // without code edits; empty in driver runs, so the contract is
+    // unchanged there
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+      })
     // warm the JVM/codegen paths so the first measured query doesn't
     // absorb session startup (~3-4 s of JIT + codegen compile)
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -19,14 +19,15 @@ object Tables {
     * TIMESTAMP at load: the session is pinned UTC (Engine.configure),
     * so the cast is instant-preserving, and downstream plans, specs,
     * and the DuckDB-oracle dtypes stay stable across data refreshes. */
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private def load(spark: SparkSession, dir: String, name: String,
+      fan: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
       (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
     }
-    fanOutUnsplittable(spark, s"$dir/$name.parquet", ntz)
+    if (fan) fanOutUnsplittable(spark, s"$dir/$name.parquet", ntz) else ntz
   }
 
   /** Layout-aware read parallelization (optimization guide §2.5,
@@ -44,6 +45,19 @@ object Tables {
     * with a round-robin repartition; deterministic filters and column
     * pruning still push below the repartition, so the fanned-out
     * shuffle carries only what the query reads.
+    *
+    * OPT-IN per call site (r14 re-measure): applied unconditionally,
+    * the fan-out exchange was a registry-wide net LOSS — the r14
+    * full-registry A/B (REPS=3, flat canaries both runs) read 370.1 s
+    * fanned vs 289.0 s not, because for ~300 short queries the extra
+    * Exchange + sort-before-repartition costs 0.2-0.5 s while the
+    * post-scan work is too small to amortize it. Only pipelines whose
+    * per-row compute dominates the shuffle keep it (REPS=7 isolated
+    * A/B, winners only): the char-explode entropy pass (+1.0 s), the
+    * HL7 regex parse (+0.46), envelope validation (+0.48), BPE
+    * training (+0.24), q1's 8-aggregate pass (+0.37), PNG decode
+    * (+0.17), PII scrub (+0.14). Those call `Tables.x(spark, dir,
+    * fan = true)`; everything else reads unfanned.
     *
     * Scale behavior: the gate is the ACTUAL footer row-group count
     * (memoized per mtime, early-exit at the parallelism target), so
@@ -108,21 +122,23 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def lineitem(s: SparkSession, d: String, fan: Boolean = false): DataFrame =
+    load(s, d, "lineitem", fan)
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
     * Engine.configure) it arrives as raw nanos. Convert via integer
     * division (ns epoch values exceed 2^53 — double math would lose
     * precision) to a microsecond timestamp. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String, fan: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
+    val raw = load(s, d, "events", fan)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def documents(s: SparkSession, d: String, fan: Boolean = false): DataFrame =
+    load(s, d, "documents", fan)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",

@@ -15,6 +15,11 @@ object Timeit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Engine.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     Engine.configure(spark)
+    // same measurement-time conf overrides as Bench ("k=v;k=v")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k.trim, v.trim)
+      })
     // -nocse simulates degraded codegen subexpression elimination — a
     // plan is only scale-robust if it stays fast with CSE off
     if (noCse) spark.conf.set("spark.sql.subexpressionElimination.enabled", "false")

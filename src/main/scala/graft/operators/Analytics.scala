@@ -36,7 +36,7 @@ object Analytics {
     */
   def q1PricingSummary(spark: SparkSession, dir: String,
                        shipdateMax: String = "1999-09-02"): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir, fan = true)
     li.filter(col("l_shipdate") <= lit(shipdateMax).cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -89,7 +89,7 @@ object Analytics {
     // is built exactly as a stored-base + daily-tail pipeline would
     // see it (one partial row per group per segment) without paying a
     // second lineitem read here
-    val partials = Tables.lineitem(spark, dir)
+    val partials = Tables.lineitem(spark, dir, fan = true)
       .filter(col("l_shipdate") <= lit(shipdateMax).cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"),
         (col("l_shipdate") <= lit(cutoff).cast("timestamp")).as("seg_base"))

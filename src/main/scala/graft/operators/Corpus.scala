@@ -58,7 +58,7 @@ object Corpus {
     * unexpectedly PII-dense sources. Narrow scan-project, no shuffle;
     * the char classes are valid in both Java regex and RE2. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    redact(Tables.documents(spark, dir)
+    redact(Tables.documents(spark, dir, fan = true)
       .select(col("doc_id"), col("lang"), piiText.as("text")))
 
   // single line: this fragment is interpolated into another

@@ -238,7 +238,7 @@ object Multimodal {
     * synthesized per doc_id on the executors — nothing driver-side). */
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir, fan = true).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
         it.map(id => (id, synthPng(id)))

@@ -34,7 +34,7 @@ object Normalize {
     * parquet scan anyway, since every predicate is over derived
     * columns. */
   def dto(spark: SparkSession, dir: String): DataFrame =
-    dtoFrom(graft.Tables.events(spark, dir))
+    dtoFrom(graft.Tables.events(spark, dir, fan = true))
 
   /** The same parse+defect-injection over any events-shaped frame
     * (pure Column pipeline + the Sealed barrier — streaming-safe). */
@@ -424,7 +424,7 @@ object Normalize {
     * per-row expressions over one events scan; the rollup is a
     * ≤12-row group-by — entirely map-side until the final count. */
   def validateEnvelope(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
+    val ev = graft.Tables.events(spark, dir, fan = true)
     val s = (c: Column) => c.cast("string")
     val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     val m = (k: Int) => pmod(col("event_id"), lit(k)) === 0

@@ -307,7 +307,8 @@ object TextAnalysis {
     val chars = filter(split(col("text"), ""), c => c =!= "")
     val fp = aggregate(chars, lit(0L),
       (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
-    Tables.documents(spark, dir).select(col("doc_id"), fp.as("fingerprint"))
+    Tables.documents(spark, dir, fan = true)
+      .select(col("doc_id"), fp.as("fingerprint"))
   }
 
   def rollingFingerprintSql: String =
@@ -1449,7 +1450,7 @@ object TextAnalysis {
     * corpus against the trained dictionary). */
   private def bpeTrained(spark: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    val wf = Tables.documents(spark, dir)
+    val wf = Tables.documents(spark, dir, fan = true)
       .select(explode(nonEmptyToks).as("t"))
       .filter(col("t").rlike("^[a-z0-9]+$"))
       .groupBy(col("t").as("token")).agg(count(lit(1)).as("freq"))
@@ -1544,10 +1545,10 @@ object TextAnalysis {
         .select(col("doc_id"), col(nName),
           round(log(col(nName)) - col("clnc").cast("double") / col(nName), 6)
             .as(hName))
-    val chars = Tables.documents(spark, dir).select(col("doc_id"),
+    val chars = Tables.documents(spark, dir, fan = true).select(col("doc_id"),
       explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
         .as("ch"))
-    val words = Tables.documents(spark, dir)
+    val words = Tables.documents(spark, dir, fan = true)
       .select(col("doc_id"), explode(nonEmptyToks).as("w"))
     entropyOf(chars, "ch", "n_chars_seen", "char_entropy")
       .join(entropyOf(words, "w", "n_tokens", "word_entropy"), "doc_id")

@@ -137,7 +137,7 @@ object Adapters {
     * .1 default "1" (v2.ts:66 `c6[1] || c6[0] || "" -> "1"`);
     * effective = OBX-14 YYYYMMDDHHMMSS -> UTC timestamp (v2.ts:68). */
   def hl7Obx(spark: SparkSession, dir: String): DataFrame =
-    hl7ObxFrom(Tables.events(spark, dir))
+    hl7ObxFrom(Tables.events(spark, dir, fan = true))
 
   /** Same parser over any events-shaped frame (pure Column pipeline),
     * so the C8 source-routing dispatch can feed it a route slice. */
